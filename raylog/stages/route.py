@@ -1,0 +1,137 @@
+"""Routing fan-out + final LogEvent projection.
+
+Reference semantics (SURVEY.md §2.6 truth table, derived from the two
+rewrite_tag filters conf/ds/fluent-bit.conf:181-193 and the output Match
+patterns :209,225,241): with E = "has non-empty monitor_log_collector
+label" and J = "has non-empty terminus_define_tag",
+
+- container sink ⟵ record iff ¬J   (T2 keep=false removes J-rows)
+- job sink       ⟵ record iff J    (re-tagged erda.log.job)
+- export sink    ⟵ record iff E    (T1 keep=true COPY — a row can be in
+  BOTH container and export)
+
+Job-branch fixup (N11, conf/ds/fluent-bit.conf:195-199): `id` is
+overwritten by the define-tag and `source` becomes "job". Final projection
+(G3, out_erda/outerda.go:73-118): required `id` defaults to "" on miss,
+`stream` defaults to "stdout".
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SINKS = ("container", "job", "export")
+
+# tag-map keys (N7-N10 reshape output) → underlying column; dice_* are the
+# compat aliases of N8 (conf/ds/fluent-bit.conf:147-161)
+TAG_SOURCES: dict[str, str] = {
+    "application_name": "application_name",
+    "cluster_name": "cluster_name",
+    "container_id": "container_id",
+    "dice_application_name": "application_name",
+    "dice_cluster_name": "cluster_name",
+    "dice_org_name": "org_name",
+    "dice_workspace": "workspace",
+    "level": "level",
+    "msp_env_id": "msp_env_id",
+    "org_name": "org_name",
+    "pod_name": "pod_name",
+    "pod_namespace": "pod_namespace",
+    "request_id": "request_id",
+    "workspace": "workspace",
+}
+
+
+def _arr(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def add_route_flags(batch: pa.Table) -> pa.Table:
+    """Append in_container / in_job / in_export boolean columns."""
+    j = pc.is_valid(_arr(batch["terminus_define_tag"]))
+    e = pc.is_valid(_arr(batch["monitor_log_collector"]))
+    batch = batch.append_column("in_job", j)
+    batch = batch.append_column("in_export", e)
+    batch = batch.append_column("in_container", pc.invert(j))
+    return batch
+
+
+def sink_mask(batch: pa.Table, sink: str) -> pa.Array:
+    if sink == "container":
+        return pc.invert(pc.is_valid(_arr(batch["terminus_define_tag"])))
+    if sink == "job":
+        return pc.is_valid(_arr(batch["terminus_define_tag"]))
+    if sink == "export":
+        return pc.is_valid(_arr(batch["monitor_log_collector"]))
+    raise ValueError(f"unknown sink {sink!r}")
+
+
+def pack_tags(batch: pa.Table) -> pa.Table:
+    """N10: pack the tag namespace into one deterministic `tags_str` column.
+
+    Sorted `key=value;` concatenation of the non-null tag columns — a
+    hash-stable stand-in for the reference's map column (map<string,string>
+    value-hashing is engine-dependent; a canonical string is not).
+    """
+    n = batch.num_rows
+    empty = pa.scalar("", pa.string())
+    pieces = []
+    for tag_key in sorted(TAG_SOURCES):
+        col_name = TAG_SOURCES[tag_key]
+        if col_name not in batch.column_names:
+            continue
+        col = _arr(batch[col_name])
+        piece = pc.binary_join_element_wise(
+            pa.array([tag_key + "="] * n), col, pa.array([";"] * n), ""
+        )
+        pieces.append(pc.if_else(pc.is_valid(col), piece, empty))
+    if not pieces:
+        return batch.append_column("tags_str", pa.array([""] * n))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = pc.binary_join_element_wise(out, p, "")
+    return batch.append_column("tags_str", out)
+
+
+def tags_str_sql() -> str:
+    """DuckDB expression mirroring :func:`pack_tags` exactly."""
+    parts = [
+        f"CASE WHEN {TAG_SOURCES[k]} IS NOT NULL THEN '{k}=' || {TAG_SOURCES[k]} || ';' ELSE '' END"
+        for k in sorted(TAG_SOURCES)
+    ]
+    return " || ".join(parts)
+
+
+def project_logevent(batch: pa.Table, sink: str) -> pa.Table:
+    """G3 + N11: the final per-sink LogEvent projection.
+
+    Keeps doc_id/source (lineage + aggregate keys), the token payload
+    (bit-identical), and the LogEvent fields: id, source_out, stream,
+    level, request_id, ts_ns, content, tags_str.
+    """
+    n = batch.num_rows
+    if sink == "job":
+        ids = pc.fill_null(_arr(batch["terminus_define_tag"]), "")
+        source_out = pa.array(["job"] * n)
+    else:
+        ids = pc.fill_null(_arr(batch["container_id"]), "")
+        source_out = pa.array(["container"] * n)
+    stream = pc.fill_null(_arr(batch["stream"]), "stdout")
+    cols: dict[str, pa.Array] = {
+        "doc_id": _arr(batch["doc_id"]),
+        "source": _arr(batch["source"]),
+        "id": ids,
+        "source_out": source_out,
+        "stream": stream,
+        "level": _arr(batch["level"]),
+        "request_id": _arr(batch["request_id"]),
+        "ts_ns": _arr(batch["ts_ns"]),
+        "content": _arr(batch["log"]),
+    }
+    if "tags_str" in batch.column_names:
+        cols["tags_str"] = _arr(batch["tags_str"])
+    for payload in ("tokens", "n_tok", "tok_sum"):
+        if payload in batch.column_names:
+            cols[payload] = _arr(batch[payload])
+    return pa.table(cols)
