@@ -1,0 +1,214 @@
+#!/usr/bin/env python
+"""Benchmark harness for the raylog engine.
+
+Runs the headline pipelines over `$GRAFT_SF_DIR` (default
+/root/testdata/sf0.1) and prints ONE JSON line:
+``{"metric": ..., "value": <headline sec>, "unit": "sec",
+"queries": {...}, "sf": ..., "num_cpus": N, "rows": R, "rows_per_sec": ...}``
+
+The log-pipeline input is the synthesized pre-tokenized sequences table
+(BASELINE.json input_hint shape) scaled off the sf's documents row count,
+cached under /tmp. ``--scaling`` runs the same job in fresh processes at
+N and 4N CPUs (default num_cpus=4 vs 16; override RAYLOG_SCALE_LO/HI)
+and reports both throughputs + scaling efficiency (the sandbox stand-in
+for N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SEED = 42
+HEADLINE_ONLY = os.environ.get("RAYLOG_BENCH_ONLY") == "headline"
+
+
+def fused_pool_size(ncpu: int) -> int:
+    """Actor count for the fused stage: always leave >=1 CPU for the task
+    stages (a pool reserving every CPU stalls them ~20 s until teardown);
+    above ~16 actors this box is memory-bandwidth bound, so cap there."""
+    if ncpu <= 8:
+        return max(1, ncpu - 1)
+    if ncpu <= 18:
+        return ncpu - 2
+    return 16
+
+
+def bench_rows(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return int(max(400_000, min(docs * 800, 8_000_000)))
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NCPU,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    from raylog.pipelines import log_pipeline as LP
+    from raylog.records import build_dim_table
+    from raylog.sinks.writer import run_to_sinks
+    from raylog.sources.reader import read_sequences
+    from raylog.sources.synth import synth_sources, synthesize_sequences
+
+    rows = bench_rows(SF_DIR)
+    cache = f"/tmp/raylog_bench/seq_r{rows}_s{SEED}"
+    files = synthesize_sequences(cache, rows, seed=SEED)
+    dim = build_dim_table(synth_sources())
+
+    # warm the OS page cache so we measure compute + shuffle, not first read
+    read_sequences(files).count()
+
+    # fixed-size pools (autoscaling (min,max) pools ramp too slowly and
+    # average ~2-4 actors); their sum must stay below NCPU so task stages
+    # (read, combine) can schedule alongside
+    enrich_c = max(2, NCPU // 3)
+    write_c = max(2, (NCPU * 2) // 5)
+    queries: dict[str, float] = {}
+
+    # q1 (headline, first so later runs' writeback doesn't throttle it):
+    # fused single-pass execution — read → parse → enrich → route → sink
+    # write inside one actor task; zero payload through the object store
+    # (same semantics as the staged pipeline, asserted equal in tests)
+    from raylog.pipelines.fused import run_fused
+
+    out_dir = f"/tmp/raylog_bench/out_fused_{NCPU}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # flush dirty pages (synthesis / previous runs), drop the page cache if
+    # permitted, and re-warm the input read so the timed section measures
+    # this pipeline, not leftover kernel writeback
+    os.sync()
+    try:
+        with open("/proc/sys/vm/drop_caches", "w") as f:
+            f.write("3")
+    except OSError:
+        pass
+    read_sequences(files).count()
+    t0 = time.monotonic()
+    agg = run_fused(files, dim, out_dir, concurrency=fused_pool_size(NCPU))
+    headline = round(time.monotonic() - t0, 3)
+    queries["full_pipeline_sinks"] = headline
+    routed_rows = sum(r["cnt"] for r in agg.to_pylist())
+
+    # q2: staged variant, no sink write: parse → enrich → route → aggregate
+    if HEADLINE_ONLY:
+        ray.shutdown()
+        return {
+            "metric": "end-to-end parse→route→aggregate wall time (sequences table)",
+            "value": headline,
+            "unit": "sec",
+            "queries": queries,
+            "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+            "num_cpus": NCPU,
+            "rows": rows,
+            "routed_rows": int(routed_rows),
+            "rows_per_sec": round(rows / headline, 1),
+        }
+    t0 = time.monotonic()
+    routed = LP.pipeline_from_records(
+        read_sequences(files), dim, concurrency=enrich_c
+    )
+    LP.sink_counts(routed).to_pandas()
+    queries["parse_route_agg"] = round(time.monotonic() - t0, 3)
+
+    # q3: staged full pipeline incl. single-pass parquet sink fan-out
+    out_dir = f"/tmp/raylog_bench/out_{NCPU}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    routed = LP.pipeline_from_records(
+        read_sequences(files), dim, concurrency=enrich_c
+    )
+    run_to_sinks(routed, out_dir, concurrency=write_c)
+    queries["full_pipeline_sinks_staged"] = round(time.monotonic() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "end-to-end parse→route→aggregate wall time (sequences table)",
+        "value": headline,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "num_cpus": NCPU,
+        "rows": rows,
+        "routed_rows": int(routed_rows),
+        "rows_per_sec": round(rows / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, N vs 4N CPUs (default 4 → 16).
+
+    Two trials per level, best taken (buffered-writeback noise from the
+    previous trial's 1.2 GB sink output otherwise leaks into the next
+    measurement); os.sync() inside each bench process runs before its
+    timer starts.
+    """
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), RAYLOG_BENCH_ONLY="headline")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo = int(os.environ.get("RAYLOG_SCALE_LO", "4"))
+    hi = int(os.environ.get("RAYLOG_SCALE_HI", "16"))
+    trials = int(os.environ.get("RAYLOG_SCALE_TRIALS", "2"))
+    def settle():
+        # flush + drop page cache so a trial never pays for the previous
+        # trial's 1.2 GB of buffered sink output (each bench process
+        # re-warms its own input read before timing)
+        os.sync()
+        try:
+            with open("/proc/sys/vm/drop_caches", "w") as f:
+                f.write("3")
+        except OSError:
+            pass
+        time.sleep(2)
+
+    best: dict[int, dict] = {}
+    for ncpu in (lo, hi) * trials:
+        settle()
+        r = run(ncpu)
+        if ncpu not in best or r["value"] < best[ncpu]["value"]:
+            best[ncpu] = r
+    r_lo, r_hi = best[lo], best[hi]
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": f"scaling efficiency (num_cpus {lo} → {hi}, fresh processes, best of {trials})",
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"rows_per_sec_{lo}": r_lo["rows_per_sec"],
+        f"rows_per_sec_{hi}": r_hi["rows_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "rows": r_hi["rows"],
+        "n_lo": lo,
+        "n_hi": hi,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,127 @@
+"""Fused single-pass execution of the flagship pipeline.
+
+The staged pipeline (log_pipeline.py) crosses the object store at every
+operator boundary — ~1 KB/row of payload (tokens + content + tags) memcpy'd
+2-3x through plasma. Correct, streaming, but bandwidth-bound well before
+CPU-bound. This module applies explicit operator fusion, the same move a
+query engine's physical planner makes: ONE actor-pool ``map_batches``
+stage consumes (file, row_group) work items and runs read → P4/P1 parse →
+E1 enrich → P2 extract → N* reshape → T1/T2 route → per-sink parquet
+append entirely inside the task, emitting only the per-batch partial
+(sink, source, level) counts. Payload bytes never enter the object store;
+the only exchanged data is key-compressed partials.
+
+Same semantics as the staged pipeline (shared stage kernels); the pytest
+suite asserts staged == fused on the conformance fixture. Scale notes: at
+10^12 rows this is the execution shape that survives — per-row-group
+failure/retry domains, zero payload shuffle, aggregation traffic bounded
+by key cardinality.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from raylog.pipelines import log_pipeline as LP
+from raylog.sources.reader import _list_row_groups
+from raylog.stages import parse, route
+from raylog.stages.enrich import BroadcastEnricher
+
+
+class FusedSinkTask:
+    """read + parse + enrich + route + write, one row group per item."""
+
+    def __init__(
+        self,
+        dim,
+        out_dir: str | None,
+        cap: int = parse.TRUNCATE_CAP,
+        compression: str = "zstd",
+        columns: list[str] | None = None,
+    ):
+        self.enricher = BroadcastEnricher(dim, key="source")
+        self.out_dir = out_dir
+        self.cap = cap
+        self.compression = compression
+        self.columns = columns
+        self.uid = uuid.uuid4().hex[:12]
+        self.n = 0
+        if out_dir:
+            for sink in route.SINKS:
+                os.makedirs(os.path.join(out_dir, sink), exist_ok=True)
+
+    def _process(self, tbl: pa.Table) -> pa.Table:
+        tbl = parse.cri_parse(tbl, key="raw")
+        tbl = parse.truncate_content(tbl, key="log", cap=self.cap)
+        tbl = self.enricher(tbl)
+        tbl = parse.erda_info(tbl, key="log")
+        tbl = route.pack_tags(tbl)
+        tbl = route.add_route_flags(tbl)
+        return tbl
+
+    def __call__(self, batch: pa.Table):
+        paths = batch["path"].to_pylist()
+        rgs = batch["row_group"].to_pylist()
+        for path, rg in zip(paths, rgs):
+            tbl = pq.ParquetFile(path).read_row_group(rg, columns=self.columns)
+            routed = self._process(tbl)
+            if self.out_dir:
+                for sink in route.SINKS:
+                    sub = routed.filter(route.sink_mask(routed, sink))
+                    if sub.num_rows == 0:
+                        continue
+                    out = route.project_logevent(sub, sink)
+                    pq.write_table(
+                        out,
+                        os.path.join(
+                            self.out_dir,
+                            sink,
+                            f"part-{self.uid}-{self.n:05d}.parquet",
+                        ),
+                        compression=self.compression,
+                        compression_level=1,
+                    )
+            self.n += 1
+            yield LP.sink_counts_batch(routed)
+
+
+def run_fused(
+    files: list[str],
+    dim: pa.Table,
+    out_dir: str | None,
+    *,
+    concurrency: int | tuple[int, int] | None = None,
+) -> pa.Table:
+    """Execute the fused pipeline; returns the final sink counts table.
+
+    The actor pool is sized to NCPU-2 by default: a pool that reserves
+    every logical CPU blocks the downstream combine tasks until the idle
+    pool is torn down (measured ~19 s of dead time), so headroom for the
+    task stages is mandatory, not a tuning nicety.
+    """
+    items = _list_row_groups(files)
+    if concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = max(1, ncpu - 2)
+    dim_ref = ray.put(dim) if ray.is_initialized() else dim
+    partials = rd.from_items(items).map_batches(
+        FusedSinkTask,
+        fn_constructor_kwargs={"dim": dim_ref, "out_dir": out_dir},
+        concurrency=concurrency,
+        batch_size=1,
+        batch_format="pyarrow",
+    )
+    agg = LP.tree_aggregate_counts(partials)
+    tables = list(agg.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not tables:
+        return pa.schema(
+            [("sink", pa.string()), ("source", pa.string()),
+             ("level", pa.string()), ("cnt", pa.int64())]
+        ).empty_table()
+    return pa.concat_tables(tables)

@@ -53,7 +53,7 @@ def dim_for(sf_dir: str) -> pa.Table:
 def records_ds(sf_dir: str) -> rd.Dataset:
     """documents → log-record stream (doc_id, source, stream, raw, tokens...)."""
     return read_documents(sf_dir).map_batches(
-        R.build_records_batch, batch_format="pyarrow"
+        R.build_records_batch, batch_format="pyarrow", batch_size=None
     )
 
 
@@ -64,7 +64,7 @@ def parsed_ds(ds: rd.Dataset, cap: int = parse.TRUNCATE_CAP) -> rd.Dataset:
         batch = parse.truncate_content(batch, key="log", cap=cap)
         return batch
 
-    return ds.map_batches(_parse, batch_format="pyarrow")
+    return ds.map_batches(_parse, batch_format="pyarrow", batch_size=None)
 
 
 def enriched_ds(
@@ -80,6 +80,7 @@ def enriched_ds(
         fn_constructor_kwargs={"dim": dim_ref, "key": "source"},
         concurrency=concurrency,
         batch_format="pyarrow",
+        batch_size=None,
     )
 
     def _post(batch: pa.Table) -> pa.Table:
@@ -88,12 +89,17 @@ def enriched_ds(
         batch = route.add_route_flags(batch)
         return batch
 
-    return ds.map_batches(_post, batch_format="pyarrow")
+    return ds.map_batches(_post, batch_format="pyarrow", batch_size=None)
+
+
+def pipeline_from_records(ds: rd.Dataset, dim: pa.Table, **kw) -> rd.Dataset:
+    """records (any source) → parsed → enriched + routed (lazy)."""
+    return enriched_ds(parsed_ds(ds), dim, **kw)
 
 
 def full_pipeline(sf_dir: str, **kw) -> rd.Dataset:
     """records → parsed → enriched+routed (lazy)."""
-    return enriched_ds(parsed_ds(records_ds(sf_dir)), dim_for(sf_dir), **kw)
+    return pipeline_from_records(records_ds(sf_dir), dim_for(sf_dir), **kw)
 
 
 def sink_dataset(routed: rd.Dataset, sink: str) -> rd.Dataset:
@@ -102,7 +108,7 @@ def sink_dataset(routed: rd.Dataset, sink: str) -> rd.Dataset:
         sub = batch.filter(route.sink_mask(batch, sink))
         return route.project_logevent(sub, sink)
 
-    return routed.map_batches(_take, batch_format="pyarrow")
+    return routed.map_batches(_take, batch_format="pyarrow", batch_size=None)
 
 
 NULL_KEY = "\x00null"
@@ -114,8 +120,6 @@ def sink_counts_batch(batch: pa.Table) -> pa.Table:
     The partial-aggregation half of the only shuffle in the pipeline:
     emits at most (#sinks × #distinct keys in batch) rows per batch.
     """
-    import pandas as pd
-
     schema = pa.schema(
         [
             ("sink", pa.string()),
@@ -124,32 +128,23 @@ def sink_counts_batch(batch: pa.Table) -> pa.Table:
             ("cnt", pa.int64()),
         ]
     )
+    # null keys are sentinel-encoded around the shuffle so every block
+    # carries a stable string-typed schema
+    level = pc.fill_null(batch["level"], NULL_KEY)
+    keyed = pa.table({"source": batch["source"], "level": level})
     outs = []
     for sink in route.SINKS:
-        sub = batch.filter(route.sink_mask(batch, sink))
+        sub = keyed.filter(route.sink_mask(batch, sink))
         if sub.num_rows == 0:
             continue
-        df = pd.DataFrame(
-            {
-                "source": sub["source"].to_pandas(),
-                "level": sub["level"].to_pandas(),
-            }
-        )
-        g = (
-            df.groupby(["source", "level"], dropna=False)
-            .size()
-            .reset_index(name="cnt")
-        )
-        # null keys are sentinel-encoded around the shuffle so every block
-        # carries a stable string-typed schema
-        levels = [NULL_KEY if pd.isna(v) else v for v in g["level"]]
+        g = sub.group_by(["source", "level"]).aggregate([([], "count_all")])
         outs.append(
             pa.table(
                 {
-                    "sink": pa.array([sink] * len(g)),
-                    "source": pa.array(list(g["source"]), pa.string()),
-                    "level": pa.array(levels, pa.string()),
-                    "cnt": pa.array(list(g["cnt"]), pa.int64()),
+                    "sink": pa.array([sink] * g.num_rows),
+                    "source": g["source"],
+                    "level": g["level"],
+                    "cnt": pc.cast(g["count_all"], pa.int64()),
                 },
                 schema=schema,
             )
@@ -159,23 +154,51 @@ def sink_counts_batch(batch: pa.Table) -> pa.Table:
     return pa.concat_tables(outs)
 
 
-def sink_counts(routed: rd.Dataset) -> rd.Dataset:
-    """Final per-sink aggregate: groupby over tiny partials (the only shuffle)."""
-    from ray.data.aggregate import Sum
-
-    partials = routed.map_batches(sink_counts_batch, batch_format="pyarrow")
-    agg = partials.groupby(["sink", "source", "level"]).aggregate(
-        Sum("cnt", alias_name="cnt")
+def combine_counts_batch(batch: pa.Table) -> pa.Table:
+    """Merge partial count rows (sum cnt per (sink, source, level))."""
+    g = batch.group_by(["sink", "source", "level"]).aggregate([("cnt", "sum")])
+    return pa.table(
+        {
+            "sink": g["sink"],
+            "source": g["source"],
+            "level": g["level"],
+            "cnt": g["cnt_sum"],
+        }
     )
 
-    def _decode(batch: pa.Table) -> pa.Table:
-        lvl = batch["level"]
-        lvl = lvl.combine_chunks() if isinstance(lvl, pa.ChunkedArray) else lvl
-        i = batch.column_names.index("level")
-        return batch.set_column(
-            i,
-            "level",
-            pc.if_else(pc.equal(lvl, NULL_KEY), pa.scalar(None, pa.string()), lvl),
-        )
 
-    return agg.map_batches(_decode, batch_format="pyarrow")
+def decode_null_level(batch: pa.Table) -> pa.Table:
+    lvl = batch["level"]
+    lvl = lvl.combine_chunks() if isinstance(lvl, pa.ChunkedArray) else lvl
+    i = batch.column_names.index("level")
+    return batch.set_column(
+        i,
+        "level",
+        pc.if_else(pc.equal(lvl, NULL_KEY), pa.scalar(None, pa.string()), lvl),
+    )
+
+
+def tree_aggregate_counts(partials: rd.Dataset) -> rd.Dataset:
+    """Tree-reduce partial (sink, source, level, cnt) rows to final counts.
+
+    Ray's generic sort-based groupby is built for row-level shuffles; the
+    partials here are already key-compressed, so a two-level combine —
+    local merge over runs of partial blocks, then one coalesced final
+    merge — is both cheaper and skew-proof (every combine output is
+    bounded by key cardinality, never by input rows).
+    """
+    local = partials.map_batches(
+        combine_counts_batch, batch_format="pyarrow", batch_size=65_536
+    )
+    final = local.repartition(1).map_batches(
+        combine_counts_batch, batch_format="pyarrow", batch_size=None
+    )
+    return final.map_batches(decode_null_level, batch_format="pyarrow")
+
+
+def sink_counts(routed: rd.Dataset) -> rd.Dataset:
+    """Final per-sink aggregate over per-batch partials (the only exchange)."""
+    partials = routed.map_batches(
+        sink_counts_batch, batch_format="pyarrow", batch_size=None
+    )
+    return tree_aggregate_counts(partials)

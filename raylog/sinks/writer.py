@@ -1,0 +1,87 @@
+"""Single-pass routed sink writer (the O1/O2/O3 outputs, SURVEY §2.7).
+
+Ray Data datasets are lazy: consuming three filtered branches separately
+would re-execute the whole upstream lineage three times (or force a full
+materialization). At 100 TB neither is acceptable, so the fan-out is done
+in ONE streaming pass: an actor-pool ``map_batches`` stage that, per
+batch, filters + projects each sink's rows, appends them to that sink's
+parquet directory, and RETURNS only the per-batch partial aggregate
+counts. The pipeline's output dataset is therefore tiny (the partials);
+rows hit disk exactly once; and the only shuffle (final groupby over
+partials) moves a few KB regardless of input size or source skew.
+
+Each actor writes files named by its own uuid + a local counter, so
+concurrent writers never collide; a shard directory is only declared
+complete by the manifest after the consuming execution finishes.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from raylog.pipelines import log_pipeline as LP
+from raylog.stages import route
+
+
+class SinkWriter:
+    """Actor-pool stage: write each batch's routed rows to per-sink parquet.
+
+    Emits the batch's partial (sink, source, level, cnt) counts as its
+    output. ``__init__`` runs once per actor (directory setup, id).
+    """
+
+    def __init__(self, out_dir: str, compression: str = "zstd"):
+        self.out_dir = out_dir
+        self.compression = compression
+        self.uid = uuid.uuid4().hex[:12]
+        self.n = 0
+        for sink in route.SINKS:
+            os.makedirs(os.path.join(out_dir, sink), exist_ok=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        for sink in route.SINKS:
+            sub = batch.filter(route.sink_mask(batch, sink))
+            if sub.num_rows == 0:
+                continue
+            out = route.project_logevent(sub, sink)
+            path = os.path.join(
+                self.out_dir, sink, f"part-{self.uid}-{self.n:05d}.parquet"
+            )
+            pq.write_table(out, path, compression=self.compression, compression_level=1)
+        self.n += 1
+        return LP.sink_counts_batch(batch)
+
+
+def run_to_sinks(
+    routed: rd.Dataset,
+    out_dir: str,
+    *,
+    concurrency: int | tuple[int, int] = 8,
+    batch_size: int | None = None,
+) -> pa.Table:
+    """Consume the routed dataset: write sinks + return final agg counts.
+
+    The returned table is the per-sink (sink, source, level) counts — the
+    flagship aggregate artifact. Small by construction (bounded by key
+    cardinality), safe to materialize.
+    """
+    partials = routed.map_batches(
+        SinkWriter,
+        fn_constructor_kwargs={"out_dir": out_dir},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )
+    agg = LP.tree_aggregate_counts(partials)
+    tables = list(agg.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not tables:
+        return pa.schema(
+            [("sink", pa.string()), ("source", pa.string()),
+             ("level", pa.string()), ("cnt", pa.int64())]
+        ).empty_table()
+    return pa.concat_tables(tables)

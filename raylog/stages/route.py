@@ -74,23 +74,22 @@ def pack_tags(batch: pa.Table) -> pa.Table:
     hash-stable stand-in for the reference's map column (map<string,string>
     value-hashing is engine-dependent; a canonical string is not).
     """
-    n = batch.num_rows
-    empty = pa.scalar("", pa.string())
     pieces = []
     for tag_key in sorted(TAG_SOURCES):
         col_name = TAG_SOURCES[tag_key]
         if col_name not in batch.column_names:
             continue
-        col = _arr(batch[col_name])
-        piece = pc.binary_join_element_wise(
-            pa.array([tag_key + "="] * n), col, pa.array([";"] * n), ""
+        # scalar prefix/suffix broadcast; null value → null piece → ''
+        piece = pc.fill_null(
+            pc.binary_join_element_wise(tag_key + "=", batch[col_name], ";", ""),
+            "",
         )
-        pieces.append(pc.if_else(pc.is_valid(col), piece, empty))
+        pieces.append(piece)
     if not pieces:
-        return batch.append_column("tags_str", pa.array([""] * n))
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = pc.binary_join_element_wise(out, p, "")
+        return batch.append_column(
+            "tags_str", pa.array([""] * batch.num_rows, pa.string())
+        )
+    out = pc.binary_join_element_wise(*pieces, "") if len(pieces) > 1 else pieces[0]
     return batch.append_column("tags_str", out)
 
 
