@@ -478,3 +478,272 @@ def log_sink_counts(sf_dir: str):
     from raylog.pipelines import log_pipeline as LP
 
     return LP.sink_counts(LP.full_pipeline(sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Training-data ops: text analysis
+# --------------------------------------------------------------------------
+
+@query(
+    "text_token_counts",
+    r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents""",
+)
+def text_token_counts(sf_dir: str):
+    """Token counting: whitespace + BPE-ish regex, vectorized Arrow."""
+    import ray.data as rd
+
+    from raylog.functions.text import token_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(token_counts, batch_format="pyarrow", batch_size=None)
+    return ds.select_columns(["doc_id", "n_ws_tokens", "n_bpe_tokens"])
+
+
+@query(
+    "text_quality",
+    """
+WITH q AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars_calc,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS BIGINT) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_chars_calc, n_words, stop_hits,
+       CAST(FLOOR(1000 * (0.5 * LEAST(n_words / 40.0, 1.0)
+                          + 0.5 * (1.0 - stop_hits * 1.0 / n_words))) AS BIGINT)
+         AS score_milli
+FROM q""",
+)
+def text_quality(sf_dir: str):
+    """Quality scoring: length + stopword-ratio components, 0-1000 score."""
+    import ray.data as rd
+
+    from raylog.functions.text import quality_scores
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(quality_scores, batch_format="pyarrow", batch_size=None)
+    return ds.select_columns(
+        ["doc_id", "n_chars_calc", "n_words", "stop_hits", "score_milli"]
+    )
+
+
+@query(
+    "text_langid",
+    """
+WITH h AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und'))) AS BIGINT) AS h_de,
+    CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS BIGINT) AS h_en,
+    CAST(len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','y'))) AS BIGINT) AS h_es,
+    CAST(len(list_filter(string_split(text,' '), w -> w IN ('le','la','de','et'))) AS BIGINT) AS h_fr
+  FROM documents
+), g AS (
+  SELECT *, GREATEST(h_de, h_en, h_es, h_fr) AS mx,
+         (CASE WHEN h_de = GREATEST(h_de,h_en,h_es,h_fr) THEN 1 ELSE 0 END
+        + CASE WHEN h_en = GREATEST(h_de,h_en,h_es,h_fr) THEN 1 ELSE 0 END
+        + CASE WHEN h_es = GREATEST(h_de,h_en,h_es,h_fr) THEN 1 ELSE 0 END
+        + CASE WHEN h_fr = GREATEST(h_de,h_en,h_es,h_fr) THEN 1 ELSE 0 END) AS ties
+  FROM h
+)
+SELECT doc_id,
+       CASE WHEN mx = 0 OR ties > 1 THEN 'und'
+            WHEN h_de = mx THEN 'de'
+            WHEN h_en = mx THEN 'en'
+            WHEN h_es = mx THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM g""",
+)
+def text_langid(sf_dir: str):
+    """Language ID: stopword-marker argmax heuristic (tie/zero → 'und')."""
+    import ray.data as rd
+
+    from raylog.functions.text import lang_id
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(lang_id, batch_format="pyarrow", batch_size=None)
+    return ds.select_columns(["doc_id", "lang_pred"])
+
+
+@query("text_fingerprint", "SELECT doc_id, md5(text) AS fp_md5 FROM documents")
+def text_fingerprint(sf_dir: str):
+    """Document fingerprinting (md5 content hash; rolling hash in pytest)."""
+    import ray.data as rd
+
+    from raylog.functions.text import fingerprints
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(fingerprints, batch_format="pyarrow", batch_size=None)
+    return ds.select_columns(["doc_id", "fp_md5"])
+
+
+# --------------------------------------------------------------------------
+# Training-data ops: deduplication
+# --------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+)
+def dedup_exact(sf_dir: str):
+    """Exact dedup survivors: hash-partitioned keep-first (min doc_id)."""
+    import ray.data as rd
+
+    from raylog.functions.dedup import exact_dedup_survivors
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup_survivors(ds)
+
+
+@query(
+    "dedup_ngram_pairs",
+    """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              list_extract(w, i) || ' ' || list_extract(w, i+1) || ' ' || list_extract(w, i+2) AS g
+       FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+       WHERE len(w) >= 3),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(FLOOR(1000 * (c * 1.0 / (x.n + y.n - c))) AS BIGINT) AS jacc_milli
+FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE c * 1.0 / (x.n + y.n - c) >= 0.3""",
+)
+def dedup_ngram_pairs(sf_dir: str):
+    """Exact n-gram Jaccard near-dup pairs (J >= 0.3, word 3-grams) via a
+    distributed inverted shingle index."""
+    import ray.data as rd
+
+    from raylog.functions.dedup import ngram_jaccard_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold=0.3)
+
+
+@query("dedup_minhash_pairs", None)  # rows-only: probabilistic banding
+def dedup_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup pairs (64 hashes, 16 bands), Jaccard-verified.
+    Non-SQL (seeded permutations); recall vs the exact baseline asserted
+    in pytest."""
+    import ray.data as rd
+
+    from raylog.functions.dedup import minhash_lsh_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.3)
+
+
+@query("dedup_simhash_pairs", None)  # rows-only: probabilistic banding
+def dedup_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (64-bit, 4x16 banding, Hamming <= 4).
+
+    Banding guarantees recall only for distance <= 3 (pigeonhole over 4
+    bands); beyond that candidates are probabilistic. The synthetic docs
+    share a 30-word vocabulary, so distances are compressed vs natural
+    corpora — the tight threshold keeps the pair set meaningful."""
+    import ray.data as rd
+
+    from raylog.functions.dedup import simhash_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=4)
+
+
+@query(
+    "dedup_embed_pairs",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(ROUND(1000 * list_cosine_similarity(a.v, b.v)) AS BIGINT) AS cos_milli
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4""",
+)
+def dedup_embed_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs (cos >= 0.4, float64 matmul vs a
+    broadcast normalized corpus)."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.dedup import embedding_near_dup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    tbl = embedding_near_dup_pairs(ds, threshold=0.4)
+    return tbl
+
+
+# --------------------------------------------------------------------------
+# Training-data ops: similarity search + multimodal
+# --------------------------------------------------------------------------
+
+@query(
+    "ann_cosine_topk",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 5),
+s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.v, e.v) AS cos
+      FROM q JOIN e ON e.vec_id <> q.vec_id),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, rank, neighbor_id,
+       CAST(ROUND(1000000 * cos) AS BIGINT) AS cos_micro
+FROM r WHERE rank <= 10""",
+)
+def ann_cosine_topk(sf_dir: str):
+    """Exact cosine top-10 for query vectors (vec_id < 5): per-batch
+    partial top-k against a broadcast query matrix, merged globally."""
+    import ray.data as rd
+
+    from raylog.functions.similarity import ann_brute_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann_brute_topk(ds, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+@query("ann_ivf_topk", None)  # rows-only: approximate (recall vs brute in pytest)
+def ann_ivf_topk(sf_dir: str):
+    """IVF approximate top-10 (16 lists, nprobe=4) — the 10^9-vector path."""
+    import ray.data as rd
+
+    from raylog.functions.similarity import ann_ivf_topk as ivf
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf(ds, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+@query("mm_media_features", None)  # rows-only: binary plumbing, no SQL analog
+def mm_media_features(sf_dir: str):
+    """Multimodal plumbing: binary payload -> actor-pool decode (fake
+    kernel) -> fixed-dim feature vector; returns typed metadata + feature
+    checksum per row."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.multimodal import media_pipeline
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = media_pipeline(ds)
+
+    def proj(b: pa.Table) -> pa.Table:
+        feats = b["features"].to_pylist()
+        fsum = pa.array(
+            [int(np.round(1000 * sum(f))) for f in feats], pa.int64()
+        )
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "mime": b["mime"],
+            "n_bytes": b["n_bytes"],
+            "height": b["height"],
+            "width": b["width"],
+            "feat_milli_sum": fsum,
+        })
+
+    return out.map_batches(proj, batch_format="pyarrow", batch_size=None)
