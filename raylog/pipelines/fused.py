@@ -65,6 +65,26 @@ class FusedSinkTask:
         tbl = route.add_route_flags(tbl)
         return tbl
 
+    def _write_export_partitioned(self, sub: pa.Table, out: pa.Table) -> None:
+        import hashlib
+
+        import pyarrow.compute as pc
+
+        urls = sub["monitor_log_collector"]
+        urls = urls.combine_chunks() if isinstance(urls, pa.ChunkedArray) else urls
+        for url in pc.unique(urls).to_pylist():
+            mask = pc.equal(urls, url)
+            part = out.filter(mask)
+            slug = hashlib.md5(url.encode()).hexdigest()[:10]
+            d = os.path.join(self.out_dir, "export", f"collector={slug}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(
+                part,
+                os.path.join(d, f"part-{self.uid}-{self.n:05d}.parquet"),
+                compression=self.compression,
+                compression_level=1,
+            )
+
     def __call__(self, batch: pa.Table):
         paths = batch["path"].to_pylist()
         rgs = batch["row_group"].to_pylist()
@@ -77,6 +97,13 @@ class FusedSinkTask:
                     if sub.num_rows == 0:
                         continue
                     out = route.project_logevent(sub, sink)
+                    if sink == "export":
+                        # G6 analog (out_erda/sender.go:66-82): one export
+                        # sub-sink per collector-URL label value — per-key
+                        # grouping, strictly more correct than the
+                        # reference's first-record-of-chunk shortcut
+                        self._write_export_partitioned(sub, out)
+                        continue
                     pq.write_table(
                         out,
                         os.path.join(

@@ -747,3 +747,100 @@ def mm_media_features(sf_dir: str):
         })
 
     return out.map_batches(proj, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# ECI sidecar pipeline variant + raw log-file sources
+# --------------------------------------------------------------------------
+
+@query(
+    "eci_enrich",
+    _P() + """
+SELECT r.doc_id,
+       r.source AS pri_id,
+       CASE WHEN s.sid % 20 <> 19
+            THEN '/kubepods/besteffort/pod' || s.sid || '/' || printf('%016x', s.sid * 2654435761)
+       END AS cpuset,
+       CASE WHEN s.sid % 20 <> 19 THEN printf('%016x', s.sid * 2654435761)
+       END AS container_id_cpuset,
+       'terminus-dev' AS eci_cluster_name
+FROM recs2 r JOIN src_rank s USING (source)""",
+)
+def eci_enrich(sf_dir: str):
+    """ECI chain: P6 log-id from the tail path, E2 cpuset broadcast
+    lookup, P7 container-id regex, E3 constant tags (SURVEY §3.2)."""
+    from raylog.pipelines.eci_pipeline import eci_pipeline
+
+    ds = eci_pipeline(sf_dir)
+    return ds.select_columns(
+        ["doc_id", "pri_id", "cpuset", "container_id_cpuset", "eci_cluster_name"]
+    )
+
+
+def _logfile_cache(sf_dir: str, fmt: str) -> str:
+    """Materialize the sf's log records as a raw log file (cached)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from raylog import records as R
+    from raylog.sources.logfiles import write_cri_log, write_docker_json_log
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    os.makedirs("/tmp/raylog_logfiles", exist_ok=True)
+    path = f"/tmp/raylog_logfiles/{tag}.{fmt}.log"
+    if not os.path.exists(path):
+        docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text", "source"])
+        recs = R.build_records_batch(docs)
+        if fmt == "cri":
+            write_cri_log(path, recs["raw"].to_pylist())
+        else:
+            rows = []
+            for r in recs.to_pylist():
+                # docker wire format: log/stream/time
+                time = r["raw"].split(" ", 1)[0]
+                log = r["raw"].split(" F ", 1)[1]
+                rows.append({"log": log, "stream": r["stream"], "time": time})
+            write_docker_json_log(path, rows)
+    return path
+
+
+@query(
+    "logfile_cri",
+    _P() + """
+SELECT stream, level, request_id, log AS content FROM recs2""",
+)
+def logfile_cri(sf_dir: str):
+    """S1/S2 tail analog: CRI-format log FILE → read_text → CRI parse →
+    erda-info; round-trips the reference's wire format end-to-end."""
+    from raylog.sources.logfiles import read_cri_logs
+    from raylog.stages import parse
+
+    path = _logfile_cache(sf_dir, "cri")
+    ds = read_cri_logs(path)
+    ds = ds.map_batches(
+        lambda b: parse.erda_info(b, key="log"),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return ds.select_columns(["stream", "level", "request_id", "log"]).map_batches(
+        lambda b: b.rename_columns(["stream", "level", "request_id", "content"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+
+@query(
+    "logfile_docker",
+    _P() + """
+SELECT stream, log AS content, ts_ns FROM recs2""",
+)
+def logfile_docker(sf_dir: str):
+    """P3 docker JSON-per-line log FILE → parsed record stream."""
+    from raylog.sources.logfiles import read_docker_json_logs
+
+    path = _logfile_cache(sf_dir, "docker")
+    ds = read_docker_json_logs(path)
+    return ds.select_columns(["stream", "log", "ts_ns"]).map_batches(
+        lambda b: b.rename_columns(["stream", "content", "ts_ns"]),
+        batch_format="pyarrow", batch_size=None,
+    )

@@ -1,0 +1,84 @@
+"""Raw log-file sources — the engine's analog of the reference tail inputs.
+
+The reference tails container log files in two wire formats
+(conf/ds/docker-runtime.conf, conf/ds/cri-runtime.conf):
+
+- CRI:    ``2021-12-01T17:55:56.027+08:00 stdout F <log>`` (one per line)
+- docker: ``{"log": "...", "stream": "stdout", "time": "..."}`` JSON/line
+
+These readers consume such files with ``ray.data.read_text`` (streaming,
+one block per file chunk) and run the matching parse stage, yielding the
+same record stream the parquet path produces; ``Skip_Empty_Lines`` →
+empty lines dropped. The test-side writers emit the reference wire
+formats so round-trips are asserted end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import ray.data as rd
+
+from raylog.stages import parse
+
+
+def read_cri_logs(paths: list[str] | str) -> rd.Dataset:
+    """Tail-analog for CRI-format log files → parsed record stream."""
+    ds = rd.read_text(paths)
+
+    def to_records(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        t = pa.table({"raw": arr})
+        return parse.cri_parse(t, key="raw")
+
+    return ds.map_batches(to_records, batch_format="pyarrow", batch_size=None)
+
+
+def read_docker_json_logs(paths: list[str] | str) -> rd.Dataset:
+    """P3: docker JSON-per-line log files → parsed record stream.
+
+    JSON decode is a per-line loop (ingestion-format conversion; the
+    payload columns downstream stay vectorized Arrow).
+    """
+    ds = rd.read_text(paths)
+
+    def to_records(batch: pa.Table) -> pa.Table:
+        logs, streams, times = [], [], []
+        for line in batch["text"].to_pylist():
+            try:
+                o = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            logs.append(o.get("log"))
+            streams.append(o.get("stream", "stdout"))
+            times.append(o.get("time"))
+        t = pa.table(
+            {
+                "log": pa.array(logs, pa.string()),
+                "stream": pa.array(streams, pa.string()),
+                "time": pa.array(times, pa.string()),
+            }
+        )
+        ts = parse.parse_cri_time_ns(t["time"].combine_chunks())
+        return t.append_column("ts_ns", ts)
+
+    return ds.map_batches(to_records, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# wire-format writers (test harness / format round-trips)
+# --------------------------------------------------------------------------
+
+def write_cri_log(path: str, raws: list[str]) -> None:
+    with open(path, "w") as f:
+        for r in raws:
+            f.write(r + "\n")
+
+
+def write_docker_json_log(path: str, records: list[dict]) -> None:
+    """records: dicts with log/stream/time keys (docker wire format)."""
+    with open(path, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")

@@ -1,0 +1,89 @@
+"""Checkpoint/resume semantics of the sharded runner (SURVEY §4.3)."""
+
+import json
+import os
+
+import pytest
+
+from raylog.pipelines import log_pipeline as LP
+from raylog.pipelines.runner import run_resumable
+from raylog.records import build_dim_table
+from raylog.sources.synth import synth_sources, synthesize_sequences
+
+
+@pytest.fixture(scope="module")
+def synth_files(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("seq"))
+    return synthesize_sequences(d, 12_000, seed=11, rows_per_file=3_000,
+                                row_group_size=1_500)
+
+
+@pytest.fixture(scope="module")
+def dim():
+    return build_dim_table(synth_sources())
+
+
+def _counts_map(tbl):
+    return {
+        (r["sink"], r["source"], r["level"]): r["cnt"] for r in tbl.to_pylist()
+    }
+
+
+def test_crash_resume_no_double_count(synth_files, dim, tmp_path):
+    out = str(tmp_path / "run")
+    # simulate a crash: process only 2 of 4 shards, then "die"
+    partial = run_resumable(synth_files, out, dim, n_shards=4,
+                            concurrency=2, enrich_concurrency=1,
+                            max_shards_this_run=2)
+    manifest_path = os.path.join(out, "manifest.jsonl")
+    lines = [json.loads(l) for l in open(manifest_path)]
+    assert len(lines) == 2
+    partial_total = sum(r["cnt"] for r in partial.to_pylist())
+
+    # resume: only the remaining shards run; manifest grows to 4
+    final = run_resumable(synth_files, out, dim, n_shards=4,
+                          concurrency=2, enrich_concurrency=1)
+    lines = [json.loads(l) for l in open(manifest_path)]
+    assert len(lines) == 4
+    assert sorted(e["shard_id"] for e in lines) == [0, 1, 2, 3]
+    final_total = sum(r["cnt"] for r in final.to_pylist())
+    assert final_total > partial_total
+
+    # third run: everything done → pure no-op, identical result
+    again = run_resumable(synth_files, out, dim, n_shards=4,
+                          concurrency=2, enrich_concurrency=1)
+    assert _counts_map(again) == _counts_map(final)
+    assert len([json.loads(l) for l in open(manifest_path)]) == 4
+
+
+def test_resume_matches_single_run(synth_files, dim, tmp_path):
+    out1 = str(tmp_path / "a")
+    out2 = str(tmp_path / "b")
+    resumed = run_resumable(synth_files, out1, dim, n_shards=3, concurrency=2,
+                            enrich_concurrency=1, max_shards_this_run=1)
+    resumed = run_resumable(synth_files, out1, dim, n_shards=3, concurrency=2,
+                            enrich_concurrency=1)
+    oneshot = run_resumable(synth_files, out2, dim, n_shards=3, concurrency=2,
+                            enrich_concurrency=1)
+    assert _counts_map(resumed) == _counts_map(oneshot)
+    # and equals the fused single-pass result
+    from raylog.pipelines.fused import run_fused
+
+    fused = run_fused(synth_files, dim, None, concurrency=2)
+    assert _counts_map(oneshot) == _counts_map(fused)
+
+
+def test_manifest_records_lineage_and_metrics(synth_files, dim, tmp_path):
+    out = str(tmp_path / "m")
+    run_resumable(synth_files, out, dim, n_shards=2, concurrency=2,
+                  enrich_concurrency=1)
+    entries = [json.loads(l) for l in open(os.path.join(out, "manifest.jsonl"))]
+    for e in entries:
+        assert e["input_files"], "lineage: input fragments recorded"
+        assert e["routed_rows"] > 0
+        assert e["wall_sec"] > 0 and e["rows_per_sec"] > 0
+        assert set(e["sink_rows"]) <= {"container", "job", "export"}
+    # per-shard sink dirs + aggregates exist
+    for e in entries:
+        sd = os.path.join(out, f"shard={e['shard_id']:05d}")
+        assert os.path.exists(os.path.join(sd, "sink_counts.parquet"))
