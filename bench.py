@@ -44,7 +44,7 @@ def bench_rows(sf_dir: str) -> int:
     import pyarrow.parquet as pq
 
     docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    return int(max(400_000, min(docs * 800, 8_000_000)))
+    return int(max(400_000, min(docs * 1600, 8_000_000)))
 
 
 def run_bench() -> dict:
@@ -99,6 +99,9 @@ def run_bench() -> dict:
     except OSError:
         pass
     read_sequences(files).count()
+    # untimed mini fused run: spins up worker processes + imports so the
+    # timed run measures the pipeline, not interpreter cold-start
+    run_fused(files[:1], dim, None, concurrency=fused_pool_size(NCPU))
     t0 = time.monotonic()
     agg = run_fused(files, dim, out_dir, concurrency=fused_pool_size(NCPU))
     headline = round(time.monotonic() - t0, 3)
@@ -172,7 +175,7 @@ def run_scaling() -> dict:
 
     lo = int(os.environ.get("RAYLOG_SCALE_LO", "4"))
     hi = int(os.environ.get("RAYLOG_SCALE_HI", "16"))
-    trials = int(os.environ.get("RAYLOG_SCALE_TRIALS", "2"))
+    trials = int(os.environ.get("RAYLOG_SCALE_TRIALS", "3"))
     def settle():
         # flush + drop page cache so a trial never pays for the previous
         # trial's 1.2 GB of buffered sink output (each bench process

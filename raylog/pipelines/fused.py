@@ -144,11 +144,4 @@ def run_fused(
         batch_size=1,
         batch_format="pyarrow",
     )
-    agg = LP.tree_aggregate_counts(partials)
-    tables = list(agg.iter_batches(batch_format="pyarrow", batch_size=None))
-    if not tables:
-        return pa.schema(
-            [("sink", pa.string()), ("source", pa.string()),
-             ("level", pa.string()), ("cnt", pa.int64())]
-        ).empty_table()
-    return pa.concat_tables(tables)
+    return LP.aggregate_counts_table(partials)

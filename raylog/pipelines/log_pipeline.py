@@ -178,22 +178,31 @@ def decode_null_level(batch: pa.Table) -> pa.Table:
     )
 
 
-def tree_aggregate_counts(partials: rd.Dataset) -> rd.Dataset:
+def aggregate_counts_table(partials: rd.Dataset) -> pa.Table:
     """Tree-reduce partial (sink, source, level, cnt) rows to final counts.
 
     Ray's generic sort-based groupby is built for row-level shuffles; the
     partials here are already key-compressed, so a two-level combine —
-    local merge over runs of partial blocks, then one coalesced final
-    merge — is both cheaper and skew-proof (every combine output is
-    bounded by key cardinality, never by input rows).
+    local merge over runs of partial blocks (distributed), then one final
+    merge of the tiny combined blocks on the driver — is both cheaper and
+    skew-proof (every combine output is bounded by key cardinality, never
+    by input rows). At 10^12-row scale add combine levels, never rows.
     """
     local = partials.map_batches(
         combine_counts_batch, batch_format="pyarrow", batch_size=65_536
     )
-    final = local.repartition(1).map_batches(
-        combine_counts_batch, batch_format="pyarrow", batch_size=None
-    )
-    return final.map_batches(decode_null_level, batch_format="pyarrow")
+    tables = list(local.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not tables:
+        return pa.schema(
+            [("sink", pa.string()), ("source", pa.string()),
+             ("level", pa.string()), ("cnt", pa.int64())]
+        ).empty_table()
+    return decode_null_level(combine_counts_batch(pa.concat_tables(tables)))
+
+
+def tree_aggregate_counts(partials: rd.Dataset) -> rd.Dataset:
+    """Dataset-shaped wrapper over :func:`aggregate_counts_table`."""
+    return rd.from_arrow(aggregate_counts_table(partials))
 
 
 def sink_counts(routed: rd.Dataset) -> rd.Dataset:

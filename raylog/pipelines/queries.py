@@ -844,3 +844,105 @@ def logfile_docker(sf_dir: str):
         lambda b: b.rename_columns(["stream", "content", "ts_ns"]),
         batch_format="pyarrow", batch_size=None,
     )
+
+
+# --------------------------------------------------------------------------
+# JSON content parse (Merge_Log analog), sampling, per-group top-k
+# --------------------------------------------------------------------------
+
+@query(
+    "events_props_parse",
+    """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+FROM events""",
+)
+def events_props_parse(sf_dir: str):
+    """E1 Merge_Log analog: re-parse a JSON content column into typed
+    fields (vectorized regex extract for the flat case; a json.loads
+    actor stage is the general path)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+
+    def parse_props(b: pa.Table) -> pa.Table:
+        props = b["props"]
+        arr = props.combine_chunks() if isinstance(props, pa.ChunkedArray) else props
+        ext = pc.extract_regex(arr, r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        return pa.table({"event_id": b["event_id"], "prop_k": k})
+
+    return ds.map_batches(parse_props, batch_format="pyarrow", batch_size=None)
+
+
+@query(
+    "sample_hash",
+    """
+SELECT doc_id, source FROM documents
+WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10 = 0""",
+)
+def sample_hash(sf_dir: str):
+    """Deterministic content-hash sampling (~10%): reproducible across
+    engines and runs, unlike RNG sampling (which is also provided via
+    ds.random_sample(seed) but is not cross-engine checkable)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
+
+    def pick(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        text = b["text"].to_pylist()
+        keep = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 10 == 0 for t in text]
+        return b.filter(pa.array(keep)).select(["doc_id", "source"])
+
+    return ds.map_batches(pick, batch_format="pyarrow", batch_size=None)
+
+
+@query(
+    "top_orders_per_segment",
+    """
+WITH j AS (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                               ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM j
+)
+SELECT c_mktsegment, rnk, o_orderkey,
+       CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS total_cents
+FROM r WHERE rnk <= 3""",
+)
+def top_orders_per_segment(sf_dir: str):
+    """Per-group top-k: broadcast join to the segment dim, then
+    groupby(segment).map_groups ordered head-k (the grouped window op)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from raylog.stages.enrich import BroadcastEnricher
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    cust = cust.rename_columns(["o_custkey", "c_mktsegment"])
+    dim_ref = ray.put(cust) if ray.is_initialized() else cust
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    ds = ds.map_batches(
+        BroadcastEnricher,
+        fn_constructor_kwargs={"dim": dim_ref, "key": "o_custkey"},
+        concurrency=2, batch_format="pyarrow", batch_size=None,
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).head(3)
+        g = g.assign(rnk=np.arange(1, len(g) + 1),
+                     total_cents=np.round(g["o_totalprice"] * 100).astype("int64"))
+        return g[["c_mktsegment", "rnk", "o_orderkey", "total_cents"]]
+
+    return ds.groupby("c_mktsegment").map_groups(topk, batch_format="pandas")

@@ -52,7 +52,8 @@ class SinkWriter:
             path = os.path.join(
                 self.out_dir, sink, f"part-{self.uid}-{self.n:05d}.parquet"
             )
-            pq.write_table(out, path, compression=self.compression, compression_level=1)
+            pq.write_table(out, path, compression=self.compression,
+                           compression_level=1)
         self.n += 1
         return LP.sink_counts_batch(batch)
 
@@ -77,11 +78,4 @@ def run_to_sinks(
         batch_size=batch_size,
         batch_format="pyarrow",
     )
-    agg = LP.tree_aggregate_counts(partials)
-    tables = list(agg.iter_batches(batch_format="pyarrow", batch_size=None))
-    if not tables:
-        return pa.schema(
-            [("sink", pa.string()), ("source", pa.string()),
-             ("level", pa.string()), ("cnt", pa.int64())]
-        ).empty_table()
-    return pa.concat_tables(tables)
+    return LP.aggregate_counts_table(partials)
