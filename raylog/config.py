@@ -40,7 +40,7 @@ def register_step(name: str):
 
 
 def _register_builtins() -> None:
-    from raylog.stages import enrich, parse, route
+    from raylog.stages import enrich, parse, reshape, route
 
     STEP_REGISTRY.update(
         {
@@ -53,6 +53,10 @@ def _register_builtins() -> None:
             "constant_tags": enrich.constant_tags,  # E3/E4
             "pack_tags": route.pack_tags,        # N9/N10
             "route_flags": route.add_route_flags,  # T1/T2
+            "lift": reshape.lift_struct,         # N1/N2
+            "nest": reshape.nest_columns,        # N3/N5/N9/N10
+            "remove_wildcard": reshape.drop_by_prefix,  # N4/N12
+            "modify": reshape.apply_modify,      # N7/N8/N11
         }
     )
 

@@ -946,3 +946,113 @@ def top_orders_per_segment(sf_dir: str):
         return g[["c_mktsegment", "rnk", "o_orderkey", "total_cents"]]
 
     return ds.groupby("c_mktsegment").map_groups(topk, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Reshape (nest/lift/modify), truncate, union
+# --------------------------------------------------------------------------
+
+@query(
+    "log_reshape",
+    _P() + """
+SELECT doc_id, pod_name AS out_pod_name,
+       cluster_name AS out_dice_cluster_name,
+       workspace AS out_workspace
+FROM enriched""",
+)
+def log_reshape(sf_dir: str):
+    """N1-N10 reshape round-trip: copy into the __tags_ namespace (N7),
+    dice_* aliases (N8), nest into a `tags` struct (N10), lift back out
+    (N1) — flattened values must survive unchanged."""
+    from raylog.pipelines import log_pipeline as LP
+    from raylog.stages import reshape
+
+    routed = LP.full_pipeline(sf_dir)
+
+    def do(b: pa.Table) -> pa.Table:
+        ops = [
+            ("copy", c, f"__tags_{c}")
+            for c in ("pod_name", "pod_namespace", "container_id",
+                      "cluster_name", "application_name", "org_name",
+                      "workspace")
+        ]
+        b = reshape.apply_modify(b, ops)
+        b = reshape.apply_modify(b, reshape.N8_DICE_COPIES)
+        b = reshape.nest_columns(b, "__tags_", "tags")
+        b = reshape.lift_struct(b, "tags", prefix="out_")
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "out_pod_name": b["out_pod_name"],
+                "out_dice_cluster_name": b["out_dice_cluster_name"],
+                "out_workspace": b["out_workspace"],
+            }
+        )
+
+    return routed.map_batches(do, batch_format="pyarrow", batch_size=None)
+
+
+@query(
+    "log_truncate",
+    _P() + """
+SELECT doc_id, substr(log, 1, 64) AS content_trunc,
+       CAST(LEAST(length(log), 64) AS BIGINT) AS content_len
+FROM recs2""",
+)
+def log_truncate(sf_dir: str):
+    """P1 truncate semantics at a visible cap (64 chars; production cap is
+    the reference's 51200)."""
+    import pyarrow.compute as pc
+
+    from raylog.pipelines import log_pipeline as LP
+    from raylog.stages import parse
+
+    ds = LP.parsed_ds(LP.records_ds(sf_dir), cap=64)
+
+    def proj(b: pa.Table) -> pa.Table:
+        log = b["log"].combine_chunks() if isinstance(b["log"], pa.ChunkedArray) else b["log"]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "content_trunc": log,
+                "content_len": pc.cast(pc.utf8_length(log), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(proj, batch_format="pyarrow", batch_size=None)
+
+
+@query(
+    "union_sinks",
+    _P() + """
+, u AS (
+  SELECT 'job' AS sink_name, source FROM routed WHERE in_job
+  UNION ALL
+  SELECT 'export', source FROM routed WHERE in_export
+)
+SELECT sink_name, COUNT(*) AS cnt FROM u GROUP BY 1""",
+)
+def union_sinks(sf_dir: str):
+    """Dataset union: job ∪ export branches re-merged, counted by branch."""
+    import pyarrow.compute as pc
+
+    from raylog.functions.agg import grouped_aggregate
+    from raylog.pipelines import log_pipeline as LP
+
+    # a union executes BOTH branch lineages in one run → two enrichment
+    # actor pools live at once; keep each small so their sum leaves CPUs
+    # for the task stages (all-reserved pools deadlock the consume)
+    routed = LP.full_pipeline(sf_dir, concurrency=1)
+
+    def tag(name):
+        def f(b: pa.Table) -> pa.Table:
+            sub = b.filter(LP.route.sink_mask(b, name))
+            return pa.table(
+                {"sink_name": pa.array([name] * sub.num_rows), "source": sub["source"]}
+            )
+        return f
+
+    job = routed.map_batches(tag("job"), batch_format="pyarrow", batch_size=None)
+    exp = routed.map_batches(tag("export"), batch_format="pyarrow", batch_size=None)
+    u = job.union(exp)
+    return grouped_aggregate(u, ["sink_name"], [("*", "count", "cnt")])

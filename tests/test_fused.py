@@ -46,12 +46,13 @@ def test_fused_sink_files_roundtrip(synth_files, tmp_path):
     run_fused(synth_files, dim, out, concurrency=2)
     inp = pq.read_table(synth_files[0])
     in_tokens = {d: t for d, t in zip(inp["doc_id"].to_pylist(), inp["tokens"].to_pylist())}
-    got = pq.read_table(sorted(glob.glob(os.path.join(out, "container", "*.parquet")))[0])
     checked = 0
-    for doc_id, tokens in zip(got["doc_id"].to_pylist(), got["tokens"].to_pylist()):
-        if doc_id in in_tokens:
-            assert tokens == in_tokens[doc_id]
-            checked += 1
+    for path in sorted(glob.glob(os.path.join(out, "container", "*.parquet"))):
+        got = pq.read_table(path)
+        for doc_id, tokens in zip(got["doc_id"].to_pylist(), got["tokens"].to_pylist()):
+            if doc_id in in_tokens:
+                assert tokens == in_tokens[doc_id]
+                checked += 1
     assert checked > 0
 
 
