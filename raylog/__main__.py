@@ -1,0 +1,128 @@
+"""raylog CLI — run the pipeline standalone.
+
+Examples::
+
+    # parquet sequences input → routed sinks + counts, resumable
+    python -m raylog run --input '/data/seq/*.parquet' --out /tmp/out --shards 8
+
+    # raw CRI or docker-JSON log files
+    python -m raylog run --input '/var/log/pods/*.log' --format cri --out /tmp/out
+
+    # fused single-pass (fastest; no shard checkpointing)
+    python -m raylog run --input '/data/seq/*.parquet' --out /tmp/out --fused
+
+Owns its Ray session (the only places allowed to: CLI, bench.py, tests).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+import time
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False,
+                      logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_run(args) -> int:
+    ray = _init_ray(args.cpus)
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from raylog.records import build_dim_table
+
+    files = sorted(glob.glob(args.input))
+    if not files:
+        print(f"no input files match {args.input!r}", file=sys.stderr)
+        return 2
+
+    t0 = time.monotonic()
+    if args.format in ("cri", "docker"):
+        from raylog.sources.logfiles import read_cri_logs, read_docker_json_logs
+
+        ds = (read_cri_logs if args.format == "cri" else read_docker_json_logs)(files)
+        n = ds.count()
+        if args.out:
+            ds.write_parquet(args.out)
+        print(json.dumps({"rows": n, "wall_sec": round(time.monotonic() - t0, 2)}))
+        ray.shutdown()
+        return 0
+
+    # parquet sequences input
+    sources = set()
+    for f in files:
+        col = pq.read_table(f, columns=["source"])["source"]
+        sources.update(pc.unique(col.combine_chunks()).to_pylist())
+    dim = build_dim_table(sorted(sources))
+
+    if args.fused:
+        from raylog.pipelines.fused import run_fused
+
+        agg = run_fused(files, dim, args.out)
+    else:
+        from raylog.pipelines.runner import run_resumable
+
+        agg = run_resumable(files, args.out, dim, n_shards=args.shards)
+    total = sum(r["cnt"] for r in agg.to_pylist())
+    print(json.dumps({
+        "routed_rows": int(total),
+        "agg_keys": agg.num_rows,
+        "wall_sec": round(time.monotonic() - t0, 2),
+        "out": args.out,
+    }))
+    ray.shutdown()
+    return 0
+
+
+def cmd_synth(args) -> int:
+    ray = _init_ray(args.cpus)
+    from raylog.sources.synth import synthesize_sequences
+
+    paths = synthesize_sequences(args.out, args.rows, seed=args.seed)
+    print(json.dumps({"files": len(paths), "rows": args.rows, "dir": args.out}))
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="raylog")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run", help="run the log pipeline over input files")
+    run.add_argument("--input", required=True, help="glob of input files")
+    run.add_argument("--out", required=True, help="output root directory")
+    run.add_argument("--format", choices=["parquet", "cri", "docker"],
+                     default="parquet")
+    run.add_argument("--shards", type=int, default=4)
+    run.add_argument("--fused", action="store_true",
+                     help="single-pass fused execution (no shard resume)")
+    run.add_argument("--cpus", type=int, default=None)
+    run.set_defaults(fn=cmd_run)
+
+    synth = sub.add_parser("synth", help="synthesize a sequences table")
+    synth.add_argument("--out", required=True)
+    synth.add_argument("--rows", type=int, default=1_000_000)
+    synth.add_argument("--seed", type=int, default=42)
+    synth.add_argument("--cpus", type=int, default=None)
+    synth.set_defaults(fn=cmd_synth)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1056,3 +1056,96 @@ def union_sinks(sf_dir: str):
     exp = routed.map_batches(tag("export"), batch_format="pyarrow", batch_size=None)
     u = job.union(exp)
     return grouped_aggregate(u, ["sink_name"], [("*", "count", "cnt")])
+
+
+# --------------------------------------------------------------------------
+# Large-side hash join (native) + session windows
+# --------------------------------------------------------------------------
+
+@query(
+    "join_lineitem_orders",
+    """
+SELECT o.o_orderpriority, COUNT(*) AS n_items,
+       CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1""",
+)
+def join_lineitem_orders(sf_dir: str):
+    """Both-sides-large hash join: Ray Data's native hash-partitioned
+    Dataset.join (fact ⋈ fact on orderkey) → partial/tree aggregate.
+
+    Broadcast is the engine default for dim lookups; this is the path for
+    two fact tables (hash-partition both on the key, join per partition).
+    """
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    import pyarrow.compute as pc
+
+    joined = li.join(
+        orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    tbl = grouped_aggregate(
+        joined, ["o_orderpriority"],
+        [("*", "count", "n_items"), ("l_quantity", "sum", "sum_qty_f")],
+    )
+    return pa.table(
+        {
+            "o_orderpriority": tbl["o_orderpriority"],
+            "n_items": tbl["n_items"],
+            "sum_qty": pc.cast(pc.round(tbl["sum_qty_f"]), pa.int64()),
+        }
+    )
+
+
+@query(
+    "events_sessionize",
+    """
+WITH e AS (
+  SELECT user_id, event_id, epoch(ts) AS t FROM events
+), d AS (
+  SELECT *, CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                      > 1800 OR LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+                 THEN 1 ELSE 0 END AS new_session
+  FROM e
+), s AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM d
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       COUNT(*) AS n_events,
+       CAST(FLOOR(MAX(t) - MIN(t)) AS BIGINT) AS duration_sec
+FROM s GROUP BY 1, 2""",
+)
+def events_sessionize(sf_dir: str):
+    """Session windows (30-min inactivity gap) per user: ordered
+    ``groupby(user).map_groups`` — the streaming-sessionization analog
+    over an event-time-partitioned log."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        t = g["ts"].astype("int64").to_numpy() / 1e6  # epoch seconds
+        new = np.ones(len(g), dtype=np.int64)
+        new[1:] = (np.diff(t) > 1800).astype(np.int64)
+        sess = np.cumsum(new)
+        out = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "session_no": sess, "t": t})
+        agg = out.groupby(["user_id", "session_no"], as_index=False).agg(
+            n_events=("t", "size"), dur=("t", lambda s: np.floor(s.max() - s.min()))
+        )
+        agg["duration_sec"] = agg["dur"].astype("int64")
+        return agg[["user_id", "session_no", "n_events", "duration_sec"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")

@@ -44,8 +44,8 @@ def run_resumable(
     dim: pa.Table,
     *,
     n_shards: int = 4,
-    concurrency: int | tuple[int, int] = 8,
-    enrich_concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] | None = None,
+    enrich_concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 32_768,
     max_shards_this_run: int | None = None,
 ) -> pa.Table:
@@ -53,7 +53,20 @@ def run_resumable(
 
     ``max_shards_this_run`` exists for crash-simulation tests: process at
     most that many pending shards, then stop (as if the job died).
+
+    Default pool sizes derive from the cluster CPU count so that
+    enrich + writer pools + task stages never reserve every CPU (fixed
+    actor pools hold their CPUs for the whole execution; all-reserved
+    pools stall the downstream combine indefinitely).
     """
+    if concurrency is None or enrich_concurrency is None:
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        if enrich_concurrency is None:
+            enrich_concurrency = max(1, ncpu // 4)
+        if concurrency is None:
+            concurrency = max(1, ncpu // 2 - 1)
     os.makedirs(out_root, exist_ok=True)
     manifest = Manifest(os.path.join(out_root, "manifest.jsonl"))
     shards = _shards(input_files, n_shards)
