@@ -47,9 +47,17 @@ SELECT doc_id, source, stream, raw, n_tok, tok_sum FROM recs2""",
 )
 def log_records(sf_dir: str):
     """S1-analog ingest: documents → log-record stream (SURVEY §2.1)."""
+    import pyarrow.compute as pc
+
     from raylog.pipelines import log_pipeline as LP
 
-    return LP.records_ds(sf_dir).drop_columns(["tokens"])
+    def widen(b: pa.Table) -> pa.Table:
+        i = b.column_names.index("n_tok")
+        return b.set_column(i, "n_tok", pc.cast(b["n_tok"], pa.int64()))
+
+    return LP.records_ds(sf_dir).drop_columns(["tokens"]).map_batches(
+        widen, batch_format="pyarrow", batch_size=None
+    )
 
 
 @query(
@@ -143,8 +151,16 @@ def _sink_query(sink: str):
     from raylog.pipelines import log_pipeline as LP
 
     def fn(sf_dir: str, sink=sink):
+        import pyarrow.compute as pc
+
         ds = LP.sink_dataset(LP.full_pipeline(sf_dir), sink)
-        return ds.drop_columns(["tokens", "tags_str"])
+        ds = ds.drop_columns(["tokens", "tags_str"])
+
+        def widen(b: pa.Table) -> pa.Table:
+            i = b.column_names.index("n_tok")
+            return b.set_column(i, "n_tok", pc.cast(b["n_tok"], pa.int64()))
+
+        return ds.map_batches(widen, batch_format="pyarrow", batch_size=None)
 
     return fn
 

@@ -186,7 +186,7 @@ recs AS (
     printf('2024-01-02T03:04:05.%09dZ', d.doc_id % 1000000000) AS ts_str,
     {TS_BASE_NS} + (d.doc_id % 1000000000) AS ts_ns,
     list_transform(string_split(d.text, ' '), w -> CAST(length(w) AS INT)) AS tokens,
-    CAST(len(string_split(d.text, ' ')) AS INT) AS n_tok,
+    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
     CAST(list_aggregate(list_transform(string_split(d.text, ' '), w -> length(w)), 'sum') AS BIGINT) AS tok_sum
   FROM documents d
 ),

@@ -51,12 +51,17 @@ def nest_columns(batch: pa.Table, prefix: str, into: str,
                  strip_prefix: bool = True, drop: bool = True) -> pa.Table:
     """N3/N5/N9/N10: pack `prefix*` columns into one struct column."""
     names = [c for c in batch.column_names if c.startswith(prefix)]
+    if not names:
+        # zero matching keys → empty-struct column (fluent-bit nests an
+        # empty map), not a zero-length array
+        empty = pa.array([{}] * batch.num_rows, pa.struct([]))
+        return batch.append_column(into, empty)
     arrays = [_arr(batch[c]) for c in names]
     fields = [
         (c[len(prefix):] if strip_prefix else c) for c in names
     ]
     struct = pa.StructArray.from_arrays(arrays, names=fields)
-    if drop and names:
+    if drop:
         batch = batch.drop_columns(names)
     return batch.append_column(into, struct)
 

@@ -1,0 +1,119 @@
+"""Property-based tests: vectorized kernels vs literal Python models.
+
+These run WITHOUT Ray (stages are pure ``pa.Table -> pa.Table``
+functions), so hypothesis can hammer them cheaply. The Python models are
+the reference-literal implementations from tests/row_oracle.py.
+"""
+
+import re
+from datetime import datetime, timezone
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from raylog.stages import parse, reshape
+from tests import row_oracle
+
+# text fragments that stress the erda-info regex: level-like words,
+# brackets, uuid-ish tokens, unicode
+_fragment = st.sampled_from(
+    ["INFO", "Err", "ERR", "ERROR", "Warning", "warn", "[", "]", ",",
+     "svc-1", "12345678-0000-4000-8000-000000000000",
+     "{12345678-0000-4000-8000-000000000000}", "plain", "日志", " ", "-", "_",
+     "k=v", "stderr", "12345678000040008000000000000000"]
+)
+_line = st.lists(_fragment, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_line, min_size=1, max_size=20))
+def test_erda_info_matches_python_re(lines):
+    out = parse.erda_info(pa.table({"log": pa.array(lines, pa.string())}))
+    got_level = out["level"].to_pylist()
+    got_req = out["request_id"].to_pylist()
+    for line, lvl, req in zip(lines, got_level, got_req):
+        m = row_oracle.ERDA_INFO_RE.search(line)
+        want_lvl = m.group("level") if m else None
+        want_req = m.group("request_id") if m else None
+        assert lvl == want_lvl, (line, lvl, want_lvl)
+        assert req == want_req, (line, req, want_req)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.datetimes(min_value=datetime(1971, 1, 1), max_value=datetime(2200, 1, 1)),
+    st.integers(min_value=0, max_value=999_999_999),
+    st.sampled_from(["Z", "+00:00", "+08:00", "-05:30", "+13:45"]),
+)
+def test_time_parse_matches_python(dt, frac_ns, tz):
+    s = dt.strftime("%Y-%m-%dT%H:%M:%S") + f".{frac_ns:09d}" + tz
+    got = parse.parse_cri_time_ns(pa.array([s]))[0].as_py()
+    want = row_oracle.parse_time_ns(s)
+    assert got == want, (s, got, want)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=200), st.integers(min_value=0, max_value=64))
+def test_truncate_matches_python_slice(text, cap):
+    out = parse.truncate_content(
+        pa.table({"log": pa.array([text], pa.string())}), cap=cap
+    )
+    assert out["log"].to_pylist() == [text[:cap]]
+
+
+_colname = st.sampled_from(["a", "b", "c", "d"])
+_op = st.one_of(
+    st.tuples(st.sampled_from(["rename", "hard_rename", "copy", "hard_copy"]),
+              _colname, _colname),
+    st.tuples(st.sampled_from(["add", "set"]), _colname, st.text(max_size=5)),
+    st.tuples(st.just("remove"), _colname),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_op, max_size=8))
+def test_apply_modify_matches_dict_model(ops):
+    ops = [op for op in ops if not (op[0] in ("rename", "hard_rename",
+                                              "copy", "hard_copy")
+                                    and op[1] == op[2])]
+    batch = pa.table({"a": [1], "b": [2]})
+    got = reshape.apply_modify(batch, ops)
+
+    # literal dict model of fluent-bit modify semantics
+    rec = {"a": 1, "b": 2}
+    for op in ops:
+        kind = op[0]
+        if kind in ("rename", "hard_rename", "copy", "hard_copy"):
+            _, src, dst = op
+            if src not in rec:
+                continue
+            if dst in rec and kind in ("rename", "copy"):
+                continue
+            rec[dst] = rec[src]
+            if kind in ("rename", "hard_rename"):
+                del rec[src]
+        elif kind == "add":
+            rec.setdefault(op[1], op[2])
+        elif kind == "set":
+            rec[op[1]] = op[2]
+        elif kind == "remove":
+            rec.pop(op[1], None)
+
+    got_rec = {c: got[c][0].as_py() for c in got.column_names}
+    assert got_rec == rec, (ops, got_rec, rec)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.dictionaries(
+    st.sampled_from(["__tags_a", "__tags_b", "__tags_cc", "other"]),
+    st.one_of(st.none(), st.text(max_size=6)),
+    min_size=1, max_size=4,
+))
+def test_nest_lift_roundtrip_property(cols):
+    batch = pa.table({k: pa.array([v], pa.string()) for k, v in cols.items()})
+    tagged = [c for c in cols if c.startswith("__tags_")]
+    nested = reshape.nest_columns(batch, "__tags_", "tags")
+    lifted = reshape.lift_struct(nested, "tags", prefix="__tags_")
+    for c in tagged:
+        assert lifted[c].to_pylist() == [cols[c]], c
