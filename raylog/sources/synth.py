@@ -83,7 +83,6 @@ def _chunk(seed: int, chunk_id: int, start: int, n: int, n_sources: int) -> pa.T
     hex8 = np.vectorize("{:08x}".format, otypes=[object])(idx)
     hex12 = np.vectorize("{:012x}".format, otypes=[object])(idx)
     svc_d = (idx % 7).astype("U1")
-    nconst = [""] * n
     head = pc.binary_join_element_wise(
         _s(lvl), _s([" [svc-"] * n), _s(svc_d), _s([","] * n), _s(hex8),
         _s(["-0000-4000-8000-"] * n), _s(hex12), _s([",k=v] - "] * n), "",
