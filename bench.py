@@ -16,6 +16,7 @@ for N vs 4N nodes).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -68,6 +69,7 @@ def run_bench() -> dict:
 
     rows = bench_rows(SF_DIR)
     cache = f"/tmp/raylog_bench/seq_r{rows}_s{SEED}"
+    cold_synth = not os.path.exists(os.path.join(cache, "_SYNTH_DONE"))
     files = synthesize_sequences(cache, rows, seed=SEED)
     dim = build_dim_table(synth_sources())
 
@@ -87,18 +89,24 @@ def run_bench() -> dict:
     # (same semantics as the staged pipeline, asserted equal in tests)
     from raylog.pipelines.fused import run_fused
 
-    out_dir = f"/tmp/raylog_bench/out_fused_{NCPU}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    # flush dirty pages (synthesis / previous runs), drop the page cache if
-    # permitted, and re-warm the input read so the timed section measures
-    # this pipeline, not leftover kernel writeback
+    # unique out dir per run; PREVIOUS runs' outputs are deleted AFTER the
+    # timed section (a 2.4 GB rmtree right before timing stalls the run on
+    # journal/discard work)
+    stale = sorted(glob.glob(f"/tmp/raylog_bench/out_fused_{NCPU}_*"))
+    out_dir = f"/tmp/raylog_bench/out_fused_{NCPU}_{os.getpid()}"
+    # flush dirty pages (synthesis / previous runs) so the timed section
+    # measures this pipeline, not leftover kernel writeback; drop + re-warm
+    # the page cache only when the input was NOT just synthesized (a fresh
+    # synth is hot and clean after sync — dropping it forces a pointless
+    # multi-GB re-read whose churn bleeds into the timed run)
     os.sync()
-    try:
-        with open("/proc/sys/vm/drop_caches", "w") as f:
-            f.write("3")
-    except OSError:
-        pass
-    read_sequences(files).count()
+    if not cold_synth:
+        try:
+            with open("/proc/sys/vm/drop_caches", "w") as f:
+                f.write("3")
+        except OSError:
+            pass
+        read_sequences(files).count()
     # untimed mini fused run: spins up worker processes + imports so the
     # timed run measures the pipeline, not interpreter cold-start
     run_fused(files[:1], dim, None, concurrency=fused_pool_size(NCPU))
@@ -107,6 +115,8 @@ def run_bench() -> dict:
     headline = round(time.monotonic() - t0, 3)
     queries["full_pipeline_sinks"] = headline
     routed_rows = sum(r["cnt"] for r in agg.to_pylist())
+    for d in stale:
+        shutil.rmtree(d, ignore_errors=True)
 
     # q2: staged variant, no sink write: parse → enrich → route → aggregate
     if HEADLINE_ONLY:
@@ -122,6 +132,7 @@ def run_bench() -> dict:
             "routed_rows": int(routed_rows),
             "rows_per_sec": round(rows / headline, 1),
         }
+    os.sync()  # don't charge q2 for the headline's sink writeback
     t0 = time.monotonic()
     routed = LP.pipeline_from_records(
         read_sequences(files), dim, concurrency=enrich_c
@@ -130,14 +141,17 @@ def run_bench() -> dict:
     queries["parse_route_agg"] = round(time.monotonic() - t0, 3)
 
     # q3: staged full pipeline incl. single-pass parquet sink fan-out
-    out_dir = f"/tmp/raylog_bench/out_{NCPU}"
-    shutil.rmtree(out_dir, ignore_errors=True)
+    stale = sorted(glob.glob(f"/tmp/raylog_bench/out_{NCPU}_*"))
+    out_dir = f"/tmp/raylog_bench/out_{NCPU}_{os.getpid()}"
+    os.sync()
     t0 = time.monotonic()
     routed = LP.pipeline_from_records(
         read_sequences(files), dim, concurrency=enrich_c
     )
     run_to_sinks(routed, out_dir, concurrency=write_c)
     queries["full_pipeline_sinks_staged"] = round(time.monotonic() - t0, 3)
+    for d in stale:
+        shutil.rmtree(d, ignore_errors=True)
 
     ray.shutdown()
     return {
