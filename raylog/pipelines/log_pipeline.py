@@ -178,7 +178,39 @@ def decode_null_level(batch: pa.Table) -> pa.Table:
     )
 
 
-def aggregate_counts_table(partials: rd.Dataset) -> pa.Table:
+def stage_metrics(ds: rd.Dataset) -> list[dict]:
+    """Per-operator wall-time metrics from an executed dataset's stats.
+
+    The north rule asks for throughput/latency metrics emitted per stage;
+    this parses Ray Data's per-operator stats into compact records the
+    manifest can persist per shard.
+    """
+    import re as _re
+
+    out = []
+    try:
+        text = ds.stats()
+    except Exception:
+        return out
+    for m in _re.finditer(
+        r"Operator \d+ (?P<name>.+?): .*?(?P<tasks>\d+) tasks executed, "
+        r"(?P<blocks>\d+) blocks produced in (?P<sec>[\d.]+)s",
+        text,
+    ):
+        out.append(
+            {
+                "operator": m.group("name")[:80],
+                "tasks": int(m.group("tasks")),
+                "blocks": int(m.group("blocks")),
+                "wall_sec": float(m.group("sec")),
+            }
+        )
+    return out
+
+
+def aggregate_counts_table(
+    partials: rd.Dataset, *, collect_stats: bool = False
+) -> pa.Table | tuple[pa.Table, list[dict]]:
     """Tree-reduce partial (sink, source, level, cnt) rows to final counts.
 
     Ray's generic sort-based groupby is built for row-level shuffles; the
@@ -193,11 +225,15 @@ def aggregate_counts_table(partials: rd.Dataset) -> pa.Table:
     )
     tables = list(local.iter_batches(batch_format="pyarrow", batch_size=None))
     if not tables:
-        return pa.schema(
+        tbl = pa.schema(
             [("sink", pa.string()), ("source", pa.string()),
              ("level", pa.string()), ("cnt", pa.int64())]
         ).empty_table()
-    return decode_null_level(combine_counts_batch(pa.concat_tables(tables)))
+    else:
+        tbl = decode_null_level(combine_counts_batch(pa.concat_tables(tables)))
+    if collect_stats:
+        return tbl, stage_metrics(local)
+    return tbl
 
 
 def tree_aggregate_counts(partials: rd.Dataset) -> rd.Dataset:

@@ -83,8 +83,9 @@ def run_resumable(
         t0 = time.monotonic()
         ds = rd.read_parquet(files)
         routed = LP.pipeline_from_records(ds, dim, concurrency=enrich_concurrency)
-        agg = run_to_sinks(
-            routed, shard_dir, concurrency=concurrency, batch_size=batch_size
+        agg, stages = run_to_sinks(
+            routed, shard_dir, concurrency=concurrency, batch_size=batch_size,
+            collect_stats=True,
         )
         pq.write_table(agg, os.path.join(shard_dir, "sink_counts.parquet"))
         wall = time.monotonic() - t0
@@ -100,6 +101,7 @@ def run_resumable(
                 "routed_rows": total,
                 "wall_sec": round(wall, 3),
                 "rows_per_sec": round(total / wall, 1) if wall > 0 else None,
+                "stages": stages,
             },
         )
         processed += 1

@@ -64,7 +64,8 @@ def run_to_sinks(
     *,
     concurrency: int | tuple[int, int] = 8,
     batch_size: int | None = None,
-) -> pa.Table:
+    collect_stats: bool = False,
+) -> pa.Table | tuple:
     """Consume the routed dataset: write sinks + return final agg counts.
 
     The returned table is the per-sink (sink, source, level) counts — the
@@ -78,4 +79,4 @@ def run_to_sinks(
         batch_size=batch_size,
         batch_format="pyarrow",
     )
-    return LP.aggregate_counts_table(partials)
+    return LP.aggregate_counts_table(partials, collect_stats=collect_stats)
