@@ -63,6 +63,13 @@ def run_resumable(
         import ray
 
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        if ncpu < 3:
+            raise ValueError(
+                "the staged sharded runner needs >= 3 CPUs (two actor pools "
+                "+ task stages; two pools on 2 CPUs reserve everything and "
+                "deadlock the consume) — use the fused path "
+                "(run_fused / --fused) on tiny clusters"
+            )
         if enrich_concurrency is None:
             enrich_concurrency = max(1, ncpu // 4)
         if concurrency is None:

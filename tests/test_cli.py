@@ -1,0 +1,43 @@
+"""CLI surface tests (subprocess — own Ray instance, like a real user)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, timeout=240):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, "-m", "raylog", *args],
+        capture_output=True, text=True, timeout=timeout, env=env, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+@pytest.mark.cli
+def test_cli_synth_run_roundtrip(tmp_path):
+    seq = str(tmp_path / "seq")
+    r = _run(["synth", "--out", seq, "--rows", "8000", "--cpus", "2"])
+    assert r["rows"] == 8000
+
+    out = str(tmp_path / "out")
+    r2 = _run(["run", "--input", f"{seq}/*.parquet", "--out", out,
+               "--shards", "2", "--cpus", "4"])
+    assert r2["routed_rows"] >= 8000  # container+job cover all; export adds
+    assert os.path.exists(os.path.join(out, "manifest.jsonl"))
+
+    # resume is a no-op second time (same totals)
+    r3 = _run(["run", "--input", f"{seq}/*.parquet", "--out", out,
+               "--shards", "2", "--cpus", "4"])
+    assert r3["routed_rows"] == r2["routed_rows"]
+
+    # fused produces the same totals
+    r4 = _run(["run", "--input", f"{seq}/*.parquet", "--out",
+               str(tmp_path / "out_fused"), "--fused", "--cpus", "2"])
+    assert r4["routed_rows"] == r2["routed_rows"]
