@@ -69,11 +69,6 @@ def cmd_run(args) -> int:
         sources.update(pc.unique(col.combine_chunks()).to_pylist())
     dim = build_dim_table(sorted(sources))
 
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    if not args.fused and ncpu < 3:
-        print("cluster has <3 CPUs: falling back to fused single-pass "
-              "(staged runner's two actor pools would deadlock)", file=sys.stderr)
-        args.fused = True
     if args.fused:
         from raylog.pipelines.fused import run_fused
 

@@ -50,11 +50,19 @@ class FusedSinkTask:
         self.cap = cap
         self.compression = compression
         self.columns = columns
-        self.uid = uuid.uuid4().hex[:12]
-        self.n = 0
+        self.uid = uuid.uuid4().hex[:12]  # tmp-file disambiguator only
         if out_dir:
             for sink in route.SINKS:
                 os.makedirs(os.path.join(out_dir, sink), exist_ok=True)
+
+    def _atomic_write(self, out: pa.Table, path: str) -> None:
+        # deterministic name + tmp/rename: a Ray-retried task REPLACES its
+        # output instead of duplicating it (sink rows hit disk exactly once
+        # per work item, not per attempt)
+        tmp = f"{path}.{self.uid}.tmp"
+        pq.write_table(out, tmp, compression=self.compression,
+                       compression_level=1)
+        os.replace(tmp, path)
 
     def _process(self, tbl: pa.Table) -> pa.Table:
         tbl = parse.cri_parse(tbl, key="raw")
@@ -65,7 +73,8 @@ class FusedSinkTask:
         tbl = route.add_route_flags(tbl)
         return tbl
 
-    def _write_export_partitioned(self, sub: pa.Table, out: pa.Table) -> None:
+    def _write_export_partitioned(self, sub: pa.Table, out: pa.Table,
+                                  item_id: str) -> None:
         import hashlib
 
         import pyarrow.compute as pc
@@ -78,20 +87,20 @@ class FusedSinkTask:
             slug = hashlib.md5(url.encode()).hexdigest()[:10]
             d = os.path.join(self.out_dir, "export", f"collector={slug}")
             os.makedirs(d, exist_ok=True)
-            pq.write_table(
-                part,
-                os.path.join(d, f"part-{self.uid}-{self.n:05d}.parquet"),
-                compression=self.compression,
-                compression_level=1,
-            )
+            self._atomic_write(part, os.path.join(d, f"part-{item_id}.parquet"))
 
     def __call__(self, batch: pa.Table):
+        import hashlib
+
         paths = batch["path"].to_pylist()
         rgs = batch["row_group"].to_pylist()
         for path, rg in zip(paths, rgs):
             tbl = pq.ParquetFile(path).read_row_group(rg, columns=self.columns)
             routed = self._process(tbl)
             if self.out_dir:
+                # sink file names derive from the WORK ITEM identity
+                # (input file + row group), never from the attempt
+                item_id = f"{hashlib.md5(path.encode()).hexdigest()[:10]}-rg{rg:05d}"
                 for sink in route.SINKS:
                     sub = routed.filter(route.sink_mask(routed, sink))
                     if sub.num_rows == 0:
@@ -102,19 +111,13 @@ class FusedSinkTask:
                         # sub-sink per collector-URL label value — per-key
                         # grouping, strictly more correct than the
                         # reference's first-record-of-chunk shortcut
-                        self._write_export_partitioned(sub, out)
+                        self._write_export_partitioned(sub, out, item_id)
                         continue
-                    pq.write_table(
+                    self._atomic_write(
                         out,
-                        os.path.join(
-                            self.out_dir,
-                            sink,
-                            f"part-{self.uid}-{self.n:05d}.parquet",
-                        ),
-                        compression=self.compression,
-                        compression_level=1,
+                        os.path.join(self.out_dir, sink,
+                                     f"part-{item_id}.parquet"),
                     )
-            self.n += 1
             yield LP.sink_counts_batch(routed)
 
 
@@ -124,7 +127,8 @@ def run_fused(
     out_dir: str | None,
     *,
     concurrency: int | tuple[int, int] | None = None,
-) -> pa.Table:
+    collect_stats: bool = False,
+) -> pa.Table | tuple[pa.Table, list[dict]]:
     """Execute the fused pipeline; returns the final sink counts table.
 
     The actor pool is sized to NCPU-2 by default: a pool that reserves
@@ -144,4 +148,4 @@ def run_fused(
         batch_size=1,
         batch_format="pyarrow",
     )
-    return LP.aggregate_counts_table(partials)
+    return LP.aggregate_counts_table(partials, collect_stats=collect_stats)

@@ -291,9 +291,10 @@ def log_export_by_collector(sf_dir: str):
     routed = LP.full_pipeline(sf_dir)
 
     def exp_labels(b: pa.Table) -> pa.Table:
-        col = b["monitor_log_collector"]
-        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        return b.filter(pc.is_valid(arr)).select(["monitor_log_collector"])
+        # non-empty (`.+`), mirroring route.sink_mask's export predicate
+        return b.filter(route._nonempty(b["monitor_log_collector"])).select(
+            ["monitor_log_collector"]
+        )
 
     exp = routed.map_batches(exp_labels, batch_format="pyarrow", batch_size=None)
     return grouped_aggregate(exp, ["monitor_log_collector"], [("*", "count", "cnt")])

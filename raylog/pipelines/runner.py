@@ -1,14 +1,20 @@
 """Resumable sharded pipeline runner (checkpoint + per-partition lineage).
 
-Input parquet files are grouped into shards; each shard runs the full
-streaming pipeline (parse → enrich → route → single-pass sink write →
-aggregate partials) into its own output directory, then a manifest line
-is committed recording the shard's lineage (input files), per-sink row
-counts, throughput metrics, and the Ray Data stage stats. A re-run skips
-completed shards and idempotently rewrites incomplete ones, so a killed
-run resumes without double-counting: the final aggregate is computed
-from the durable per-shard aggregate parquet files, never from mixed
-in-memory state.
+Input parquet files are grouped into shards; each shard runs the FUSED
+single-pass pipeline (read → parse → enrich → route → per-sink parquet
+write → aggregate partials — raylog/pipelines/fused.py, the measured-
+fastest execution path) into its own output directory, then a manifest
+line is committed recording the shard's lineage (input files), per-sink
+row counts, throughput metrics, and the Ray Data stage stats. A re-run
+skips completed shards and idempotently rewrites incomplete ones, so a
+killed run resumes without double-counting: the final aggregate is
+computed from the durable per-shard aggregate parquet files, never from
+mixed in-memory state.
+
+Resume validates lineage: a manifest entry whose recorded input files no
+longer match the current shard assignment (the file list or shard count
+changed between runs) raises instead of silently skipping mismatched
+work.
 
 At cluster scale each shard is itself executed with full parallelism
 (shards bound failure/retry domains, not concurrency), mirroring how a
@@ -23,10 +29,8 @@ import time
 
 import pyarrow as pa
 import pyarrow.parquet as pq
-import ray.data as rd
 
-from raylog.pipelines import log_pipeline as LP
-from raylog.sinks.writer import run_to_sinks
+from raylog.pipelines.fused import run_fused
 from raylog.state.manifest import Manifest
 
 
@@ -45,8 +49,8 @@ def run_resumable(
     *,
     n_shards: int = 4,
     concurrency: int | tuple[int, int] | None = None,
-    enrich_concurrency: int | tuple[int, int] | None = None,
-    batch_size: int = 32_768,
+    enrich_concurrency: int | tuple[int, int] | None = None,  # unused (fused)
+    batch_size: int = 32_768,  # unused (fused path reads whole row groups)
     max_shards_this_run: int | None = None,
 ) -> pa.Table:
     """Run (or resume) the full pipeline; returns final sink counts.
@@ -54,32 +58,28 @@ def run_resumable(
     ``max_shards_this_run`` exists for crash-simulation tests: process at
     most that many pending shards, then stop (as if the job died).
 
-    Default pool sizes derive from the cluster CPU count so that
-    enrich + writer pools + task stages never reserve every CPU (fixed
-    actor pools hold their CPUs for the whole execution; all-reserved
-    pools stall the downstream combine indefinitely).
+    ``enrich_concurrency`` / ``batch_size`` are accepted for backward
+    compatibility but unused: each shard executes via the fused
+    single-pass path (one actor pool; measured ~7× faster than the staged
+    writer chain in BENCH_r01), which sizes itself off the cluster CPUs
+    when ``concurrency`` is None.
     """
-    if concurrency is None or enrich_concurrency is None:
-        import ray
-
-        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        if ncpu < 3:
-            raise ValueError(
-                "the staged sharded runner needs >= 3 CPUs (two actor pools "
-                "+ task stages; two pools on 2 CPUs reserve everything and "
-                "deadlock the consume) — use the fused path "
-                "(run_fused / --fused) on tiny clusters"
-            )
-        if enrich_concurrency is None:
-            enrich_concurrency = max(1, ncpu // 4)
-        if concurrency is None:
-            concurrency = max(1, ncpu // 2 - 1)
     os.makedirs(out_root, exist_ok=True)
     manifest = Manifest(os.path.join(out_root, "manifest.jsonl"))
     shards = _shards(input_files, n_shards)
     processed = 0
     for shard_id, files in enumerate(shards):
-        if manifest.done(shard_id):
+        done_entry = manifest.entry(shard_id)
+        if done_entry is not None:
+            recorded = done_entry.get("input_files")
+            if recorded != files:
+                raise ValueError(
+                    f"manifest lineage mismatch for shard {shard_id}: "
+                    f"recorded input_files {recorded!r} != current shard "
+                    f"assignment {files!r} — the input file list or "
+                    "n_shards changed since the previous run; resume with "
+                    "the original inputs or use a fresh out_root"
+                )
             continue
         if max_shards_this_run is not None and processed >= max_shards_this_run:
             break
@@ -88,11 +88,8 @@ def run_resumable(
             shutil.rmtree(shard_dir)  # incomplete from a previous run
         os.makedirs(shard_dir)
         t0 = time.monotonic()
-        ds = rd.read_parquet(files)
-        routed = LP.pipeline_from_records(ds, dim, concurrency=enrich_concurrency)
-        agg, stages = run_to_sinks(
-            routed, shard_dir, concurrency=concurrency, batch_size=batch_size,
-            collect_stats=True,
+        agg, stages = run_fused(
+            files, dim, shard_dir, concurrency=concurrency, collect_stats=True
         )
         pq.write_table(agg, os.path.join(shard_dir, "sink_counts.parquet"))
         wall = time.monotonic() - t0

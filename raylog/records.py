@@ -236,10 +236,11 @@ enriched AS (
   FROM recs2 r LEFT JOIN dim m USING (source)
 ),
 routed AS (
+  -- rewrite_tag matches `.+` (non-empty): empty string routes like absent
   SELECT *,
-         monitor_log_collector IS NOT NULL AS in_export,
-         terminus_define_tag IS NOT NULL AS in_job,
-         terminus_define_tag IS NULL AS in_container
+         coalesce(monitor_log_collector, '') <> '' AS in_export,
+         coalesce(terminus_define_tag, '') <> '' AS in_job,
+         coalesce(terminus_define_tag, '') = '' AS in_container
   FROM enriched
 )"""
 

@@ -10,22 +10,38 @@ counts. The pipeline's output dataset is therefore tiny (the partials);
 rows hit disk exactly once; and the only shuffle (final groupby over
 partials) moves a few KB regardless of input size or source skew.
 
-Each actor writes files named by its own uuid + a local counter, so
-concurrent writers never collide; a shard directory is only declared
-complete by the manifest after the consuming execution finishes.
+Sink files are named deterministically from the BATCH CONTENT (md5 of the
+batch's doc_id buffer) and committed with write-to-temp + atomic rename:
+a Ray-retried task or restarted actor re-processing the same block
+REPLACES its previous output instead of writing a duplicate under a fresh
+uuid — "rows hit disk exactly once" holds per work item, not per attempt.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 import uuid
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data as rd
 
 from raylog.pipelines import log_pipeline as LP
 from raylog.stages import route
+
+
+def batch_identity(batch: pa.Table, id_col: str = "doc_id") -> str:
+    """Deterministic id for a batch: md5 of the raw id-column buffer.
+
+    Two attempts at the same block produce the same batch → the same id →
+    the retry overwrites rather than duplicates."""
+    ids = np.asarray(
+        batch[id_col].combine_chunks()
+        if isinstance(batch[id_col], pa.ChunkedArray) else batch[id_col]
+    )
+    return hashlib.md5(ids.tobytes()).hexdigest()[:16]
 
 
 class SinkWriter:
@@ -38,23 +54,22 @@ class SinkWriter:
     def __init__(self, out_dir: str, compression: str = "zstd"):
         self.out_dir = out_dir
         self.compression = compression
-        self.uid = uuid.uuid4().hex[:12]
-        self.n = 0
+        self.uid = uuid.uuid4().hex[:12]  # tmp-file disambiguator only
         for sink in route.SINKS:
             os.makedirs(os.path.join(out_dir, sink), exist_ok=True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        bid = batch_identity(batch)
         for sink in route.SINKS:
             sub = batch.filter(route.sink_mask(batch, sink))
             if sub.num_rows == 0:
                 continue
             out = route.project_logevent(sub, sink)
-            path = os.path.join(
-                self.out_dir, sink, f"part-{self.uid}-{self.n:05d}.parquet"
-            )
-            pq.write_table(out, path, compression=self.compression,
+            path = os.path.join(self.out_dir, sink, f"part-{bid}.parquet")
+            tmp = f"{path}.{self.uid}.tmp"
+            pq.write_table(out, tmp, compression=self.compression,
                            compression_level=1)
-        self.n += 1
+            os.replace(tmp, path)
         return LP.sink_counts_batch(batch)
 
 

@@ -47,10 +47,18 @@ def _arr(col):
     return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
 
+def _nonempty(col) -> pa.Array:
+    """Present AND non-empty — the reference's rewrite_tag rules match `.+`
+    (conf/ds/fluent-bit.conf:183,190), so an empty-string label must route
+    like an absent one."""
+    arr = _arr(col)
+    return pc.greater(pc.utf8_length(pc.fill_null(arr, "")), 0)
+
+
 def add_route_flags(batch: pa.Table) -> pa.Table:
     """Append in_container / in_job / in_export boolean columns."""
-    j = pc.is_valid(_arr(batch["terminus_define_tag"]))
-    e = pc.is_valid(_arr(batch["monitor_log_collector"]))
+    j = _nonempty(batch["terminus_define_tag"])
+    e = _nonempty(batch["monitor_log_collector"])
     batch = batch.append_column("in_job", j)
     batch = batch.append_column("in_export", e)
     batch = batch.append_column("in_container", pc.invert(j))
@@ -59,11 +67,11 @@ def add_route_flags(batch: pa.Table) -> pa.Table:
 
 def sink_mask(batch: pa.Table, sink: str) -> pa.Array:
     if sink == "container":
-        return pc.invert(pc.is_valid(_arr(batch["terminus_define_tag"])))
+        return pc.invert(_nonempty(batch["terminus_define_tag"]))
     if sink == "job":
-        return pc.is_valid(_arr(batch["terminus_define_tag"]))
+        return _nonempty(batch["terminus_define_tag"])
     if sink == "export":
-        return pc.is_valid(_arr(batch["monitor_log_collector"]))
+        return _nonempty(batch["monitor_log_collector"])
     raise ValueError(f"unknown sink {sink!r}")
 
 
