@@ -8,12 +8,29 @@ per batch), partials are merged in a local combine stage, and the final
 merge runs over the (tiny) combined partials. Skewed keys cannot create a
 hot reducer because reducer input is key-compressed, not row-count-bound.
 
+Two final-combine paths, chosen by KEY CARDINALITY:
+
+- :func:`grouped_aggregate` (→ ``pa.Table``): driver-side final merge of
+  the combined partials. Right when the key space is small (sink counts,
+  regions, windows) — the merged table is tiny by construction.
+- :func:`grouped_aggregate_ds` (→ ``Dataset``): hash-partitioned
+  distributed combine for HIGH-cardinality keys (per-document hashes,
+  distinct ids, candidate pairs) where the result is itself large. Each
+  partial row gets a partition id from a vectorized hash of its key
+  columns; ``groupby(__p)`` moves key-compressed partials (never raw
+  rows) into ``num_partitions`` balanced reducers; each reducer finishes
+  its disjoint key range with one Arrow ``group_by``. Nothing
+  key-cardinality-sized ever lands on the driver. (Measured 16-20×
+  faster than Ray's native sort/hash groupby aggregations on 1M partial
+  rows — see round-1 notes in BASELINE.md.)
+
 Supported ops: sum, count, min, max, mean (mean decomposes into
 sum+count partials and finalizes as their ratio).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -67,6 +84,88 @@ def _combine_batch(batch: pa.Table, keys: list[str]) -> pa.Table:
     return g.rename_columns([rename.get(c, c) for c in g.column_names])
 
 
+def partition_ids(tbl: pa.Table, keys: list[str], num_partitions: int) -> pa.Array:
+    """Deterministic (within a runtime) partition id per row from the key
+    columns — vectorized via polars' seeded xxhash; same key → same
+    partition in every worker process."""
+    try:
+        import polars as pl
+
+        df = pl.from_arrow(tbl.select(keys))
+        h = df.select(
+            pl.concat_str(
+                [pl.col(k).cast(pl.Utf8).fill_null("\x00null") for k in keys],
+                separator="\x1f",
+            ).hash(seed=17).alias("h")
+        )["h"].to_numpy()
+        return pa.array((h % num_partitions).astype(np.int64))
+    except Exception:  # pragma: no cover - polars always present in image
+        import hashlib
+
+        cols = [tbl[k].to_pylist() for k in keys]
+        out = [
+            int(hashlib.md5("\x1f".join(map(str, row)).encode()).hexdigest()[:8], 16)
+            % num_partitions
+            for row in zip(*cols)
+        ]
+        return pa.array(out, pa.int64())
+
+
+def _finalize(merged: pa.Table, keys: list[str], aggs) -> pa.Table:
+    out: dict[str, pa.Array] = {k: merged[k] for k in keys}
+    for col, op, alias in aggs:
+        if op == "mean":
+            out[alias] = pc.divide(
+                pc.cast(merged[f"{col}_sum"], pa.float64()),
+                pc.cast(merged[f"{col}_count"], pa.float64()),
+            )
+        elif op == "count":
+            out[alias] = (
+                merged["_star_count"] if col == "*" else merged[f"{col}_count"]
+            )
+        else:
+            out[alias] = merged[f"{col}_{_PARTIAL_OPS[op]}"]
+    return pa.table(out)
+
+
+def grouped_aggregate_ds(
+    ds: rd.Dataset,
+    keys: list[str],
+    aggs: list[tuple[str, str, str]],
+    *,
+    num_partitions: int = 32,
+    batch_size: int = 65_536,
+) -> rd.Dataset:
+    """Distributed grouped aggregate for HIGH-cardinality keys.
+
+    Same ``aggs`` spec as :func:`grouped_aggregate`, but the final combine
+    is hash-partitioned across ``num_partitions`` reducers and the result
+    stays a ``Dataset`` — no driver-side table whose size scales with the
+    number of distinct keys. Use for per-document / per-pair keys;
+    ``num_partitions`` scales with cluster size, not key count (each
+    reducer hash-aggregates its partition in one Arrow pass).
+    """
+    partials = ds.map_batches(
+        lambda b: _partial_batch(b, keys, aggs),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def _local_combine_with_p(b: pa.Table) -> pa.Table:
+        g = _combine_batch(b, keys)
+        return g.append_column("__p", partition_ids(g, keys, num_partitions))
+
+    local = partials.map_batches(
+        _local_combine_with_p, batch_format="pyarrow", batch_size=batch_size
+    )
+
+    def _final(group: pa.Table) -> pa.Table:
+        merged = _combine_batch(group.drop_columns(["__p"]), keys)
+        return _finalize(merged, keys, aggs)
+
+    return local.groupby("__p").map_groups(_final, batch_format="pyarrow")
+
+
 def grouped_aggregate(
     ds: rd.Dataset,
     keys: list[str],
@@ -96,18 +195,4 @@ def grouped_aggregate(
     merged = _combine_batch(
         pa.concat_tables(tables, promote_options="default"), keys
     )
-    # finalize
-    out: dict[str, pa.Array] = {k: merged[k] for k in keys}
-    for col, op, alias in aggs:
-        if op == "mean":
-            out[alias] = pc.divide(
-                pc.cast(merged[f"{col}_sum"], pa.float64()),
-                pc.cast(merged[f"{col}_count"], pa.float64()),
-            )
-        elif op == "count":
-            out[alias] = (
-                merged["_star_count"] if col == "*" else merged[f"{col}_count"]
-            )
-        else:
-            out[alias] = merged[f"{col}_{_PARTIAL_OPS[op]}"]
-    return pa.table(out)
+    return _finalize(merged, keys, aggs)

