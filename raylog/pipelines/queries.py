@@ -272,6 +272,128 @@ def log_multiline_join(sf_dir: str):
     return multiline_join(ds, is_continuation="cont", order_col="doc_id")
 
 
+def _multiline_cri_dir(sf_dir: str) -> str:
+    """One CRI log file per source with P/F-split heads and stack-trace
+    continuation lines, derived deterministically from documents (cached).
+
+    Per doc: head content = '2024-01-02 03:04:05 ' + text (matches the
+    cri_firstline date detector); docs with doc_id%5==1 have the head
+    split into a P + F pair (runtime 16KB-split analog); docs with
+    doc_id%3==0 get two java stack-frame continuation lines. Line
+    timestamps increase as doc_id*16 + line_no nanoseconds."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = f"/tmp/raylog_logfiles/{tag}.mcri"
+    done = os.path.join(root, "_DONE")
+    if os.path.exists(done):
+        return root
+    os.makedirs(root, exist_ok=True)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    by_src: dict[str, list[str]] = {}
+    for r in docs.to_pylist():
+        d, text, src = r["doc_id"], r["text"], r["source"]
+        lines = by_src.setdefault(src, [])
+
+        def ts(j, d=d):
+            return f"2024-01-02T03:04:05.{d * 16 + j:09d}Z"
+
+        content = f"2024-01-02 03:04:05 {text}"
+        if d % 5 == 1:  # runtime split: P part + F terminator
+            lines.append(f"{ts(0)} stdout P {content[:20]}")
+            lines.append(f"{ts(1)} stdout F {content[20:]}")
+            j = 2
+        else:
+            lines.append(f"{ts(0)} stdout F {content}")
+            j = 1
+        if d % 3 == 0:  # java stack-trace continuations
+            lines.append(f"{ts(j)} stdout F   at com.example.Service.handle(Doc{d}.java:42)")
+            lines.append(f"{ts(j + 1)} stdout F   at java.base/java.lang.Thread.run(Thread.java:833)")
+    for src, lines in by_src.items():
+        with open(os.path.join(root, f"{src}.log"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    open(done, "w").close()
+    return root
+
+
+@query(
+    "log_multiline_cri",
+    f"""
+SELECT CAST({R.TS_BASE_NS} AS BIGINT) + doc_id * 16 AS head_id, source,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS BIGINT) AS n_lines,
+       '2024-01-02 03:04:05 ' || text ||
+         CASE WHEN doc_id % 3 = 0
+              THEN chr(10) || '  at com.example.Service.handle(Doc' || doc_id
+                   || '.java:42)'
+                   || chr(10) || '  at java.base/java.lang.Thread.run(Thread.java:833)'
+              ELSE '' END AS content
+FROM documents""",
+)
+def log_multiline_cri(sf_dir: str):
+    """P3/P4/P5 on the real wire format end to end: CRI log FILES (one
+    per source) → cri parse (P/F logtag extracted) → partial-line rejoin
+    on the logtag (conf/ds/parsers.conf cri) → firstline date-regex
+    continuation detection (parsers.conf cri_firstline) → bucketed
+    multiline join. The oracle independently derives the expected joined
+    records from documents."""
+    from raylog.sources.logfiles import read_cri_logs_with_source
+    from raylog.stages import parse
+    from raylog.stages.multiline import multiline_join, rejoin_partials
+
+    import glob as _glob
+
+    root = _multiline_cri_dir(sf_dir)
+    files = sorted(_glob.glob(f"{root}/*.log"))
+    ds = read_cri_logs_with_source(files)
+    # stage 1: CRI P/F rejoin (tail-marked records, concat without sep)
+    lines = rejoin_partials(ds, logtag_col="logtag", order_col="ts_ns",
+                            content_col="log")
+    # stage 2: firstline multiline join (head-marked, newline join)
+    lines = lines.map_batches(
+        lambda b: parse.firstline_flags(b, key="content"),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return multiline_join(lines, is_continuation="is_continuation",
+                          order_col="head_id", content_col="content")
+
+
+@query(
+    "log_throttle_sliding",
+    """
+WITH w AS (
+  SELECT event_id, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS win FROM events
+), c AS (
+  SELECT win, COUNT(*) AS cnt FROM w GROUP BY 1
+), p AS (
+  SELECT a.win, COALESCE(SUM(b.cnt), 0) AS prior
+  FROM c a LEFT JOIN c b ON b.win BETWEEN a.win - 4 AND a.win - 1
+  GROUP BY 1
+), r AS (
+  SELECT event_id, win,
+         ROW_NUMBER() OVER (PARTITION BY win ORDER BY event_id) AS rnk
+  FROM w
+)
+SELECT r.event_id, r.win AS "window", (p.prior + r.rnk) > 40 AS over_rate
+FROM r JOIN p ON r.win = p.win""",
+)
+def log_throttle_sliding(sf_dir: str):
+    """R1 faithful window shape: 5 sliding sub-intervals
+    (filter_throttle_patch/throttle.c:69-107) — a record is over-rate
+    when the previous 4 sub-windows' counts plus its own in-window rank
+    exceed the rate."""
+    import ray.data as rd
+
+    from raylog.stages.throttle import sliding_over_rate_flags
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    out = sliding_over_rate_flags(ds, ts_col="ts", order_col="event_id",
+                                  rate=40, interval_sec=3600, subwindows=5)
+    return out.select_columns(["event_id", "window", "over_rate"])
+
+
 @query(
     "log_export_by_collector",
     R.oracle_prefix() + """

@@ -36,6 +36,28 @@ def read_cri_logs(paths: list[str] | str) -> rd.Dataset:
     return ds.map_batches(to_records, batch_format="pyarrow", batch_size=None)
 
 
+def read_cri_logs_with_source(paths: list[str] | str) -> rd.Dataset:
+    """CRI tail with per-file identity: ``source`` = log file stem.
+
+    The reference derives the record's tag from the tailed path
+    (``Tag kube.*`` over /var/log/containers/<pod>..., the
+    Kube_Tag_Prefix strip in conf/ds/fluent-bit.conf:52) — the file IS
+    the source; multiline joins and ordering are scoped to it."""
+    import os
+
+    ds = rd.read_text(paths, include_paths=True)
+
+    def to_records(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        srcs = [os.path.basename(p).rsplit(".", 1)[0]
+                for p in batch["path"].to_pylist()]
+        t = pa.table({"raw": arr, "source": pa.array(srcs, pa.string())})
+        return parse.cri_parse(t, key="raw")
+
+    return ds.map_batches(to_records, batch_format="pyarrow", batch_size=None)
+
+
 def read_docker_json_logs(paths: list[str] | str) -> rd.Dataset:
     """P3: docker JSON-per-line log files → parsed record stream.
 

@@ -1,29 +1,96 @@
-"""P5 — multiline (stack-trace) join, the ordering-sensitive operator.
+"""P5 — multiline (stack-trace) join + CRI partial-line rejoin.
 
-The reference joins continuation lines (no leading timestamp — java stack
-trace frames) onto the preceding first-line record, per source file, in
-file order (`multiline.parser java`, conf/eci/fluent-bit.conf:41-45; the
-ds pipeline documents the same filter disabled for upstream bugs,
-conf/ds/fluent-bit.conf:36-42).
+The reference joins multi-line records two ways:
 
-Batch re-expression: records are partitioned by ``source`` and ordered by
-a monotonic per-source sequence (``order_col`` — the tail-offset analog);
-every record joins to the greatest non-continuation record at or before
-it. Implemented as ``groupby(source).map_groups`` with a vectorized
-forward-fill per group; leading continuations with no head are dropped
+- firstline multiline (`Parser_Firstline cri_firstline`,
+  conf/ds/cri-runtime.conf:17-21 + conf/ds/parsers.conf cri_firstline):
+  a record STARTS at a line whose content begins with a date; following
+  non-matching lines (java stack frames) are continuations, joined with
+  newlines. The ds pipeline documents the same multiline filter
+  (conf/ds/fluent-bit.conf:36-42).
+- CRI partial-line rejoin (`__pri__logtag` in the cri parser,
+  conf/ds/parsers.conf): the container runtime splits long lines into
+  parts tagged ``P`` (partial) terminated by one tagged ``F`` (full);
+  parts concatenate back (no separator) into the original line.
+
+Both are the same distributed primitive with different record-boundary
+marks: head-marked (firstline) or tail-marked (the ``F`` flag). Execution
+(round-2 rework, replacing the round-1 ``groupby(source).map_groups``
+whose hot source became one task sorting 30% of the dataset):
+
+1. :func:`raylog.stages.ordered.running_count` assigns every row its
+   global record id inside its source — bucketed by the order column, so
+   no task ever sorts more than ``bucket_size`` rows whatever the source
+   skew;
+2. rows re-group by (source, record_id // records_per_group): a record's
+   rows land in exactly one bounded group, which assembles final records
+   (head_id = first line's order, n_lines, joined content) with a
+   vectorized pandas groupby.
+
+Partitioning assumptions (documented for the 100 TB case): ``order_col``
+is unique per source (tail offset); one logical record is small (a stack
+trace / one split line — the reference bounds it by Buffer_Max_Size 10MB,
+conf/ds/docker-runtime.conf:9), so groups of ``records_per_group``
+records stay bounded. Leading continuations with no head are dropped
 (the reference buffers them until a first-line arrives; at batch
-boundaries it flushes them standalone — we drop, documented divergence).
-
-Partitioning assumption: one group = one source's records; ordering is
-total within the group. At 10^12 rows with a hot source, the group for
-that source is processed by a single task — if that is a bottleneck,
-pre-split by (source, order-range) with boundary stitching.
+boundaries it flushes them standalone — documented divergence). A
+trailing unterminated ``P``-run IS emitted (the reference's
+Multiline_Flush timeout flush).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
+
+from raylog.stages.ordered import running_count
+
+
+def _assemble_records(
+    ids: rd.Dataset,
+    *,
+    source_col: str,
+    order_col: str,
+    content_col: str | None,
+    sep: str,
+    drop_zero: bool,
+    records_per_group: int,
+) -> rd.Dataset:
+    """Group rows of one record together and emit the joined record."""
+
+    def add_rbkt(b: pa.Table) -> pa.Table:
+        r = b["record_id"]
+        r = r.combine_chunks() if isinstance(r, pa.ChunkedArray) else r
+        rb = pc.divide(pc.cast(r, pa.int64()),
+                       pa.scalar(records_per_group, pa.int64()))
+        return b.append_column("__rbkt", rb)
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["record_id", order_col])
+        if drop_zero:
+            g = g[g["record_id"] > 0]
+        if len(g) == 0:
+            cols = {"head_id": pd.Series(dtype="int64"),
+                    "source": pd.Series(dtype="object"),
+                    "n_lines": pd.Series(dtype="int64")}
+            if content_col:
+                cols["content"] = pd.Series(dtype="object")
+            return pd.DataFrame(cols)
+        aggs = {"head_id": (order_col, "min"), "n_lines": (order_col, "size")}
+        if content_col:
+            aggs["content"] = (content_col, lambda s: sep.join(s))
+        out = g.groupby("record_id", as_index=False).agg(**aggs)
+        out["head_id"] = out["head_id"].astype("int64")
+        out.insert(1, "source", g[source_col].iloc[0])
+        return out.drop(columns=["record_id"])
+
+    return ids.map_batches(add_rbkt, batch_format="pyarrow",
+                           batch_size=None).groupby(
+        [source_col, "__rbkt"]
+    ).map_groups(assemble, batch_format="pandas")
 
 
 def multiline_join(
@@ -32,34 +99,66 @@ def multiline_join(
     is_continuation: str,
     order_col: str,
     content_col: str | None = None,
+    source_col: str = "source",
+    sep: str = "\n",
+    bucket_size: int = 8192,
+    records_per_group: int = 4096,
 ) -> rd.Dataset:
-    """Collapse continuation rows onto their head row per source.
+    """Collapse continuation rows onto their head row per source
+    (firstline / head-marked multiline).
 
     Returns one row per logical record: (head_id = head row's order_col,
     source, n_lines, joined content if content_col given).
     """
 
-    def per_source(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_col)
-        head = g[order_col].where(~g[is_continuation]).ffill()
-        g = g.assign(head_id=head)
-        g = g[g["head_id"].notna()]
-        if len(g) == 0:
-            return pd.DataFrame(
-                {"head_id": pd.Series(dtype="int64"),
-                 "source": pd.Series(dtype="object"),
-                 "n_lines": pd.Series(dtype="int64"),
-                 **({"content": pd.Series(dtype="object")} if content_col else {})}
-            )
-        aggs = {"n_lines": ("head_id", "size")}
-        if content_col:
-            aggs["content"] = (content_col, lambda s: "\n".join(s))
-        out = (
-            g.groupby("head_id", as_index=False)
-            .agg(**aggs)
-        )
-        out["head_id"] = out["head_id"].astype("int64")
-        out.insert(1, "source", g["source"].iloc[0])
-        return out
+    def mark(b: pa.Table) -> pa.Table:
+        cont = b[is_continuation]
+        cont = cont.combine_chunks() if isinstance(cont, pa.ChunkedArray) else cont
+        return b.append_column("__mark", pc.invert(pc.cast(cont, pa.bool_())))
 
-    return ds.groupby("source").map_groups(per_source, batch_format="pandas")
+    ids = running_count(
+        ds.map_batches(mark, batch_format="pyarrow", batch_size=None),
+        part_col=source_col, order_col=order_col, mark_col="__mark",
+        inclusive=True, out_col="record_id", bucket_size=bucket_size,
+    )
+    return _assemble_records(
+        ids, source_col=source_col, order_col=order_col,
+        content_col=content_col, sep=sep, drop_zero=True,
+        records_per_group=records_per_group,
+    )
+
+
+def rejoin_partials(
+    ds: rd.Dataset,
+    *,
+    logtag_col: str,
+    order_col: str,
+    content_col: str | None = None,
+    source_col: str = "source",
+    bucket_size: int = 8192,
+    records_per_group: int = 4096,
+) -> rd.Dataset:
+    """CRI partial-line rejoin: ``P``-tagged parts concatenate (no
+    separator) up to and including their terminating ``F`` line
+    (tail-marked records; reference cri parser's ``__pri__logtag``).
+
+    A trailing ``P``-run with no ``F`` is emitted as its own record (the
+    flush-timeout behavior)."""
+
+    def mark(b: pa.Table) -> pa.Table:
+        tag = b[logtag_col]
+        tag = tag.combine_chunks() if isinstance(tag, pa.ChunkedArray) else tag
+        return b.append_column(
+            "__mark", pc.equal(pc.fill_null(tag, "F"), "F")
+        )
+
+    ids = running_count(
+        ds.map_batches(mark, batch_format="pyarrow", batch_size=None),
+        part_col=source_col, order_col=order_col, mark_col="__mark",
+        inclusive=False, out_col="record_id", bucket_size=bucket_size,
+    )
+    return _assemble_records(
+        ids, source_col=source_col, order_col=order_col,
+        content_col=content_col, sep="", drop_zero=False,
+        records_per_group=records_per_group,
+    )

@@ -39,6 +39,13 @@ ERDA_INFO_RE = (
 # time split for ns-precision parse: seconds part, fractional digits, tz
 CRI_TIME_RE = r"^(?P<sec>\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})(?:\.(?P<frac>\d+))?(?P<tz>Z|[+-]\d{2}:\d{2})$"
 
+# P5 — start-of-record detector for firstline multiline: the log CONTENT
+# of a record's first line begins with a date (re-derived from
+# conf/ds/parsers.conf cri_firstline / docker_firstline:
+# `\d{4}[\/-]\d{1,2}[\/-]\d{1,2}[ T]\d{2}:\d{2}:\d{2}`); stack-trace
+# continuation lines don't match.
+FIRSTLINE_RE = r"^\d{4}[/-]\d{1,2}[/-]\d{1,2}[ T]\d{2}:\d{2}:\d{2}"
+
 # P6 — container name from the ECI tail path (conf/eci/parsers.conf:16)
 LOG_ID_RE = r"^/stdlog/(?P<pri_id>[\w|\-]+)/(?:\d+\.log)$"
 
@@ -135,6 +142,20 @@ def truncate_content(
     col = batch[key]
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     return batch.set_column(i, key, pc.utf8_slice_codeunits(arr, 0, cap))
+
+
+def firstline_flags(batch: pa.Table, key: str = "log",
+                    out: str = "is_continuation") -> pa.Table:
+    """P5 detector: mark rows whose content does NOT start a new record.
+
+    The reference's multiline tail input declares a record to start at a
+    line matching ``cri_firstline``'s date prefix
+    (conf/ds/cri-runtime.conf:17-21); every other line is a continuation
+    of the previous record (a java stack frame etc.)."""
+    col = batch[key]
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    head = pc.match_substring_regex(pc.fill_null(arr, ""), FIRSTLINE_RE)
+    return batch.append_column(out, pc.invert(head))
 
 
 def log_id(batch: pa.Table, key: str = "source") -> pa.Table:
