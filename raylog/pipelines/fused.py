@@ -105,7 +105,7 @@ class FusedSinkTask:
                     sub = routed.filter(route.sink_mask(routed, sink))
                     if sub.num_rows == 0:
                         continue
-                    out = route.project_logevent(sub, sink)
+                    out = route.project_logevent(sub, sink, include_maps=True)
                     if sink == "export":
                         # G6 analog (out_erda/sender.go:66-82): one export
                         # sub-sink per collector-URL label value — per-key

@@ -489,13 +489,16 @@ SELECT o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS total_cents
 FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
 )
 def top_orders(sf_dir: str):
-    """Top-k: distributed sort (desc, deterministic tiebreak) + limit."""
+    """Top-k via per-batch partial pruning + tiny merge (no distributed
+    sort: each block forwards only its own best 10 rows)."""
     import pyarrow.compute as pc
     import ray.data as rd
 
+    from raylog.functions.topk import topk
+
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
-    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
-    tbl = pa.concat_tables(list(top.iter_batches(batch_format="pyarrow", batch_size=None)))
+    tbl = topk(ds, sort_cols=["o_totalprice", "o_orderkey"],
+               descending=[True, False], k=10)
     return pa.table(
         {
             "o_orderkey": tbl["o_orderkey"],
@@ -850,13 +853,17 @@ def ann_cosine_topk(sf_dir: str):
 
 @query("ann_ivf_topk", None)  # rows-only: approximate (recall vs brute in pytest)
 def ann_ivf_topk(sf_dir: str):
-    """IVF approximate top-10 (16 lists, nprobe=4) — the 10^9-vector path."""
+    """IVF approximate top-10 (16 lists, nprobe=4) — the 10^9-vector
+    path: corpus physically partitioned by coarse-quantizer list (cached
+    on disk), probes read only their list directories."""
     import ray.data as rd
 
     from raylog.functions.similarity import ann_ivf_topk as ivf
 
+    tag = sf_dir.strip("/").replace("/", "_")
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ivf(ds, query_ids=[0, 1, 2, 3, 4], k=10)
+    return ivf(ds, query_ids=[0, 1, 2, 3, 4], k=10,
+               index_dir=f"/tmp/raylog_ivf/{tag}_c16")
 
 
 @query("mm_media_features", None)  # rows-only: binary plumbing, no SQL analog
@@ -1017,6 +1024,93 @@ def events_props_parse(sf_dir: str):
 
 
 @query(
+    "log_merge_json",
+    """
+WITH j AS (
+  SELECT doc_id,
+         doc_id % 11 = 5 AS bad,
+         '{"svc":"svc-' || (doc_id % 7) || '","code":' || (doc_id % 100)
+           || CASE WHEN doc_id % 4 = 0
+                   THEN ',"extra":"x-' || doc_id || '"' ELSE '' END || '}'
+           AS body
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN NOT bad THEN json_extract_string(body, '$.svc') END AS svc,
+       CASE WHEN NOT bad
+            THEN CAST(json_extract(body, '$.code') AS BIGINT) END AS code,
+       CASE WHEN NOT bad
+            THEN json_extract_string(body, '$.extra') END AS extra,
+       CAST(NULL AS VARCHAR) AS absent,
+       NOT bad AS parsed
+FROM j""",
+)
+def log_merge_json(sf_dir: str):
+    """E1 Merge_Log general path (conf/ds/fluent-bit.conf:50-51): a JSON
+    content column re-parsed into a typed struct — arbitrary keys, a key
+    missing per-row ('extra'), a key absent everywhere ('absent') → null,
+    and non-JSON rows (doc_id%11==5 carry a broken body) → null struct.
+    The JSON bodies are derived deterministically so DuckDB's json
+    functions can restate the extraction."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.stages.parse import merge_log
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def mk_json(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = np.asarray(b["doc_id"].combine_chunks(), dtype=np.int64)
+        n = len(d)
+
+        def s(vals):
+            return pa.array([str(v) for v in vals], pa.string())
+
+        extra = pc.if_else(
+            pa.array(d % 4 == 0),
+            pc.binary_join_element_wise(
+                pa.array([',"extra":"x-'] * n), s(d), pa.array(['"'] * n), ""
+            ),
+            pa.scalar("", pa.string()),
+        )
+        body = pc.binary_join_element_wise(
+            pa.array(['{"svc":"svc-'] * n), s(d % 7),
+            pa.array(['","code":'] * n), s(d % 100), extra,
+            pa.array(["}"] * n), "",
+        )
+        body = pc.if_else(pa.array(d % 11 == 5),
+                          pc.binary_join_element_wise(
+                              pa.array(["not-json "] * n), body, ""),
+                          body)
+        return pa.table({"doc_id": b["doc_id"], "log": body})
+
+    ds = ds.map_batches(mk_json, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(
+        lambda b: merge_log(b, key="log", fields=[
+            ("svc", pa.string()), ("code", pa.int64()),
+            ("extra", pa.string()), ("absent", pa.string()),
+        ]),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+    def flatten(b: pa.Table) -> pa.Table:
+        st = b["log_processed"]
+        st = st.combine_chunks() if isinstance(st, pa.ChunkedArray) else st
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "svc": pc.struct_field(st, "svc"),
+            "code": pc.struct_field(st, "code"),
+            "extra": pc.struct_field(st, "extra"),
+            "absent": pc.struct_field(st, "absent"),
+            "parsed": pc.is_valid(st),
+        })
+
+    return ds.map_batches(flatten, batch_format="pyarrow", batch_size=None)
+
+
+@query(
     "sample_hash",
     """
 SELECT doc_id, source FROM documents
@@ -1056,13 +1150,16 @@ SELECT c_mktsegment, rnk, o_orderkey,
 FROM r WHERE rnk <= 3""",
 )
 def top_orders_per_segment(sf_dir: str):
-    """Per-group top-k: broadcast join to the segment dim, then
-    groupby(segment).map_groups ordered head-k (the grouped window op)."""
-    import pandas as pd
+    """Per-group top-k: broadcast join to the segment dim, then per-batch
+    partial top-k per segment + tiny merge (no per-segment giant group —
+    a 5-segment groupby would make 5 single tasks at scale)."""
+    import numpy as np
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
     import ray
     import ray.data as rd
 
+    from raylog.functions.topk import topk
     from raylog.stages.enrich import BroadcastEnricher
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
@@ -1076,17 +1173,17 @@ def top_orders_per_segment(sf_dir: str):
         fn_constructor_kwargs={"dim": dim_ref, "key": "o_custkey"},
         concurrency=2, batch_format="pyarrow", batch_size=None,
     )
-
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        g = g.sort_values(["o_totalprice", "o_orderkey"],
-                          ascending=[False, True]).head(3)
-        g = g.assign(rnk=np.arange(1, len(g) + 1),
-                     total_cents=np.round(g["o_totalprice"] * 100).astype("int64"))
-        return g[["c_mktsegment", "rnk", "o_orderkey", "total_cents"]]
-
-    return ds.groupby("c_mktsegment").map_groups(topk, batch_format="pandas")
+    tbl = topk(ds, sort_cols=["o_totalprice", "o_orderkey"],
+               descending=[True, False], k=3,
+               group_cols=["c_mktsegment"], add_rank="rnk")
+    return pa.table({
+        "c_mktsegment": tbl["c_mktsegment"],
+        "rnk": pc.cast(tbl["rnk"], pa.int64()),
+        "o_orderkey": tbl["o_orderkey"],
+        "total_cents": pc.cast(
+            pc.round(pc.multiply(tbl["o_totalprice"], pa.scalar(100.0))),
+            pa.int64()),
+    })
 
 
 # --------------------------------------------------------------------------

@@ -64,7 +64,7 @@ class SinkWriter:
             sub = batch.filter(route.sink_mask(batch, sink))
             if sub.num_rows == 0:
                 continue
-            out = route.project_logevent(sub, sink)
+            out = route.project_logevent(sub, sink, include_maps=True)
             path = os.path.join(self.out_dir, sink, f"part-{bid}.parquet")
             tmp = f"{path}.{self.uid}.tmp"
             pq.write_table(out, tmp, compression=self.compression,

@@ -144,6 +144,52 @@ def truncate_content(
     return batch.set_column(i, key, pc.utf8_slice_codeunits(arr, 0, cap))
 
 
+def merge_log(
+    batch: pa.Table,
+    key: str = "log",
+    out: str = "log_processed",
+    fields: list[tuple[str, pa.DataType]] | None = None,
+) -> pa.Table:
+    """E1 Merge_Log (conf/ds/fluent-bit.conf:50-51): re-parse a JSON
+    content column into a typed nested struct under ``out``
+    (Merge_Log_Key log_processed); arbitrary keys, missing keys → null,
+    non-JSON rows → null struct (the filter skips the merge and leaves
+    the record intact on parse failure).
+
+    ``fields`` fixes the output schema ([(name, arrow type)]); JSON
+    decode itself is inherently per-row (no Arrow JSON kernel — the one
+    documented per-row loop in the parse layer); everything downstream
+    of the struct is columnar again.
+    """
+    import json
+
+    if fields is None:
+        fields = [("msg", pa.string())]
+    col = batch[key]
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    names = [n for n, _ in fields]
+    cols: dict[str, list] = {n: [] for n in names}
+    valid = []
+    for s in arr.to_pylist():
+        obj = None
+        if s is not None:
+            try:
+                obj = json.loads(s)
+                if not isinstance(obj, dict):
+                    obj = None
+            except (json.JSONDecodeError, ValueError):
+                obj = None
+        valid.append(obj is not None)
+        for n in names:
+            cols[n].append(None if obj is None else obj.get(n))
+    struct = pa.StructArray.from_arrays(
+        [pa.array(cols[n], t) for n, t in fields],
+        names=names,
+        mask=pa.array([not v for v in valid]),
+    )
+    return batch.append_column(out, struct)
+
+
 def firstline_flags(batch: pa.Table, key: str = "log",
                     out: str = "is_continuation") -> pa.Table:
     """P5 detector: mark rows whose content does NOT start a new record.

@@ -101,6 +101,55 @@ def pack_tags(batch: pa.Table) -> pa.Table:
     return batch.append_column("tags_str", out)
 
 
+def _build_map_column(batch: pa.Table, key_to_col: dict[str, str]) -> pa.MapArray:
+    """Vectorized map<string,string> construction: per row, the non-null
+    (key, value) entries in sorted key order. No Python per-row loop —
+    entry layout comes from a numpy mask matrix, values from one Arrow
+    ``take`` over the stacked columns."""
+    import numpy as np
+
+    n = batch.num_rows
+    present = [k for k in sorted(key_to_col) if key_to_col[k] in batch.column_names]
+    if not present or n == 0:
+        offsets = pa.array([0] * (n + 1), pa.int32())
+        return pa.MapArray.from_arrays(
+            offsets, pa.array([], pa.string()), pa.array([], pa.string())
+        )
+    cols = [_arr(batch[key_to_col[k]]) for k in present]
+    masks = np.stack([np.asarray(pc.is_valid(c)) for c in cols])  # [k, n]
+    row_idx, key_idx = np.nonzero(masks.T)  # sorted by row, then key
+    counts = masks.sum(axis=0)
+    offsets = pa.array(
+        np.concatenate([[0], np.cumsum(counts)]).astype(np.int32), pa.int32()
+    )
+    keys_child = pa.array(np.asarray(present, dtype=object)[key_idx], pa.string())
+    stacked = pa.concat_arrays([pc.cast(c, pa.string()) for c in cols])
+    take_idx = pa.array(key_idx.astype(np.int64) * n + row_idx)
+    values_child = pc.take(stacked, take_idx)
+    return pa.MapArray.from_arrays(offsets, keys_child, values_child)
+
+
+def pack_tags_map(batch: pa.Table, out: str = "tags") -> pa.Table:
+    """N10 typed form: the tag namespace as a real map<string,string>
+    column — the reference LogEvent's ``Tags`` field
+    (out_erda/sender.go:13-24). ``tags_str`` (pack_tags) stays the
+    hash-stable oracle form; the sink parquet carries BOTH."""
+    return batch.append_column(out, _build_map_column(batch, TAG_SOURCES))
+
+
+LABEL_SOURCES: dict[str, str] = {
+    # N9: the kubernetes-label namespace the routing rules read
+    # (conf/ds/fluent-bit.conf:181-199) — LogEvent's ``Labels`` map
+    "monitor_log_collector": "monitor_log_collector",
+    "terminus_define_tag": "terminus_define_tag",
+}
+
+
+def pack_labels_map(batch: pa.Table, out: str = "labels") -> pa.Table:
+    """N9 typed form: routing labels as a map<string,string> column."""
+    return batch.append_column(out, _build_map_column(batch, LABEL_SOURCES))
+
+
 def tags_str_sql() -> str:
     """DuckDB expression mirroring :func:`pack_tags` exactly."""
     parts = [
@@ -110,12 +159,17 @@ def tags_str_sql() -> str:
     return " || ".join(parts)
 
 
-def project_logevent(batch: pa.Table, sink: str) -> pa.Table:
+def project_logevent(batch: pa.Table, sink: str,
+                     include_maps: bool = False) -> pa.Table:
     """G3 + N11: the final per-sink LogEvent projection.
 
     Keeps doc_id/source (lineage + aggregate keys), the token payload
     (bit-identical), and the LogEvent fields: id, source_out, stream,
-    level, request_id, ts_ns, content, tags_str.
+    level, request_id, ts_ns, content, tags_str. With ``include_maps``
+    the typed ``tags`` / ``labels`` map<string,string> columns
+    (LogEvent's Tags/Labels, out_erda/sender.go:13-24) are added — the
+    sink writers enable this; the oracle queries compare the canonical
+    ``tags_str`` (map value-hashing is engine-dependent).
     """
     n = batch.num_rows
     if sink == "job":
@@ -141,4 +195,7 @@ def project_logevent(batch: pa.Table, sink: str) -> pa.Table:
     for payload in ("tokens", "n_tok", "tok_sum"):
         if payload in batch.column_names:
             cols[payload] = _arr(batch[payload])
+    if include_maps:
+        cols["tags"] = _build_map_column(batch, TAG_SOURCES)
+        cols["labels"] = _build_map_column(batch, LABEL_SOURCES)
     return pa.table(cols)

@@ -231,3 +231,20 @@ class TestText:
         ]})
         out = lang_id(t)["lang_pred"].to_pylist()
         assert out == ["en", "es", "de", "fr", "und", "und"]
+
+
+class TestIVFPartitioning:
+    def test_probe_scans_fraction(self, emb_ds, tmp_path):
+        """Partition pruning: a single query reads only its nprobe/16
+        list dirs, never the full corpus."""
+        from raylog.functions.similarity import ann_ivf_topk
+
+        out, stats = ann_ivf_topk(
+            emb_ds, query_ids=[0], k=10, nprobe=4, n_clusters=16,
+            index_dir=str(tmp_path / "ivf"), return_stats=True,
+        )
+        assert stats["lists_probed"] == 4
+        assert 0 < stats["rows_scanned"] < stats["rows_total"]
+        # pruning actually prunes: scan stays well under the corpus
+        assert stats["rows_scanned"] <= 0.75 * stats["rows_total"], stats
+        assert out.num_rows == 10

@@ -70,3 +70,59 @@ class TestNestLift:
         t = _t(__pri_x=[1], __pri_y=[2], keep=[3])
         out = reshape.drop_by_prefix(t, "__pri_")
         assert out.column_names == ["keep"]
+
+
+class TestTypedMaps:
+    """N9/N10 typed map columns (LogEvent Tags/Labels, out_erda/sender.go)."""
+
+    def _routed_batch(self):
+        import pyarrow as pa
+
+        return pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "source": pa.array(["s1", "s2"]),
+            "stream": pa.array(["stdout", None]),
+            "level": pa.array(["INFO", None]),
+            "request_id": pa.array([None, "r2"], pa.string()),
+            "ts_ns": pa.array([10, 20], pa.int64()),
+            "log": pa.array(["a", "b"]),
+            "container_id": pa.array(["c1", None]),
+            "pod_name": pa.array(["p1", "p2"]),
+            "monitor_log_collector": pa.array(["http://c", None]),
+            "terminus_define_tag": pa.array([None, "job-x"], pa.string()),
+        })
+
+    def test_tags_map_matches_tags_str(self):
+        import pyarrow as pa
+
+        from raylog.stages import route
+
+        b = route.pack_tags(self._routed_batch())
+        b = route.pack_tags_map(b)
+        for tags_str, entries in zip(b["tags_str"].to_pylist(),
+                                     b["tags"].to_pylist()):
+            from_map = "".join(f"{k}={v};" for k, v in entries)
+            assert from_map == tags_str
+            # entries sorted by key, no null values
+            keys = [k for k, _ in entries]
+            assert keys == sorted(keys)
+            assert all(v is not None for _, v in entries)
+
+    def test_sink_parquet_carries_maps(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from raylog.stages import route
+
+        b = route.pack_tags(self._routed_batch())
+        out = route.project_logevent(b, "container", include_maps=True)
+        p = str(tmp_path / "sink.parquet")
+        pq.write_table(out, p)
+        back = pq.read_table(p)
+        assert dict(back["labels"].to_pylist()[0]) == {
+            "monitor_log_collector": "http://c"}
+        assert dict(back["labels"].to_pylist()[1]) == {
+            "terminus_define_tag": "job-x"}
+        t0 = dict(back["tags"].to_pylist()[0])
+        assert t0["pod_name"] == "p1" and t0["container_id"] == "c1"
+        assert "request_id" not in t0  # null tag omitted from the map
