@@ -78,9 +78,15 @@ def run_bench() -> dict:
 
     # fixed-size pools (autoscaling (min,max) pools ramp too slowly and
     # average ~2-4 actors); their sum must stay below NCPU so task stages
-    # (read, combine) can schedule alongside
-    enrich_c = max(2, NCPU // 3)
-    write_c = max(2, (NCPU * 2) // 5)
+    # (read, combine) can schedule alongside. Ray fuses
+    # [read->parse->enrich] into the first pool and [post->writer] into
+    # the second, so an even split measures best (14/14 at 32 CPUs:
+    # 15.7 s vs 23.5 s for the round-1 10/12 split).
+    enrich_c = max(1, min(14, (NCPU * 4) // 9))
+    write_c = max(1, min(14, (NCPU * 4) // 9))
+    if enrich_c + write_c >= NCPU:  # leave headroom for task stages
+        enrich_c = max(1, NCPU // 2 - 1)
+        write_c = max(1, NCPU - 2 - enrich_c)
     queries: dict[str, float] = {}
 
     # q1 (headline, first so later runs' writeback doesn't throttle it):

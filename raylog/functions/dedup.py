@@ -12,8 +12,8 @@ expressed Ray-Data-first:
 - SimHash: 64-bit signature, pigeonhole banding on 4×16-bit chunks →
   candidates → Hamming-distance verification
 - embedding cosine near-dup: normalized matmul against a broadcast
-  matrix (brute force at small n; at scale use the IVF path in
-  similarity.py)
+  matrix below ``max_broadcast_rows``; above it, a centroid-bucketed
+  exact-within-bucket path (multi-assignment for recall) runs instead
 
 Scale shape (round-2 rework): NOTHING key-cardinality-sized touches the
 driver. Candidate pairs stay a ``Dataset`` end to end — deduped with the
@@ -555,11 +555,28 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
-) -> pa.Table:
-    """Pairs with cosine ≥ threshold: per-batch float64 matmul against the
-    broadcast normalized corpus matrix (brute-force baseline; IVF path in
-    similarity.py is the 10^9-vector plan)."""
+    max_broadcast_rows: int = 100_000,
+    n_clusters: int = 64,
+    assign_top: int = 2,
+) -> pa.Table | rd.Dataset:
+    """Pairs with cosine ≥ threshold.
+
+    Corpus ≤ ``max_broadcast_rows``: exact — per-batch float64 matmul
+    against the broadcast normalized corpus matrix (oracle-checkable).
+    Above the threshold the BUCKETED path runs instead (returns a
+    Dataset): vectors multi-assign to their ``assign_top`` nearest
+    coarse centroids, exact pairwise cosine runs within each centroid
+    bucket, pairs dedup through the hash-partitioned aggregate.
+    Approximate (a pair straddling two clusters is caught only if the
+    two vectors share one of their top-``assign_top`` lists — the
+    standard IVF near-dup recall trade, measured in pytest)."""
     import ray
+
+    if ds.count() > max_broadcast_rows:
+        return _embedding_near_dup_bucketed(
+            ds, id_col=id_col, vec_col=vec_col, threshold=threshold,
+            n_clusters=n_clusters, assign_top=assign_top,
+        )
 
     corpus = pa.concat_tables(
         list(ds.map_batches(lambda b: b.select([id_col, vec_col]),
@@ -592,3 +609,71 @@ def embedding_near_dup_pairs(
                          "vec_b": pa.array([], pa.int64()),
                          "cos_milli": pa.array([], pa.int64())})
     return pa.concat_tables(tables)
+
+
+def _embedding_near_dup_bucketed(
+    ds: rd.Dataset,
+    *,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_clusters: int,
+    assign_top: int,
+    train_sample: int = 4096,
+) -> rd.Dataset:
+    """Scale path: centroid-bucketed exact-within-bucket near-dup pairs.
+
+    One matmul pass assigns each vector to its assign_top nearest
+    centroids (seeded k-means on a sample, broadcast once); each bucket
+    runs the exact pairwise check over its own members only (cost
+    sum(b_i^2) instead of n^2); duplicate pairs from shared buckets
+    collapse in the hash-partitioned aggregate."""
+    import ray
+
+    from raylog.functions.similarity import _kmeans, _to_matrix
+
+    sample_tbl = pa.concat_tables(list(
+        ds.limit(train_sample).map_batches(
+            lambda b: b.select([id_col, vec_col]),
+            batch_format="pyarrow", batch_size=None,
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    ))
+    cents = _kmeans(_to_matrix(sample_tbl, vec_col), n_clusters)
+    cents_ref = ray.put(cents) if ray.is_initialized() else cents
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = cents_ref if isinstance(cents_ref, np.ndarray) else ray.get(cents_ref)
+        bids = batch[id_col].to_numpy(zero_copy_only=False)
+        bmat = _to_matrix(batch, vec_col)
+        top = np.argsort(-(bmat @ c.T), axis=1)[:, :assign_top]  # [n, t]
+        n, t = top.shape
+        blobs = [bmat[i].tobytes() for i in range(n)]
+        return pa.table({
+            "list_id": pa.array(top.reshape(-1).astype(np.int32)),
+            "vec_id": pa.array(np.repeat(bids, t).astype(np.int64)),
+            "vec": pa.array([b for b in blobs for _ in range(t)], pa.binary()),
+        })
+
+    buckets = ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+    def pairs_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates("vec_id").sort_values("vec_id")
+        ids = u["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64"),
+                                 "cos_milli": pd.Series(dtype="int64")})
+        mat = np.stack([np.frombuffer(v, dtype=np.float64)
+                        for v in u["vec"].to_numpy()])
+        sims = mat @ mat.T
+        ai, bj = np.where(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame({
+            "vec_a": ids[ai], "vec_b": ids[bj],
+            "cos_milli": np.round(1000 * sims[ai, bj]).astype("int64"),
+        })
+
+    cand = buckets.groupby("list_id").map_groups(
+        pairs_per_bucket, batch_format="pandas"
+    )
+    return grouped_aggregate_ds(cand, ["vec_a", "vec_b"],
+                                [("cos_milli", "min", "cos_milli")])

@@ -360,6 +360,110 @@ def log_multiline_cri(sf_dir: str):
                           order_col="head_id", content_col="content")
 
 
+def _multiline_docker_dir(sf_dir: str) -> str:
+    """Docker JSON log files (one per source) with 16KB-split lines and
+    stack continuations, derived deterministically from documents.
+
+    Complete docker log values end with ``\\n``; docs with doc_id%4==2
+    have their line split into two chunks (the runtime's 16KB split —
+    first chunk has NO trailing newline); docs with doc_id%3==0 add two
+    stack-frame records."""
+    import json as _json
+    import os
+
+    import pyarrow.parquet as pq
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = f"/tmp/raylog_logfiles/{tag}.mdocker"
+    done = os.path.join(root, "_DONE")
+    if os.path.exists(done):
+        return root
+    os.makedirs(root, exist_ok=True)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    by_src: dict[str, list[str]] = {}
+    for r in docs.to_pylist():
+        d, text, src = r["doc_id"], r["text"], r["source"]
+        lines = by_src.setdefault(src, [])
+
+        def rec(j, log, d=d):
+            t = f"2024-01-02T03:04:05.{d * 16 + j:09d}Z"
+            return _json.dumps({"log": log, "stream": "stdout", "time": t})
+
+        content = f"2024-01-02 03:04:05 {text}\n"
+        if d % 4 == 2:  # 16KB-split analog: first chunk has no newline
+            lines.append(rec(0, content[:30]))
+            lines.append(rec(1, content[30:]))
+            j = 2
+        else:
+            lines.append(rec(0, content))
+            j = 1
+        if d % 3 == 0:
+            lines.append(rec(j, f"  at com.example.Service.handle(Doc{d}.java:42)\n"))
+            lines.append(rec(j + 1, "  at java.base/java.lang.Thread.run(Thread.java:833)\n"))
+    for src, lines in by_src.items():
+        with open(os.path.join(root, f"{src}.log"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    open(done, "w").close()
+    return root
+
+
+@query(
+    "log_multiline_docker",
+    f"""
+SELECT CAST({R.TS_BASE_NS} AS BIGINT) + doc_id * 16 AS head_id, source,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS BIGINT) AS n_lines,
+       '2024-01-02 03:04:05 ' || text ||
+         CASE WHEN doc_id % 3 = 0
+              THEN chr(10) || '  at com.example.Service.handle(Doc' || doc_id
+                   || '.java:42)'
+                   || chr(10) || '  at java.base/java.lang.Thread.run(Thread.java:833)'
+              ELSE '' END AS content
+FROM documents""",
+)
+def log_multiline_docker(sf_dir: str):
+    """P3 full docker path: JSON-line log FILES → parse → 16KB-split
+    rejoin (record boundary = trailing newline in the log value — the
+    docker_firstline/Docker_Mode signal, conf/ds/parsers.conf:17-23) →
+    firstline date-regex multiline join. Oracle re-derives the joined
+    records from documents."""
+    import glob as _glob
+
+    import pyarrow.compute as pc
+
+    from raylog.sources.logfiles import read_docker_json_logs_with_source
+    from raylog.stages import parse
+    from raylog.stages.multiline import multiline_join, rejoin_partials
+
+    root = _multiline_docker_dir(sf_dir)
+    files = sorted(_glob.glob(f"{root}/*.log"))
+    ds = read_docker_json_logs_with_source(files)
+
+    def tag_complete(b: pa.Table) -> pa.Table:
+        log = b["log"].combine_chunks() if isinstance(b["log"], pa.ChunkedArray) else b["log"]
+        complete = pc.ends_with(pc.fill_null(log, ""), pattern="\n")
+        return b.append_column(
+            "logtag", pc.if_else(complete, pa.scalar("F"), pa.scalar("P"))
+        )
+
+    ds = ds.map_batches(tag_complete, batch_format="pyarrow", batch_size=None)
+    lines = rejoin_partials(ds, logtag_col="logtag", order_col="ts_ns",
+                            content_col="log")
+
+    def strip_nl(b: pa.Table) -> pa.Table:
+        c = b["content"].combine_chunks() if isinstance(b["content"], pa.ChunkedArray) else b["content"]
+        i = b.column_names.index("content")
+        return b.set_column(i, "content", pc.utf8_rtrim(c, characters="\n"))
+
+    lines = lines.map_batches(strip_nl, batch_format="pyarrow", batch_size=None)
+    lines = lines.map_batches(
+        lambda b: parse.firstline_flags(b, key="content"),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return multiline_join(lines, is_continuation="is_continuation",
+                          order_col="head_id", content_col="content")
+
+
 @query(
     "log_throttle_sliding",
     """

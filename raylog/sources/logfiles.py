@@ -89,6 +89,42 @@ def read_docker_json_logs(paths: list[str] | str) -> rd.Dataset:
     return ds.map_batches(to_records, batch_format="pyarrow", batch_size=None)
 
 
+def read_docker_json_logs_with_source(paths: list[str] | str) -> rd.Dataset:
+    """P3 with per-file identity: docker JSON-per-line files, ``source``
+    = file stem (tail tag from the path). The raw ``log`` value is kept
+    VERBATIM incl. any trailing newline — docker terminates complete
+    lines with ``\\n`` and 16KB-split partial chunks lack it, which is
+    exactly the record-boundary signal the rejoin stage reads."""
+    import os
+
+    ds = rd.read_text(paths, include_paths=True)
+
+    def to_records(batch: pa.Table) -> pa.Table:
+        logs, streams, times, srcs = [], [], [], []
+        for line, p in zip(batch["text"].to_pylist(),
+                           batch["path"].to_pylist()):
+            try:
+                o = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            logs.append(o.get("log"))
+            streams.append(o.get("stream", "stdout"))
+            times.append(o.get("time"))
+            srcs.append(os.path.basename(p).rsplit(".", 1)[0])
+        t = pa.table(
+            {
+                "log": pa.array(logs, pa.string()),
+                "stream": pa.array(streams, pa.string()),
+                "time": pa.array(times, pa.string()),
+                "source": pa.array(srcs, pa.string()),
+            }
+        )
+        ts = parse.parse_cri_time_ns(t["time"].combine_chunks())
+        return t.append_column("ts_ns", ts)
+
+    return ds.map_batches(to_records, batch_format="pyarrow", batch_size=None)
+
+
 # --------------------------------------------------------------------------
 # wire-format writers (test harness / format round-trips)
 # --------------------------------------------------------------------------

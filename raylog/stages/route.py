@@ -190,12 +190,16 @@ def project_logevent(batch: pa.Table, sink: str,
         "ts_ns": _arr(batch["ts_ns"]),
         "content": _arr(batch["log"]),
     }
-    if "tags_str" in batch.column_names:
+    if "tags_str" in batch.column_names and not include_maps:
         cols["tags_str"] = _arr(batch["tags_str"])
     for payload in ("tokens", "n_tok", "tok_sum"):
         if payload in batch.column_names:
             cols[payload] = _arr(batch[payload])
     if include_maps:
+        # the typed maps REPLACE the canonical string in sink files (the
+        # LogEvent carries Tags/Labels maps, not a packed string —
+        # out_erda/sender.go:13-24); tags_str remains the in-pipeline /
+        # oracle form
         cols["tags"] = _build_map_column(batch, TAG_SOURCES)
         cols["labels"] = _build_map_column(batch, LABEL_SOURCES)
     return pa.table(cols)

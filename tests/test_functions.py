@@ -248,3 +248,25 @@ class TestIVFPartitioning:
         # pruning actually prunes: scan stays well under the corpus
         assert stats["rows_scanned"] <= 0.75 * stats["rows_total"], stats
         assert out.num_rows == 10
+
+
+class TestEmbeddingNearDupScale:
+    def test_bucketed_path_recall_and_exactness(self, emb_ds):
+        """Force the bucketed scale path (tiny broadcast cap): its pairs
+        are a subset of brute force with identical cosine values, at
+        reasonable recall for top-2 multi-assignment."""
+        from raylog.functions.dedup import embedding_near_dup_pairs
+
+        brute = embedding_near_dup_pairs(emb_ds, threshold=0.4).to_pandas()
+        bucketed = embedding_near_dup_pairs(
+            emb_ds, threshold=0.4, max_broadcast_rows=10,
+            n_clusters=8, assign_top=2,
+        ).to_pandas()
+        bp = {(r.vec_a, r.vec_b): r.cos_milli for r in brute.itertuples()}
+        kp = {(r.vec_a, r.vec_b): r.cos_milli for r in bucketed.itertuples()}
+        assert set(kp) <= set(bp)
+        assert len(bp) > 0
+        recall = len(set(kp) & set(bp)) / len(bp)
+        assert recall >= 0.5, recall
+        for p, c in kp.items():
+            assert bp[p] == c
