@@ -51,8 +51,12 @@ def _register_builtins() -> None:
             "cpuset": parse.cpuset_container_id, # P7
             "enrich": enrich.BroadcastEnricher,  # E1/E2 (actor)
             "constant_tags": enrich.constant_tags,  # E3/E4
-            "pack_tags": route.pack_tags,        # N9/N10
+            "pack_tags": route.pack_tags,        # N9/N10 (canonical string)
+            "pack_tags_map": route.pack_tags_map,    # N10 typed map
+            "pack_labels_map": route.pack_labels_map,  # N9 typed map
             "route_flags": route.add_route_flags,  # T1/T2
+            "merge_log": parse.merge_log,        # E1 Merge_Log
+            "firstline_flags": parse.firstline_flags,  # P5 detector
             "lift": reshape.lift_struct,         # N1/N2
             "nest": reshape.nest_columns,        # N3/N5/N9/N10
             "remove_wildcard": reshape.drop_by_prefix,  # N4/N12

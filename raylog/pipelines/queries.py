@@ -925,6 +925,57 @@ def dedup_embed_pairs(sf_dir: str):
     return tbl
 
 
+@query(
+    "corpus_curation",
+    """
+WITH q AS (
+  SELECT doc_id, source, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(len(list_filter(string_split(text, ' '),
+                              w -> w IN ('the', 'a'))) AS BIGINT) AS stop_hits
+  FROM documents
+), scored AS (
+  SELECT doc_id, source,
+         CAST(FLOOR(1000 * (0.5 * LEAST(n_words / 40.0, 1.0)
+                            + 0.5 * (1.0 - stop_hits * 1.0 / n_words))) AS BIGINT)
+           AS score_milli
+  FROM q
+), survivors AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+)
+SELECT s.doc_id, s.source, s.score_milli
+FROM scored s JOIN survivors v USING (doc_id)
+WHERE s.score_milli >= 900""",
+)
+def corpus_curation(sf_dir: str):
+    """Composite curation pipeline (the training-data flagship): quality
+    scoring (vectorized) → threshold filter → exact-dedup SEMI-JOIN
+    (keep-first survivors via the hash-partitioned aggregate, joined
+    back without any driver-side id set). The shape a 100 TB curation
+    run uses: every stage streams, the only exchanges are the dedup key
+    shuffle and the survivor hash join."""
+    import ray.data as rd
+
+    from raylog.functions.dedup import exact_dedup_survivors
+    from raylog.functions.text import quality_scores
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "text"])
+    scored = ds.map_batches(quality_scores, batch_format="pyarrow",
+                            batch_size=None)
+
+    def keep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.greater_equal(b["score_milli"], pa.scalar(900, pa.int64()))
+        return b.filter(m).select(["doc_id", "source", "score_milli"])
+
+    scored = scored.map_batches(keep, batch_format="pyarrow", batch_size=None)
+    survivors = exact_dedup_survivors(ds.select_columns(["doc_id", "text"]))
+    return scored.join(survivors, join_type="inner", num_partitions=8,
+                       on=("doc_id",))
+
+
 # --------------------------------------------------------------------------
 # Training-data ops: similarity search + multimodal
 # --------------------------------------------------------------------------
