@@ -698,6 +698,68 @@ def events_hourly(sf_dir: str):
     )
 
 
+@query("approx_distinct_docs", None)  # rows-only: probabilistic sketch
+def approx_distinct_docs(sf_dir: str):
+    """HyperLogLog approximate distinct-document count (p=12, ~1.6% std
+    error): per-batch 4 KB register partials, element-wise-max merge —
+    one streaming pass, no key shuffle (the COUNT-only alternative to
+    exact distinct at 10^11 keys). Error bound asserted in pytest."""
+    import ray.data as rd
+
+    from raylog.functions.sketch import approx_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return approx_distinct(ds, "text")
+
+
+@query(
+    "events_hopping",
+    """
+WITH w AS (
+  SELECT event_type, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS sub FROM events
+), hops AS (
+  SELECT event_type, sub + i AS "window"
+  FROM w, UNNEST(generate_series(0, 4)) AS t(i)
+)
+SELECT event_type, "window", COUNT(*) AS cnt
+FROM hops GROUP BY 1, 2""",
+)
+def events_hopping(sf_dir: str):
+    """Hopping (overlapping) window aggregate: 5-hour windows sliding by
+    1 hour — each event expands to its 5 covering windows (vectorized
+    np.repeat, a bounded ×5 fan-out) and the partial/tree aggregate does
+    the rest; no window ever becomes a task boundary."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+    from raylog.stages.throttle import add_window_column
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    ds = add_window_column(ds, "ts", 3600)
+
+    def expand(b: pa.Table) -> pa.Table:
+        sub = np.asarray(b["window"].combine_chunks()
+                         if isinstance(b["window"], pa.ChunkedArray)
+                         else b["window"], dtype=np.int64)
+        et = b["event_type"]
+        et = et.combine_chunks() if isinstance(et, pa.ChunkedArray) else et
+        n = len(sub)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), 5))
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "event_type": pc.take(et, idx),
+            "window": pa.array((sub[:, None]
+                                + np.arange(5, dtype=np.int64)[None, :]
+                                ).reshape(-1)),
+        })
+
+    ds = ds.map_batches(expand, batch_format="pyarrow", batch_size=None)
+    return grouped_aggregate(ds, ["event_type", "window"],
+                             [("*", "count", "cnt")])
+
+
 @query("distinct_sources", "SELECT DISTINCT source FROM documents")
 def distinct_sources(sf_dir: str):
     """Distinct values: key-only per-batch partials, hash-partitioned

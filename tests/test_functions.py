@@ -270,3 +270,29 @@ class TestEmbeddingNearDupScale:
         assert recall >= 0.5, recall
         for p, c in kp.items():
             assert bp[p] == c
+
+
+class TestSketch:
+    def test_hll_error_bound_and_merge_invariance(self):
+        import numpy as np
+
+        from raylog.functions.sketch import hll_estimate, hll_partial
+
+        vals = pa.array([f"value-{i}" for i in range(100_000)])
+        # split into chunks, fold separately, merge by max
+        regs = np.zeros(1 << 12, dtype=np.uint8)
+        for lo in range(0, 100_000, 7_000):
+            regs = np.maximum(regs, hll_partial(vals.slice(lo, 7_000)))
+        est = hll_estimate(regs)
+        assert abs(est - 100_000) / 100_000 < 0.05, est
+        # merge order / chunking must not change the sketch
+        whole = hll_partial(vals)
+        assert (whole == regs).all()
+
+    def test_approx_distinct_dataset(self, docs_ds):
+        from raylog.functions.sketch import approx_distinct
+
+        out = approx_distinct(docs_ds, "text")
+        est = out["approx_distinct"][0].as_py()
+        exact = docs_ds.to_pandas()["text"].nunique()
+        assert abs(est - exact) / exact < 0.05, (est, exact)
