@@ -269,6 +269,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.3,
     num_partitions: int = 8,
+    max_postings: int | None = None,
 ) -> rd.Dataset:
     """All pairs with word-k-gram Jaccard ≥ threshold (exact, via an
     inverted shingle index — the oracle-checkable baseline).
@@ -286,7 +287,10 @@ def ngram_jaccard_pairs(
 
     def pairs_per_shingle(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2:
+        if len(ids) < 2 or (max_postings and len(ids) > max_postings):
+            # stop-shingle guard: a gram shared by m docs costs m^2/2
+            # pairs; skipping oversized postings lists is the standard
+            # inverted-index trade (off by default = exact baseline)
             return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                                  "doc_b": pd.Series(dtype="int64")})
         a, b = np.triu_indices(len(ids), 1)
@@ -377,9 +381,12 @@ class MinHashLSH(Shingler):
         })
 
 
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+def _bucket_pairs(g: pd.DataFrame, max_bucket: int | None = None) -> pd.DataFrame:
     ids = np.unique(g["doc_id"].to_numpy())
-    if len(ids) < 2:
+    if len(ids) < 2 or (max_bucket and len(ids) > max_bucket):
+        # oversized-bucket guard (degenerate band hash = near-identical
+        # boilerplate docs): candidate cost is m^2/2 per bucket; capping
+        # trades recall on mega-clusters for bounded work (off by default)
         return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                              "doc_b": pd.Series(dtype="int64")})
     a, b = np.triu_indices(len(ids), 1)
@@ -396,6 +403,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     num_partitions: int = 8,
+    max_bucket: int | None = None,
 ) -> rd.Dataset:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
@@ -411,8 +419,11 @@ def minhash_lsh_pairs(
 
     buckets = ds.map_batches(bucket_batch, batch_format="pyarrow",
                              batch_size=None)
+    import functools
+
     cand_dup = buckets.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
+        functools.partial(_bucket_pairs, max_bucket=max_bucket),
+        batch_format="pandas",
     )
     cand = grouped_aggregate_ds(cand_dup, ["doc_a", "doc_b"], [],
                                 num_partitions=num_partitions)

@@ -101,7 +101,7 @@ def multiline_join(
     content_col: str | None = None,
     source_col: str = "source",
     sep: str = "\n",
-    bucket_size: int = 8192,
+    bucket_size: int = 65_536,
     records_per_group: int = 4096,
 ) -> rd.Dataset:
     """Collapse continuation rows onto their head row per source
@@ -135,7 +135,7 @@ def rejoin_partials(
     order_col: str,
     content_col: str | None = None,
     source_col: str = "source",
-    bucket_size: int = 8192,
+    bucket_size: int = 65_536,
     records_per_group: int = 4096,
 ) -> rd.Dataset:
     """CRI partial-line rejoin: ``P``-tagged parts concatenate (no

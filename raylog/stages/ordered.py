@@ -87,7 +87,7 @@ def running_count(
     mark_col: str | None = None,
     inclusive: bool = True,
     out_col: str = "rank",
-    bucket_size: int = 8192,
+    bucket_size: int = 65_536,
 ) -> rd.Dataset:
     """Append ``out_col`` = running count of marked rows (all rows when
     ``mark_col`` is None) within ``part_col``, ordered by ``order_col``.

@@ -68,7 +68,7 @@ def over_rate_flags(
     order_col: str,
     rate: int,
     interval_sec: int,
-    bucket_size: int = 8192,
+    bucket_size: int = 65_536,
 ) -> rd.Dataset:
     """Flag records beyond ``rate`` within each tumbling interval window.
 
@@ -96,7 +96,7 @@ def sliding_over_rate_flags(
     rate: int,
     interval_sec: int,
     subwindows: int = 5,
-    bucket_size: int = 8192,
+    bucket_size: int = 65_536,
 ) -> rd.Dataset:
     """The reference's sliding-window shape (throttle.c:69-107): the rate
     budget covers a window of ``subwindows`` sub-intervals. A record in
