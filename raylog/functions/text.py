@@ -97,25 +97,40 @@ def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("lang_pred", pa.array(list(pred), pa.string()))
 
 
+_ROLL_B = np.uint64(1_000_003)  # odd base → invertible mod 2^64
+
+
 def fingerprints(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Document fingerprints: md5 content hash (cross-engine checkable) +
-    a 64-bit polynomial rolling hash over words (engine-native)."""
+    """Document fingerprints: md5 content hash (cross-engine checkable,
+    the oracle column) + a 64-bit polynomial rolling hash over words.
+
+    The rolling hash is fully vectorized (round-2 rework of the per-word
+    Python loop): h(doc) = Σ wordhash_i · B^(L-1-i) in uint64 wraparound
+    arithmetic — per-word blake2b hashes come from the shared
+    per-worker cache, powers of B are gathered by exponent and the
+    per-document sums are one ``add.reduceat``. Batch-split invariant
+    (asserted in pytest); md5 stays a per-row loop (no vectorized md5
+    kernel exists — it is the oracle-checkable column, not the hot one).
+    """
+    from raylog.functions.dedup import _PROCESS_HASHER, _split_words
+
     text = _chunked(batch[text_col])
     md5 = pa.array([hashlib.md5(t.encode()).hexdigest() for t in text.to_pylist()])
-    split = pc.split_pattern(text, pattern=" ")
-    roll = []
-    MOD = (1 << 61) - 1
-    B = 1_000_003
-
-    def stable_word_hash(w: str) -> int:
-        # process-stable (builtin hash() is salted per interpreter)
-        return int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-
-    for words in split.to_pylist():
-        h = 0
-        for w in words:
-            h = (h * B + stable_word_hash(w) % MOD) % MOD
-        roll.append(h)
+    wh, offsets = _split_words(text, _PROCESS_HASHER)
+    lens = offsets[1:] - offsets[:-1]
+    if len(wh):
+        with np.errstate(over="ignore"):  # uint64 wraparound is the spec
+            max_len = int(lens.max())
+            pow_b = np.empty(max_len, dtype=np.uint64)
+            pow_b[0] = 1
+            for i in range(1, max_len):
+                pow_b[i] = pow_b[i - 1] * _ROLL_B
+            pos = np.arange(len(wh), dtype=np.int64) - np.repeat(offsets[:-1], lens)
+            exp = np.repeat(lens, lens) - 1 - pos
+            terms = wh * pow_b[exp]
+            roll = np.add.reduceat(terms, offsets[:-1]).astype(np.int64)
+    else:
+        roll = np.zeros(0, dtype=np.int64)
     return batch.append_column("fp_md5", md5).append_column(
         "fp_roll", pa.array(roll, pa.int64())
     )
