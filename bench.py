@@ -181,6 +181,36 @@ def run_bench() -> dict:
     for d in stale:
         shutil.rmtree(d, ignore_errors=True)
 
+    # q4-q6: training-data ops over the sf's documents/embeddings tables
+    # (informational: the distributed dedup/text/ANN paths, measured)
+    import ray.data as _rd
+
+    docs = lambda: _rd.read_parquet(  # noqa: E731
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    t0 = time.monotonic()
+    from raylog.functions.dedup import minhash_lsh_pairs
+
+    n_pairs = len(minhash_lsh_pairs(docs(), threshold=0.3).to_pandas())
+    queries["dedup_minhash_docs"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    from raylog.functions.text import fingerprints, lang_id, quality_scores
+
+    docs().map_batches(quality_scores, batch_format="pyarrow", batch_size=None) \
+        .map_batches(lang_id, batch_format="pyarrow", batch_size=None) \
+        .map_batches(fingerprints, batch_format="pyarrow", batch_size=None) \
+        .count()
+    queries["text_analysis_docs"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    from raylog.functions.similarity import ann_ivf_topk
+
+    emb = _rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    ann_ivf_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10,
+                 index_dir=f"/tmp/raylog_bench/ivf_{NCPU}")
+    queries["ann_ivf_embeddings"] = round(time.monotonic() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "end-to-end parse→route→aggregate wall time (sequences table)",

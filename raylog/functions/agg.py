@@ -166,6 +166,40 @@ def grouped_aggregate_ds(
     return local.groupby("__p").map_groups(_final, batch_format="pyarrow")
 
 
+def partitioned_group_apply(
+    ds: rd.Dataset,
+    keys: list[str],
+    fn,
+    *,
+    num_partitions: int = 32,
+    batch_size: int = 65_536,
+) -> rd.Dataset:
+    """Apply ``fn(pa.Table) -> pa.Table`` to hash partitions that contain
+    COMPLETE key groups (same key → same partition).
+
+    The alternative — ``groupby(keys).map_groups`` — invokes a Python
+    function once per group: with tens of thousands of tiny groups
+    (LSH buckets, inverted-index postings) the per-group pandas overhead
+    dominates by 10-30×, and its parallelism collapses to however many
+    sorted blocks the shuffle happened to emit. Here ``fn`` receives one
+    whole partition (≈ rows/num_partitions, groups unsplit) and handles
+    its own vectorized segmentation; the shuffle is the fast int-key
+    ``groupby(__p)`` path. ``batch_size`` also coalesces fragmented
+    upstream blocks before the shuffle (64 tiny SplitBlocks blocks made
+    the sort 8× slower, see BASELINE.md notes).
+    """
+    def addp(b: pa.Table) -> pa.Table:
+        return b.append_column("__p", partition_ids(b, keys, num_partitions))
+
+    def run(part: pa.Table) -> pa.Table:
+        return fn(part.drop_columns(["__p"]))
+
+    return ds.map_batches(addp, batch_format="pyarrow",
+                          batch_size=batch_size).groupby("__p").map_groups(
+        run, batch_format="pyarrow"
+    )
+
+
 def grouped_aggregate(
     ds: rd.Dataset,
     keys: list[str],

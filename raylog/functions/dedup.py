@@ -261,6 +261,55 @@ def _verify_jaccard_batch(batch: pa.Table, threshold: float) -> pa.Table:
     })
 
 
+def _segment_bounds(sorted_keys: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """Start/end indices of equal-key runs in pre-sorted parallel arrays."""
+    n = len(sorted_keys[0])
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    change = np.zeros(n - 1, dtype=bool)
+    for col in sorted_keys:
+        change |= col[1:] != col[:-1]
+    starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+    ends = np.concatenate([starts[1:], [n]])
+    return starts, ends
+
+
+def _intra_bucket_pairs(part: pa.Table, key_cols: list[str],
+                        id_col: str = "doc_id",
+                        max_bucket: int | None = None) -> pa.Table:
+    """All intra-bucket (doc_a < doc_b) pairs of a partition holding
+    complete buckets — one vectorized pass (lexsort + segment scan), no
+    per-group pandas calls. Oversized buckets (> max_bucket members) are
+    skipped when the cap is set (stop-gram / boilerplate-cluster guard,
+    off by default)."""
+    keys = [np.asarray(part[c].combine_chunks()
+                       if isinstance(part[c], pa.ChunkedArray) else part[c])
+            for c in key_cols]
+    ids = np.asarray(part[id_col].combine_chunks()
+                     if isinstance(part[id_col], pa.ChunkedArray)
+                     else part[id_col], dtype=np.int64)
+    order = np.lexsort((ids, *keys[::-1]))
+    ids_s = ids[order]
+    keys_s = [c[order] for c in keys]
+    starts, ends = _segment_bounds(keys_s)
+    sizes = ends - starts
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for s, e in zip(starts[sizes >= 2], ends[sizes >= 2]):
+        m = int(e - s)
+        if max_bucket and m > max_bucket:
+            continue
+        a, b = np.triu_indices(m, 1)
+        out_a.append(ids_s[s:e][a])
+        out_b.append(ids_s[s:e][b])
+    if not out_a:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64())})
+    return pa.table({"doc_a": pa.array(np.concatenate(out_a)),
+                     "doc_b": pa.array(np.concatenate(out_b))})
+
+
 def ngram_jaccard_pairs(
     ds: rd.Dataset,
     *,
@@ -275,29 +324,24 @@ def ngram_jaccard_pairs(
     inverted shingle index — the oracle-checkable baseline).
 
     Returns a Dataset of (doc_a, doc_b, jacc_milli). Pair generation is
-    per-shingle (groupby shingle), so a stop-shingle shared by m docs
-    costs m²/2 — acceptable for the exact baseline; the LSH variant is
-    the scale path. Doc sizes come from a distributed join back to the
-    shingle-list table, never a driver dict.
+    per-shingle inside hash partitions holding complete postings lists
+    (``partitioned_group_apply`` — a per-group pandas fn was 10-30×
+    slower), so a stop-shingle shared by m docs costs m²/2 — acceptable
+    for the exact baseline (cap with ``max_postings``); the LSH variant
+    is the scale path. Doc sizes come from a distributed join back to
+    the shingle-list table, never a driver dict.
     """
+    from raylog.functions.agg import partitioned_group_apply
+
     kwargs = dict(id_col=id_col, text_col=text_col, k=k)
     shingles = ds.map_batches(
         shingle_batch, fn_kwargs=kwargs, batch_format="pyarrow", batch_size=None,
     )
-
-    def pairs_per_shingle(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2 or (max_postings and len(ids) > max_postings):
-            # stop-shingle guard: a gram shared by m docs costs m^2/2
-            # pairs; skipping oversized postings lists is the standard
-            # inverted-index trade (off by default = exact baseline)
-            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                                 "doc_b": pd.Series(dtype="int64")})
-        a, b = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
-
-    pair_rows = shingles.groupby("shingle").map_groups(
-        pairs_per_shingle, batch_format="pandas"
+    pair_rows = partitioned_group_apply(
+        shingles, ["shingle"],
+        lambda part: _intra_bucket_pairs(part, ["shingle"],
+                                         max_bucket=max_postings),
+        num_partitions=num_partitions,
     )
     # distinct candidate pairs, hash-partitioned (never a driver set)
     cand = grouped_aggregate_ds(pair_rows, ["doc_a", "doc_b"], [],
@@ -381,18 +425,6 @@ class MinHashLSH(Shingler):
         })
 
 
-def _bucket_pairs(g: pd.DataFrame, max_bucket: int | None = None) -> pd.DataFrame:
-    ids = np.unique(g["doc_id"].to_numpy())
-    if len(ids) < 2 or (max_bucket and len(ids) > max_bucket):
-        # oversized-bucket guard (degenerate band hash = near-identical
-        # boilerplate docs): candidate cost is m^2/2 per bucket; capping
-        # trades recall on mega-clusters for bounded work (off by default)
-        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                             "doc_b": pd.Series(dtype="int64")})
-    a, b = np.triu_indices(len(ids), 1)
-    return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
-
-
 def minhash_lsh_pairs(
     ds: rd.Dataset,
     *,
@@ -419,11 +451,13 @@ def minhash_lsh_pairs(
 
     buckets = ds.map_batches(bucket_batch, batch_format="pyarrow",
                              batch_size=None)
-    import functools
+    from raylog.functions.agg import partitioned_group_apply
 
-    cand_dup = buckets.groupby(["band", "band_hash"]).map_groups(
-        functools.partial(_bucket_pairs, max_bucket=max_bucket),
-        batch_format="pandas",
+    cand_dup = partitioned_group_apply(
+        buckets, ["band", "band_hash"],
+        lambda part: _intra_bucket_pairs(part, ["band", "band_hash"],
+                                         max_bucket=max_bucket),
+        num_partitions=num_partitions,
     )
     cand = grouped_aggregate_ds(cand_dup, ["doc_a", "doc_b"], [],
                                 num_partitions=num_partitions)
@@ -528,27 +562,48 @@ def simhash_pairs(
         return SimHash(id_col=id_col, text_col=text_col)(b)
 
     sigs = ds.map_batches(sig_batch, batch_format="pyarrow", batch_size=None)
+    _POPCNT = np.unpackbits(
+        np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
 
-    def pairs_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        u = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = u["doc_id"].to_numpy()
-        ss = u["sig"].to_numpy(dtype=np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                                 "doc_b": pd.Series(dtype="int64"),
-                                 "hamming": pd.Series(dtype="int64")})
-        a, b = np.triu_indices(len(ids), 1)
-        x = ss[a] ^ ss[b]
-        # vectorized popcount via uint8 view + lookup table
-        lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
-        ham = lut[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
-        keep = ham <= max_hamming
-        return pd.DataFrame({"doc_a": ids[a][keep], "doc_b": ids[b][keep],
-                             "hamming": ham[keep]})
+    def bucket_hamming_pairs(part: pa.Table) -> pa.Table:
+        # one vectorized pass over a partition of complete buckets
+        band = np.asarray(part["band"].combine_chunks()
+                          if isinstance(part["band"], pa.ChunkedArray) else part["band"])
+        key = np.asarray(part["key"].combine_chunks()
+                         if isinstance(part["key"], pa.ChunkedArray) else part["key"])
+        ids = np.asarray(part["doc_id"].combine_chunks()
+                         if isinstance(part["doc_id"], pa.ChunkedArray)
+                         else part["doc_id"], dtype=np.int64)
+        sig = np.asarray(part["sig"].combine_chunks()
+                         if isinstance(part["sig"], pa.ChunkedArray)
+                         else part["sig"]).astype(np.uint64)
+        order = np.lexsort((ids, key, band))
+        band, key, ids, sig = band[order], key[order], ids[order], sig[order]
+        starts, ends = _segment_bounds([band, key])
+        sizes = ends - starts
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts[sizes >= 2], ends[sizes >= 2]):
+            m = int(e - s)
+            a, b = np.triu_indices(m, 1)
+            x = sig[s:e][a] ^ sig[s:e][b]
+            ham = _POPCNT[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
+            keep = ham <= max_hamming
+            out_a.append(ids[s:e][a][keep])
+            out_b.append(ids[s:e][b][keep])
+            out_h.append(ham[keep])
+        if not out_a:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        return pa.table({"doc_a": pa.array(np.concatenate(out_a)),
+                         "doc_b": pa.array(np.concatenate(out_b)),
+                         "hamming": pa.array(np.concatenate(out_h))})
 
-    cand = sigs.groupby(["band", "key"]).map_groups(
-        pairs_per_bucket, batch_format="pandas"
-    )
+    from raylog.functions.agg import partitioned_group_apply
+
+    cand = partitioned_group_apply(sigs, ["band", "key"],
+                                   bucket_hamming_pairs,
+                                   num_partitions=num_partitions)
     # a pair found in several bands carries the same exact hamming value;
     # min() is just the dedup reduce
     return grouped_aggregate_ds(cand, ["doc_a", "doc_b"],

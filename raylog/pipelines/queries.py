@@ -1038,6 +1038,22 @@ def corpus_curation(sf_dir: str):
                        on=("doc_id",))
 
 
+@query("dedup_embed_pairs_bucketed", None)  # rows-only: approximate scale path
+def dedup_embed_pairs_bucketed(sf_dir: str):
+    """Embedding near-dup SCALE path forced on (centroid buckets,
+    exact-within-bucket, top-2 multi-assignment) — pairs are a subset of
+    the brute-force result with identical cosines; recall asserted in
+    pytest."""
+    import ray.data as rd
+
+    from raylog.functions.dedup import embedding_near_dup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return embedding_near_dup_pairs(ds, threshold=0.4, max_broadcast_rows=10,
+                                    n_clusters=8, assign_top=2)
+
+
 # --------------------------------------------------------------------------
 # Training-data ops: similarity search + multimodal
 # --------------------------------------------------------------------------
