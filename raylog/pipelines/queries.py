@@ -1596,27 +1596,51 @@ SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
 FROM s GROUP BY 1, 2""",
 )
 def events_sessionize(sf_dir: str):
-    """Session windows (30-min inactivity gap) per user: ordered
-    ``groupby(user).map_groups`` — the streaming-sessionization analog
-    over an event-time-partitioned log."""
+    """Session windows (30-min inactivity gap) per user.
+
+    Users hash-partition (complete users per partition,
+    ``partitioned_group_apply``); each partition derives every user's
+    session boundaries and aggregates in ONE vectorized pass — no
+    per-user pandas group calls (at scale users are numerous and small:
+    the per-group-overhead pathology measured on the LSH buckets)."""
     import numpy as np
-    import pandas as pd
     import ray.data as rd
+
+    from raylog.functions.agg import partitioned_group_apply
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "event_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        t = g["ts"].astype("int64").to_numpy() / 1e6  # epoch seconds
-        new = np.ones(len(g), dtype=np.int64)
-        new[1:] = (np.diff(t) > 1800).astype(np.int64)
-        sess = np.cumsum(new)
-        out = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "session_no": sess, "t": t})
-        agg = out.groupby(["user_id", "session_no"], as_index=False).agg(
-            n_events=("t", "size"), dur=("t", lambda s: np.floor(s.max() - s.min()))
-        )
-        agg["duration_sec"] = agg["dur"].astype("int64")
-        return agg[["user_id", "session_no", "n_events", "duration_sec"]]
+    def sessions(part: pa.Table) -> pa.Table:
+        def col(name):
+            c = part[name]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+        user = np.asarray(col("user_id"))
+        t = np.asarray(col("ts")).astype("datetime64[us]").astype(np.int64) / 1e6
+        eid = np.asarray(col("event_id"), dtype=np.int64)
+        n = len(user)
+        if n == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "session_no": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "duration_sec": pa.array([], pa.int64())})
+        order = np.lexsort((eid, t, user))
+        user, t = user[order], t[order]
+        new = np.ones(n, dtype=bool)
+        new[1:] = (user[1:] != user[:-1]) | ((t[1:] - t[:-1]) > 1800)
+        ustarts = np.concatenate([[0], np.flatnonzero(user[1:] != user[:-1]) + 1])
+        sncum = np.cumsum(new.astype(np.int64))
+        seg = np.searchsorted(ustarts, np.arange(n), side="right") - 1
+        sn = sncum - sncum[ustarts][seg] + 1
+        sstarts = np.flatnonzero(new)
+        sends = np.concatenate([sstarts[1:], [n]])
+        return pa.table({
+            "user_id": pa.array(user[sstarts]),
+            "session_no": pa.array(sn[sstarts]),
+            "n_events": pa.array((sends - sstarts).astype(np.int64)),
+            "duration_sec": pa.array(
+                np.floor(t[sends - 1] - t[sstarts]).astype(np.int64)),
+        })
+
+    return partitioned_group_apply(ds, ["user_id"], sessions)

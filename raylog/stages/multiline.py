@@ -41,7 +41,6 @@ Multiline_Flush timeout flush).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -68,29 +67,55 @@ def _assemble_records(
                        pa.scalar(records_per_group, pa.int64()))
         return b.append_column("__rbkt", rb)
 
-    def assemble(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["record_id", order_col])
-        if drop_zero:
-            g = g[g["record_id"] > 0]
-        if len(g) == 0:
-            cols = {"head_id": pd.Series(dtype="int64"),
-                    "source": pd.Series(dtype="object"),
-                    "n_lines": pd.Series(dtype="int64")}
-            if content_col:
-                cols["content"] = pd.Series(dtype="object")
-            return pd.DataFrame(cols)
-        aggs = {"head_id": (order_col, "min"), "n_lines": (order_col, "size")}
-        if content_col:
-            aggs["content"] = (content_col, lambda s: sep.join(s))
-        out = g.groupby("record_id", as_index=False).agg(**aggs)
-        out["head_id"] = out["head_id"].astype("int64")
-        out.insert(1, "source", g[source_col].iloc[0])
-        return out.drop(columns=["record_id"])
+    def assemble(part: pa.Table) -> pa.Table:
+        # whole partition of complete records, one vectorized pass:
+        # lexsort by (source, record_id, order); record boundaries give
+        # head/size directly and the content join is a single Arrow
+        # ``binary_join`` over a record-offset list array (no per-record
+        # Python/pandas calls)
+        def col(name):
+            c = part[name]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
 
-    return ids.map_batches(add_rbkt, batch_format="pyarrow",
-                           batch_size=None).groupby(
-        [source_col, "__rbkt"]
-    ).map_groups(assemble, batch_format="pandas")
+        src = np.asarray(col(source_col), dtype=object)
+        rid = np.asarray(col("record_id"), dtype=np.int64)
+        order = np.asarray(col(order_col), dtype=np.int64)
+        sort = np.lexsort((order, rid, src))
+        if drop_zero:
+            sort = sort[rid[sort] > 0]
+        src, rid, order = src[sort], rid[sort], order[sort]
+        n = len(rid)
+        empty_cols = {"head_id": pa.array([], pa.int64()),
+                      "source": pa.array([], pa.string()),
+                      "n_lines": pa.array([], pa.int64())}
+        if content_col:
+            empty_cols["content"] = pa.array([], pa.string())
+        if n == 0:
+            return pa.table(empty_cols)
+        starts = np.concatenate([[0], np.flatnonzero(
+            (src[1:] != src[:-1]) | (rid[1:] != rid[:-1])) + 1])
+        sizes = np.diff(np.concatenate([starts, [n]]))
+        cols = {
+            "head_id": pa.array(order[starts]),
+            "source": pa.array(src[starts], pa.string()),
+            "n_lines": pa.array(sizes.astype(np.int64)),
+        }
+        if content_col:
+            content = pc.take(col(content_col), pa.array(sort))
+            lists = pa.ListArray.from_arrays(
+                pa.array(np.concatenate([starts, [n]]).astype(np.int32),
+                         pa.int32()),
+                content,
+            )
+            cols["content"] = pc.binary_join(lists, sep)
+        return pa.table(cols)
+
+    from raylog.functions.agg import partitioned_group_apply
+
+    return partitioned_group_apply(
+        ids.map_batches(add_rbkt, batch_format="pyarrow", batch_size=None),
+        [source_col, "__rbkt"], assemble,
+    )
 
 
 def multiline_join(

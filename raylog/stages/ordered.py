@@ -18,9 +18,11 @@ sorted pandas task — the round-1 scale hazard (VERDICT r1 "what's wrong"
    computes per-bucket prefix offsets and broadcasts them via
    ``ray.put`` (O(#buckets) driver work, the same metadata scale as the
    parquet row-group listing);
-3. ``groupby(partition, bucket).map_groups``: sort the ≤ bucket_size
-   rows, local cumulative count + broadcast offset = exact global
-   rank/record id.
+3. hash-partitioned whole-partition apply
+   (``agg.partitioned_group_apply``): each task lexsorts its complete
+   (partition, bucket) groups once and derives every group's local
+   cumulative count + broadcast offset in one vectorized pass — no
+   per-group Python calls, parallelism = num_partitions.
 
 Reference semantics served: multiline stack-trace join
 (conf/ds/fluent-bit.conf:36-42 + parsers.conf cri_firstline), CRI P/F
@@ -31,7 +33,6 @@ window ranks (filter_throttle_patch/throttle.c:69-107).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -102,18 +103,47 @@ def running_count(
     offsets = _bucket_offsets(ds_bkt, part_col, mark_col)
     off_ref = ray.put(offsets) if ray is not None and ray.is_initialized() else offsets
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def per_partition(part: pa.Table) -> pa.Table:
+        # whole partition of complete (part, bucket) groups, ONE
+        # vectorized pass: global cumsum of marks minus each group's
+        # start offset + the group's broadcast prefix (no per-group
+        # pandas calls — see agg.partitioned_group_apply)
         offs = off_ref if isinstance(off_ref, dict) else ray.get(off_ref)
-        g = g.sort_values(order_col)
-        marks = (g[mark_col].to_numpy().astype(np.int64)
-                 if mark_col is not None else np.ones(len(g), dtype=np.int64))
+        parts = np.asarray(part[part_col].combine_chunks()
+                           if isinstance(part[part_col], pa.ChunkedArray)
+                           else part[part_col])
+        bkts = np.asarray(part["__bkt"].combine_chunks()
+                          if isinstance(part["__bkt"], pa.ChunkedArray)
+                          else part["__bkt"], dtype=np.int64)
+        orders = np.asarray(part[order_col].combine_chunks()
+                            if isinstance(part[order_col], pa.ChunkedArray)
+                            else part[order_col], dtype=np.int64)
+        sort = np.lexsort((orders, bkts, parts))
+        tbl = part.take(pa.array(sort))
+        parts, bkts = parts[sort], bkts[sort]
+        n = len(parts)
+        if mark_col is not None:
+            m = tbl[mark_col]
+            m = m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m
+            marks = np.asarray(m).astype(np.int64)
+        else:
+            marks = np.ones(n, dtype=np.int64)
+        starts = np.concatenate([[0], np.flatnonzero(
+            (parts[1:] != parts[:-1]) | (bkts[1:] != bkts[:-1])) + 1]) \
+            if n else np.zeros(0, dtype=np.int64)
         cum = np.cumsum(marks)
+        if len(starts):
+            seg_id = np.searchsorted(starts, np.arange(n), side="right") - 1
+            seg_base0 = np.concatenate([[0], cum[starts[1:] - 1]])
+            bases = np.array(
+                [offs.get((parts[s], int(bkts[s])), 0) for s in starts],
+                dtype=np.int64)
+            cum = cum - seg_base0[seg_id] + bases[seg_id]
         if not inclusive:
             cum = cum - marks
-        base = offs.get((g[part_col].iloc[0], int(g["__bkt"].iloc[0])), 0)
-        g = g.assign(**{out_col: cum + base})
-        return g.drop(columns=["__bkt"])
+        out = tbl.drop_columns(["__bkt"]).append_column(out_col, pa.array(cum))
+        return out
 
-    return ds_bkt.groupby([part_col, "__bkt"]).map_groups(
-        per_bucket, batch_format="pandas"
-    )
+    from raylog.functions.agg import partitioned_group_apply
+
+    return partitioned_group_apply(ds_bkt, [part_col, "__bkt"], per_partition)
