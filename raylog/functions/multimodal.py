@@ -96,6 +96,82 @@ class MediaFeatures:
         )
 
 
+class MediaResize:
+    """Actor-pool resize stage: clamp the longer image side to
+    ``max_side``, preserving aspect ratio.
+
+    The geometry (real) is computed vectorized from the decoded
+    height/width metadata; re-encoding the payload is the stubbed codec
+    half (``fake=True`` re-digests deterministically; ``fake=False``
+    raises — the PIL/torchvision swap point)."""
+
+    def __init__(self, max_side: int = 64, fake: bool = True):
+        self.max_side = max_side
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = np.asarray(batch["height"].combine_chunks()
+                       if isinstance(batch["height"], pa.ChunkedArray)
+                       else batch["height"], dtype=np.float64)
+        w = np.asarray(batch["width"].combine_chunks()
+                       if isinstance(batch["width"], pa.ChunkedArray)
+                       else batch["width"], dtype=np.float64)
+        scale = np.minimum(1.0, self.max_side / np.maximum(h, w))
+        nh = np.maximum(1, np.round(h * scale)).astype(np.int32)
+        nw = np.maximum(1, np.round(w * scale)).astype(np.int32)
+        if not self.fake:
+            raise NotImplementedError(
+                "real image resampling requires codec libraries not in "
+                "this container; run with fake=True or install PIL"
+            )
+        payloads = [
+            hashlib.blake2b(p + bytes([int(a) % 256, int(b) % 256]),
+                            digest_size=16).digest()
+            for p, a, b in zip(batch["payload"].to_pylist(), nh, nw)
+        ]
+        return (
+            batch.append_column("resized_height", pa.array(nh))
+            .append_column("resized_width", pa.array(nw))
+            .append_column("resized_payload", pa.array(payloads, pa.binary()))
+        )
+
+
+class FrameSampler:
+    """Actor-pool video frame-sampling stage: one input row (a video
+    payload) → ``n_frames`` output rows (doc_id, frame_idx, frame
+    payload) — the exploded layout a training pipeline feeds to image
+    models. Deterministic fake frame extraction (payload byte slices);
+    the ffmpeg swap point is ``_frame_bytes``."""
+
+    def __init__(self, n_frames: int = 4, fake: bool = True):
+        self.n_frames = n_frames
+        self.fake = fake
+
+    def _frame_bytes(self, payload: bytes, idx: int) -> bytes:
+        if not self.fake:
+            raise NotImplementedError(
+                "real frame extraction requires ffmpeg, not present in "
+                "this container; run with fake=True"
+            )
+        step = max(1, len(payload) // self.n_frames)
+        return payload[idx * step: idx * step + step] or b"\x00"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out_id, out_idx, out_frame = [], [], []
+        for i, p in zip(ids, payloads):
+            for j in range(self.n_frames):
+                out_id.append(i)
+                out_idx.append(j)
+                out_frame.append(self._frame_bytes(p, j))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "frame_idx": pa.array(out_idx, pa.int32()),
+            "frame": pa.array(out_frame, pa.binary()),
+        })
+
+
 def media_pipeline(
     ds: rd.Dataset,
     *,
@@ -126,3 +202,31 @@ def media_pipeline(
     ds = ds.map_batches(MediaFeatures, concurrency=concurrency,
                         batch_format="pyarrow", batch_size=batch_size)
     return ds
+
+
+def frame_sample_pipeline(
+    ds: rd.Dataset,
+    *,
+    n_frames: int = 4,
+    concurrency: int = 2,
+    batch_size: int = 256,
+) -> rd.Dataset:
+    """documents → video-payload analog → exploded per-frame rows.
+
+    The explode multiplies rows ×n_frames AND bytes; ``batch_size`` is
+    sized smaller again so output batch bytes stay bounded."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            ncpu = int(ray.cluster_resources().get("CPU", 4))
+            concurrency = max(1, min(concurrency, ncpu - 2))
+    except ImportError:  # pragma: no cover
+        pass
+    ds = ds.map_batches(attach_binary_payload, batch_format="pyarrow",
+                        batch_size=None)
+    return ds.map_batches(
+        FrameSampler, fn_constructor_kwargs={"n_frames": n_frames},
+        concurrency=concurrency, batch_format="pyarrow",
+        batch_size=batch_size,
+    )

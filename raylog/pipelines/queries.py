@@ -1130,6 +1130,31 @@ def mm_media_features(sf_dir: str):
     return out.map_batches(proj, batch_format="pyarrow", batch_size=None)
 
 
+@query("mm_frame_sample", None)  # rows-only: binary plumbing, no SQL analog
+def mm_frame_sample(sf_dir: str):
+    """Multimodal video plumbing: payload → per-frame exploded rows
+    (doc_id, frame_idx, frame bytes) via an actor-pool sampler with
+    small-batch sizing (fake frame kernel; ffmpeg swap point)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.multimodal import frame_sample_pipeline
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = frame_sample_pipeline(ds, n_frames=4)
+
+    def proj(b: pa.Table) -> pa.Table:
+        fr = b["frame"]
+        fr = fr.combine_chunks() if isinstance(fr, pa.ChunkedArray) else fr
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "frame_idx": b["frame_idx"],
+            "frame_bytes": pc.cast(pc.binary_length(fr), pa.int64()),
+        })
+
+    return out.map_batches(proj, batch_format="pyarrow", batch_size=None)
+
+
 # --------------------------------------------------------------------------
 # ECI sidecar pipeline variant + raw log-file sources
 # --------------------------------------------------------------------------

@@ -23,9 +23,9 @@ whose hot source became one task sorting 30% of the dataset):
    no task ever sorts more than ``bucket_size`` rows whatever the source
    skew;
 2. rows re-group by (source, record_id // records_per_group): a record's
-   rows land in exactly one bounded group, which assembles final records
-   (head_id = first line's order, n_lines, joined content) with a
-   vectorized pandas groupby.
+   rows land in exactly one bounded group; whole partitions of complete
+   records assemble in one vectorized pass (lexsort + segment scan +
+   Arrow ``binary_join`` for the content).
 
 Partitioning assumptions (documented for the 100 TB case): ``order_col``
 is unique per source (tail offset); one logical record is small (a stack

@@ -71,9 +71,11 @@ class TestDedup:
             docs_ds.iter_batches(batch_format="pyarrow", batch_size=None)))
         stage = MinHashLSH()
         stage.signatures(tbl)  # warm the word-hash cache for both paths
-        t0 = time.perf_counter()
-        _, sig = stage.signatures(tbl)
-        vec_sec = time.perf_counter() - t0
+        vec_sec = float("inf")  # best of 3: the vectorized run is short
+        for _ in range(3):      # (~60 ms) and sensitive to CPU contention
+            t0 = time.perf_counter()
+            _, sig = stage.signatures(tbl)
+            vec_sec = min(vec_sec, time.perf_counter() - t0)
 
         # round-1-style scalar loop on a small slice, extrapolated
         from raylog.functions.dedup import _doc_shingles, _split_words
@@ -296,3 +298,42 @@ class TestSketch:
         est = out["approx_distinct"][0].as_py()
         exact = docs_ds.to_pandas()["text"].nunique()
         assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+class TestMultimodalExtra:
+    def test_resize_geometry_and_stub(self, docs_ds):
+        from raylog.functions.multimodal import (MediaDecode, MediaResize,
+                                                 attach_binary_payload)
+
+        tbl = pa.concat_tables(list(
+            docs_ds.limit(30).iter_batches(batch_format="pyarrow",
+                                           batch_size=None)))
+        b = MediaDecode()(attach_binary_payload(tbl))
+        out = MediaResize(max_side=64)(b)
+        h = out["resized_height"].to_pylist()
+        w = out["resized_width"].to_pylist()
+        oh = out["height"].to_pylist()
+        ow = out["width"].to_pylist()
+        for a, bb, c, d in zip(h, w, oh, ow):
+            assert max(a, bb) <= 64
+            # aspect preserved within rounding
+            if max(c, d) > 64:
+                assert abs(a / bb - c / d) < 0.25
+            else:
+                assert (a, bb) == (c, d)  # no upscaling
+        with pytest.raises(NotImplementedError):
+            MediaResize(fake=False)(b)
+
+    def test_frame_sample_explode(self, docs_ds):
+        from raylog.functions.multimodal import frame_sample_pipeline
+
+        out = frame_sample_pipeline(docs_ds.limit(25), n_frames=4,
+                                    concurrency=1).to_pandas()
+        assert len(out) == 100
+        counts = out.groupby("doc_id")["frame_idx"].agg(["count", "max"])
+        assert (counts["count"] == 4).all() and (counts["max"] == 3).all()
+        # deterministic across runs
+        again = frame_sample_pipeline(docs_ds.limit(25), n_frames=4,
+                                      concurrency=1).to_pandas()
+        assert out.sort_values(["doc_id", "frame_idx"])["frame"].tolist() == \
+            again.sort_values(["doc_id", "frame_idx"])["frame"].tolist()
