@@ -95,3 +95,63 @@ def test_resume_lineage_mismatch_raises(tmp_path, ray_session):
         run_resumable(files, out, dim, n_shards=4, concurrency=2)
     # resuming with the original assignment is a clean no-op
     run_resumable(files, out, dim, n_shards=2, concurrency=2)
+
+
+def test_fused_survives_actor_crash(tmp_path, ray_session):
+    """Fault injection: a worker process dies (os._exit) mid-row-group;
+    Ray restarts the pool actor and retries the task; deterministic
+    tmp+rename sink writes make the retry REPLACE any partial output —
+    final counts equal the clean run, no duplicate or leftover files."""
+    import glob
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from raylog.pipelines import log_pipeline as LP
+    from raylog.pipelines.fused import FusedSinkTask, run_fused
+    from raylog.records import build_dim_table
+    from raylog.sources.reader import _list_row_groups
+    from raylog.sources.synth import synth_sources, synthesize_sequences
+
+    files = synthesize_sequences(str(tmp_path / "seq"), 8_000, seed=5,
+                                 rows_per_file=2_000, row_group_size=1_000)
+    dim = build_dim_table(synth_sources())
+    marker = str(tmp_path / "crashed_once")
+    target = sorted(files)[0]
+
+    class Crashing(FusedSinkTask):
+        def __call__(self, batch):
+            if (not os.path.exists(marker)
+                    and batch["row_group"].to_pylist()[0] == 1
+                    and batch["path"].to_pylist()[0] == target):
+                open(marker, "w").close()
+                os._exit(1)  # hard-kill the worker process mid-item
+            yield from super().__call__(batch)
+
+    out_dir = str(tmp_path / "out")
+    dim_ref = ray.put(dim)
+    partials = rd.from_items(_list_row_groups(files)).map_batches(
+        Crashing, fn_constructor_kwargs={"dim": dim_ref, "out_dir": out_dir},
+        concurrency=2, batch_size=1, batch_format="pyarrow",
+    )
+    agg = LP.aggregate_counts_table(partials)
+    assert os.path.exists(marker), "the injected crash must have fired"
+
+    ref = run_fused(files, dim, None, concurrency=2)
+    got = {(r["sink"], r["source"], r["level"]): r["cnt"] for r in agg.to_pylist()}
+    want = {(r["sink"], r["source"], r["level"]): r["cnt"] for r in ref.to_pylist()}
+    assert got == want
+    # every work item wrote exactly its deterministic files; no attempt
+    # duplicates, no orphaned temp files
+    assert not glob.glob(os.path.join(out_dir, "**", "*.tmp"), recursive=True)
+    # per sink dir, one file per work item — the retried item did not
+    # add a second file anywhere
+    rels = [os.path.relpath(p, out_dir) for p in
+            glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True)]
+    assert len(rels) == len(set(rels))
+    per_sink = {}
+    for r in rels:
+        per_sink.setdefault(os.path.dirname(r), []).append(os.path.basename(r))
+    for sink, names in per_sink.items():
+        assert len(names) == len(set(names)), sink
