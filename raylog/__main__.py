@@ -52,9 +52,13 @@ def cmd_run(args) -> int:
 
     t0 = time.monotonic()
     if args.format in ("cri", "docker"):
-        from raylog.sources.logfiles import read_cri_logs, read_docker_json_logs
+        from raylog.sources.logfiles import (
+            read_cri_logs_with_source,
+            read_docker_json_logs_with_source,
+        )
 
-        ds = (read_cri_logs if args.format == "cri" else read_docker_json_logs)(files)
+        ds = (read_cri_logs_with_source if args.format == "cri"
+              else read_docker_json_logs_with_source)(files)
         n = ds.count()
         if args.out:
             ds.write_parquet(args.out)
