@@ -194,24 +194,53 @@ def shingle_lists_batch(batch: pa.Table, id_col="doc_id", text_col="text", k=3) 
 
 
 def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """md5 hex of the content (oracle-checkable; per-row — no vectorized
+    md5 kernel exists). The dedup hot path uses :func:`add_content_h128`
+    instead."""
     text = batch[text_col]
     text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
     h = pa.array([hashlib.md5(t.encode()).hexdigest() for t in text.to_pylist()])
     return batch.append_column("content_md5", h)
 
 
+def add_content_h128(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Vectorized 128-bit content key: two seeded xxhash64 passes
+    (polars) — collision probability ~n²/2^129, safe for exact dedup at
+    10^11 documents where a 64-bit key would already see birthday
+    collisions. Blake2b per-row fallback when polars is unavailable."""
+    text = batch[text_col]
+    text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+    try:
+        import polars as pl
+
+        s = pl.from_arrow(pa.table({"t": text}))["t"]
+        h1 = s.hash(seed=101).to_numpy().astype(np.uint64)
+        h2 = s.hash(seed=202).to_numpy().astype(np.uint64)
+    except Exception:  # pragma: no cover - polars present in image
+        vals = text.to_pylist()
+        digs = [hashlib.blake2b(t.encode(), digest_size=16).digest() for t in vals]
+        h1 = np.frombuffer(b"".join(d[:8] for d in digs), dtype=np.uint64)
+        h2 = np.frombuffer(b"".join(d[8:] for d in digs), dtype=np.uint64)
+    return batch.append_column("content_h1", pa.array(h1)) \
+                .append_column("content_h2", pa.array(h2))
+
+
 def exact_dedup_survivors(ds: rd.Dataset, id_col: str = "doc_id",
                           text_col: str = "text") -> rd.Dataset:
-    """Keep-first exact dedup: min(id) per content hash.
+    """Keep-first exact dedup: min(id) per 128-bit content key
+    (vectorized hashing — the round-1 per-row md5 loop is gone; the
+    oracle groups by the text itself, which is the same partition whp).
 
     Per-document keys are high-cardinality (output ≈ input rows), so the
     final combine is the hash-partitioned distributed path — the driver
     never holds an O(n_docs) table."""
     hashed = ds.map_batches(
-        lambda b: add_content_hash(b, text_col).select(["content_md5", id_col]),
+        lambda b: add_content_h128(b, text_col).select(
+            ["content_h1", "content_h2", id_col]),
         batch_format="pyarrow", batch_size=None,
     )
-    g = grouped_aggregate_ds(hashed, ["content_md5"], [(id_col, "min", id_col)])
+    g = grouped_aggregate_ds(hashed, ["content_h1", "content_h2"],
+                             [(id_col, "min", id_col)])
     return g.select_columns([id_col])
 
 

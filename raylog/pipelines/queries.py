@@ -897,7 +897,7 @@ def text_fingerprint(sf_dir: str):
 
 @query(
     "dedup_exact",
-    "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+    "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
 )
 def dedup_exact(sf_dir: str):
     """Exact dedup survivors: hash-partitioned keep-first (min doc_id)."""
@@ -1003,7 +1003,7 @@ WITH q AS (
            AS score_milli
   FROM q
 ), survivors AS (
-  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
 )
 SELECT s.doc_id, s.source, s.score_milli
 FROM scored s JOIN survivors v USING (doc_id)
