@@ -892,6 +892,62 @@ def text_fingerprint(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Token-payload statistics (vocab heavy hitters, bigram LM counts)
+# --------------------------------------------------------------------------
+
+@query(
+    "tokens_top_terms",
+    _P() + """
+SELECT token, cnt, rank FROM (
+  SELECT token, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rank
+  FROM (SELECT CAST(unnest(tokens) AS BIGINT) AS token FROM recs2)
+  GROUP BY token
+) WHERE rank <= 50""",
+)
+def tokens_top_terms(sf_dir: str):
+    """Vocabulary heavy hitters over the tokens payload.
+
+    np.unique partial counts per batch → hash-partitioned combine →
+    partial top-k; no token-cardinality table on the driver.
+    """
+    from raylog.functions.tokens import token_top_terms
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["tokens"])
+    return token_top_terms(ds, k=50)
+
+
+@query(
+    "tokens_bigrams",
+    _P() + """
+SELECT t1, t2, cnt, rank FROM (
+  SELECT t1, t2, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t1, t2) AS rank
+  FROM (
+    SELECT CAST(tokens[CAST(i AS INT)] AS BIGINT) AS t1,
+           CAST(tokens[CAST(i AS INT) + 1] AS BIGINT) AS t2
+    FROM recs2, LATERAL (
+      SELECT unnest(generate_series(1, CAST(n_tok AS INT) - 1)) AS i
+    ) g
+  ) GROUP BY t1, t2
+) WHERE rank <= 50""",
+)
+def tokens_bigrams(sf_dir: str):
+    """Next-token (bigram) counts over the tokens payload, top-50.
+
+    Consecutive pairs packed into one uint64 key per batch, boundaries
+    masked vectorized; same partial-count + distributed-combine shape as
+    unigrams.
+    """
+    from raylog.functions.tokens import bigram_top_terms
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["tokens"])
+    return bigram_top_terms(ds, k=50)
+
+
+# --------------------------------------------------------------------------
 # Training-data ops: deduplication
 # --------------------------------------------------------------------------
 

@@ -1,0 +1,73 @@
+"""Token-payload statistics: unigram/bigram counts vs a numpy reference."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from raylog.functions.tokens import (
+    bigram_count_partial,
+    bigram_top_terms,
+    token_frequencies,
+    token_top_terms,
+)
+
+
+def _synth_lists(n_rows=2000, vocab=5000, seed=7):
+    rng = np.random.default_rng(seed)
+    lengths = rng.integers(0, 12, size=n_rows)  # includes empty lists
+    vals = rng.integers(-vocab // 2, vocab // 2, size=int(lengths.sum()),
+                        dtype=np.int32)  # negative tokens exercise packing
+    offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
+    arr = pa.ListArray.from_arrays(pa.array(offsets), pa.array(vals))
+    return pa.table({"tokens": arr}), vals, lengths
+
+
+def test_token_frequencies_high_cardinality():
+    tbl, vals, _ = _synth_lists()
+    ds = rd.from_arrow(tbl).repartition(8)
+    got = token_frequencies(ds).to_pandas().sort_values("token").reset_index(drop=True)
+    want_tok, want_cnt = np.unique(vals, return_counts=True)
+    assert got["token"].to_numpy().tolist() == want_tok.astype(np.int64).tolist()
+    assert got["cnt"].to_numpy().tolist() == want_cnt.astype(np.int64).tolist()
+
+
+def test_bigram_partial_masks_row_boundaries():
+    # rows [1,2,3] and [3,4]: bigram (3,3) across the boundary must NOT appear
+    arr = pa.ListArray.from_arrays(
+        pa.array([0, 3, 5], pa.int32()), pa.array([1, 2, 3, 3, 4], pa.int32())
+    )
+    out = bigram_count_partial(pa.table({"tokens": arr})).to_pandas()
+    pairs = set(zip(out.t1, out.t2))
+    assert pairs == {(1, 2), (2, 3), (3, 4)}
+
+
+def test_bigram_empty_and_singleton_rows():
+    arr = pa.ListArray.from_arrays(
+        pa.array([0, 0, 1, 1, 3], pa.int32()),
+        pa.array([9, 5, 6], pa.int32()),
+    )
+    out = bigram_count_partial(pa.table({"tokens": arr})).to_pandas()
+    assert set(zip(out.t1, out.t2)) == {(5, 6)}
+
+
+def test_topk_matches_reference():
+    tbl, vals, lengths = _synth_lists(n_rows=500, vocab=40)
+    ds = rd.from_arrow(tbl).repartition(4)
+    got = token_top_terms(ds, k=10).to_pandas()
+    want_tok, want_cnt = np.unique(vals, return_counts=True)
+    order = np.lexsort((want_tok, -want_cnt))[:10]
+    assert got["token"].tolist() == want_tok[order].astype(np.int64).tolist()
+    assert got["cnt"].tolist() == want_cnt[order].astype(np.int64).tolist()
+    assert got["rank"].tolist() == list(range(1, 11))
+
+    # bigram reference: pairs within rows only
+    offs = np.concatenate([[0], np.cumsum(lengths)])
+    ref = {}
+    for s, e in zip(offs[:-1], offs[1:]):
+        for i in range(s, e - 1):
+            p = (int(vals[i]), int(vals[i + 1]))
+            ref[p] = ref.get(p, 0) + 1
+    got2 = bigram_top_terms(ds, k=5).to_pandas()
+    best = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [((a, b), c) for (a, b), c in
+            zip(zip(got2.t1, got2.t2), got2.cnt)] == best
