@@ -992,6 +992,74 @@ def dedup_ngram_pairs(sf_dir: str):
     return ngram_jaccard_pairs(ds, threshold=0.3)
 
 
+_NGRAM_PAIRS_CTE = """
+docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              list_extract(w, i) || ' ' || list_extract(w, i+1) || ' ' || list_extract(w, i+2) AS g
+       FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+       WHERE len(w) >= 3),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+np AS (SELECT doc_a, doc_b FROM inter
+       JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+       WHERE c * 1.0 / (x.n + y.n - c) >= 0.3),
+edges AS (SELECT doc_a AS ea, doc_b AS eb FROM np
+          UNION SELECT doc_b, doc_a FROM np),
+reach(ra, rb) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.ra, e.eb FROM reach r JOIN edges e ON r.rb = e.ea
+),
+cc AS (SELECT ra AS doc_id, MIN(rb) AS cluster_id FROM reach GROUP BY ra)"""
+
+
+@query(
+    "dedup_cc_clusters",
+    "WITH RECURSIVE " + _NGRAM_PAIRS_CTE + """
+SELECT doc_id, cluster_id FROM cc""",
+)
+def dedup_cc_clusters(sf_dir: str):
+    """Dedup cluster resolution: distributed connected components
+    (iterative min-label propagation — join + min-aggregate per round)
+    over the exact n-gram near-dup pair graph. cluster_id = min doc_id
+    in the component; singletons label themselves."""
+    import ray.data as rd
+
+    from raylog.functions.cc import connected_components
+    from raylog.functions.dedup import ngram_jaccard_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3)
+    return connected_components(docs.select_columns(["doc_id"]), pairs)
+
+
+@query(
+    "dedup_cc_corpus",
+    "WITH RECURSIVE " + _NGRAM_PAIRS_CTE + """
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN cc ON d.doc_id = cc.doc_id
+WHERE cc.doc_id = cc.cluster_id""",
+)
+def dedup_cc_corpus(sf_dir: str):
+    """Curated corpus after near-dup clustering: keep the min-doc_id
+    representative of every cluster (hash join back to the doc table)."""
+    import ray.data as rd
+
+    from raylog.functions.cc import connected_components, dedup_survivors
+    from raylog.functions.dedup import ngram_jaccard_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "source", "n_chars"])
+    pairs = ngram_jaccard_pairs(
+        docs.select_columns(["doc_id", "text"]), threshold=0.3)
+    clusters = connected_components(docs.select_columns(["doc_id"]), pairs)
+    out = dedup_survivors(
+        docs.select_columns(["doc_id", "source", "n_chars"]), clusters)
+    return out.select_columns(["doc_id", "source", "n_chars"])
+
+
 @query("dedup_minhash_pairs", None)  # rows-only: probabilistic banding
 def dedup_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup pairs (64 hashes, 16 bands), Jaccard-verified.
