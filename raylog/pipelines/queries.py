@@ -1679,6 +1679,74 @@ def union_sinks(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# As-of join + per-key ordered window functions
+# --------------------------------------------------------------------------
+
+@query(
+    "events_asof_join",
+    """
+SELECT e.event_id, e.user_id, r.ref_id AS last_purchase_id
+FROM events e ASOF LEFT JOIN (
+  SELECT user_id, ts, MAX(event_id) AS ref_id FROM events
+  WHERE event_type = 'purchase' GROUP BY 1, 2
+) r ON e.user_id = r.user_id AND e.ts >= r.ts""",
+)
+def events_asof_join(sf_dir: str):
+    """As-of join: each event picks the latest prior-or-equal purchase by
+    the same user (hash-partition on user, one vectorized carry pass per
+    partition — no global sort)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate_ds
+    from raylog.functions.asof import asof_join
+
+    left = rd.read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "user_id", "ts"])
+    right_raw = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "purchase")).drop_columns(
+            ["event_type"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    right = grouped_aggregate_ds(
+        right_raw, ["user_id", "ts"],
+        [("event_id", "max", "last_purchase_id")], num_partitions=8,
+    )
+    out = asof_join(left, right, by="user_id", on="ts",
+                    right_vals=["last_purchase_id"], num_partitions=8)
+    return out.select_columns(["event_id", "user_id", "last_purchase_id"])
+
+
+@query(
+    "events_window_funcs",
+    """
+SELECT event_id, user_id,
+       LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS lag_value,
+       AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         AS mov_avg
+FROM events""",
+)
+def events_window_funcs(sf_dir: str):
+    """Per-user ordered LAG + trailing 3-row moving average: one
+    segment-aware numpy pass per hash partition (SQL window restated
+    without a global sort)."""
+    import ray.data as rd
+
+    from raylog.functions.asof import window_lag_moving
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    out = window_lag_moving(ds, by="user_id", order=["ts", "event_id"],
+                            value="value", window=3, num_partitions=8)
+    return out.select_columns(["event_id", "user_id", "lag_value", "mov_avg"])
+
+
+# --------------------------------------------------------------------------
 # Large-side hash join (native) + session windows
 # --------------------------------------------------------------------------
 
