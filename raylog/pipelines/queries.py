@@ -947,6 +947,95 @@ def tokens_bigrams(sf_dir: str):
     return bigram_top_terms(ds, k=50)
 
 
+@query(
+    "tokens_quantiles_by_source",
+    _P() + """
+SELECT source,
+       quantile_disc(n_tok, 0.5) AS p50,
+       quantile_disc(n_tok, 0.9) AS p90,
+       quantile_disc(n_tok, 0.99) AS p99
+FROM recs2 GROUP BY source""",
+)
+def tokens_quantiles_by_source(sf_dir: str):
+    """Exact per-source sequence-length quantiles via a (source, n_tok)
+    count histogram — grouped counts are the only shuffle; no sort of
+    the data."""
+    import pyarrow.compute as pc
+
+    from raylog.functions.quantile import grouped_quantiles
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["source", "n_tok"]).map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("n_tok"), "n_tok",
+            pc.cast(b["n_tok"], pa.int64())),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return grouped_quantiles(ds, key="source", value="n_tok",
+                             ps=[0.5, 0.9, 0.99], num_partitions=8)
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+@query(
+    "text_pii_redact",
+    f"""
+WITH w AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@ex' || (doc_id % 7)
+              || '.com tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS clean,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) +
+            len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_pii
+FROM w""",
+)
+def text_pii_redact(sf_dir: str):
+    """PII scrubbing: vectorized RE2 redaction of emails + phone numbers
+    (deterministically injected so the oracle can restate the input).
+    Single-pass Arrow kernels — compiled once, no Python per row."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    def scrub(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.asarray(b["doc_id"].combine_chunks(), dtype=np.int64)
+        did = pc.cast(b["doc_id"], pa.string())
+        mod7 = pa.array((ids % 7).astype("U1"))
+        mod1e4 = pc.utf8_lpad(pa.array((ids % 10000).astype("U4")), 4, "0")
+        n = b.num_rows
+
+        def lit(s):
+            return pa.array([s] * n, pa.string())
+
+        t = pc.binary_join_element_wise(
+            b["text"], lit(" contact user"), did, lit("@ex"), mod7,
+            lit(".com tel 555-"), mod1e4, "",
+        )
+        n_pii = pc.add(
+            pc.count_substring_regex(t, _EMAIL_RE),
+            pc.count_substring_regex(t, _PHONE_RE),
+        )
+        clean = pc.replace_substring_regex(t, _EMAIL_RE, "<EMAIL>")
+        clean = pc.replace_substring_regex(clean, _PHONE_RE, "<PHONE>")
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "clean": clean,
+            "n_pii": pc.cast(n_pii, pa.int64()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(scrub, batch_format="pyarrow", batch_size=None)
+
+
 # --------------------------------------------------------------------------
 # Training-data ops: deduplication
 # --------------------------------------------------------------------------
