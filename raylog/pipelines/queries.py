@@ -1606,6 +1606,149 @@ def sample_hash(sf_dir: str):
 
 
 @query(
+    "sample_stratified",
+    """
+SELECT doc_id, source FROM documents
+WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100
+      < (ascii(right(source, 1)) % 4 + 1) * 10""",
+)
+def sample_stratified(sf_dir: str):
+    """Stratified sampling: per-stratum (source) rates 10-40%, chosen by
+    a deterministic content hash — reproducible across engines/runs and
+    shuffle-free (pure per-batch filter)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "text"])
+
+    def pick(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        import numpy as np
+
+        text = b["text"].to_pylist()
+        h = np.array([int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 100
+                      for t in text], dtype=np.int64)
+        last = np.array([ord(s[-1]) for s in b["source"].to_pylist()],
+                        dtype=np.int64)
+        keep = h < (last % 4 + 1) * 10
+        return b.filter(pa.array(keep)).select(["doc_id", "source"])
+
+    return ds.map_batches(pick, batch_format="pyarrow", batch_size=None)
+
+
+@query(
+    "orders_price_band",
+    """
+WITH bands AS (
+  SELECT CAST(g AS BIGINT) AS band_id, g * 50000.0 AS lo, (g + 1) * 50000.0 AS hi
+  FROM generate_series(0, 11) t(g)
+)
+SELECT b.band_id, COUNT(*) AS n_orders,
+       ROUND(SUM(o.o_totalprice), 2) AS sum_price
+FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY 1""",
+)
+def orders_price_band(sf_dir: str):
+    """Range join: orders against a band dimension via broadcast +
+    vectorized binary search (np.searchsorted) — no shuffle, no
+    inequality hash-join; the band table ships once per actor."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    edges = np.arange(13, dtype=np.float64) * 50000.0  # 12 bands
+
+    def band(b: pa.Table) -> pa.Table:
+        p = np.asarray(b["o_totalprice"].combine_chunks(), dtype=np.float64)
+        idx = np.searchsorted(edges, p, side="right") - 1
+        ok = (idx >= 0) & (idx < 12) & (p < edges[-1])
+        return pa.table({
+            "band_id": pa.array(idx[ok].astype(np.int64)),
+            "o_totalprice": pa.array(p[ok]),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    banded = ds.map_batches(band, batch_format="pyarrow", batch_size=None)
+    out = grouped_aggregate(
+        banded, ["band_id"],
+        [("*", "count", "n_orders"), ("o_totalprice", "sum", "sum_price")],
+    )
+    import pyarrow.compute as pc
+
+    return out.set_column(out.column_names.index("sum_price"), "sum_price",
+                          pc.round(out["sum_price"], 2))
+
+
+@query(
+    "join_anti_customers",
+    """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')""",
+)
+def join_anti_customers(sf_dir: str):
+    """Anti join at scale: distinct urgent-order custkeys (key-compressed
+    partial distinct) → left-outer hash join → null filter. No broadcast
+    assumption on either side."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate_ds
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    urgent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.equal(b["o_orderpriority"], "1-URGENT")).select(["o_custkey"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    okeys = grouped_aggregate_ds(
+        urgent, ["o_custkey"], [], num_partitions=8,
+    ).map_batches(
+        lambda b: b.append_column(
+            "__has", pa.nulls(b.num_rows, pa.int8()).fill_null(1)),
+        batch_format="pyarrow", batch_size=None,
+    )
+    j = cust.join(okeys, join_type="left_outer", num_partitions=8,
+                  on=("c_custkey",), right_on=("o_custkey",))
+    return j.map_batches(
+        lambda b: b.filter(pc.is_null(b["__has"])).select(
+            ["c_custkey", "c_name"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+
+@query(
+    "join_semi_customers",
+    """
+SELECT c.c_mktsegment, COUNT(*) AS n_cust FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY 1""",
+)
+def join_semi_customers(sf_dir: str):
+    """Semi join: customers with ≥1 order, counted per segment — inner
+    join against the distinct-key table (rows never duplicate because
+    the right side is key-distinct by construction)."""
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    okeys = grouped_aggregate_ds(
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]),
+        ["o_custkey"], [], num_partitions=8,
+    )
+    j = cust.join(okeys, join_type="inner", num_partitions=8,
+                  on=("c_custkey",), right_on=("o_custkey",))
+    return grouped_aggregate(j, ["c_mktsegment"], [("*", "count", "n_cust")])
+
+
+@query(
     "top_orders_per_segment",
     """
 WITH j AS (
