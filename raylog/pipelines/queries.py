@@ -975,6 +975,37 @@ def tokens_quantiles_by_source(sf_dir: str):
                              ps=[0.5, 0.9, 0.99], num_partitions=8)
 
 
+@query(
+    "text_tfidf_top_terms",
+    """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, tf * ln(n * 1.0 / df) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN nd
+),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
+      FROM scored)
+SELECT doc_id, term, tf, score, rank FROM r WHERE rank <= 3""",
+)
+def text_tfidf_top_terms(sf_dir: str):
+    """Per-document top-3 TF-IDF terms: batch-local tf, distributed df,
+    hash join on term, per-doc head inside whole-doc hash partitions."""
+    import ray.data as rd
+
+    from raylog.functions.tfidf import tfidf_top_terms
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = tfidf_top_terms(ds, n_docs=ds.count(), k=3, num_partitions=8)
+    return out.select_columns(["doc_id", "term", "tf", "score", "rank"])
+
+
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PHONE_RE = r"\b\d{3}-\d{4}\b"
 
