@@ -211,6 +211,36 @@ def run_bench() -> dict:
                  index_dir=f"/tmp/raylog_bench/ivf_{NCPU}")
     queries["ann_ivf_embeddings"] = round(time.monotonic() - t0, 3)
 
+    # q7: token-payload analytics — vocab heavy hitters over the FULL
+    # 4-8M-row tokens column; bigrams over a 1/8 subset (uniform 50k
+    # vocab makes pairs near-unique — the exact-count worst case, see
+    # functions/tokens.py — so full-volume bigrams are a shuffle stress
+    # test, not a bench unit)
+    t0 = time.monotonic()
+    from raylog.functions.tokens import bigram_top_terms, token_top_terms
+
+    token_top_terms(
+        read_sequences(files, columns=["tokens"], row_groups_per_task=8),
+        k=50)
+    queries["tokens_unigrams_seq"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    bigram_top_terms(
+        read_sequences(files[: max(1, len(files) // 16)], columns=["tokens"]),
+        k=50)
+    queries["tokens_bigrams_16th"] = round(time.monotonic() - t0, 3)
+
+    # q8: dedup cluster resolution — n-gram pairs → connected components
+    # → survivor corpus over the sf's documents table
+    t0 = time.monotonic()
+    from raylog.functions.cc import connected_components, dedup_survivors
+    from raylog.functions.dedup import ngram_jaccard_pairs
+
+    d = docs()
+    pairs = ngram_jaccard_pairs(d, threshold=0.3)
+    clusters = connected_components(d.select_columns(["doc_id"]), pairs)
+    dedup_survivors(d.select_columns(["doc_id"]), clusters).count()
+    queries["cc_dedup_docs"] = round(time.monotonic() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "end-to-end parse→route→aggregate wall time (sequences table)",

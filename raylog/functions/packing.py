@@ -1,0 +1,139 @@
+"""Sequence packing: map variable-length tokenized docs into fixed-size
+context windows — the standard LLM training-data preparation step.
+
+Two packing disciplines, both executed per hash partition (complete
+key groups via `agg.partitioned_group_apply`, one vectorized pass,
+no global sort, no driver state):
+
+- :func:`pack_chunks` — "concat-and-chunk": documents are concatenated
+  in deterministic (partition, doc_id) order and the stream is cut
+  every ``max_tokens``; a document spans windows [first_pack,
+  last_pack]. Closed form over a running sum → fully vectorized AND
+  SQL-restatable (the oracle checks it with a window function).
+- :func:`pack_greedy` — whole-doc first-fit: a new window starts when
+  the next document would overflow ``max_tokens``; docs longer than the
+  window get a window of their own (flagged ``overflow``). The boundary
+  recurrence is inherently sequential, so it runs as a per-pack
+  ``searchsorted`` on the partition's cumsum — O(n_packs) tiny steps,
+  everything else vectorized.
+
+Window ids are (partition, local_id) pairs so no cross-partition
+coordination exists; at 10^12 sequences each partition packs its own
+shard independently — exactly how a sharded training-data job lays out
+its tokenized corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from raylog.functions.agg import partitioned_group_apply
+
+
+def _with_shard(ds: rd.Dataset, id_col: str, num_shards: int) -> rd.Dataset:
+    def add(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col].combine_chunks(), dtype=np.int64)
+        return b.append_column("shard", pa.array(ids % num_shards))
+
+    return ds.map_batches(add, batch_format="pyarrow", batch_size=None)
+
+
+def pack_chunks(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+    max_tokens: int = 2048,
+    num_shards: int = 8,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Concat-and-chunk window assignment per shard (= doc_id % shards).
+
+    Output per doc: shard, doc_id, first_pack, last_pack, first_offset
+    (token offset of the doc inside its first window).
+    """
+
+    def run(part: pa.Table) -> pa.Table:
+        ids = np.asarray(part[id_col].combine_chunks(), dtype=np.int64)
+        lens = np.asarray(part[len_col].combine_chunks(), dtype=np.int64)
+        shard = np.asarray(part["shard"].combine_chunks(), dtype=np.int64)
+        order = np.lexsort((ids, shard))
+        ids, lens, shard = ids[order], lens[order], shard[order]
+        cum = np.cumsum(lens)
+        seg_start = np.empty(len(ids), dtype=bool)
+        if len(ids):
+            seg_start[0] = True
+            seg_start[1:] = shard[1:] != shard[:-1]
+        # per-shard running sum: subtract the shard's prior total
+        prior = np.repeat(
+            np.where(np.flatnonzero(seg_start) > 0,
+                     cum[np.flatnonzero(seg_start) - 1], 0),
+            np.diff(np.append(np.flatnonzero(seg_start), len(ids))),
+        ) if len(ids) else np.zeros(0, dtype=np.int64)
+        cum = cum - prior
+        start = cum - lens
+        return pa.table({
+            "shard": pa.array(shard),
+            id_col: pa.array(ids),
+            "first_pack": pa.array(start // max_tokens),
+            "last_pack": pa.array(np.where(lens > 0, (cum - 1) // max_tokens,
+                                           start // max_tokens)),
+            "first_offset": pa.array(start % max_tokens),
+        })
+
+    return partitioned_group_apply(
+        _with_shard(ds.select_columns([id_col, len_col]), id_col, num_shards),
+        ["shard"], run, num_partitions=num_partitions,
+    )
+
+
+def pack_greedy(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+    max_tokens: int = 2048,
+    num_shards: int = 8,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Whole-doc first-fit packing per shard.
+
+    Output per doc: shard, doc_id, pack_id (shard-local), overflow
+    (doc alone in its window and longer than max_tokens).
+    """
+
+    def run(part: pa.Table) -> pa.Table:
+        ids = np.asarray(part[id_col].combine_chunks(), dtype=np.int64)
+        lens = np.asarray(part[len_col].combine_chunks(), dtype=np.int64)
+        shard = np.asarray(part["shard"].combine_chunks(), dtype=np.int64)
+        order = np.lexsort((ids, shard))
+        ids, lens, shard = ids[order], lens[order], shard[order]
+        n = len(ids)
+        pack = np.zeros(n, dtype=np.int64)
+        starts = np.flatnonzero(
+            np.concatenate([[True], shard[1:] != shard[:-1]])) if n else []
+        bounds = np.append(starts, n)
+        capped = np.minimum(lens, max_tokens)  # oversize doc: own window
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            cum = np.cumsum(capped[s:e])
+            i, pid, base = 0, 0, 0
+            while i < e - s:
+                j = int(np.searchsorted(cum, base + max_tokens, side="right"))
+                j = max(j, i + 1)  # always place at least one doc
+                pack[s + i:s + j] = pid
+                base = cum[j - 1]
+                i, pid = j, pid + 1
+        return pa.table({
+            "shard": pa.array(shard),
+            id_col: pa.array(ids),
+            "pack_id": pa.array(pack),
+            "overflow": pa.array(lens > max_tokens),
+        })
+
+    return partitioned_group_apply(
+        _with_shard(ds.select_columns([id_col, len_col]), id_col, num_shards),
+        ["shard"], run, num_partitions=num_partitions,
+    )

@@ -948,6 +948,49 @@ def tokens_bigrams(sf_dir: str):
 
 
 @query(
+    "tokens_pack_chunks",
+    _P() + """
+, r AS (SELECT doc_id, doc_id % 8 AS shard, n_tok FROM recs2),
+c AS (
+  SELECT shard, doc_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM r
+)
+SELECT shard, doc_id,
+       (cum - n_tok) // 512 AS first_pack,
+       CASE WHEN n_tok > 0 THEN (cum - 1) // 512
+            ELSE (cum - n_tok) // 512 END AS last_pack,
+       (cum - n_tok) % 512 AS first_offset
+FROM c""",
+)
+def tokens_pack_chunks(sf_dir: str):
+    """Sequence packing (concat-and-chunk): per-shard token streams cut
+    into fixed 512-token context windows; each doc's window span and
+    offset computed closed-form from a per-shard running sum — one
+    vectorized pass per hash partition."""
+    from raylog.functions.packing import pack_chunks
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["doc_id", "n_tok"])
+    out = pack_chunks(ds, max_tokens=512, num_shards=8, num_partitions=8)
+    return out
+
+
+@query("tokens_pack_greedy", None)  # greedy recurrence: invariants in pytest
+def tokens_pack_greedy(sf_dir: str):
+    """Sequence packing (whole-doc first-fit): greedy window assignment
+    per shard; sequential boundary recurrence as per-pack searchsorted
+    steps on the partition cumsum. Non-SQL; packing invariants asserted
+    in tests/test_packing.py."""
+    from raylog.functions.packing import pack_greedy
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["doc_id", "n_tok"])
+    return pack_greedy(ds, max_tokens=512, num_shards=8, num_partitions=8)
+
+
+@query(
     "tokens_quantiles_by_source",
     _P() + """
 SELECT source,

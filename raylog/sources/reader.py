@@ -30,9 +30,39 @@ def _list_row_groups(files: list[str]) -> list[dict]:
 def read_sequences(
     files: list[str],
     columns: list[str] | None = None,
+    row_groups_per_task: int = 1,
 ) -> rd.Dataset:
-    """Dataset over (file, row_group) read tasks, column-pruned."""
+    """Dataset over (file, row_group) read tasks, column-pruned.
+
+    ``row_groups_per_task > 1`` packs that many consecutive row groups of
+    one file into a single block. Use it when a downstream stage emits
+    output proportional to the number of BLOCKS (partial-count
+    aggregates: ~vocab rows per block regardless of block size) — bigger
+    blocks at the read is the correct coalescing knob here, because a
+    downstream ``map_batches(batch_size=...)`` would FUSE with this
+    reader and bundle the one-row (path, row_group) items, collapsing
+    the whole read into a single task.
+    """
     items = _list_row_groups(files)
+    if row_groups_per_task > 1:
+        packed, cur = [], None
+        for it in items:
+            if (cur is None or it["path"] != cur["path"]
+                    or len(cur["rgs"]) >= row_groups_per_task):
+                cur = {"path": it["path"], "rgs": []}
+                packed.append(cur)
+            cur["rgs"].append(it["row_group"])
+        items = packed
+
+        def _read_packed(batch: pa.Table):
+            for path, rgs in zip(batch["path"].to_pylist(),
+                                 batch["rgs"].to_pylist()):
+                f = pq.ParquetFile(path)
+                yield f.read_row_groups(list(rgs), columns=columns)
+
+        return rd.from_items(items).map_batches(
+            _read_packed, batch_format="pyarrow", batch_size=1
+        )
 
     def _read(batch: pa.Table):
         paths = batch["path"].to_pylist()

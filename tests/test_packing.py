@@ -1,0 +1,69 @@
+"""Sequence packing invariants: chunk spans and greedy first-fit."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from raylog.functions.packing import pack_chunks, pack_greedy
+
+CAP = 100
+
+
+def _ds(lens, ids=None):
+    n = len(lens)
+    ids = ids if ids is not None else list(range(n))
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_tok": pa.array(lens, pa.int64()),
+    }))
+
+
+def test_chunks_closed_form_single_shard():
+    # one shard so the span math is easy to eyeball
+    out = pack_chunks(_ds([60, 60, 120, 10], ids=[0, 8, 16, 24]),
+                      max_tokens=CAP, num_shards=1,
+                      num_partitions=2).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    # stream offsets: 0, 60, 120, 240
+    assert out["first_pack"].tolist() == [0, 0, 1, 2]
+    assert out["last_pack"].tolist() == [0, 1, 2, 2]
+    assert out["first_offset"].tolist() == [0, 60, 20, 40]
+
+
+def test_chunks_conserves_tokens_and_shards():
+    rng = np.random.default_rng(2)
+    lens = rng.integers(1, 80, 500).tolist()
+    out = pack_chunks(_ds(lens), max_tokens=CAP, num_shards=4,
+                      num_partitions=4).to_pandas()
+    assert len(out) == 500
+    assert set(out["shard"]) == {0, 1, 2, 3}
+    assert (out["doc_id"] % 4 == out["shard"]).all()
+    assert (out["last_pack"] >= out["first_pack"]).all()
+    assert ((out["first_offset"] >= 0) & (out["first_offset"] < CAP)).all()
+
+
+def test_greedy_first_fit_invariants():
+    rng = np.random.default_rng(4)
+    lens = rng.integers(1, 150, 800).tolist()  # some docs overflow CAP
+    df = pack_greedy(_ds(lens), max_tokens=CAP, num_shards=4,
+                     num_partitions=4).to_pandas()
+    assert len(df) == 800
+    lens_by_id = dict(zip(range(800), lens))
+    df["len"] = df["doc_id"].map(lens_by_id)
+    df["capped"] = df["len"].clip(upper=CAP)
+    for shard, g in df.groupby("shard"):
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        # pack ids are contiguous from 0 and non-decreasing in doc order
+        packs = g["pack_id"].to_numpy()
+        assert packs[0] == 0
+        assert ((np.diff(packs) == 0) | (np.diff(packs) == 1)).all()
+        sums = g.groupby("pack_id")["capped"].sum()
+        counts = g.groupby("pack_id")["capped"].count()
+        # no multi-doc window exceeds CAP
+        assert (sums[counts > 1] <= CAP).all()
+        # greedy: the first doc of pack p+1 would not have fit in pack p
+        firsts = g.drop_duplicates("pack_id", keep="first").set_index("pack_id")
+        for p in range(1, int(packs.max()) + 1):
+            assert sums[p - 1] + firsts.loc[p, "capped"] > CAP
+    # overflow flag == doc longer than CAP
+    assert (df["overflow"] == (df["len"] > CAP)).all()
