@@ -229,6 +229,20 @@ def run_bench() -> dict:
         k=50)
     queries["tokens_bigrams_16th"] = round(time.monotonic() - t0, 3)
 
+    # q7b: the sketch scale path for the same bigram heavy hitters, at
+    # FULL volume (count-min + exact candidate verification, two
+    # streaming passes, no shuffle)
+    t0 = time.monotonic()
+    from raylog.functions.sketch import cms_heavy_hitters
+    from raylog.functions.tokens import bigram_keys_batch
+
+    cms_heavy_hitters(
+        read_sequences(files, columns=["tokens"],
+                       row_groups_per_task=4).map_batches(
+            bigram_keys_batch, batch_format="pyarrow", batch_size=None),
+        "key", k=20)
+    queries["tokens_bigrams_cms_full"] = round(time.monotonic() - t0, 3)
+
     # q8: dedup cluster resolution — n-gram pairs → connected components
     # → survivor corpus over the sf's documents table
     t0 = time.monotonic()

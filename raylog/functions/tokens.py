@@ -186,3 +186,19 @@ def bigram_top_terms(
         freqs, sort_cols=["cnt", "t1", "t2"], descending=[True, False, False],
         k=k, add_rank="rank",
     )
+
+
+def bigram_keys_batch(batch: pa.Table, list_col: str = "tokens") -> pa.Table:
+    """One batch → raw packed bigram keys (hi=left, lo=right uint32 bit
+    patterns in one int64), row boundaries masked — the sort-free feed
+    for sketch-based heavy hitters (`sketch.cms_heavy_hitters`)."""
+    vals, lengths = _flat_values(batch, list_col)
+    if len(vals) < 2:
+        return pa.table({"key": pa.array([], pa.int64())})
+    u = vals.astype(np.int32).view(np.uint32).astype(np.uint64)
+    key = (u[:-1] << np.uint64(32)) | u[1:]
+    mask = np.ones(len(vals) - 1, dtype=bool)
+    ends = np.cumsum(lengths)[:-1]
+    ends = ends[(ends > 0) & (ends < len(vals))]
+    mask[ends - 1] = False
+    return pa.table({"key": pa.array(key[mask].view(np.int64))})

@@ -948,6 +948,49 @@ def tokens_bigrams(sf_dir: str):
 
 
 @query(
+    "tokens_bigrams_sketch",
+    _P() + """
+SELECT t1, t2, cnt FROM (
+  SELECT t1, t2, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t1, t2) AS rnk
+  FROM (
+    SELECT CAST(tokens[CAST(i AS INT)] AS BIGINT) AS t1,
+           CAST(tokens[CAST(i AS INT) + 1] AS BIGINT) AS t2
+    FROM recs2, LATERAL (
+      SELECT unnest(generate_series(1, CAST(n_tok AS INT) - 1)) AS i
+    ) g
+  ) GROUP BY t1, t2
+) WHERE rnk <= 20""",
+)
+def tokens_bigrams_sketch(sf_dir: str):
+    """Bigram heavy hitters via count-min sketch + exact candidate
+    verification — the shuffle-free scale path for unbounded pair keys
+    (exchange = blocks × sketch size, not one row per distinct pair).
+
+    The verified counts are EXACT whenever every true heavy hitter
+    reaches some block's local top-m candidate pool; this corpus's
+    bigram key space (word-length pairs, ≪ m=128 distinct) satisfies
+    that, so the result is oracle-checkable here. On adversarially flat
+    distributions recall is the (documented) approximation.
+    """
+    import numpy as np
+
+    from raylog.functions.sketch import cms_heavy_hitters
+    from raylog.functions.tokens import bigram_keys_batch
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["tokens"])
+    keys = ds.map_batches(bigram_keys_batch, batch_format="pyarrow",
+                          batch_size=None)
+    hh = cms_heavy_hitters(keys, "key", k=20, top_m=128)
+    key = np.asarray(hh["key"], dtype=np.int64).view(np.uint64)
+    t1 = (key >> np.uint64(32)).astype(np.uint32).view(np.int32).astype(np.int64)
+    t2 = (key & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32).astype(np.int64)
+    return pa.table({"t1": pa.array(t1), "t2": pa.array(t2),
+                     "cnt": hh["cnt"]})
+
+
+@query(
     "tokens_pack_chunks",
     _P() + """
 , r AS (SELECT doc_id, doc_id % 8 AS shard, n_tok FROM recs2),

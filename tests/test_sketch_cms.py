@@ -1,0 +1,42 @@
+"""Count-min heavy hitters vs exact top-k on zipfian keys."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from raylog.functions.sketch import cms_heavy_hitters
+
+
+def _zipf_keys(n=200_000, seed=9):
+    rng = np.random.default_rng(seed)
+    keys = rng.zipf(1.3, size=n).astype(np.int64)  # heavy head, long tail
+    return keys[keys < 1_000_000]
+
+
+def test_cms_exact_verified_topk_matches_exact():
+    keys = _zipf_keys()
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys)})).repartition(8)
+    got = cms_heavy_hitters(ds, "k", k=15, top_m=64).to_pandas()
+    uk, cnt = np.unique(keys, return_counts=True)
+    order = np.lexsort((uk, -cnt))[:15]
+    want = list(zip(uk[order].tolist(), cnt[order].tolist()))
+    assert list(zip(got["key"], got["cnt"])) == want
+
+
+def test_cms_estimate_upper_bounds_truth():
+    keys = _zipf_keys(seed=10)
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys)})).repartition(4)
+    got = cms_heavy_hitters(ds, "k", k=10, exact_verify=False).to_pandas()
+    uk, cnt = np.unique(keys, return_counts=True)
+    truth = dict(zip(uk.tolist(), cnt.tolist()))
+    for key, est in zip(got["key"], got["cnt"]):
+        assert est >= truth.get(int(key), 0)  # CMS error is one-sided
+
+
+def test_cms_weighted_partial_rows():
+    # pre-aggregated (key, cnt) rows must count the same as raw streams
+    tbl = pa.table({"k": pa.array([1, 2, 1, 3], pa.int64()),
+                    "w": pa.array([10, 5, 7, 1], pa.int64())})
+    got = cms_heavy_hitters(rd.from_arrow(tbl), "k", weight_col="w",
+                            k=3).to_pandas()
+    assert list(zip(got["key"], got["cnt"])) == [(1, 17), (2, 5), (3, 1)]
