@@ -991,6 +991,118 @@ def tokens_bigrams_sketch(sf_dir: str):
 
 
 @query(
+    "tokens_remap_filter",
+    _P() + """
+SELECT doc_id,
+       CAST(len(list_filter(list_transform(tokens, t -> t % 7), t -> t >= 2))
+            AS BIGINT) AS n_tok2,
+       CAST(coalesce(list_aggregate(
+              list_filter(list_transform(tokens, t -> t % 7), t -> t >= 2),
+              'sum'), 0) AS BIGINT) AS tok_sum2
+FROM recs2""",
+)
+def tokens_remap_filter(sf_dir: str):
+    """Vocabulary surgery on the tokens payload: remap every token
+    (t → t % 7, the shape of an id-remap lookup) then drop a stop-set
+    (t < 2), REBUILDING the list column — flatten, vectorized
+    mask/remap, new offsets from a masked cumsum; zero Python per row.
+    The remap is arithmetic here so the oracle can restate it; swapping
+    in a broadcast ``np.take`` lookup table is the same kernel."""
+    import numpy as np
+
+    from raylog.pipelines import log_pipeline as LP
+
+    def surgery(b: pa.Table) -> pa.Table:
+        col = b["tokens"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        vals = np.asarray(col.flatten(), dtype=np.int64)
+        lengths = np.asarray(pa.compute.list_value_length(col), dtype=np.int64)
+        remapped = vals % 7
+        keep = remapped >= 2
+        kept = remapped[keep]
+        # new per-row lengths: count of kept tokens per original row
+        row_id = np.repeat(np.arange(len(lengths)), lengths)
+        n2 = np.bincount(row_id[keep], minlength=len(lengths)).astype(np.int64)
+        offsets = np.concatenate([[0], np.cumsum(n2)])
+        new_col = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(kept, pa.int64()))
+        csum = np.concatenate([[0], np.cumsum(kept)])
+        tok_sum2 = csum[offsets[1:]] - csum[offsets[:-1]]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tok2": pa.array(n2),
+            "tok_sum2": pa.array(tok_sum2),
+            "tokens2": new_col,
+        })
+
+    ds = LP.records_ds(sf_dir).select_columns(["doc_id", "tokens"])
+    out = ds.map_batches(surgery, batch_format="pyarrow", batch_size=None)
+    return out.select_columns(["doc_id", "n_tok2", "tok_sum2"])
+
+
+@query(
+    "embed_centroids",
+    """
+SELECT label, CAST(i AS BIGINT) AS dim,
+       avg(embedding[CAST(i AS INT)]) AS v
+FROM embeddings, LATERAL (
+  SELECT unnest(generate_series(1, len(embedding))) AS i
+) g
+GROUP BY 1, 2""",
+)
+def embed_centroids(sf_dir: str):
+    """Per-label embedding centroids: per-batch dim-wise sums (one numpy
+    matrix reduction per label per block — never one row per (vector,
+    dim)), merged on the tiny labels×dims grid."""
+    import numpy as np
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["embedding"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        dim = len(col[0]) if len(col) else 0
+        mat = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, dim)
+        labels = np.asarray(b["label"].combine_chunks(), dtype=np.int64)
+        uk = np.unique(labels)
+        rows = []
+        for lb in uk:  # labels are few; the reduction per label is vector
+            sub = mat[labels == lb]
+            rows.append((lb, sub.sum(axis=0), len(sub)))
+        return pa.table({
+            "label": pa.array([r[0] for r in rows], pa.int64()),
+            "sums": pa.array([r[1].tolist() for r in rows],
+                             pa.list_(pa.float64())),
+            "n": pa.array([r[2] for r in rows], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    acc: dict[int, tuple[np.ndarray, int]] = {}
+    for t in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        for lb, s, n in zip(t["label"].to_pylist(), t["sums"].to_pylist(),
+                            t["n"].to_pylist()):
+            s = np.asarray(s)
+            if lb in acc:
+                acc[lb] = (acc[lb][0] + s, acc[lb][1] + n)
+            else:
+                acc[lb] = (s, n)
+    labels_out, dims_out, vals_out = [], [], []
+    for lb in sorted(acc):
+        s, n = acc[lb]
+        for i, v in enumerate(s / n):
+            labels_out.append(lb)
+            dims_out.append(i + 1)
+            vals_out.append(v)
+    return pa.table({
+        "label": pa.array(labels_out, pa.int64()),
+        "dim": pa.array(dims_out, pa.int64()),
+        "v": pa.array(vals_out, pa.float64()),
+    })
+
+
+@query(
     "tokens_pack_chunks",
     _P() + """
 , r AS (SELECT doc_id, doc_id % 8 AS shard, n_tok FROM recs2),
