@@ -1146,6 +1146,37 @@ def tokens_pack_greedy(sf_dir: str):
 
 
 @query(
+    "export_sorted_by_toklen",
+    _P() + """
+SELECT doc_id, n_tok FROM recs2""",
+)
+def export_sorted_by_toklen(sf_dir: str):
+    """Globally-sorted range-partitioned export: records written as
+    range-disjoint parquet files sorted by n_tok (sample-based range
+    cuts, per-range sort, idempotent file names); the gate checks the
+    round-tripped content, pytest checks the global order contract."""
+    import glob
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from raylog.functions.sortexport import range_sorted_export
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["doc_id", "n_tok"]).map_batches(
+        lambda b: b.set_column(b.column_names.index("n_tok"), "n_tok",
+                               pc.cast(b["n_tok"], pa.int64())),
+        batch_format="pyarrow", batch_size=None,
+    )
+    out_dir = f"/tmp/raylog_cache/sorted_{os.path.basename(sf_dir.rstrip('/'))}"
+    range_sorted_export(ds, out_dir, key="n_tok", num_ranges=8)
+    files = sorted(glob.glob(f"{out_dir}/range_*.parquet"))
+    return pa.concat_tables([_pq.read_table(f) for f in files])
+
+
+@query(
     "tokens_quantiles_by_source",
     _P() + """
 SELECT source,
@@ -1864,6 +1895,42 @@ def sample_stratified(sf_dir: str):
         return b.filter(pa.array(keep)).select(["doc_id", "source"])
 
     return ds.map_batches(pick, batch_format="pyarrow", batch_size=None)
+
+
+@query(
+    "sample_group_topn",
+    """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(text), doc_id) AS rnk
+  FROM documents
+) WHERE rnk <= 3""",
+)
+def sample_group_topn(sf_dir: str):
+    """Deterministic per-group sample: the 3 docs with the smallest
+    content hash per source — reproducible across runs/engines (unlike
+    RNG sampling) and shuffle-light: per-batch partial top-3 per group,
+    tiny k×groups merge (`topk.topk`)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from raylog.functions.topk import topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "text"])
+
+    def h(b: pa.Table) -> pa.Table:
+        hh = [hashlib.md5(t.encode()).hexdigest()
+              for t in b["text"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"], "source": b["source"],
+                         "h": pa.array(hh, pa.string())})
+
+    hashed = ds.map_batches(h, batch_format="pyarrow", batch_size=None)
+    out = topk(hashed, sort_cols=["h", "doc_id"], descending=[False, False],
+               k=3, group_cols=["source"])
+    return out.select(["doc_id", "source"])
 
 
 @query(
