@@ -169,3 +169,112 @@ def window_lag_moving(
 
     return partitioned_group_apply(ds, [by], run,
                                    num_partitions=num_partitions)
+
+
+def interval_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    by: str,
+    on: str,
+    right_vals: list[str],
+    lower: int = 0,
+    upper: int,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Bounded interval (stream-stream) join: one output row per (left,
+    right) pair with same ``by`` key and ``on_r ∈ [on_l + lower, on_l +
+    upper]`` (both inclusive; ``on`` compared in its int64/ns domain).
+
+    No per-key loop and no n×m blowup machinery: within each hash
+    partition the right rows and BOTH window endpoints of every left row
+    are lexsorted together; a running count of right rows then reads off
+    each endpoint's global rank into the (key, on)-sorted right array,
+    and the matches are the rank range — expanded with one repeat/arange
+    pass. Output size is the true match count, the only inflation risk
+    is the window width itself (a caller-chosen semantic bound).
+    """
+    left_cols = list(left.schema().names)
+    for c in right_vals:
+        if c in left_cols:
+            raise ValueError(f"right_vals column {c!r} collides with left")
+    right_schema = right.schema()
+    rtypes = {n: t for n, t in zip(right_schema.names, right_schema.types)}
+    ltypes_schema = left.schema()
+    ltypes = {n: t for n, t in zip(ltypes_schema.names, ltypes_schema.types)}
+
+    def widen_left(b: pa.Table) -> pa.Table:
+        cols = {c: b[c] for c in left_cols}
+        cols["__side"] = pa.nulls(b.num_rows, pa.int8()).fill_null(0)
+        for c in right_vals:
+            cols[c] = pa.nulls(b.num_rows, rtypes[c])
+        return pa.table(cols)
+
+    def widen_right(b: pa.Table) -> pa.Table:
+        cols = {}
+        for c in left_cols:
+            cols[c] = b[c] if c in (by, on) else pa.nulls(b.num_rows,
+                                                          ltypes[c])
+        cols["__side"] = pa.nulls(b.num_rows, pa.int8()).fill_null(1)
+        for c in right_vals:
+            cols[c] = b[c]
+        return pa.table(cols)
+
+    both = left.map_batches(
+        widen_left, batch_format="pyarrow", batch_size=None
+    ).union(right.map_batches(
+        widen_right, batch_format="pyarrow", batch_size=None
+    ))
+
+    def stitch(part: pa.Table) -> pa.Table:
+        by_v = _as_i64(part[by])
+        on_v = _as_i64(part[on])
+        side = _as_i64(part["__side"])
+        is_left = side == 0
+        l_idx = np.flatnonzero(is_left)
+        r_idx = np.flatnonzero(~is_left)
+        out_schema = {c: ltypes[c] for c in left_cols}
+        out_schema.update({c: rtypes[c] for c in right_vals})
+        if len(l_idx) == 0 or len(r_idx) == 0:
+            return pa.table({c: pa.nulls(0, t)
+                             for c, t in out_schema.items()})
+        # rights sorted by (key, on); remember their original rows
+        r_order = r_idx[np.lexsort((on_v[r_idx], by_v[r_idx]))]
+        rk, rt = by_v[r_order], on_v[r_order]
+        # merge rights with both endpoints of every left window:
+        # sides: lo endpoint (0) < right (1) < hi endpoint (2) at ties,
+        # making both bounds inclusive
+        mk = np.concatenate([by_v[l_idx], rk, by_v[l_idx]])
+        mt = np.concatenate([on_v[l_idx] + lower, rt, on_v[l_idx] + upper])
+        ms = np.concatenate([
+            np.zeros(len(l_idx), dtype=np.int8),
+            np.ones(len(r_order), dtype=np.int8),
+            np.full(len(l_idx), 2, dtype=np.int8),
+        ])
+        order = np.lexsort((ms, mt, mk))
+        rr = np.cumsum(ms[order] == 1)  # rights at-or-before each row
+        pos = np.empty(len(order), dtype=np.int64)
+        pos[order] = np.arange(len(order))
+        lo = rr[pos[: len(l_idx)]]           # rights strictly before lo
+        hi = rr[pos[len(l_idx) + len(r_order):]]  # rights ≤ hi endpoint
+        # clamp to the left row's own key segment: ranks outside the key
+        # can't occur because endpoints share the key in the lexsort
+        lens = hi - lo
+        keep = lens > 0
+        lo, lens = lo[keep], lens[keep]
+        l_rows = l_idx[keep]
+        total = int(lens.sum())
+        if total == 0:
+            return pa.table({c: pa.nulls(0, t)
+                             for c, t in out_schema.items()})
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        ranks = np.arange(total) - np.repeat(starts, lens) + np.repeat(lo, lens)
+        left_take = pa.array(np.repeat(l_rows, lens))
+        right_take = pa.array(r_order[ranks])
+        out = {c: part[c].take(left_take) for c in left_cols}
+        for c in right_vals:
+            out[c] = part[c].take(right_take)
+        return pa.table(out)
+
+    return partitioned_group_apply(both, [by], stitch,
+                                   num_partitions=num_partitions)

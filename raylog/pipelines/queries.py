@@ -2249,6 +2249,50 @@ def events_asof_join(sf_dir: str):
 
 
 @query(
+    "events_interval_join",
+    """
+SELECT a.event_id, a.user_id, b.event_id AS purchase_id
+FROM events a JOIN events b
+ON a.user_id = b.user_id AND b.ts >= a.ts
+   AND b.ts <= a.ts + INTERVAL 30 MINUTE
+WHERE a.event_type = 'view' AND b.event_type = 'purchase'""",
+)
+def events_interval_join(sf_dir: str):
+    """Bounded interval join: each view paired with every purchase by
+    the same user within the next 30 minutes — merged-rank endpoint
+    counting per hash partition, no per-key loop, no inequality hash
+    join."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.asof import interval_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+
+    def pick(kind, rename=None):
+        def f(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b["event_type"], kind)).drop_columns(
+                ["event_type"])
+            if rename:
+                t = t.rename_columns(
+                    [rename.get(c, c) for c in t.column_names])
+            return t
+        return f
+
+    views = ev.map_batches(pick("view"), batch_format="pyarrow",
+                           batch_size=None)
+    buys = ev.map_batches(pick("purchase", {"event_id": "purchase_id"}),
+                          batch_format="pyarrow", batch_size=None)
+    out = interval_join(
+        views, buys, by="user_id", on="ts", right_vals=["purchase_id"],
+        lower=0, upper=30 * 60 * 1_000_000,  # ts is us-precision
+        num_partitions=8,
+    )
+    return out.select_columns(["event_id", "user_id", "purchase_id"])
+
+
+@query(
     "events_window_funcs",
     """
 SELECT event_id, user_id,

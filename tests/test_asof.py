@@ -80,3 +80,50 @@ def test_window_lag_moving_segments():
     assert out["lag_value"].fillna(-1).tolist() == [-1, 1.0, 2.0, 4.0, -1]
     assert out["mov_avg"].tolist() == [
         1.0, 1.5, (1 + 2 + 4) / 3, (2 + 4 + 8) / 3, 100.0]
+
+
+def test_interval_join_matches_duckdb_random():
+    import duckdb
+
+    from raylog.functions.asof import interval_join
+
+    rng = np.random.default_rng(21)
+    n, m = 2000, 800
+    lt = pa.table({
+        "lid": pa.array(np.arange(n, dtype=np.int64)),
+        "u": pa.array(rng.integers(0, 30, n)),
+        "ts": pa.array(rng.integers(0, 5000, n)),
+    })
+    rt = pa.table({
+        "u": pa.array(rng.integers(0, 30, m)),
+        "ts": pa.array(rng.integers(0, 5000, m)),
+        "rid": pa.array(np.arange(m, dtype=np.int64)),
+    })
+    con = duckdb.connect()
+    con.register("lt", lt)
+    con.register("rt", rt)
+    want = con.execute("""
+        SELECT l.lid, r.rid FROM lt l JOIN rt r
+        ON l.u = r.u AND r.ts >= l.ts + 5 AND r.ts <= l.ts + 100
+        ORDER BY 1, 2""").fetchdf()
+    got = interval_join(
+        rd.from_arrow(lt).repartition(4), rd.from_arrow(rt).repartition(3),
+        by="u", on="ts", right_vals=["rid"], lower=5, upper=100,
+        num_partitions=4,
+    ).to_pandas().sort_values(["lid", "rid"]).reset_index(drop=True)
+    assert got[["lid", "rid"]].values.tolist() == want.values.tolist()
+
+
+def test_interval_join_empty_sides():
+    from raylog.functions.asof import interval_join
+
+    lt = pa.table({"lid": pa.array([1], pa.int64()),
+                   "u": pa.array([1], pa.int64()),
+                   "ts": pa.array([10], pa.int64())})
+    rt = pa.table({"u": pa.array([], pa.int64()),
+                   "ts": pa.array([], pa.int64()),
+                   "rid": pa.array([], pa.int64())})
+    out = interval_join(rd.from_arrow(lt), rd.from_arrow(rt), by="u",
+                        on="ts", right_vals=["rid"], lower=0, upper=5,
+                        num_partitions=2).to_pandas()
+    assert len(out) == 0
