@@ -1171,6 +1171,9 @@ def export_sorted_by_toklen(sf_dir: str):
         batch_format="pyarrow", batch_size=None,
     )
     out_dir = f"/tmp/raylog_cache/sorted_{os.path.basename(sf_dir.rstrip('/'))}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)  # drop stale range files
     range_sorted_export(ds, out_dir, key="n_tok", num_ranges=8)
     files = sorted(glob.glob(f"{out_dir}/range_*.parquet"))
     return pa.concat_tables([_pq.read_table(f) for f in files])
