@@ -212,7 +212,7 @@ def run_bench() -> dict:
     queries["ann_ivf_embeddings"] = round(time.monotonic() - t0, 3)
 
     # q7: token-payload analytics — vocab heavy hitters over the FULL
-    # 4-8M-row tokens column; bigrams over a 1/8 subset (uniform 50k
+    # 4-8M-row tokens column; bigrams over a 1/16 subset (uniform 50k
     # vocab makes pairs near-unique — the exact-count worst case, see
     # functions/tokens.py — so full-volume bigrams are a shuffle stress
     # test, not a bench unit)

@@ -33,6 +33,13 @@ def _as_i64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     arr = np.asarray(col)
     if arr.dtype.kind == "M":  # datetime64 → int64 view (same ordering)
         return arr.view("i8")
+    if arr.dtype.kind not in "iub":
+        # silently truncating float keys (10.9 → 10) would corrupt
+        # as-of/interval matching and window ordering — refuse
+        raise TypeError(
+            f"ordered-join key/order column must be integer or temporal, "
+            f"got {arr.dtype} — quantize float timestamps explicitly"
+        )
     return arr.astype(np.int64, copy=False)
 
 

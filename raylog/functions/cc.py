@@ -78,6 +78,16 @@ def connected_components(
         init, batch_format="pyarrow", batch_size=None
     ).materialize()
 
+    def finish(lbls: rd.Dataset) -> rd.Dataset:
+        return lbls.map_batches(
+            lambda b: pa.table({id_col: b["node"], "cluster_id": b["lbl"]}),
+            batch_format="pyarrow", batch_size=None,
+        )
+
+    if edges_sym.count() == 0:  # no pairs at all: every node is a singleton
+        return finish(labels)
+
+    converged = False
     for _ in range(max_iters):
         # propagate: neighbor labels arrive at __dst
         prop = edges_sym.join(
@@ -116,12 +126,19 @@ def connected_components(
             batch_format="pyarrow", batch_size=None,
         ).materialize()
         if changed.num_rows == 0 or changed["chg"][0].as_py() == 0:
+            converged = True
             break
 
-    return labels.map_batches(
-        lambda b: pa.table({id_col: b["node"], "cluster_id": b["lbl"]}),
-        batch_format="pyarrow", batch_size=None,
-    )
+    if not converged:
+        # silent non-convergence would leak duplicate "representatives"
+        # into a curated corpus — refuse instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "iterations (graph diameter exceeds max_iters); raise "
+            "max_iters or use an alternating large-star/small-star pass "
+            "for long-chain graphs"
+        )
+    return finish(labels)
 
 
 def dedup_survivors(

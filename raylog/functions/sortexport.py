@@ -43,8 +43,18 @@ def range_sorted_export(
 ) -> pa.Table:
     """Write ``ds`` as ``num_ranges`` sorted, range-disjoint parquet
     files under ``out_dir``; returns a manifest (range_id, rows,
-    key_min, key_max) table sorted by range_id."""
+    key_min, key_max) table sorted by range_id.
+
+    Pre-existing ``range_*.parquet`` files are removed first: the
+    consumer contract is ``sorted(glob("range_*.parquet"))`` == global
+    order, and stale higher-numbered files from an earlier, larger run
+    would silently corrupt it.
+    """
     os.makedirs(out_dir, exist_ok=True)
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(out_dir, "range_*.parquet")):
+        os.remove(stale)
 
     def sample(b: pa.Table) -> pa.Table:
         v = np.sort(np.asarray(b[key].combine_chunks(), dtype=np.int64))

@@ -45,10 +45,13 @@ def tfidf_top_terms(
     num_partitions: int = 16,
 ) -> rd.Dataset:
     """Top-k terms per document by tf·ln(N/df), ties broken by term."""
+    # tf feeds BOTH the df aggregate and the scoring join — materialize
+    # once so the tokenize+count pass (the most expensive stage) does not
+    # re-execute per consumer
     tf = ds.map_batches(
         lambda b: _tf_batch(b, id_col, text_col),
         batch_format="pyarrow", batch_size=None,
-    )
+    ).materialize()
     df = grouped_aggregate_ds(
         tf.select_columns(["term"]), ["term"], [("*", "count", "df")],
         num_partitions=num_partitions,

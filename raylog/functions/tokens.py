@@ -68,12 +68,23 @@ def token_count_partial(batch: pa.Table, list_col: str = "tokens") -> pa.Table:
     )
 
 
-def bigram_count_partial(batch: pa.Table, list_col: str = "tokens") -> pa.Table:
-    """One batch → (t1, t2, cnt) partials for consecutive token pairs.
+def _masked_bigram_keys(vals: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Packed uint64 keys (hi=left, lo=right token as uint32 bit
+    patterns) for all consecutive pairs, with pairs that would cross a
+    row (sequence) boundary masked out. Shared by the exact-count and
+    sketch bigram paths — one kernel, one boundary rule."""
+    u = vals.astype(np.int32).view(np.uint32).astype(np.uint64)
+    key = (u[:-1] << np.uint64(32)) | u[1:]
+    mask = np.ones(len(vals) - 1, dtype=bool)
+    ends = np.cumsum(lengths)[:-1]  # exclusive end index of each row's list
+    ends = ends[(ends > 0) & (ends < len(vals))]
+    mask[ends - 1] = False  # bigram (end-1, end) would cross rows
+    return key[mask]
 
-    Pairs never cross a row (sequence) boundary: positions where the next
-    element starts a new list are masked out, vectorized.
-    """
+
+def bigram_count_partial(batch: pa.Table, list_col: str = "tokens") -> pa.Table:
+    """One batch → (t1, t2, cnt) exact partial counts for consecutive
+    token pairs (row boundaries never crossed)."""
     vals, lengths = _flat_values(batch, list_col)
     if len(vals) < 2:
         return pa.table(
@@ -83,13 +94,8 @@ def bigram_count_partial(batch: pa.Table, list_col: str = "tokens") -> pa.Table:
                 "cnt": pa.array([], pa.int64()),
             }
         )
-    u = vals.astype(np.int32).view(np.uint32).astype(np.uint64)
-    key = (u[:-1] << np.uint64(32)) | u[1:]
-    mask = np.ones(len(vals) - 1, dtype=bool)
-    ends = np.cumsum(lengths)[:-1]  # exclusive end index of each row's list
-    ends = ends[(ends > 0) & (ends < len(vals))]
-    mask[ends - 1] = False  # bigram (end-1, end) would cross rows
-    uk, cnts = np.unique(key[mask], return_counts=True)
+    uk, cnts = np.unique(_masked_bigram_keys(vals, lengths),
+                         return_counts=True)
     t1 = (uk >> np.uint64(32)).astype(np.uint32).view(np.int32).astype(np.int64)
     t2 = (uk & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32).astype(np.int64)
     return pa.table(
@@ -189,16 +195,11 @@ def bigram_top_terms(
 
 
 def bigram_keys_batch(batch: pa.Table, list_col: str = "tokens") -> pa.Table:
-    """One batch → raw packed bigram keys (hi=left, lo=right uint32 bit
-    patterns in one int64), row boundaries masked — the sort-free feed
-    for sketch-based heavy hitters (`sketch.cms_heavy_hitters`)."""
+    """One batch → raw packed bigram keys (no counting) — the sort-free
+    feed for sketch-based heavy hitters (`sketch.cms_heavy_hitters`)."""
     vals, lengths = _flat_values(batch, list_col)
     if len(vals) < 2:
         return pa.table({"key": pa.array([], pa.int64())})
-    u = vals.astype(np.int32).view(np.uint32).astype(np.uint64)
-    key = (u[:-1] << np.uint64(32)) | u[1:]
-    mask = np.ones(len(vals) - 1, dtype=bool)
-    ends = np.cumsum(lengths)[:-1]
-    ends = ends[(ends > 0) & (ends < len(vals))]
-    mask[ends - 1] = False
-    return pa.table({"key": pa.array(key[mask].view(np.int64))})
+    return pa.table({
+        "key": pa.array(_masked_bigram_keys(vals, lengths).view(np.int64))
+    })

@@ -1171,9 +1171,6 @@ def export_sorted_by_toklen(sf_dir: str):
         batch_format="pyarrow", batch_size=None,
     )
     out_dir = f"/tmp/raylog_cache/sorted_{os.path.basename(sf_dir.rstrip('/'))}"
-    import shutil
-
-    shutil.rmtree(out_dir, ignore_errors=True)  # drop stale range files
     range_sorted_export(ds, out_dir, key="n_tok", num_ranges=8)
     files = sorted(glob.glob(f"{out_dir}/range_*.parquet"))
     return pa.concat_tables([_pq.read_table(f) for f in files])
@@ -1228,13 +1225,15 @@ SELECT doc_id, term, tf, score, rank FROM r WHERE rank <= 3""",
 def text_tfidf_top_terms(sf_dir: str):
     """Per-document top-3 TF-IDF terms: batch-local tf, distributed df,
     hash join on term, per-doc head inside whole-doc hash partitions."""
+    import pyarrow.parquet as _pq
     import ray.data as rd
 
     from raylog.functions.tfidf import tfidf_top_terms
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
-    out = tfidf_top_terms(ds, n_docs=ds.count(), k=3, num_partitions=8)
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    out = tfidf_top_terms(ds, n_docs=n_docs, k=3, num_partitions=8)
     return out.select_columns(["doc_id", "term", "tf", "score", "rank"])
 
 

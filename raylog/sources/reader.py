@@ -43,34 +43,20 @@ def read_sequences(
     reader and bundle the one-row (path, row_group) items, collapsing
     the whole read into a single task.
     """
-    items = _list_row_groups(files)
-    if row_groups_per_task > 1:
-        packed, cur = [], None
-        for it in items:
-            if (cur is None or it["path"] != cur["path"]
-                    or len(cur["rgs"]) >= row_groups_per_task):
-                cur = {"path": it["path"], "rgs": []}
-                packed.append(cur)
-            cur["rgs"].append(it["row_group"])
-        items = packed
-
-        def _read_packed(batch: pa.Table):
-            for path, rgs in zip(batch["path"].to_pylist(),
-                                 batch["rgs"].to_pylist()):
-                f = pq.ParquetFile(path)
-                yield f.read_row_groups(list(rgs), columns=columns)
-
-        return rd.from_items(items).map_batches(
-            _read_packed, batch_format="pyarrow", batch_size=1
-        )
+    packed, cur = [], None
+    for it in _list_row_groups(files):
+        if (cur is None or it["path"] != cur["path"]
+                or len(cur["rgs"]) >= row_groups_per_task):
+            cur = {"path": it["path"], "rgs": []}
+            packed.append(cur)
+        cur["rgs"].append(it["row_group"])
 
     def _read(batch: pa.Table):
-        paths = batch["path"].to_pylist()
-        rgs = batch["row_group"].to_pylist()
-        for path, rg in zip(paths, rgs):
+        for path, rgs in zip(batch["path"].to_pylist(),
+                             batch["rgs"].to_pylist()):
             f = pq.ParquetFile(path)
-            yield f.read_row_group(rg, columns=columns)
+            yield f.read_row_groups(list(rgs), columns=columns)
 
-    return rd.from_items(items).map_batches(
+    return rd.from_items(packed).map_batches(
         _read, batch_format="pyarrow", batch_size=1
     )

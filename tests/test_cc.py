@@ -65,3 +65,26 @@ def test_dedup_survivors_keeps_min_id_per_cluster():
         docs.select_columns(["doc_id"]), edges, num_partitions=2)
     out = dedup_survivors(docs, clusters).to_pandas()
     assert sorted(out["doc_id"].tolist()) == [0, 2, 3]
+
+
+def test_cc_empty_edges_returns_singletons():
+    nodes = rd.from_arrow(pa.table({"doc_id": pa.array(range(5), pa.int64())}))
+    edges = rd.from_arrow(pa.table({
+        "doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+    }))
+    got = connected_components(nodes, edges, num_partitions=2).to_pandas()
+    got = got.sort_values("doc_id")
+    assert got["cluster_id"].tolist() == [0, 1, 2, 3, 4]
+
+
+def test_cc_raises_when_diameter_exceeds_max_iters():
+    import pytest
+
+    n = 12
+    nodes = rd.from_arrow(pa.table({"doc_id": pa.array(range(n), pa.int64())}))
+    edges = rd.from_arrow(pa.table({
+        "doc_a": pa.array(range(n - 1), pa.int64()),
+        "doc_b": pa.array(range(1, n), pa.int64()),
+    }))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, num_partitions=2, max_iters=3)
