@@ -1,14 +1,18 @@
 """Multimodal column plumbing (image/audio/video as opaque binary).
 
-The container has no image/audio codecs, so the DECODE KERNELS are
-deterministic fakes or explicit ``NotImplementedError`` stubs — but the
-Ray-side plumbing is real and tested: binary columns with typed metadata,
-actor-pool ``map_batches`` stages with per-actor setup, small-batch
-sizing for large payloads, and a fixed output feature schema.
+Stages dispatch on the ``mime`` column. For formats that need no
+external codec — PPM (P6) images, PCM16 WAV audio, and concatenated-P6
+"video" streams — decode / resize / frame-sample are REAL kernels
+(`raylog.functions.codecs`: header parsing + numpy buffer views, no
+PIL/ffmpeg). Every other mime still routes to a deterministic fake or
+an explicit ``NotImplementedError`` stub — the production swap point
+for PIL/torchvision/ffmpeg.
 
-At production scale the only changes are inside ``_decode_bytes`` /
-``_extract_features`` (swap in PIL/torchvision/ffmpeg), plus
-``batch_size`` tuned so batch_bytes × concurrency fits worker heap.
+The Ray-side plumbing is the same either way and is tested end-to-end:
+binary columns with typed metadata, actor-pool ``map_batches`` stages
+with per-actor setup, small-batch sizing for large payloads, fixed
+output schemas. At production scale only the codec swap and
+``batch_size`` (batch_bytes × concurrency must fit worker heap) change.
 """
 
 from __future__ import annotations
@@ -18,6 +22,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
+
+from raylog.functions import codecs
 
 FEATURE_DIM = 8
 
@@ -37,25 +43,76 @@ def attach_binary_payload(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
-class MediaDecode:
-    """Actor-pool decode stage.
+def attach_ppm_payload(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Synthesize a REAL deterministic P6 image per row (gradient whose
+    geometry and phase derive from the id) — the test/bench feed for the
+    real decode path."""
+    ids = np.asarray(batch[id_col].combine_chunks(), dtype=np.int64)
+    payloads = []
+    for d in ids:
+        h = 8 + int(d) % 25
+        w = 8 + int(d) % 31
+        y, x = np.mgrid[0:h, 0:w]
+        img = np.stack([
+            (x * 8 + d) % 256, (y * 8 + d // 2) % 256, (x + y + d) % 256,
+        ], axis=2).astype(np.uint8)
+        payloads.append(codecs.encode_ppm(img))
+    return (
+        batch.append_column("payload", pa.array(payloads, pa.binary()))
+        .append_column("mime", pa.array([codecs.PPM_MIME] * len(ids)))
+        .append_column("n_bytes",
+                       pa.array([len(p) for p in payloads], pa.int64()))
+    )
 
-    ``fake=True`` (default here): deterministic pseudo-decode — payload →
-    (height, width, mean_px) derived from a blake2b digest, so tests can
-    assert plumbing end-to-end. ``fake=False``: raises NotImplementedError
-    (no codec libraries in this container) — the production swap point.
+
+def attach_wav_payload(batch: pa.Table, id_col: str = "doc_id",
+                       rate: int = 8000) -> pa.Table:
+    """Synthesize a REAL deterministic PCM16 WAV per row (integer
+    pseudo-waveform seeded by the id)."""
+    ids = np.asarray(batch[id_col].combine_chunks(), dtype=np.int64)
+    payloads = []
+    for d in ids:
+        n = 256 + int(d) % 512
+        t = np.arange(n, dtype=np.int64)
+        samples = (((t * (2654435761 + d)) >> 7) % 65536 - 32768).astype(
+            np.int16)
+        payloads.append(codecs.encode_wav(samples, rate))
+    return (
+        batch.append_column("payload", pa.array(payloads, pa.binary()))
+        .append_column("mime", pa.array([codecs.WAV_MIME] * len(ids)))
+        .append_column("n_bytes",
+                       pa.array([len(p) for p in payloads], pa.int64()))
+    )
+
+
+class MediaDecode:
+    """Actor-pool decode stage, mime-dispatched.
+
+    REAL decode for P6 ppm images (numpy header parse + buffer view →
+    true height/width/mean pixel) and PCM16 wav audio (stdlib wave →
+    (1, n_samples, normalized mean |amplitude|)). Other mimes:
+    ``fake=True`` (default) digest-based pseudo-decode so plumbing tests
+    run end-to-end; ``fake=False`` raises NotImplementedError — the
+    PIL/ffmpeg swap point.
     """
 
     def __init__(self, fake: bool = True):
         self.fake = fake
         # per-actor setup point: codec init / model load happens ONCE here
 
-    def _decode_bytes(self, payload: bytes) -> tuple[int, int, float]:
+    def _decode_bytes(self, payload: bytes, mime: str) -> tuple[int, int, float]:
+        if mime == codecs.PPM_MIME:
+            img = codecs.decode_ppm(payload)
+            return img.shape[0], img.shape[1], float(img.mean() / 255.0)
+        if mime == codecs.WAV_MIME:
+            _, samples = codecs.decode_wav(payload)
+            return 1, len(samples), float(
+                np.abs(samples.astype(np.float64)).mean() / 32768.0)
         if not self.fake:
             raise NotImplementedError(
-                "real image/audio decode requires codec libraries not "
-                "present in this container; run with fake=True or install "
-                "PIL/ffmpeg in the cluster image"
+                "real decode for this mime requires codec libraries not "
+                "present in this container; install PIL/ffmpeg in the "
+                "cluster image"
             )
         d = hashlib.blake2b(payload, digest_size=6).digest()
         h = 16 + d[0] % 240
@@ -65,7 +122,8 @@ class MediaDecode:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        dims = [self._decode_bytes(p) for p in payloads]
+        mimes = batch["mime"].to_pylist()
+        dims = [self._decode_bytes(p, m) for p, m in zip(payloads, mimes)]
         return (
             batch.append_column("height", pa.array([d[0] for d in dims], pa.int32()))
             .append_column("width", pa.array([d[1] for d in dims], pa.int32()))
@@ -119,16 +177,24 @@ class MediaResize:
         scale = np.minimum(1.0, self.max_side / np.maximum(h, w))
         nh = np.maximum(1, np.round(h * scale)).astype(np.int32)
         nw = np.maximum(1, np.round(w * scale)).astype(np.int32)
-        if not self.fake:
-            raise NotImplementedError(
-                "real image resampling requires codec libraries not in "
-                "this container; run with fake=True or install PIL"
-            )
-        payloads = [
-            hashlib.blake2b(p + bytes([int(a) % 256, int(b) % 256]),
-                            digest_size=16).digest()
-            for p, a, b in zip(batch["payload"].to_pylist(), nh, nw)
-        ]
+        mimes = (batch["mime"].to_pylist() if "mime" in batch.column_names
+                 else [""] * batch.num_rows)
+        payloads = []
+        for p, m, a, b in zip(batch["payload"].to_pylist(), mimes, nh, nw):
+            if m == codecs.PPM_MIME:
+                # REAL resample: decode → nearest-neighbor gather → encode
+                payloads.append(codecs.encode_ppm(
+                    codecs.resize_nearest(codecs.decode_ppm(p), int(a),
+                                          int(b))))
+            elif not self.fake:
+                raise NotImplementedError(
+                    "real resampling for this mime requires PIL, not in "
+                    "this container"
+                )
+            else:
+                payloads.append(hashlib.blake2b(
+                    p + bytes([int(a) % 256, int(b) % 256]),
+                    digest_size=16).digest())
         return (
             batch.append_column("resized_height", pa.array(nh))
             .append_column("resized_width", pa.array(nw))
@@ -159,8 +225,21 @@ class FrameSampler:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
         payloads = batch["payload"].to_pylist()
+        mimes = (batch["mime"].to_pylist() if "mime" in batch.column_names
+                 else [""] * batch.num_rows)
         out_id, out_idx, out_frame = [], [], []
-        for i, p in zip(ids, payloads):
+        for i, p, m in zip(ids, payloads, mimes):
+            if m == codecs.PPM_STREAM_MIME:
+                # REAL frame extraction: header-scan the P6 stream and
+                # take n_frames evenly spaced actual frames
+                frames = codecs.ppm_stream_frames(p)
+                sel = np.linspace(0, len(frames) - 1,
+                                  min(self.n_frames, len(frames))).astype(int)
+                for j, fi in enumerate(sel):
+                    out_id.append(i)
+                    out_idx.append(j)
+                    out_frame.append(frames[fi])
+                continue
             for j in range(self.n_frames):
                 out_id.append(i)
                 out_idx.append(j)
@@ -201,6 +280,38 @@ def media_pipeline(
                         batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(MediaFeatures, concurrency=concurrency,
                         batch_format="pyarrow", batch_size=batch_size)
+    return ds
+
+
+def media_pipeline_real(
+    ds: rd.Dataset,
+    *,
+    kind: str = "image",
+    concurrency: int = 2,
+    batch_size: int = 1024,
+    max_side: int = 16,
+) -> rd.Dataset:
+    """documents → REAL media payloads (P6 / WAV) → real decode →
+    resize (images) → features. Same pool-sizing rules as
+    `media_pipeline`; the codec work is genuine numpy/stdlib decode."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            ncpu = int(ray.cluster_resources().get("CPU", 4))
+            concurrency = max(1, min(concurrency, (ncpu - 1) // 2))
+    except ImportError:  # pragma: no cover
+        pass
+    attach = attach_ppm_payload if kind == "image" else attach_wav_payload
+    ds = ds.map_batches(attach, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(MediaDecode, concurrency=concurrency,
+                        batch_format="pyarrow", batch_size=batch_size)
+    if kind == "image":
+        ds = ds.map_batches(
+            MediaResize, fn_constructor_kwargs={"max_side": max_side},
+            concurrency=concurrency, batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     return ds
 
 

@@ -1634,6 +1634,27 @@ def mm_frame_sample(sf_dir: str):
 # ECI sidecar pipeline variant + raw log-file sources
 # --------------------------------------------------------------------------
 
+@query("mm_real_decode", None)  # binary payloads: no SQL restatement
+def mm_real_decode(sf_dir: str):
+    """REAL multimodal decode path: deterministic P6 images + PCM16 WAV
+    payloads decoded with pure numpy/stdlib codecs (no PIL/ffmpeg) —
+    true dimensions, pixel means, nearest-neighbor resize. Exact decode
+    values asserted in tests/test_codecs.py."""
+    import ray.data as rd
+
+    from raylog.functions.multimodal import media_pipeline_real
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    img = media_pipeline_real(docs, kind="image").select_columns(
+        ["doc_id", "mime", "height", "width", "mean_px"])
+    wav = media_pipeline_real(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]),
+        kind="audio").select_columns(
+        ["doc_id", "mime", "height", "width", "mean_px"])
+    return img.union(wav)
+
+
 @query(
     "eci_enrich",
     _P() + """
