@@ -203,11 +203,11 @@ class TestMultimodal:
         again = media_pipeline(docs_ds.limit(50), concurrency=1).take_all()
         assert again[0]["features"] == r["features"]
 
-    def test_real_decode_is_marked_stub(self):
+    def test_real_decode_is_marked_stub_for_unknown_mimes(self):
         from raylog.functions.multimodal import MediaDecode
 
         with pytest.raises(NotImplementedError):
-            MediaDecode(fake=False)._decode_bytes(b"xx")
+            MediaDecode(fake=False)._decode_bytes(b"xx", "image/jpeg")
 
 
 class TestText:
