@@ -134,3 +134,52 @@ def fingerprints(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("fp_md5", md5).append_column(
         "fp_roll", pa.array(roll, pa.int64())
     )
+
+
+def chunk_texts(batch: pa.Table, *, id_col: str = "doc_id",
+                text_col: str = "text", size: int = 120,
+                stride: int = 80) -> pa.Table:
+    """RAG-style overlapping character chunking, one output row per
+    chunk: chunk i covers ``[i*stride, i*stride + size)``; every doc
+    with ≥1 char yields ``(n_chars-1)//stride + 1`` chunks.
+
+    Fully vectorized — no Python loop over rows or chunks: the batch's
+    strings are addressed through Arrow's flat UTF-8 buffer, chunk
+    (start, length) arrays come from repeat/arange arithmetic, and the
+    chunk bytes are ONE numpy gather re-wrapped as a StringArray via
+    from_buffers. Byte slicing equals character slicing for ASCII
+    corpora (the synthetic tables are ASCII); multi-byte corpora need a
+    codepoint-offset pass first.
+    """
+    col = batch[text_col]
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    off = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset: col.offset + len(col) + 1].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2] or b"", dtype=np.uint8)
+    doc_start, doc_len = off[:-1], np.diff(off)
+
+    n_chunks = np.where(doc_len > 0, (doc_len - 1) // stride + 1, 0)
+    doc_of = np.repeat(np.arange(len(doc_len)), n_chunks)
+    chunk_base = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+    j = np.arange(int(n_chunks.sum())) - np.repeat(chunk_base, n_chunks)
+    start = doc_start[doc_of] + j * stride
+    clen = np.minimum(size, doc_len[doc_of] - j * stride)
+
+    total = int(clen.sum())
+    byte_base = np.concatenate([[0], np.cumsum(clen)[:-1]])
+    gather = (np.arange(total) - np.repeat(byte_base, clen)
+              + np.repeat(start, clen))
+    out_off = np.concatenate([[0], np.cumsum(clen)]).astype(np.int32)
+    chunks = pa.Array.from_buffers(
+        pa.utf8(), len(clen),
+        [None, pa.py_buffer(out_off.tobytes()),
+         pa.py_buffer(data[gather].tobytes())],
+    )
+    ids = batch[id_col]
+    ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+    return pa.table({
+        id_col: ids.take(pa.array(doc_of)),
+        "chunk_idx": pa.array(j),
+        "chunk": chunks,
+        "chunk_len": pa.array(clen),
+    })

@@ -1237,6 +1237,34 @@ def text_tfidf_top_terms(sf_dir: str):
     return out.select_columns(["doc_id", "term", "tf", "score", "rank"])
 
 
+@query(
+    "text_chunks",
+    """
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       substr(text, CAST(i * 80 + 1 AS INT), 120) AS chunk,
+       CAST(length(substr(text, CAST(i * 80 + 1 AS INT), 120)) AS BIGINT)
+         AS chunk_len
+FROM documents, LATERAL (
+  SELECT unnest(generate_series(0, (length(text) - 1) // 80)) AS i
+) g
+WHERE length(text) > 0""",
+)
+def text_chunks(sf_dir: str):
+    """Overlapping character chunking (size 120, stride 80) — the
+    RAG/pretraining doc-splitting step, one numpy byte-gather per batch
+    (no per-row or per-chunk Python)."""
+    import ray.data as rd
+
+    from raylog.functions.text import chunk_texts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: chunk_texts(b, size=120, stride=80),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PHONE_RE = r"\b\d{3}-\d{4}\b"
 

@@ -71,3 +71,36 @@ def test_topk_matches_reference():
     best = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert [((a, b), c) for (a, b), c in
             zip(zip(got2.t1, got2.t2), got2.cnt)] == best
+
+
+def test_chunk_texts_edges():
+    from raylog.functions.text import chunk_texts
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["abcdefghij", "xy", "", "a" * 25]),
+    })
+    out = chunk_texts(t, size=8, stride=5).to_pandas()
+    # doc 1 (10 chars): chunks at 0,5 → "abcdefgh","fghij"
+    d1 = out[out.doc_id == 1]
+    assert d1["chunk"].tolist() == ["abcdefgh", "fghij"]
+    assert d1["chunk_idx"].tolist() == [0, 1]
+    # doc 2 short → single chunk; doc 3 empty → no chunks
+    assert out[out.doc_id == 2]["chunk"].tolist() == ["xy"]
+    assert len(out[out.doc_id == 3]) == 0
+    # doc 4 (25 chars): starts 0,5,10,15,20 → lens 8,8,8,8,5
+    d4 = out[out.doc_id == 4]
+    assert d4["chunk_len"].tolist() == [8, 8, 8, 8, 5]
+    assert all(c == "a" * ln for c, ln in zip(d4["chunk"], d4["chunk_len"]))
+
+
+def test_chunk_texts_sliced_batch():
+    from raylog.functions.text import chunk_texts
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["hello world", "foo", "barbaz"]),
+    }).slice(1, 2)  # non-zero arrow offset must not break buffer math
+    out = chunk_texts(t, size=4, stride=3).to_pandas()
+    assert out[out.doc_id == 2]["chunk"].tolist() == ["foo"]
+    assert out[out.doc_id == 3]["chunk"].tolist() == ["barb", "baz"]
