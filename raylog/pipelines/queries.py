@@ -2344,6 +2344,83 @@ def events_interval_join(sf_dir: str):
 
 
 @query(
+    "events_funnel",
+    """
+WITH m AS (SELECT user_id, event_type, MIN(ts) AS mt
+           FROM events GROUP BY 1, 2),
+p AS (SELECT user_id,
+        MIN(CASE WHEN event_type = 'view' THEN mt END) AS v,
+        MIN(CASE WHEN event_type = 'click' THEN mt END) AS c,
+        MIN(CASE WHEN event_type = 'purchase' THEN mt END) AS b
+      FROM m GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND v < c
+                     THEN 1 ELSE 0 END) AS BIGINT) AS view_click,
+       CAST(SUM(CASE WHEN v IS NOT NULL AND c IS NOT NULL
+                      AND b IS NOT NULL AND v < c AND c < b
+                     THEN 1 ELSE 0 END) AS BIGINT) AS view_click_buy
+FROM p""",
+)
+def events_funnel(sf_dir: str):
+    """Ordered funnel analysis (first view < first click < first
+    purchase per user): key-compressed distributed min-aggregate on
+    (user, stage), vectorized pivot inside whole-user hash partitions,
+    constant-size final count — user cardinality never lands anywhere
+    whole."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import (
+        grouped_aggregate,
+        grouped_aggregate_ds,
+        partitioned_group_apply,
+    )
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+    firsts = grouped_aggregate_ds(
+        ev, ["user_id", "event_type"], [("ts", "min", "mt")],
+        num_partitions=8,
+    )
+
+    def pivot(part: pa.Table) -> pa.Table:
+        u = np.asarray(part["user_id"].combine_chunks(), dtype=np.int64)
+        et = np.asarray(part["event_type"].combine_chunks())
+        mt = np.asarray(part["mt"].combine_chunks()).view("i8")
+        order = np.argsort(u, kind="mergesort")
+        u, et, mt = u[order], et[order], mt[order]
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        seg = np.repeat(np.arange(len(starts)),
+                        np.diff(np.append(starts, len(u))))
+        big = np.iinfo(np.int64).max
+        stage = {}
+        for name in ("view", "click", "purchase"):
+            vals = np.full(len(starts), big)
+            m = et == name
+            np.minimum.at(vals, seg[m], mt[m])
+            stage[name] = vals
+        vc = (stage["view"] < big) & (stage["click"] < big) & (
+            stage["view"] < stage["click"])
+        vcb = vc & (stage["purchase"] < big) & (
+            stage["click"] < stage["purchase"])
+        return pa.table({
+            "k": pa.nulls(1, pa.int8()).fill_null(0),
+            "n_users": pa.array([len(starts)], pa.int64()),
+            "view_click": pa.array([int(vc.sum())], pa.int64()),
+            "view_click_buy": pa.array([int(vcb.sum())], pa.int64()),
+        })
+
+    partials = partitioned_group_apply(firsts, ["user_id"], pivot,
+                                       num_partitions=8)
+    out = grouped_aggregate(partials, ["k"], [
+        ("n_users", "sum", "n_users"),
+        ("view_click", "sum", "view_click"),
+        ("view_click_buy", "sum", "view_click_buy"),
+    ])
+    return out.drop_columns(["k"])
+
+
+@query(
     "events_window_funcs",
     """
 SELECT event_id, user_id,
