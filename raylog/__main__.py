@@ -23,13 +23,19 @@ import sys
 import time
 
 
-def _init_ray(num_cpus: int | None):
+def _init_ray(num_cpus: int | None, address: str | None = None):
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        kwargs = dict(address="local", include_dashboard=False,
+        # "local" = private single-node instance (the sandbox default);
+        # "auto" = attach to an existing cluster — what `ray job submit`
+        # entrypoints use (the job runner exports RAY_ADDRESS)
+        addr = address or os.environ.get("RAY_ADDRESS", "local")
+        kwargs = dict(address=addr, include_dashboard=False,
                       logging_level="ERROR")
-        if num_cpus:
+        if num_cpus and addr == "local":  # cluster CPU counts are managed
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
     import ray.data as rd
@@ -39,7 +45,7 @@ def _init_ray(num_cpus: int | None):
 
 
 def cmd_run(args) -> int:
-    ray = _init_ray(args.cpus)
+    ray = _init_ray(args.cpus, args.address)
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -93,7 +99,7 @@ def cmd_run(args) -> int:
 
 
 def cmd_synth(args) -> int:
-    ray = _init_ray(args.cpus)
+    ray = _init_ray(args.cpus, args.address)
     from raylog.sources.synth import synthesize_sequences
 
     paths = synthesize_sequences(args.out, args.rows, seed=args.seed)
@@ -115,6 +121,9 @@ def main(argv=None) -> int:
     run.add_argument("--fused", action="store_true",
                      help="single-pass fused execution (no shard resume)")
     run.add_argument("--cpus", type=int, default=None)
+    run.add_argument("--address", default=None,
+                     help="Ray address: 'local' (default) or 'auto' to "
+                          "attach to a cluster (ray job submit)")
     run.set_defaults(fn=cmd_run)
 
     synth = sub.add_parser("synth", help="synthesize a sequences table")
@@ -122,6 +131,7 @@ def main(argv=None) -> int:
     synth.add_argument("--rows", type=int, default=1_000_000)
     synth.add_argument("--seed", type=int, default=42)
     synth.add_argument("--cpus", type=int, default=None)
+    synth.add_argument("--address", default=None)
     synth.set_defaults(fn=cmd_synth)
 
     args = p.parse_args(argv)
