@@ -159,6 +159,13 @@ def chunk_texts(batch: pa.Table, *, id_col: str = "doc_id",
     doc_start, doc_len = off[:-1], np.diff(off)
 
     n_chunks = np.where(doc_len > 0, (doc_len - 1) // stride + 1, 0)
+    if int(n_chunks.sum()) == 0:  # every text empty → no chunks at all
+        return pa.table({
+            id_col: pa.array([], batch.schema.field(id_col).type),
+            "chunk_idx": pa.array([], pa.int64()),
+            "chunk": pa.array([], pa.utf8()),
+            "chunk_len": pa.array([], pa.int64()),
+        })
     doc_of = np.repeat(np.arange(len(doc_len)), n_chunks)
     chunk_base = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
     j = np.arange(int(n_chunks.sum())) - np.repeat(chunk_base, n_chunks)

@@ -135,3 +135,40 @@ def sliding_over_rate_flags(
         )
 
     return ranked.map_batches(flag, batch_format="pyarrow", batch_size=None)
+
+
+class RetainThrottle:
+    """Streaming Retain-mode rate limiter — the reference's patched
+    `Retain=true` behavior (filter_throttle_patch/throttle.c:274-281:
+    delay, never drop) as an actor-pool stage.
+
+    Each actor paces ITS OWN stream to ``rate`` rows/s (wall clock,
+    token-bucket over batches); with ``concurrency=N`` the pool caps at
+    N×rate, matching the reference's per-node-agent rate semantics
+    (one agent per node, erda.yml workload: per_node). Pacing a batch
+    inside ``__call__`` propagates backpressure upstream through the
+    streaming executor exactly like the reference's 10 ms retain sleep
+    propagated into fluent-bit's input buffering — rows are delayed,
+    never dropped, and order within the actor's stream is preserved.
+
+    Use only where an EXTERNAL consumer imposes a rate (the reference's
+    collector endpoints); for engine-internal flow control Ray's own
+    backpressure makes this stage unnecessary (module docstring).
+    """
+
+    def __init__(self, rate: float = 1000.0):
+        import time
+
+        self.rate = float(rate)
+        self._t0 = time.monotonic()
+        self._sent = 0.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import time
+
+        self._sent += batch.num_rows
+        due = self._t0 + self._sent / self.rate
+        delay = due - time.monotonic()
+        if delay > 0:
+            time.sleep(delay)
+        return batch

@@ -139,3 +139,23 @@ def test_sliding_throttle_matches_pandas(ray_session):
     merged = out.merge(df[["event_id", "want"]], on="event_id")
     assert (merged["over_rate"] == merged["want"]).all()
     assert merged["over_rate"].any() and not merged["over_rate"].all()
+
+
+def test_retain_throttle_delays_never_drops():
+    import time
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raylog.stages.throttle import RetainThrottle
+
+    n = 3000
+    ds = rd.from_arrow(pa.table({"i": pa.array(range(n))})).repartition(4)
+    t0 = time.monotonic()
+    out = ds.map_batches(
+        RetainThrottle, fn_constructor_kwargs={"rate": 4000.0},
+        concurrency=1, batch_format="pyarrow", batch_size=512,
+    ).to_pandas()
+    wall = time.monotonic() - t0
+    assert sorted(out["i"]) == list(range(n))  # nothing dropped
+    assert wall >= n / 4000.0  # paced to the configured rate

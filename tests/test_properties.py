@@ -117,3 +117,85 @@ def test_nest_lift_roundtrip_property(cols):
     lifted = reshape.lift_struct(nested, "tags", prefix="__tags_")
     for c in tagged:
         assert lifted[c].to_pylist() == [cols[c]], c
+
+
+# ---------------------------------------------------------------------------
+# Round-2 session kernels: chunking, bigram masking, packing closed form
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.text(alphabet=st.characters(min_codepoint=32,
+                                            max_codepoint=126),
+                     min_size=0, max_size=40),
+             min_size=1, max_size=12),
+    st.integers(min_value=2, max_value=15),
+    st.integers(min_value=1, max_value=12),
+)
+def test_chunk_texts_model(texts, size, stride):
+    from raylog.functions.text import chunk_texts
+
+    stride = min(stride, size)  # chunks must advance but may overlap
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+    })
+    out = chunk_texts(t, size=size, stride=stride).to_pandas()
+    want = []
+    for did, s in enumerate(texts):
+        i = 0
+        while i * stride < len(s):
+            want.append((did, i, s[i * stride: i * stride + size]))
+            i += 1
+    got = list(zip(out["doc_id"], out["chunk_idx"], out["chunk"]))
+    assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.lists(st.integers(min_value=-2**31, max_value=2**31 - 1),
+                         min_size=0, max_size=8),
+                min_size=1, max_size=10))
+def test_masked_bigram_keys_model(rows):
+    import numpy as np
+
+    from raylog.functions.tokens import _masked_bigram_keys
+
+    vals = np.array([v for r in rows for v in r], dtype=np.int32)
+    lengths = np.array([len(r) for r in rows], dtype=np.int64)
+    if len(vals) < 2:
+        return
+    got = _masked_bigram_keys(np.asarray(vals), lengths)
+    want = []
+    for r in rows:
+        for a, b in zip(r[:-1], r[1:]):
+            ua = np.int32(a).view(np.uint32)
+            ub = np.int32(b).view(np.uint32)
+            want.append((int(ua) << 32) | int(ub))
+    assert got.tolist() == want
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=300), min_size=1,
+                max_size=60),
+       st.integers(min_value=1, max_value=64))
+def test_pack_chunks_model_single_shard(lens, cap):
+    import numpy as np
+    import pyarrow as pa
+
+    from raylog.functions.packing import pack_chunks
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(lens)), type=pa.int64()),
+        "n_tok": pa.array(lens, pa.int64()),
+    }))
+    out = pack_chunks(ds, max_tokens=cap, num_shards=1,
+                      num_partitions=1).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    cum = 0
+    for i, ln in enumerate(lens):
+        start, cum = cum, cum + ln
+        assert out["first_pack"][i] == start // cap
+        assert out["first_offset"][i] == start % cap
+        want_last = (cum - 1) // cap if ln > 0 else start // cap
+        assert out["last_pack"][i] == want_last
