@@ -1103,6 +1103,93 @@ def embed_centroids(sf_dir: str):
 
 
 @query(
+    "tokens_percentile_curation",
+    _P() + """
+, q AS (
+  SELECT source,
+         quantile_disc(n_tok, 0.10) AS lo,
+         quantile_disc(n_tok, 0.90) AS hi
+  FROM recs2 GROUP BY source
+)
+SELECT r.source, CAST(COUNT(*) AS BIGINT) AS kept,
+       CAST(SUM(r.n_tok) AS BIGINT) AS kept_tokens
+FROM recs2 r JOIN q ON r.source = q.source
+WHERE r.n_tok >= q.lo AND r.n_tok <= q.hi
+GROUP BY r.source""",
+)
+def tokens_percentile_curation(sf_dir: str):
+    """Percentile-threshold curation: per-source p10/p90 length bounds
+    from the histogram quantile op, broadcast as a plain dict (quantile
+    output is key-cardinality-bounded), then a shuffle-free filter +
+    count pass — the 'trim the length-distribution tails per domain'
+    recipe."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from raylog.functions.agg import grouped_aggregate
+    from raylog.functions.quantile import grouped_quantiles
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["source", "n_tok"]).map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("n_tok"), "n_tok",
+            pc.cast(b["n_tok"], pa.int64())),
+        batch_format="pyarrow", batch_size=None,
+    )
+    q = grouped_quantiles(ds, key="source", value="n_tok", ps=[0.10, 0.90],
+                          out_names=["lo", "hi"], num_partitions=8).to_pandas()
+    bounds = {s: (lo, hi) for s, lo, hi in zip(q["source"], q["lo"], q["hi"])}
+
+    def keep(b: pa.Table) -> pa.Table:
+        src = b["source"].to_pylist()
+        n = np.asarray(b["n_tok"].combine_chunks(), dtype=np.int64)
+        lo = np.array([bounds[s][0] for s in src])
+        hi = np.array([bounds[s][1] for s in src])
+        return b.filter(pa.array((n >= lo) & (n <= hi)))
+
+    kept = ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+    return grouped_aggregate(kept, ["source"], [
+        ("*", "count", "kept"), ("n_tok", "sum", "kept_tokens"),
+    ])
+
+
+@query(
+    "orders_rollup",
+    """
+SELECT coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+       coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
+)
+def orders_rollup(sf_dir: str):
+    """ROLLUP aggregation (priority → priority×status → grand total) as
+    a union of three key-compressed partial aggregates — each level is
+    its own tiny exchange, no re-scan (the finest level feeds the
+    coarser ones)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderpriority", "o_orderstatus"])
+    fine = grouped_aggregate(
+        ds, ["o_orderpriority", "o_orderstatus"], [("*", "count", "n")],
+    ).to_pandas()
+    mid = fine.groupby("o_orderpriority", as_index=False)["n"].sum()
+    mid["o_orderstatus"] = "(all)"
+    total = pd.DataFrame({
+        "o_orderpriority": ["(all)"], "o_orderstatus": ["(all)"],
+        "n": [fine["n"].sum()],
+    })
+    out = pd.concat([fine, mid, total], ignore_index=True)[
+        ["o_orderpriority", "o_orderstatus", "n"]]
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+@query(
     "tokens_pack_chunks",
     _P() + """
 , r AS (SELECT doc_id, doc_id % 8 AS shard, n_tok FROM recs2),
