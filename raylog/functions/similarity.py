@@ -34,11 +34,15 @@ def ann_brute_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    corpus_ds: rd.Dataset | None = None,
 ) -> pa.Table:
     """Exact cosine top-k for the given query ids against the full corpus.
 
     Returns (query_id, rank, neighbor_id, cos_micro); self-matches
-    excluded; ties broken by neighbor id ascending.
+    excluded; ties broken by neighbor id ascending. ``corpus_ds``
+    restricts the SEARCH side (metadata-filtered vector search: push the
+    attribute filter into the scan, query vectors still come from
+    ``ds``); default is to search ``ds`` itself.
     """
     import ray
 
@@ -78,7 +82,9 @@ def ann_brute_topk(
             "cos": pa.array(out_s, pa.float64()),
         })
 
-    partials = ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=None)
+    search = corpus_ds if corpus_ds is not None else ds
+    partials = search.map_batches(partial_topk, batch_format="pyarrow",
+                                  batch_size=None)
     allp = pa.concat_tables(
         list(partials.iter_batches(batch_format="pyarrow", batch_size=None))
     )

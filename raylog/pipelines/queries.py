@@ -1674,6 +1674,42 @@ def ann_cosine_topk(sf_dir: str):
     return ann_brute_topk(ds, query_ids=[0, 1, 2, 3, 4], k=10)
 
 
+@query(
+    "ann_filtered_topk",
+    """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 5),
+s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.v, e.v) AS cos
+      FROM q JOIN e ON e.vec_id <> q.vec_id AND e.label = 1),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, rank, neighbor_id,
+       CAST(ROUND(1000000 * cos) AS BIGINT) AS cos_micro
+FROM r WHERE rank <= 10""",
+)
+def ann_filtered_topk(sf_dir: str):
+    """Metadata-filtered vector search: exact cosine top-10 restricted
+    to label=1 neighbors — the attribute predicate is pushed into the
+    corpus scan (filter before matmul), queries come from the unfiltered
+    table."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.similarity import ann_brute_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    corpus = ds.map_batches(
+        lambda b: b.filter(pc.equal(b["label"], 1)).select(
+            ["vec_id", "embedding"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return ann_brute_topk(ds, query_ids=[0, 1, 2, 3, 4], k=10,
+                          corpus_ds=corpus)
+
+
 @query("ann_ivf_topk", None)  # rows-only: approximate (recall vs brute in pytest)
 def ann_ivf_topk(sf_dir: str):
     """IVF approximate top-10 (16 lists, nprobe=4) — the 10^9-vector
