@@ -1807,6 +1807,44 @@ def mm_real_decode(sf_dir: str):
 
 
 @query(
+    "logfile_jsonl",
+    """
+SELECT CASE WHEN doc_id % 11 <> 5 THEN doc_id END AS doc_id,
+       CASE WHEN doc_id % 11 <> 5 THEN 'svc-' || (doc_id % 7) END AS svc,
+       CASE WHEN doc_id % 11 <> 5 THEN doc_id % 100 END AS code,
+       doc_id % 11 <> 5 AS parsed
+FROM documents""",
+)
+def logfile_jsonl(sf_dir: str):
+    """JSONL file source: newline-delimited JSON tail → typed columns
+    (missing keys → null, malformed lines (doc_id%11==5 carry broken
+    bodies) → parsed=false). File derived deterministically from
+    documents so the oracle restates it without reading the file."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from raylog.sources.logfiles import read_jsonl
+
+    path = f"/tmp/raylog_cache/jsonl_{os.path.basename(sf_dir.rstrip('/'))}.jsonl"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        ids = _pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])["doc_id"].to_pylist()
+        with open(path + ".tmp", "w") as f:
+            for d in sorted(ids):
+                if d % 11 == 5:
+                    f.write('{"doc_id": %d, broken\n' % d)
+                else:
+                    f.write('{"doc_id": %d, "svc": "svc-%d", "code": %d}\n'
+                            % (d, d % 7, d % 100))
+        os.replace(path + ".tmp", path)
+    return read_jsonl(path, fields=[
+        ("doc_id", pa.int64()), ("svc", pa.string()), ("code", pa.int64()),
+    ])
+
+
+@query(
     "eci_enrich",
     _P() + """
 SELECT r.doc_id,

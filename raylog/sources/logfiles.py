@@ -140,3 +140,29 @@ def write_docker_json_log(path: str, records: list[dict]) -> None:
     with open(path, "w") as f:
         for r in records:
             f.write(json.dumps(r) + "\n")
+
+
+def read_jsonl(
+    paths: list[str] | str,
+    fields: list[tuple[str, pa.DataType]],
+) -> rd.Dataset:
+    """JSONL (newline-delimited JSON) source → typed columns.
+
+    ``ray.data.read_text`` streams lines (one block per file chunk);
+    the per-line JSON decode reuses the Merge_Log kernel contract
+    (missing keys → null, malformed lines → all-null row with
+    ``parsed=false``) so a JSONL tail behaves exactly like a docker
+    tail whose whole payload is the JSON body.
+    """
+    ds = rd.read_text(paths)
+
+    def to_records(batch: pa.Table) -> pa.Table:
+        t = pa.table({"log": batch["text"]})
+        t = parse.merge_log(t, key="log", out="rec", fields=fields)
+        rec = t["rec"].combine_chunks()
+        cols = {name: rec.field(name) for name, _ in fields}
+        cols["parsed"] = pa.compute.is_valid(rec)
+        return pa.table(cols)
+
+    return ds.map_batches(to_records, batch_format="pyarrow",
+                          batch_size=None)
