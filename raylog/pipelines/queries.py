@@ -1845,6 +1845,48 @@ def logfile_jsonl(sf_dir: str):
 
 
 @query(
+    "logfile_csv",
+    """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1""",
+)
+def logfile_csv(sf_dir: str):
+    """CSV source: Ray's native ``read_csv`` (streaming, column-typed)
+    over a deterministically exported copy of the events table, then the
+    standard partial+combine aggregate — exercises a third wire format
+    end-to-end (parquet / JSONL / CSV)."""
+    import csv
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    path = f"/tmp/raylog_cache/events_{os.path.basename(sf_dir.rstrip('/'))}.csv"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        t = _pq.read_table(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "event_type", "value"])
+        with open(path + ".tmp", "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["event_id", "event_type", "value"])
+            for eid, et, v in zip(t["event_id"].to_pylist(),
+                                  t["event_type"].to_pylist(),
+                                  t["value"].to_pylist()):
+                w.writerow([eid, et, repr(v)])
+        os.replace(path + ".tmp", path)
+    ds = rd.read_csv(path)
+    out = grouped_aggregate(ds, ["event_type"], [
+        ("*", "count", "n"), ("value", "sum", "sum_value"),
+    ])
+    return out.set_column(out.column_names.index("sum_value"), "sum_value",
+                          pc.round(out["sum_value"], 4))
+
+
+@query(
     "eci_enrich",
     _P() + """
 SELECT r.doc_id,
