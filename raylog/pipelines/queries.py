@@ -2232,6 +2232,30 @@ def orders_price_band(sf_dir: str):
 
 
 @query(
+    "join_salted_enrich",
+    _P() + """
+SELECT pod_namespace, CAST(COUNT(*) AS BIGINT) AS n
+FROM enriched WHERE pod_namespace IS NOT NULL GROUP BY 1""",
+)
+def join_salted_enrich(sf_dir: str):
+    """Skew-aware salted hash join: records ⋈ dim on the zipf-hot
+    ``source`` key (hot source ≈30% of rows). Hot keys detected from a
+    key-compressed histogram, dim hot rows replicated ×salt, fact hot
+    rows scattered over the salts — the hot reducer is split salt_factor
+    ways; output identical to the plain join."""
+    from raylog.functions.agg import grouped_aggregate
+    from raylog.functions.joins import salted_join
+    from raylog.pipelines import log_pipeline as LP
+
+    fact = LP.records_ds(sf_dir).select_columns(["doc_id", "source"])
+    dim = LP.dim_for(sf_dir).select(["source", "pod_namespace"])
+    joined = salted_join(fact, dim, key="source", salt_factor=8,
+                         num_partitions=8)
+    return grouped_aggregate(joined, ["pod_namespace"],
+                             [("*", "count", "n")])
+
+
+@query(
     "join_anti_customers",
     """
 SELECT c_custkey, c_name FROM customer c
