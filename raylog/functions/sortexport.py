@@ -110,3 +110,63 @@ def range_sorted_export(
         ["__range"], write_range, num_partitions=num_ranges,
     ).to_pandas().sort_values("range_id").reset_index(drop=True)
     return pa.Table.from_pandas(manifest, preserve_index=False)
+
+
+def compact_parquet_dir(
+    in_dir: str,
+    out_dir: str,
+    *,
+    target_rows: int = 1_000_000,
+) -> pa.Table:
+    """Compact a directory of small parquet files into ~target_rows
+    files — the maintenance pass a resumable pipeline needs after many
+    checkpointed shards each wrote their own small output.
+
+    Planning is metadata-only (row counts from parquet footers, no data
+    read on the driver); files are greedily binned in name order so
+    compaction preserves the directory's file-name ordering contract
+    (`range_sorted_export` output stays globally sorted). One Ray task
+    per bin reads its files and writes ONE deterministically-named
+    output (tmp+rename — rerun-idempotent). Returns a manifest
+    (out_file, n_files, rows).
+    """
+    import glob as _glob
+
+    import ray.data as _rd
+
+    files = sorted(_glob.glob(os.path.join(in_dir, "*.parquet")))
+    bins: list[dict] = []
+    cur: dict | None = None
+    for f in files:
+        rows = pq.read_metadata(f).num_rows
+        if cur is None or (cur["rows"] + rows > target_rows and cur["files"]):
+            cur = {"files": [], "rows": 0}
+            bins.append(cur)
+        cur["files"].append(f)
+        cur["rows"] += rows
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_bin(batch: pa.Table):
+        for idx, fl in zip(batch["idx"].to_pylist(),
+                           batch["files"].to_pylist()):
+            t = pa.concat_tables([pq.read_table(f) for f in fl],
+                                 promote_options="default")
+            final = os.path.join(out_dir, f"part_{idx:05d}.parquet")
+            tmp = final + ".tmp"
+            pq.write_table(t, tmp)
+            os.replace(tmp, final)
+            yield pa.table({
+                "out_file": pa.array([final]),
+                "n_files": pa.array([len(fl)], pa.int64()),
+                "rows": pa.array([t.num_rows], pa.int64()),
+            })
+
+    items = [{"idx": i, "files": b["files"]} for i, b in enumerate(bins)]
+    if not items:
+        return pa.table({"out_file": pa.array([], pa.string()),
+                         "n_files": pa.array([], pa.int64()),
+                         "rows": pa.array([], pa.int64())})
+    manifest = _rd.from_items(items).map_batches(
+        write_bin, batch_format="pyarrow", batch_size=1,
+    ).to_pandas().sort_values("out_file").reset_index(drop=True)
+    return pa.Table.from_pandas(manifest, preserve_index=False)

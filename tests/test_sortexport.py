@@ -46,3 +46,24 @@ def test_sorted_export_skewed_keys(tmp_path):
         np.asarray(pq.read_table(f)["k"])
         for f in sorted(glob.glob(f"{out}/range_*.parquet"))])
     np.testing.assert_array_equal(np.sort(keys), got)
+
+
+def test_compact_parquet_dir(tmp_path):
+    from raylog.functions.sortexport import compact_parquet_dir
+
+    src = tmp_path / "small"
+    src.mkdir()
+    total = 0
+    for i in range(17):
+        n = 100 + i
+        pq.write_table(pa.table({"x": pa.array(np.arange(total, total + n))}),
+                       str(src / f"f_{i:03d}.parquet"))
+        total += n
+    man = compact_parquet_dir(str(src), str(tmp_path / "big"),
+                              target_rows=500).to_pandas()
+    assert man["rows"].sum() == total
+    assert len(man) < 17  # actually compacted
+    got = np.concatenate([
+        np.asarray(pq.read_table(f)["x"])
+        for f in sorted(glob.glob(str(tmp_path / "big" / "*.parquet")))])
+    np.testing.assert_array_equal(got, np.arange(total))  # order preserved
