@@ -35,13 +35,15 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
 
 
-def _read_ppm_header(payload: bytes) -> tuple[int, int, int]:
-    """Parse the P6 header → (width, height, data_offset). Handles
-    arbitrary whitespace and ``#`` comments per the netpbm spec."""
-    if payload[:2] != b"P6":
+def _read_ppm_header(payload: bytes, start: int = 0) -> tuple[int, int, int]:
+    """Parse the P6 header at ``start`` → (width, height, absolute
+    data_offset). Handles arbitrary whitespace and ``#`` comments per
+    the netpbm spec. Taking a start offset lets stream scanning walk a
+    concatenated payload in one pass with zero slicing copies."""
+    if payload[start:start + 2] != b"P6":
         raise ValueError("not a P6 ppm payload")
     fields: list[int] = []
-    i = 2
+    i = start + 2
     n = len(payload)
     while len(fields) < 3 and i < n:
         c = payload[i]
@@ -109,8 +111,8 @@ def ppm_stream_frames(payload: bytes) -> list[bytes]:
     i = 0
     n = len(payload)
     while i < n:
-        w, h, off = _read_ppm_header(payload[i:])
-        end = i + off + h * w * 3
+        w, h, off = _read_ppm_header(payload, i)  # off is absolute
+        end = off + h * w * 3
         out.append(payload[i:end])
         i = end
     return out

@@ -81,12 +81,14 @@ def salted_join(
     def add_salt(b: pa.Table) -> pa.Table:
         hot_mask = np.asarray(
             pc.is_in(b[key], value_set=hot_list).fill_null(False))
-        # hot rows round-robin over the salts within each batch —
-        # balanced by construction; the JOIN RESULT is independent of
-        # which salt a row gets (every salt has a matching dim replica),
-        # so batch-boundary variation cannot change the output
-        row_mix = np.arange(b.num_rows, dtype=np.int64) % salt_factor
-        salt = np.where(hot_mask, row_mix, 0).astype(np.int32)
+        # hot rows round-robin over the salts, counting HOT rows only
+        # (cumsum over the mask) — even spread regardless of how hot
+        # rows are interleaved with cold ones in the batch. The JOIN
+        # RESULT is independent of which salt a row gets (every salt
+        # has a matching dim replica), so batch-boundary variation
+        # cannot change the output.
+        hot_rank = np.cumsum(hot_mask, dtype=np.int64) - 1
+        salt = np.where(hot_mask, hot_rank % salt_factor, 0).astype(np.int32)
         return b.append_column("__salt", pa.array(salt))
 
     fact_salted = fact.map_batches(add_salt, batch_format="pyarrow",

@@ -21,6 +21,8 @@ import ray.data as rd
 def _to_matrix(tbl_or_batch, vec_col: str) -> np.ndarray:
     col = tbl_or_batch[vec_col]
     vals = col.to_pylist()
+    if not vals:  # empty (e.g. fully filtered) block → (0, 0) matrix
+        return np.zeros((0, 0), dtype=np.float64)
     m = np.array(vals, dtype=np.float64)
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0

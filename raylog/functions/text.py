@@ -153,7 +153,14 @@ def chunk_texts(batch: pa.Table, *, id_col: str = "doc_id",
     """
     col = batch[text_col]
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    off = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+    if pa.types.is_large_string(col.type):  # int64 offsets
+        off_dtype = np.int64
+    elif pa.types.is_string(col.type):  # int32 offsets
+        off_dtype = np.int32
+    else:
+        raise TypeError(f"chunk_texts: {text_col} must be string/"
+                        f"large_string, got {col.type}")
+    off = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
         col.offset: col.offset + len(col) + 1].astype(np.int64)
     data = np.frombuffer(col.buffers()[2] or b"", dtype=np.uint8)
     doc_start, doc_len = off[:-1], np.diff(off)

@@ -36,6 +36,27 @@ def _P() -> str:
     return R.oracle_prefix()
 
 
+def _src_tag(sf_dir: str, table: str = "documents") -> str:
+    """Cache tag for fixtures derived from ``sf_dir``'s parquet: the
+    full path plus the source file's (mtime_ns, size) fingerprint, so a
+    regenerated fixture at the same path — or two sf dirs sharing a leaf
+    name — never serves a stale derived file."""
+    import os
+
+    p = f"{sf_dir}/{table}.parquet"
+    st = os.stat(p)
+    base = sf_dir.strip("/").replace("/", "_")
+    return f"{base}.{st.st_mtime_ns:x}_{st.st_size:x}"
+
+
+def _tmp_name(path: str) -> str:
+    """Per-process temp name so concurrent writers never interleave
+    before the atomic ``os.replace``."""
+    import os
+
+    return f"{path}.tmp{os.getpid()}"
+
+
 # --------------------------------------------------------------------------
 # Log-record derivation + parse stages
 # --------------------------------------------------------------------------
@@ -285,8 +306,7 @@ def _multiline_cri_dir(sf_dir: str) -> str:
 
     import pyarrow.parquet as pq
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    root = f"/tmp/raylog_logfiles/{tag}.mcri"
+    root = f"/tmp/raylog_logfiles/{_src_tag(sf_dir)}.mcri"
     done = os.path.join(root, "_DONE")
     if os.path.exists(done):
         return root
@@ -373,8 +393,7 @@ def _multiline_docker_dir(sf_dir: str) -> str:
 
     import pyarrow.parquet as pq
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    root = f"/tmp/raylog_logfiles/{tag}.mdocker"
+    root = f"/tmp/raylog_logfiles/{_src_tag(sf_dir)}.mdocker"
     done = os.path.join(root, "_DONE")
     if os.path.exists(done):
         return root
@@ -1138,13 +1157,18 @@ def tokens_percentile_curation(sf_dir: str):
     )
     q = grouped_quantiles(ds, key="source", value="n_tok", ps=[0.10, 0.90],
                           out_names=["lo", "hi"], num_partitions=8).to_pandas()
-    bounds = {s: (lo, hi) for s, lo, hi in zip(q["source"], q["lo"], q["hi"])}
+    # tiny (source → lo/hi) dim arrays; per-batch lookup is a single
+    # vectorized pc.index_in + numpy gather, no per-row Python
+    keys = pa.array(q["source"].tolist(), pa.string())
+    lo_arr = np.asarray(q["lo"], dtype=np.float64)
+    hi_arr = np.asarray(q["hi"], dtype=np.float64)
 
     def keep(b: pa.Table) -> pa.Table:
-        src = b["source"].to_pylist()
+        idx = np.asarray(pc.index_in(b["source"], value_set=keys)
+                         .combine_chunks(), dtype=np.int64)
         n = np.asarray(b["n_tok"].combine_chunks(), dtype=np.int64)
-        lo = np.array([bounds[s][0] for s in src])
-        hi = np.array([bounds[s][1] for s in src])
+        lo = lo_arr[idx]
+        hi = hi_arr[idx]
         return b.filter(pa.array((n >= lo) & (n <= hi)))
 
     kept = ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
@@ -1719,10 +1743,9 @@ def ann_ivf_topk(sf_dir: str):
 
     from raylog.functions.similarity import ann_ivf_topk as ivf
 
-    tag = sf_dir.strip("/").replace("/", "_")
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ivf(ds, query_ids=[0, 1, 2, 3, 4], k=10,
-               index_dir=f"/tmp/raylog_ivf/{tag}_c16")
+               index_dir=f"/tmp/raylog_ivf/{_src_tag(sf_dir, 'embeddings')}_c16")
 
 
 @query("mm_media_features", None)  # rows-only: binary plumbing, no SQL analog
@@ -1797,12 +1820,9 @@ def mm_real_decode(sf_dir: str):
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id"])
-    img = media_pipeline_real(docs, kind="image").select_columns(
-        ["doc_id", "mime", "height", "width", "mean_px"])
-    wav = media_pipeline_real(
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]),
-        kind="audio").select_columns(
-        ["doc_id", "mime", "height", "width", "mean_px"])
+    cols = ["doc_id", "mime", "height", "width", "mean_px"]
+    img = media_pipeline_real(docs, kind="image").select_columns(cols)
+    wav = media_pipeline_real(docs, kind="audio").select_columns(cols)
     return img.union(wav)
 
 
@@ -1826,19 +1846,20 @@ def logfile_jsonl(sf_dir: str):
 
     from raylog.sources.logfiles import read_jsonl
 
-    path = f"/tmp/raylog_cache/jsonl_{os.path.basename(sf_dir.rstrip('/'))}.jsonl"
+    path = f"/tmp/raylog_cache/jsonl_{_src_tag(sf_dir)}.jsonl"
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         ids = _pq.read_table(f"{sf_dir}/documents.parquet",
                              columns=["doc_id"])["doc_id"].to_pylist()
-        with open(path + ".tmp", "w") as f:
+        tmp = _tmp_name(path)
+        with open(tmp, "w") as f:
             for d in sorted(ids):
                 if d % 11 == 5:
                     f.write('{"doc_id": %d, broken\n' % d)
                 else:
                     f.write('{"doc_id": %d, "svc": "svc-%d", "code": %d}\n'
                             % (d, d % 7, d % 100))
-        os.replace(path + ".tmp", path)
+        os.replace(tmp, path)
     return read_jsonl(path, fields=[
         ("doc_id", pa.int64()), ("svc", pa.string()), ("code", pa.int64()),
     ])
@@ -1865,19 +1886,20 @@ def logfile_csv(sf_dir: str):
 
     from raylog.functions.agg import grouped_aggregate
 
-    path = f"/tmp/raylog_cache/events_{os.path.basename(sf_dir.rstrip('/'))}.csv"
+    path = f"/tmp/raylog_cache/events_{_src_tag(sf_dir, 'events')}.csv"
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         t = _pq.read_table(f"{sf_dir}/events.parquet",
                            columns=["event_id", "event_type", "value"])
-        with open(path + ".tmp", "w", newline="") as f:
+        tmp = _tmp_name(path)
+        with open(tmp, "w", newline="") as f:
             w = csv.writer(f)
             w.writerow(["event_id", "event_type", "value"])
             for eid, et, v in zip(t["event_id"].to_pylist(),
                                   t["event_type"].to_pylist(),
                                   t["value"].to_pylist()):
                 w.writerow([eid, et, repr(v)])
-        os.replace(path + ".tmp", path)
+        os.replace(tmp, path)
     ds = rd.read_csv(path)
     out = grouped_aggregate(ds, ["event_type"], [
         ("*", "count", "n"), ("value", "sum", "sum_value"),
@@ -1919,9 +1941,8 @@ def _logfile_cache(sf_dir: str, fmt: str) -> str:
     from raylog import records as R
     from raylog.sources.logfiles import write_cri_log, write_docker_json_log
 
-    tag = sf_dir.strip("/").replace("/", "_")
     os.makedirs("/tmp/raylog_logfiles", exist_ok=True)
-    path = f"/tmp/raylog_logfiles/{tag}.{fmt}.log"
+    path = f"/tmp/raylog_logfiles/{_src_tag(sf_dir)}.{fmt}.log"
     if not os.path.exists(path):
         docs = pq.read_table(f"{sf_dir}/documents.parquet",
                              columns=["doc_id", "text", "source"])

@@ -156,19 +156,25 @@ class RetainThrottle:
     backpressure makes this stage unnecessary (module docstring).
     """
 
-    def __init__(self, rate: float = 1000.0):
+    def __init__(self, rate: float = 1000.0, burst: float | None = None):
         import time
 
         self.rate = float(rate)
-        self._t0 = time.monotonic()
-        self._sent = 0.0
+        # Credit cap: at most ``burst`` rows of accumulated allowance
+        # (default 2 s worth). Without it an upstream stall banks
+        # unbounded credit and the next batches flood the consumer at
+        # unlimited instantaneous rate.
+        self.burst = float(burst) if burst is not None else 2.0 * self.rate
+        self._due = time.monotonic()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import time
 
-        self._sent += batch.num_rows
-        due = self._t0 + self._sent / self.rate
-        delay = due - time.monotonic()
+        now = time.monotonic()
+        # forfeit credit beyond the burst allowance
+        self._due = max(self._due, now - self.burst / self.rate)
+        self._due += batch.num_rows / self.rate
+        delay = self._due - now
         if delay > 0:
             time.sleep(delay)
         return batch

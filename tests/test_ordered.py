@@ -159,3 +159,25 @@ def test_retain_throttle_delays_never_drops():
     wall = time.monotonic() - t0
     assert sorted(out["i"]) == list(range(n))  # nothing dropped
     assert wall >= n / 4000.0  # paced to the configured rate
+
+
+def test_retain_throttle_burst_cap():
+    """An upstream stall must not bank unbounded credit: after a long
+    idle gap at most ``burst`` rows pass un-paced, then pacing resumes
+    at ``rate`` — the consumer never sees an unlimited-rate flood."""
+    import time
+
+    import pyarrow as pa
+
+    from raylog.stages.throttle import RetainThrottle
+
+    th = RetainThrottle(rate=10_000.0, burst=500.0)
+    b = pa.table({"i": pa.array(range(500))})
+    th(b)  # prime
+    th._due = time.monotonic() - 10.0  # simulate a 10 s upstream stall
+    t0 = time.monotonic()
+    for _ in range(5):  # 2500 rows; only 500 (burst) ride the credit
+        th(b)
+    wall = time.monotonic() - t0
+    assert wall >= 2000 / 10_000.0  # paced after the burst allowance
+    assert wall < 1.0  # but the burst itself was honored
