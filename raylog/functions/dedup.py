@@ -678,16 +678,16 @@ def embedding_near_dup_pairs(
                             batch_format="pyarrow", batch_size=None)
              .iter_batches(batch_format="pyarrow", batch_size=None))
     )
+    from raylog.functions.similarity import _to_matrix
+
     ids = corpus[id_col].to_numpy()
-    mat = np.stack([np.asarray(v, dtype=np.float64) for v in corpus[vec_col].to_pylist()])
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = _to_matrix(corpus, vec_col)
     mat_ref = ray.put((ids, mat)) if ray.is_initialized() else (ids, mat)
 
     def batch_pairs(batch: pa.Table) -> pa.Table:
         cids, cmat = ray.get(mat_ref) if ray.is_initialized() else mat_ref
         bids = batch[id_col].to_numpy(zero_copy_only=False) if hasattr(batch[id_col], "to_numpy") else np.asarray(batch[id_col])
-        bmat = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()])
-        bmat /= np.linalg.norm(bmat, axis=1, keepdims=True)
+        bmat = _to_matrix(batch, vec_col)
         sims = bmat @ cmat.T
         ai, bj = np.where(sims >= threshold)
         keep = bids[ai] < cids[bj]  # canonical a<b, excludes self

@@ -19,11 +19,30 @@ import ray.data as rd
 
 
 def _to_matrix(tbl_or_batch, vec_col: str) -> np.ndarray:
+    """Arrow list<float> column → row-normalized float64 matrix.
+
+    Zero-copy flatten + reshape when the lists are equal-length,
+    null-free and the layout is a plain (fixed_size_)list — the normal
+    embedding-column case; falls back to to_pylist otherwise.
+    """
     col = tbl_or_batch[vec_col]
-    vals = col.to_pylist()
-    if not vals:  # empty (e.g. fully filtered) block → (0, 0) matrix
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:  # empty (e.g. fully filtered) block → (0, 0) matrix
         return np.zeros((0, 0), dtype=np.float64)
-    m = np.array(vals, dtype=np.float64)
+    m = None
+    if col.null_count == 0 and (
+        pa.types.is_fixed_size_list(col.type)
+        or pa.types.is_list(col.type)
+        or pa.types.is_large_list(col.type)
+    ):
+        lens = np.asarray(pa.compute.list_value_length(col), dtype=np.int64)
+        if n and (lens == lens[0]).all() and lens[0] > 0:
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            m = flat.astype(np.float64, copy=False).reshape(n, int(lens[0]))
+    if m is None:  # ragged / null-bearing fallback
+        m = np.array(col.to_pylist(), dtype=np.float64)
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return m / norms
