@@ -1437,6 +1437,157 @@ def text_pii_redact(sf_dir: str):
     return ds.map_batches(scrub, batch_format="pyarrow", batch_size=None)
 
 
+@query(
+    "text_decontaminate",
+    """
+WITH snips AS (
+  SELECT DISTINCT substr(text, 1, 40) AS snip
+  FROM documents WHERE doc_id % 97 = 0 AND len(text) >= 40
+)
+SELECT d.doc_id,
+       EXISTS(SELECT 1 FROM snips s WHERE contains(d.text, s.snip))
+         AS contaminated
+FROM documents d""",
+)
+def text_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag training docs containing a
+    verbatim snippet from the held-out eval set (here: the 40-char
+    prefix of every ``doc_id % 97 == 0`` doc — a deterministic stand-in
+    for a benchmark blocklist).
+
+    Scale shape: the snippet set is TINY relative to the corpus (an
+    eval suite, not a second corpus), so it is collected once, compiled
+    into ONE RE2 alternation (RE2 builds a DFA — matching is a single
+    vectorized pass per batch regardless of snippet count), and
+    broadcast via ``ray.put``; the corpus streams through
+    ``map_batches`` with no shuffle. For snippet sets beyond regex-DFA
+    size, swap the kernel for an Aho-Corasick automaton at the marked
+    point — the plumbing is unchanged.
+    """
+    import re
+
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def eval_snips(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.asarray(b["doc_id"].combine_chunks(), dtype=np.int64)
+        lens = np.asarray(pc.utf8_length(b["text"].combine_chunks()),
+                          dtype=np.int64)
+        m = pa.array((ids % 97 == 0) & (lens >= 40))
+        return pa.table(
+            {"snip": pc.utf8_slice_codeunits(b.filter(m)["text"], 0, 40)})
+
+    snip_tbls = list(
+        ds.map_batches(eval_snips, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    snips = sorted({s for t in snip_tbls for s in t["snip"].to_pylist()})
+    # ONE combined alternation — swap point for Aho-Corasick at larger sets
+    pattern = "|".join(re.escape(s) for s in snips) if snips else None
+    pat_ref = ray.put(pattern) if ray.is_initialized() else pattern
+
+    def flag(b: pa.Table) -> pa.Table:
+        pat = ray.get(pat_ref) if ray.is_initialized() else pat_ref
+        if pat is None:
+            hit = pa.array([False] * b.num_rows, pa.bool_())
+        else:
+            hit = pc.match_substring_regex(b["text"], pat)
+        return pa.table({"doc_id": b["doc_id"], "contaminated": hit})
+
+    return ds.map_batches(flag, batch_format="pyarrow", batch_size=None)
+
+
+@query(
+    "text_repetition",
+    """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+words AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+counts AS (SELECT doc_id, wd, COUNT(*) AS c FROM words GROUP BY doc_id, wd),
+s AS (SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct,
+             MAX(c) AS top_word_n
+      FROM counts GROUP BY doc_id),
+bg AS (SELECT doc_id,
+              unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]) AS b
+       FROM w),
+bgc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+bs AS (SELECT doc_id, MAX(c) AS top_bigram_n FROM bgc GROUP BY doc_id)
+SELECT s.doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST(top_word_n AS BIGINT) AS top_word_n,
+       CAST(COALESCE(bs.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+       CAST(n_words - n_distinct AS DOUBLE) / n_words AS dup_word_frac
+FROM s LEFT JOIN bs USING (doc_id)""",
+)
+def text_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals, fully vectorized:
+    per-doc word count, distinct-word count, modal-word count,
+    modal-BIGRAM count and duplicate-word fraction.
+
+    Per-doc statistics need only doc-local data, so every batch is
+    independent (zero shuffle). The kernel dictionary-encodes the
+    flattened word array once, then does all counting in numpy integer
+    space: (doc, word) pair codes → ``np.unique`` with counts →
+    ``bincount``/``maximum.at`` per doc; bigrams pair adjacent word
+    codes with document boundaries masked. No Python-per-row anywhere.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    def rep(b: pa.Table) -> pa.Table:
+        n_docs = b.num_rows
+        if n_docs == 0:
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "n_words": pa.array([], pa.int64()),
+                "n_distinct": pa.array([], pa.int64()),
+                "top_word_n": pa.array([], pa.int64()),
+                "top_bigram_n": pa.array([], pa.int64()),
+                "dup_word_frac": pa.array([], pa.float64()),
+            })
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        lens = np.asarray(pc.list_value_length(split), dtype=np.int64)
+        flat = split.flatten().dictionary_encode()
+        codes = np.asarray(flat.indices, dtype=np.int64)
+        vocab = len(flat.dictionary)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+
+        up, cnt = np.unique(doc_idx * vocab + codes, return_counts=True)
+        pair_doc = up // vocab
+        n_words = np.bincount(doc_idx, minlength=n_docs)
+        n_distinct = np.bincount(pair_doc, minlength=n_docs)
+        top_word = np.zeros(n_docs, dtype=np.int64)
+        np.maximum.at(top_word, pair_doc, cnt)
+
+        same = doc_idx[:-1] == doc_idx[1:]  # mask document boundaries
+        bg_doc = doc_idx[:-1][same]
+        bg_code = (codes[:-1] * vocab + codes[1:])[same]
+        ub, inv = np.unique(bg_code, return_inverse=True)
+        nb = max(len(ub), 1)
+        up2, cnt2 = np.unique(bg_doc * nb + inv, return_counts=True)
+        top_bigram = np.zeros(n_docs, dtype=np.int64)
+        np.maximum.at(top_bigram, up2 // nb, cnt2)
+
+        dup_frac = (n_words - n_distinct).astype(np.float64) / n_words
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_words": pa.array(n_words),
+            "n_distinct": pa.array(n_distinct),
+            "top_word_n": pa.array(top_word),
+            "top_bigram_n": pa.array(top_bigram),
+            "dup_word_frac": pa.array(dup_frac),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(rep, batch_format="pyarrow", batch_size=None)
+
+
 # --------------------------------------------------------------------------
 # Training-data ops: deduplication
 # --------------------------------------------------------------------------
@@ -2206,6 +2357,67 @@ def sample_group_topn(sf_dir: str):
     out = topk(hashed, sort_cols=["h", "doc_id"], descending=[False, False],
                k=3, group_cols=["source"])
     return out.select(["doc_id", "source"])
+
+
+@query(
+    "sample_temperature",
+    """
+WITH t AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY md5(text || CAST(doc_id AS VARCHAR)), doc_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY source) AS n_s
+  FROM documents
+)
+SELECT doc_id, source FROM t
+WHERE rnk <= CAST(CEIL(4 * SQRT(n_s)) AS BIGINT)""",
+)
+def sample_temperature(sf_dir: str):
+    """Temperature (mixture) resampling: rebalance the per-source mix to
+    quota_s = ceil(4·n_s^0.5) — the alpha=0.5 temperature rule that
+    flattens a zipf-skewed source distribution for training-data mixing.
+
+    Deterministic and shuffle-free: selection is "the quota_s docs with
+    the smallest salted content hash per source" — per-batch partial
+    top-k per source (pruned to the max quota), then a quota-bounded
+    merge; only ≤ max_quota × sources rows per block ever move. Source
+    counts come from a tiny partial+combine aggregate, not a shuffle.
+    """
+    import hashlib
+    import math
+
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+    from raylog.functions.topk import topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "text"])
+    counts = grouped_aggregate(ds, ["source"], [("*", "count", "n_s")])
+    quota = {s: math.ceil(4 * math.sqrt(n)) for s, n in
+             zip(counts["source"].to_pylist(), counts["n_s"].to_pylist())}
+    k_max = max(quota.values(), default=0)
+
+    def h(b: pa.Table) -> pa.Table:
+        hh = [hashlib.md5((t + str(d)).encode()).hexdigest()
+              for t, d in zip(b["text"].to_pylist(), b["doc_id"].to_pylist())]
+        return pa.table({"doc_id": b["doc_id"], "source": b["source"],
+                         "h": pa.array(hh, pa.string())})
+
+    hashed = ds.map_batches(h, batch_format="pyarrow", batch_size=None)
+    # partial top-k_max per source (superset of every per-source quota),
+    # then trim each source to its own quota on the k-bounded merge
+    merged = topk(hashed, sort_cols=["h", "doc_id"],
+                  descending=[False, False], k=k_max,
+                  group_cols=["source"], add_rank="rnk").to_pandas()
+    lim = merged["source"].map(quota).to_numpy()
+    keep = merged["rnk"].to_numpy() <= lim
+    out = merged[keep]
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+        "source": pa.array(out["source"].tolist(), pa.string()),
+    })
 
 
 @query(
