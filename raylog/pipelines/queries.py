@@ -1588,6 +1588,87 @@ def text_repetition(sf_dir: str):
     return ds.map_batches(rep, batch_format="pyarrow", batch_size=None)
 
 
+@query(
+    "text_lm_score",
+    """
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+vc AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+tot AS (SELECT SUM(c) AS n FROM vc)
+SELECT doc_id, COUNT(*) AS n_words,
+       CAST(ROUND(-1e6 * AVG(ln(vc.c / tot.n))) AS BIGINT) AS nll_micro
+FROM words JOIN vc USING (w) CROSS JOIN tot
+GROUP BY doc_id""",
+)
+def text_lm_score(sf_dir: str):
+    """Corpus-LM quality scoring (CCNet-style perplexity filtering):
+    per-doc mean negative log-likelihood under a unigram LM trained on
+    the corpus itself.
+
+    Two passes, both shuffle-light: (1) global word counts via the
+    hash-partitioned distributed aggregate (vocab-cardinality exchange,
+    not corpus-size); the fitted table — vocab + log-probs, the "model"
+    — is broadcast once via ``ray.put``. (2) every batch scores its own
+    docs: dictionary-encode, one ``np.searchsorted`` vocab lookup, one
+    ``bincount`` segment-sum per doc. At real scale the vocab table is
+    capped top-K + UNK mass (standard LM practice); here the synthetic
+    vocab is tiny so the exact table ships whole.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def words(b: pa.Table) -> pa.Table:
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        flat = split.flatten().dictionary_encode()
+        codes = np.asarray(flat.indices, dtype=np.int64)
+        uc, cnt = np.unique(codes, return_counts=True)
+        return pa.table({
+            "w": flat.dictionary.take(pa.array(uc)),
+            "c": pa.array(cnt, pa.int64()),
+        })
+
+    vc = grouped_aggregate_ds(
+        ds.map_batches(words, batch_format="pyarrow", batch_size=None),
+        ["w"], [("c", "sum", "c")],
+    ).to_pandas()
+    vocab = np.array(vc["w"], dtype=object)
+    order = np.argsort(vocab)
+    vocab = vocab[order]
+    counts = vc["c"].to_numpy()[order].astype(np.float64)
+    logp = np.log(counts / counts.sum())
+    model = (vocab.astype("U"), logp)
+    model_ref = ray.put(model) if ray.is_initialized() else model
+
+    def score(b: pa.Table) -> pa.Table:
+        vocab_, logp_ = (ray.get(model_ref)
+                         if ray.is_initialized() else model_ref)
+        n_docs = b.num_rows
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        lens = np.asarray(pc.list_value_length(split), dtype=np.int64)
+        flat = split.flatten().dictionary_encode()
+        codes = np.asarray(flat.indices, dtype=np.int64)
+        dict_words = np.asarray(flat.dictionary, dtype="U")
+        dict_logp = logp_[np.searchsorted(vocab_, dict_words)]
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        ll = np.bincount(doc_idx, weights=dict_logp[codes],
+                         minlength=n_docs)
+        nll = -ll / np.maximum(lens, 1)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_words": pa.array(lens),
+            "nll_micro": pa.array(np.round(1e6 * nll).astype(np.int64)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
 # --------------------------------------------------------------------------
 # Training-data ops: deduplication
 # --------------------------------------------------------------------------

@@ -125,3 +125,20 @@ def test_temperature_flattens_skew(tmp_path):
     # input ratio 10:1 -> sampled ratio ~ sqrt(10):1 ≈ 3.16
     ratio = sizes["hot"] / sizes["cold"]
     assert 2.0 < ratio < 4.5, ratio
+
+
+def test_lm_score_edges_and_ordering(tmp_path):
+    """Repetitive docs (common words) must score LOWER nll than docs of
+    rare words; empty text scores as the single '' token."""
+    rows = [(i, "common common common common", "s") for i in range(8)]
+    rows += [(100, "rare1 rare2 rare3 rare4", "s"), (101, "", "s")]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = _cmp("text_lm_score", str(tmp_path), "doc_id")
+    by = dict(zip(got["doc_id"], got["nll_micro"]))
+    assert by[0] < by[100]          # common-word doc is "more likely"
+    assert by[101] > 0              # '' token still scored
