@@ -241,3 +241,69 @@ def cms_heavy_hitters(
     out = np.lexsort((cand_sorted, -total))[:k]
     return pa.table({"key": pa.array(cand_sorted[out]),
                      "cnt": pa.array(total[out])})
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — membership prefilter for cross-corpus incremental dedup
+# ---------------------------------------------------------------------------
+
+def bloom_positions(h1: np.ndarray, h2: np.ndarray, m_bits: int,
+                    k: int) -> np.ndarray:
+    """[n, k] bit positions via Kirsch–Mitzenmacher double hashing:
+    pos_j = (h1 + j·h2) mod m. Two independent 64-bit hashes give k
+    positions with the same asymptotic FP rate as k independent
+    hashes."""
+    j = np.arange(k, dtype=np.uint64)
+    with np.errstate(over="ignore"):  # uint64 wraparound before mod
+        return ((h1[:, None] + j[None, :] * h2[:, None])
+                % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_partial(h1: np.ndarray, h2: np.ndarray, m_bits: int,
+                  k: int) -> bytes:
+    """Fold one batch of (h1, h2) keys into a fresh packed bitmap
+    (m_bits/8 bytes). Partials merge by bitwise OR — associative and
+    commutative, so the exchange volume is blocks × m_bits/8 bytes
+    regardless of corpus size (the HLL-partial pattern)."""
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    if len(h1):
+        pos = bloom_positions(h1, h2, m_bits, k).reshape(-1)
+        np.bitwise_or.at(bits, pos >> 3,
+                         np.uint8(1) << (pos & 7).astype(np.uint8))
+    return bits.tobytes()
+
+
+def bloom_probe(h1: np.ndarray, h2: np.ndarray, bloom: np.ndarray,
+                m_bits: int, k: int) -> np.ndarray:
+    """Boolean membership mask (True = POSSIBLY in the set; False =
+    definitely not). Fully vectorized: k gathers + AND-reduce."""
+    if len(h1) == 0:
+        return np.zeros(0, dtype=bool)
+    pos = bloom_positions(h1, h2, m_bits, k)  # [n, k]
+    byte = bloom[pos >> 3]
+    hit = (byte >> (pos & 7).astype(np.uint8)) & 1
+    return hit.all(axis=1)
+
+
+def bloom_build(ds: rd.Dataset, *, h1_col: str = "content_h1",
+                h2_col: str = "content_h2", m_bits: int = 1 << 20,
+                k: int = 4) -> np.ndarray:
+    """Distributed Bloom build over precomputed 64-bit key columns.
+
+    Each block contributes one m_bits/8-byte partial; the driver ORs
+    them streaming (bounded by block count, independent of row count —
+    at extreme block counts the OR itself tree-reduces through the
+    same grouped combine the CMS partials use)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        h1 = np.asarray(batch[h1_col].combine_chunks()).astype(np.uint64)
+        h2 = np.asarray(batch[h2_col].combine_chunks()).astype(np.uint64)
+        return pa.table({"bloom": pa.array([bloom_partial(h1, h2, m_bits, k)],
+                                           pa.binary())})
+
+    merged = np.zeros(m_bits // 8, dtype=np.uint8)
+    for t in ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None).iter_batches(
+                                batch_format="pyarrow", batch_size=None):
+        for blob in t["bloom"].to_pylist():
+            merged |= np.frombuffer(blob, dtype=np.uint8)
+    return merged

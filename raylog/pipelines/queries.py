@@ -244,7 +244,7 @@ SELECT event_id, "window",
 FROM w""",
 )
 def log_throttle_flags(sf_dir: str):
-    """R1 per-record over-rate flags (ordered within window, map_groups)."""
+    """R1 per-record over-rate flags (distributed bucketed ranks)."""
     import ray.data as rd
 
     from raylog.stages.throttle import over_rate_flags
@@ -272,7 +272,8 @@ FROM g WHERE head_id IS NOT NULL GROUP BY 1, 2""",
 def log_multiline_join(sf_dir: str):
     """P5 multiline join: continuation rows (doc_id%10 ∈ {8,9} — the
     stack-trace-line analog) collapse onto the preceding head row per
-    source, in doc order (groupby(source).map_groups)."""
+    source, in doc order (bucketed record-id assignment — no
+    hot-source single task)."""
     import pyarrow.compute as pc
     import ray.data as rd
 
@@ -1672,6 +1673,98 @@ def text_lm_score(sf_dir: str):
 # --------------------------------------------------------------------------
 # Training-data ops: deduplication
 # --------------------------------------------------------------------------
+
+@query(
+    "dedup_incremental",
+    """
+SELECT b.doc_id FROM documents b
+WHERE b.doc_id % 3 <> 0 AND NOT EXISTS (
+  SELECT 1 FROM documents a
+  WHERE a.doc_id % 3 = 0
+    AND substr(a.text, 1, 40) = substr(b.text, 1, 40))""",
+)
+def dedup_incremental(sf_dir: str):
+    """Incremental (cross-corpus) dedup: drop incoming docs whose
+    content key already exists in a reference corpus — the "dedup new
+    crawl against what we already trained on" operation. Reference =
+    ``doc_id % 3 == 0``, incoming = the rest; key = 128-bit xxhash of
+    the 40-char content prefix (prefix collisions exist in the fixture,
+    so the path is genuinely exercised).
+
+    Scale shape: a Bloom filter over the reference keys is built
+    DISTRIBUTED (one m/8-byte bitmap partial per block, OR-merged —
+    exchange volume independent of corpus size) and broadcast once via
+    ``ray.put``; every incoming batch probes it vectorized.
+    Bloom-negative rows are definitely-new and stream straight to the
+    output — only the (FP-rate-bounded) positive sliver pays the exact
+    hash-partitioned anti join. Exactness is restored by that verify
+    join, so the oracle is the exact NOT EXISTS.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate_ds
+    from raylog.functions.dedup import add_content_h128
+    from raylog.functions.sketch import bloom_build, bloom_probe
+
+    M_BITS, K = 1 << 20, 4
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        pref = pc.utf8_slice_codeunits(b["text"].combine_chunks(), 0, 40)
+        t = pa.table({"doc_id": b["doc_id"], "prefix": pref})
+        return add_content_h128(t, "prefix").select(
+            ["doc_id", "content_h1", "content_h2"])
+
+    def side(b: pa.Table, ref_side: bool) -> pa.Table:
+        ids = np.asarray(b["doc_id"].combine_chunks(), dtype=np.int64)
+        m = (ids % 3 == 0) if ref_side else (ids % 3 != 0)
+        return b.filter(pa.array(m))
+
+    keys = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    ref = keys.map_batches(lambda b: side(b, True),
+                           batch_format="pyarrow", batch_size=None)
+    inc = keys.map_batches(lambda b: side(b, False),
+                           batch_format="pyarrow", batch_size=None)
+
+    bloom = bloom_build(ref, m_bits=M_BITS, k=K)
+    bloom_ref = ray.put(bloom) if ray.is_initialized() else bloom
+
+    def probe(b: pa.Table) -> pa.Table:
+        bl = (ray.get(bloom_ref) if ray.is_initialized() else bloom_ref)
+        h1 = np.asarray(b["content_h1"].combine_chunks()).astype(np.uint64)
+        h2 = np.asarray(b["content_h2"].combine_chunks()).astype(np.uint64)
+        return b.append_column(
+            "maybe", pa.array(bloom_probe(h1, h2, bl, M_BITS, K)))
+
+    flagged = inc.map_batches(probe, batch_format="pyarrow", batch_size=None)
+    negatives = flagged.map_batches(
+        lambda b: b.filter(pc.invert(b["maybe"])).select(["doc_id"]),
+        batch_format="pyarrow", batch_size=None)
+    candidates = flagged.map_batches(
+        lambda b: b.filter(b["maybe"]).select(
+            ["doc_id", "content_h1", "content_h2"]),
+        batch_format="pyarrow", batch_size=None)
+
+    refkeys = grouped_aggregate_ds(
+        ref.map_batches(lambda b: b.select(["content_h1", "content_h2"]),
+                        batch_format="pyarrow", batch_size=None),
+        ["content_h1", "content_h2"], [], num_partitions=8,
+    ).map_batches(
+        lambda b: b.append_column(
+            "__has", pa.nulls(b.num_rows, pa.int8()).fill_null(1)),
+        batch_format="pyarrow", batch_size=None)
+    j = candidates.join(refkeys, join_type="left_outer", num_partitions=8,
+                        on=("content_h1", "content_h2"))
+    verified = j.map_batches(
+        lambda b: b.filter(pc.is_null(b["__has"])).select(["doc_id"]),
+        batch_format="pyarrow", batch_size=None)
+    return negatives.union(verified)
+
 
 @query(
     "dedup_exact",

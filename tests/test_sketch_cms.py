@@ -40,3 +40,37 @@ def test_cms_weighted_partial_rows():
     got = cms_heavy_hitters(rd.from_arrow(tbl), "k", weight_col="w",
                             k=3).to_pandas()
     assert list(zip(got["key"], got["cnt"])) == [(1, 17), (2, 5), (3, 1)]
+
+
+class TestBloom:
+    def test_no_false_negatives_and_fp_rate(self):
+        import numpy as np
+
+        from raylog.functions.sketch import bloom_partial, bloom_probe
+
+        rng = np.random.default_rng(3)
+        m_bits, k, n = 1 << 16, 4, 2000
+        h1 = rng.integers(0, 2**63, n).astype(np.uint64)
+        h2 = rng.integers(0, 2**63, n).astype(np.uint64)
+        bloom = np.frombuffer(bloom_partial(h1, h2, m_bits, k), dtype=np.uint8)
+        # members: never a false negative
+        assert bloom_probe(h1, h2, bloom, m_bits, k).all()
+        # non-members: FP rate near (1-e^{-kn/m})^k ≈ 0.3% at this load
+        q1 = rng.integers(0, 2**63, 20000).astype(np.uint64)
+        q2 = rng.integers(0, 2**63, 20000).astype(np.uint64)
+        fp = bloom_probe(q1, q2, bloom, m_bits, k).mean()
+        assert fp < 0.02, fp
+
+    def test_partials_or_merge_equals_single_build(self):
+        import numpy as np
+
+        from raylog.functions.sketch import bloom_partial
+
+        rng = np.random.default_rng(4)
+        m_bits, k = 1 << 14, 4
+        h1 = rng.integers(0, 2**63, 500).astype(np.uint64)
+        h2 = rng.integers(0, 2**63, 500).astype(np.uint64)
+        whole = np.frombuffer(bloom_partial(h1, h2, m_bits, k), np.uint8)
+        a = np.frombuffer(bloom_partial(h1[:200], h2[:200], m_bits, k), np.uint8)
+        b = np.frombuffer(bloom_partial(h1[200:], h2[200:], m_bits, k), np.uint8)
+        assert np.array_equal(whole, a | b)  # OR-merge == one-shot build
