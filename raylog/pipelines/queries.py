@@ -1691,21 +1691,27 @@ def dedup_incremental(sf_dir: str):
     the 40-char content prefix (prefix collisions exist in the fixture,
     so the path is genuinely exercised).
 
-    Scale shape: a Bloom filter over the reference keys is built
-    DISTRIBUTED (one m/8-byte bitmap partial per block, OR-merged —
-    exchange volume independent of corpus size) and broadcast once via
-    ``ray.put``; every incoming batch probes it vectorized.
-    Bloom-negative rows are definitely-new and stream straight to the
-    output — only the (FP-rate-bounded) positive sliver pays the exact
-    hash-partitioned anti join. Exactness is restored by that verify
-    join, so the oracle is the exact NOT EXISTS.
+    Scale shape — a symmetric bloom-join: (1) a Bloom filter over the
+    reference keys is built DISTRIBUTED (one m/8-byte bitmap partial
+    per block, OR-merged — exchange volume independent of corpus size)
+    and broadcast via ``ray.put``; incoming batches probe it
+    vectorized, and bloom-NEGATIVE rows (definitely new) stream
+    straight to the output. (2) The positive sliver is verified
+    exactly: a second bloom built over the candidates prunes the
+    reference side to possibly-matching keys, then both tiny sides
+    co-group inside hash partitions (``partitioned_group_apply`` —
+    complete key groups per partition, one vectorized membership pass;
+    no acero join, which mis-handles empty shuffle partitions). The
+    verify exchange is bounded by candidate volume + the FP slivers,
+    never by either corpus. Exactness is restored by the verify, so
+    the oracle is the exact NOT EXISTS.
     """
     import numpy as np
     import pyarrow.compute as pc
     import ray
     import ray.data as rd
 
-    from raylog.functions.agg import grouped_aggregate_ds
+    from raylog.functions.agg import partitioned_group_apply
     from raylog.functions.dedup import add_content_h128
     from raylog.functions.sketch import bloom_build, bloom_probe
 
@@ -1750,19 +1756,44 @@ def dedup_incremental(sf_dir: str):
             ["doc_id", "content_h1", "content_h2"]),
         batch_format="pyarrow", batch_size=None)
 
-    refkeys = grouped_aggregate_ds(
-        ref.map_batches(lambda b: b.select(["content_h1", "content_h2"]),
-                        batch_format="pyarrow", batch_size=None),
-        ["content_h1", "content_h2"], [], num_partitions=8,
-    ).map_batches(
+    # symmetric reduction: prune the reference side to keys that might
+    # match a candidate, via a bloom over the candidates themselves
+    cand_bloom = bloom_build(candidates, m_bits=M_BITS, k=K)
+    cb_ref = ray.put(cand_bloom) if ray.is_initialized() else cand_bloom
+
+    def ref_prune(b: pa.Table) -> pa.Table:
+        bl = (ray.get(cb_ref) if ray.is_initialized() else cb_ref)
+        h1 = np.asarray(b["content_h1"].combine_chunks()).astype(np.uint64)
+        h2 = np.asarray(b["content_h2"].combine_chunks()).astype(np.uint64)
+        keep = bloom_probe(h1, h2, bl, M_BITS, K)
+        return pa.table({
+            "doc_id": pa.nulls(int(keep.sum()), pa.int64()),
+            "content_h1": b["content_h1"].combine_chunks().filter(pa.array(keep)),
+            "content_h2": b["content_h2"].combine_chunks().filter(pa.array(keep)),
+            "is_ref": pa.nulls(int(keep.sum()), pa.int8()).fill_null(1),
+        })
+
+    ref_pruned = ref.map_batches(ref_prune, batch_format="pyarrow",
+                                 batch_size=None)
+    cand_m = candidates.map_batches(
         lambda b: b.append_column(
-            "__has", pa.nulls(b.num_rows, pa.int8()).fill_null(1)),
+            "is_ref", pa.nulls(b.num_rows, pa.int8()).fill_null(0)),
         batch_format="pyarrow", batch_size=None)
-    j = candidates.join(refkeys, join_type="left_outer", num_partitions=8,
-                        on=("content_h1", "content_h2"))
-    verified = j.map_batches(
-        lambda b: b.filter(pc.is_null(b["__has"])).select(["doc_id"]),
-        batch_format="pyarrow", batch_size=None)
+
+    def verify(part: pa.Table) -> pa.Table:
+        h1 = np.asarray(part["content_h1"].combine_chunks()).astype(np.uint64)
+        h2 = np.asarray(part["content_h2"].combine_chunks()).astype(np.uint64)
+        is_ref = np.asarray(part["is_ref"].combine_chunks(), dtype=np.int8)
+        key = np.empty(len(h1), dtype=[("a", np.uint64), ("b", np.uint64)])
+        key["a"], key["b"] = h1, h2
+        _, inv = np.unique(key, return_inverse=True)
+        in_ref = np.bincount(inv, weights=is_ref) > 0
+        keep = (is_ref == 0) & ~in_ref[inv]
+        return part.filter(pa.array(keep)).select(["doc_id"])
+
+    verified = partitioned_group_apply(
+        cand_m.union(ref_pruned), ["content_h1", "content_h2"], verify,
+        num_partitions=8)
     return negatives.union(verified)
 
 
