@@ -733,6 +733,9 @@ def _embedding_near_dup_bucketed(
             batch_format="pyarrow", batch_size=None,
         ).iter_batches(batch_format="pyarrow", batch_size=None)
     ))
+    # canonicalize sample row order (block arrival order is
+    # nondeterministic) so the seeded centroid init is run-stable
+    sample_tbl = sample_tbl.sort_by(id_col)
     cents = _kmeans(_to_matrix(sample_tbl, vec_col), n_clusters)
     cents_ref = ray.put(cents) if ray.is_initialized() else cents
 

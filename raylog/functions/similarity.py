@@ -180,6 +180,9 @@ def build_ivf_index(
             batch_format="pyarrow", batch_size=None,
         ).iter_batches(batch_format="pyarrow", batch_size=None)
     ))
+    # canonicalize sample row order (block arrival order is
+    # nondeterministic) so the seeded centroid init is run-stable
+    sample_tbl = sample_tbl.sort_by(id_col)
     cents = _kmeans(_to_matrix(sample_tbl, vec_col), n_clusters)
     for c in range(n_clusters):
         os.makedirs(os.path.join(index_dir, f"list={c:04d}"), exist_ok=True)

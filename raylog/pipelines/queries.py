@@ -2104,6 +2104,51 @@ def ann_ivf_topk(sf_dir: str):
                index_dir=f"/tmp/raylog_ivf/{_src_tag(sf_dir, 'embeddings')}_c16")
 
 
+@query("embed_kmeans", None)  # rows-only: iterative algorithm, no SQL analog
+def embed_kmeans(sf_dir: str):
+    """Distributed k-means cluster assignment over the embedding column
+    — the coarse partitioner behind SemDeDup-style semantic curation
+    (cluster → curate within cluster) and the IVF index.
+
+    Seeded centroids are fitted on a bounded sample (driver-side matmul
+    over ≤2048 rows), broadcast once via ``ray.put``; the corpus
+    streams through one vectorized assign pass per batch (matmul +
+    argmax — no per-row Python, no shuffle). Deterministic: same seed →
+    same assignment (asserted in pytest, with cluster balance)."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.similarity import _kmeans, _to_matrix
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    sample = pa.concat_tables(list(
+        ds.limit(2048).map_batches(
+            lambda b: b.select(["vec_id", "embedding"]),
+            batch_format="pyarrow", batch_size=None,
+        ).iter_batches(batch_format="pyarrow", batch_size=None)))
+    # block arrival order is nondeterministic — canonicalize by id so the
+    # seeded centroid init (row-index based) is run-stable
+    sample = sample.sort_by("vec_id")
+    cents = _kmeans(_to_matrix(sample, "embedding"), n_clusters=8)
+    cents_ref = ray.put(cents) if ray.is_initialized() else cents
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = (ray.get(cents_ref) if ray.is_initialized() else cents_ref)
+        m = _to_matrix(b, "embedding")
+        sims = m @ c.T
+        cl = sims.argmax(axis=1).astype(np.int32)
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "cluster": pa.array(cl),
+            "cos_to_centroid_milli": pa.array(
+                np.round(1000 * sims.max(axis=1)).astype(np.int64)),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
 @query("mm_media_features", None)  # rows-only: binary plumbing, no SQL analog
 def mm_media_features(sf_dir: str):
     """Multimodal plumbing: binary payload -> actor-pool decode (fake

@@ -337,3 +337,21 @@ class TestMultimodalExtra:
                                       concurrency=1).to_pandas()
         assert out.sort_values(["doc_id", "frame_idx"])["frame"].tolist() == \
             again.sort_values(["doc_id", "frame_idx"])["frame"].tolist()
+
+
+class TestKmeansAssign:
+    def test_deterministic_and_balanced(self):
+        from raylog.pipelines.queries import QUERIES
+
+        a = QUERIES["embed_kmeans"]("/root/testdata/sf0.001").to_pandas()
+        b = QUERIES["embed_kmeans"]("/root/testdata/sf0.001").to_pandas()
+        a = a.sort_values("vec_id").reset_index(drop=True)
+        b = b.sort_values("vec_id").reset_index(drop=True)
+        assert a.equals(b)                       # seeded → identical
+        assert len(a) == 500
+        sizes = a.groupby("cluster").size()
+        assert len(sizes) >= 2                   # not a degenerate fit
+        assert sizes.max() <= 0.9 * len(a)       # no single-cluster collapse
+        # every vector is most-similar to its assigned centroid by
+        # construction; spot-check similarity sanity bounds
+        assert a["cos_to_centroid_milli"].between(-1000, 1000).all()
