@@ -1439,6 +1439,72 @@ def text_pii_redact(sf_dir: str):
 
 
 @query(
+    "text_tokenize",
+    """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+words AS (SELECT doc_id, unnest(ws) AS wd,
+                 generate_subscripts(ws, 1) AS pos FROM w),
+vocab AS (SELECT wd, ROW_NUMBER() OVER (ORDER BY wd) - 1 AS tok
+          FROM (SELECT DISTINCT wd FROM words))
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, CAST(tok AS BIGINT) AS tok
+FROM words JOIN vocab USING (wd)""",
+)
+def text_tokenize(sf_dir: str):
+    """Corpus tokenization — vocabulary build + encode, the bridge from
+    raw documents to the engine's tokenized-sequences input shape.
+
+    Pass 1 builds the vocabulary DISTRIBUTED: each batch emits its
+    batch-distinct words (batch-distinct-bounded, never one row per
+    token), the hash-partitioned aggregate dedups them, and the sorted
+    vocab — token id = lexicographic rank, the deterministic analog of
+    a trained BPE merge table — is broadcast once via ``ray.put``.
+    Pass 2 encodes every batch vectorized: split → flatten →
+    ``np.searchsorted`` → exploded (doc_id, pos, tok) rows. At real
+    scale the vocab is capped top-K + UNK id (standard practice);
+    output would stay ``list<int32>`` per doc rather than exploded —
+    exploded here because the driver compare needs scalar rows.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def batch_vocab(b: pa.Table) -> pa.Table:
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        return pa.table({"wd": pc.unique(split.flatten())})
+
+    vc = grouped_aggregate_ds(
+        ds.map_batches(batch_vocab, batch_format="pyarrow",
+                       batch_size=None), ["wd"], [],
+    ).to_pandas()
+    vocab = np.sort(np.array(vc["wd"], dtype="U"))
+    vocab_ref = ray.put(vocab) if ray.is_initialized() else vocab
+
+    def encode(b: pa.Table) -> pa.Table:
+        v = ray.get(vocab_ref) if ray.is_initialized() else vocab_ref
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        lens = np.asarray(pc.list_value_length(split), dtype=np.int64)
+        flat = split.flatten().dictionary_encode()
+        codes = np.asarray(flat.indices, dtype=np.int64)
+        dict_tok = np.searchsorted(v, np.asarray(flat.dictionary, dtype="U"))
+        ids = np.asarray(b["doc_id"].combine_chunks(), dtype=np.int64)
+        pos = (np.arange(lens.sum(), dtype=np.int64)
+               - np.repeat(np.cumsum(lens) - lens, lens) + 1)  # 1-based
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, lens)),
+            "pos": pa.array(pos),
+            "tok": pa.array(dict_tok[codes].astype(np.int64)),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow", batch_size=None)
+
+
+@query(
     "text_decontaminate",
     """
 WITH snips AS (

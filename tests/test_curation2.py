@@ -142,3 +142,25 @@ def test_lm_score_edges_and_ordering(tmp_path):
     by = dict(zip(got["doc_id"], got["nll_micro"]))
     assert by[0] < by[100]          # common-word doc is "more likely"
     assert by[101] > 0              # '' token still scored
+
+
+def test_tokenize_round_trip(tmp_path):
+    """Encode is lossless: decoding (vocab[tok] per position) rebuilds
+    every document exactly, including empty text and repeated words."""
+    import numpy as np
+
+    rows = [(0, "b a c a b", "s"), (1, "", "s"), (2, "zz", "s"),
+            (3, "a a a", "s")]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = _cmp("text_tokenize", str(tmp_path), ["doc_id", "pos"])
+    # rebuild vocab as the oracle defines it (sorted distinct words)
+    words = sorted({w for _, tx, _ in rows for w in tx.split(" ")})
+    for did, tx, _ in rows:
+        sub = got[got.doc_id == did].sort_values("pos")
+        decoded = " ".join(words[t] for t in sub["tok"])
+        assert decoded == tx, (did, decoded)
