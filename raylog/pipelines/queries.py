@@ -1505,6 +1505,103 @@ def text_tokenize(sf_dir: str):
 
 
 @query(
+    "corpus_source_overlap",
+    """
+WITH sw AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+sizes AS (SELECT source, COUNT(*) AS n FROM sw GROUP BY source),
+inter AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+          FROM sw a JOIN sw b USING (w)
+          WHERE a.source < b.source GROUP BY 1, 2)
+SELECT src_a, src_b, n_inter,
+       sa.n + sb.n - n_inter AS n_union,
+       CAST(ROUND(1000.0 * n_inter / (sa.n + sb.n - n_inter)) AS BIGINT)
+         AS jacc_milli
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b""",
+)
+def corpus_source_overlap(sf_dir: str):
+    """Inter-corpus overlap diagnostics: vocabulary Jaccard for every
+    source pair — the "how much do my data sources duplicate each
+    other" matrix that drives mixture design before training.
+
+    Shape: distinct (source, word) pairs via the hash-partitioned
+    aggregate (vocab×sources-bounded exchange, never one row per
+    token); per-word source-pair expansion inside complete-postings
+    hash partitions (the inverted-index pair kernel shared with n-gram
+    dedup — a word shared by m sources costs m²/2, bounded by the
+    source count, not the corpus); the pair matrix itself is
+    sources²-bounded, so the final join with sizes is driver-trivial.
+    """
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import (grouped_aggregate,
+                                      grouped_aggregate_ds,
+                                      partitioned_group_apply)
+    from raylog.functions.dedup import _intra_bucket_pairs
+
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        lens = np.asarray(pc.list_value_length(split), dtype=np.int64)
+        flat = split.flatten().dictionary_encode()
+        codes = np.asarray(flat.indices, dtype=np.int64)
+        src = b["source"].combine_chunks().dictionary_encode()
+        sidx = np.repeat(np.asarray(src.indices, dtype=np.int64), lens)
+        vocab = len(flat.dictionary)
+        u = np.unique(sidx * vocab + codes)
+        return pa.table({
+            "source": src.dictionary.take(pa.array(u // vocab)),
+            "w": flat.dictionary.take(pa.array(u % vocab)),
+        })
+
+    sw = grouped_aggregate_ds(
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=None),
+        ["source", "w"], [],
+    )
+    sizes = grouped_aggregate(sw, ["source"], [("*", "count", "n")])
+    src_names = np.array(sorted(sizes["source"].to_pylist()), dtype=object)
+    n_by = dict(zip(sizes["source"].to_pylist(), sizes["n"].to_pylist()))
+    sid = {s: i for i, s in enumerate(src_names)}
+
+    name_arr = pa.array(list(src_names), pa.string())
+
+    def to_sid(b: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            pc.index_in(b["source"], value_set=name_arr).combine_chunks(),
+            dtype=np.int64)
+        return pa.table({"w": b["w"], "sid": pa.array(ids)})
+
+    inter = grouped_aggregate(
+        partitioned_group_apply(
+            sw.map_batches(to_sid, batch_format="pyarrow", batch_size=None),
+            ["w"],
+            lambda part: _intra_bucket_pairs(part, ["w"], id_col="sid"),
+        ),
+        ["doc_a", "doc_b"], [("*", "count", "n_inter")],
+    )
+    a = inter["doc_a"].to_numpy()
+    b_ = inter["doc_b"].to_numpy()
+    ni = inter["n_inter"].to_numpy()
+    na = np.array([n_by[src_names[i]] for i in a], dtype=np.int64)
+    nb = np.array([n_by[src_names[i]] for i in b_], dtype=np.int64)
+    nu = na + nb - ni
+    return pa.table({
+        "src_a": pa.array(src_names[a], pa.string()),
+        "src_b": pa.array(src_names[b_], pa.string()),
+        "n_inter": pa.array(ni, pa.int64()),
+        "n_union": pa.array(nu, pa.int64()),
+        "jacc_milli": pa.array(np.round(1000.0 * ni / nu).astype(np.int64)),
+    })
+
+
+@query(
     "text_decontaminate",
     """
 WITH snips AS (

@@ -164,3 +164,20 @@ def test_tokenize_round_trip(tmp_path):
         sub = got[got.doc_id == did].sort_values("pos")
         decoded = " ".join(words[t] for t in sub["tok"])
         assert decoded == tx, (did, decoded)
+
+
+def test_source_overlap_disjoint_and_identical(tmp_path):
+    """Identical vocabularies → jaccard 1000; fully disjoint pairs are
+    ABSENT (inner-join semantics, matching the SQL oracle)."""
+    rows = [(0, "alpha beta gamma", "sA"), (1, "alpha beta gamma", "sB"),
+            (2, "delta epsilon", "sC")]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = _cmp("corpus_source_overlap", str(tmp_path), ["src_a", "src_b"])
+    by = {(r.src_a, r.src_b): r.jacc_milli for r in got.itertuples()}
+    assert by[("sA", "sB")] == 1000
+    assert ("sA", "sC") not in by and ("sB", "sC") not in by
