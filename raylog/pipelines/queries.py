@@ -899,6 +899,96 @@ def text_langid(sf_dir: str):
     return ds.select_columns(["doc_id", "lang_pred"])
 
 
+@query(
+    "langid_confusion",
+    """
+WITH h AS (
+  SELECT doc_id, lang,
+    CAST(len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und'))) AS BIGINT) AS h_de,
+    CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS BIGINT) AS h_en,
+    CAST(len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','y'))) AS BIGINT) AS h_es,
+    CAST(len(list_filter(string_split(text,' '), w -> w IN ('le','la','de','et'))) AS BIGINT) AS h_fr
+  FROM documents
+), g AS (
+  SELECT *, GREATEST(h_de, h_en, h_es, h_fr) AS mx,
+         (CASE WHEN h_de = GREATEST(h_de,h_en,h_es,h_fr) THEN 1 ELSE 0 END
+        + CASE WHEN h_en = GREATEST(h_de,h_en,h_es,h_fr) THEN 1 ELSE 0 END
+        + CASE WHEN h_es = GREATEST(h_de,h_en,h_es,h_fr) THEN 1 ELSE 0 END
+        + CASE WHEN h_fr = GREATEST(h_de,h_en,h_es,h_fr) THEN 1 ELSE 0 END) AS ties
+  FROM h
+)
+SELECT lang,
+       CASE WHEN mx = 0 OR ties > 1 THEN 'und'
+            WHEN h_de = mx THEN 'de'
+            WHEN h_en = mx THEN 'en'
+            WHEN h_es = mx THEN 'es'
+            ELSE 'fr' END AS lang_pred,
+       COUNT(*) AS n
+FROM g GROUP BY 1, 2""",
+)
+def langid_confusion(sf_dir: str):
+    """Language-ID quality audit: confusion matrix of the declared
+    ``lang`` label vs the heuristic prediction — the "how much of each
+    declared language bucket is actually mislabeled" check run before
+    trusting either column for mixture design. Prediction is the same
+    vectorized kernel as ``text_langid``; the matrix is a
+    langs²-bounded partial+tree aggregate (no shuffle of rows)."""
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+    from raylog.functions.text import lang_id
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    pred = ds.map_batches(lang_id, batch_format="pyarrow", batch_size=None)
+    return grouped_aggregate(pred, ["lang", "lang_pred"],
+                             [("*", "count", "n")])
+
+
+@query(
+    "corpus_profile",
+    """
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY source""",
+)
+def corpus_profile(sf_dir: str):
+    """Per-source corpus profile (the data-quality dashboard row):
+    doc count, exact distinct languages, and char-volume extremes.
+
+    Count/sum/min/max ride the partial+tree aggregate; the exact
+    distinct-lang count goes through the hash-partitioned distinct on
+    (source, lang) — a langs×sources-bounded exchange — then a tiny
+    per-source count. No row shuffle anywhere."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "lang", "n_chars"])
+    base = grouped_aggregate(ds, ["source"], [
+        ("*", "count", "n_docs"), ("n_chars", "sum", "sum_chars"),
+        ("n_chars", "min", "min_chars"), ("n_chars", "max", "max_chars"),
+    ]).to_pandas()
+    sl = grouped_aggregate(
+        grouped_aggregate_ds(ds, ["source", "lang"], []),
+        ["source"], [("*", "count", "n_langs")],
+    ).to_pandas()
+    out = base.merge(sl, on="source")
+    return pa.table({
+        "source": pa.array(out["source"], pa.string()),
+        "n_docs": pa.array(out["n_docs"], pa.int64()),
+        "n_langs": pa.array(out["n_langs"], pa.int64()),
+        "sum_chars": pa.array(out["sum_chars"], pa.int64()),
+        "min_chars": pa.array(out["min_chars"], pa.int64()),
+        "max_chars": pa.array(out["max_chars"], pa.int64()),
+    })
+
+
 @query("text_fingerprint", "SELECT doc_id, md5(text) AS fp_md5 FROM documents")
 def text_fingerprint(sf_dir: str):
     """Document fingerprinting (md5 content hash; rolling hash in pytest)."""
