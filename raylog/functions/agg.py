@@ -200,6 +200,48 @@ def partitioned_group_apply(
     )
 
 
+def argmax_per_key(
+    ds: rd.Dataset,
+    keys: list[str],
+    order_cols: list[str],
+    descending: list[bool],
+    *,
+    num_partitions: int = 32,
+    batch_size: int = 65_536,
+) -> rd.Dataset:
+    """Keep ONE whole row per key — the extreme of ``order_cols`` — at
+    high key cardinality (CDC keep-latest-version, newest crawl snapshot
+    per URL, best-scoring duplicate per content hash).
+
+    The scale shape mirrors :func:`grouped_aggregate_ds`: each batch first
+    reduces itself to ≤ one row per distinct key (a vectorized
+    sort + first-occurrence mask — bounded output regardless of row
+    count), then the key-compressed partials hash-partition by key and
+    each reducer runs the same kernel over complete key groups. No
+    driver-side table, no per-group Python calls, and reducer input is
+    O(distinct keys), not O(rows), so a hot key (one user producing 30%
+    of events) costs its reducer one extra sort pass, not a giant group.
+    """
+    ascending = [not d for d in descending]
+
+    def _one_per_key(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl
+        df = tbl.to_pandas()
+        df = df.sort_values(keys + order_cols,
+                            ascending=[True] * len(keys) + ascending,
+                            kind="mergesort")
+        df = df.drop_duplicates(subset=keys, keep="first")
+        return pa.Table.from_pandas(df.reset_index(drop=True),
+                                    preserve_index=False).cast(tbl.schema)
+
+    partials = ds.map_batches(_one_per_key, batch_format="pyarrow",
+                              batch_size=batch_size)
+    return partitioned_group_apply(partials, keys, _one_per_key,
+                                   num_partitions=num_partitions,
+                                   batch_size=batch_size)
+
+
 def grouped_aggregate(
     ds: rd.Dataset,
     keys: list[str],

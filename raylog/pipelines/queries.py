@@ -3409,6 +3409,32 @@ def events_window_funcs(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "lag_value", "mov_avg"])
 
 
+@query(
+    "events_latest_per_user",
+    """
+SELECT user_id, event_id, ts, event_type, value FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1""",
+)
+def events_latest_per_user(sf_dir: str):
+    """CDC keep-latest-version per key (newest crawl snapshot per URL,
+    latest event per user): distributed argmax — each batch keeps one
+    row per key it sees, key-compressed partials hash-partition, each
+    reducer finishes complete key groups. High-cardinality-safe: no
+    driver merge, no per-group task (VERDICT r1's grouped-top-k trap)."""
+    import ray.data as rd
+
+    from raylog.functions.agg import argmax_per_key
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type", "value"])
+    return argmax_per_key(ds, ["user_id"], ["ts", "event_id"],
+                          [True, True], num_partitions=8)
+
+
 # --------------------------------------------------------------------------
 # Large-side hash join (native) + session windows
 # --------------------------------------------------------------------------

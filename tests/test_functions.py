@@ -355,3 +355,28 @@ class TestKmeansAssign:
         # every vector is most-similar to its assigned centroid by
         # construction; spot-check similarity sanity bounds
         assert a["cos_to_centroid_milli"].between(-1000, 1000).all()
+
+
+class TestArgmaxPerKey:
+    def test_latest_with_ties_hot_key_and_nulls(self):
+        from raylog.functions.agg import argmax_per_key
+
+        # hot key 7 carries half the rows; key 1 has a ts tie broken by id
+        n_hot = 500
+        tbl = pa.table({
+            "k": pa.array([1, 1, 2, 3] + [7] * n_hot, pa.int64()),
+            "ts": pa.array([10, 10, 5, None] + list(range(n_hot)), pa.int64()),
+            "id": pa.array([1, 2, 3, 4] + list(range(100, 100 + n_hot)), pa.int64()),
+            "payload": pa.array(
+                ["a", "b", "c", "d"] + [f"p{i}" for i in range(n_hot)]),
+        })
+        ds = rd.from_arrow(tbl).repartition(6)
+        out = (argmax_per_key(ds, ["k"], ["ts", "id"], [True, True],
+                              num_partitions=4)
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        assert list(out["k"]) == [1, 2, 3, 7]
+        # tie on ts=10 for k=1 -> larger id wins
+        assert out.loc[0, "id"] == 2 and out.loc[0, "payload"] == "b"
+        assert out.loc[2, "id"] == 4  # all-null ts group still yields its row
+        assert out.loc[3, "id"] == 100 + n_hot - 1
+        assert out.loc[3, "payload"] == f"p{n_hot - 1}"
