@@ -3410,6 +3410,56 @@ def events_window_funcs(sf_dir: str):
 
 
 @query(
+    "text_boilerplate_scrub",
+    """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id, i, array_to_string(w[i:i+4], ' ') AS gram
+  FROM t, UNNEST(generate_series(1, len(w) - 4)) AS u(i)
+), boiler AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT g.doc_id, g.i FROM g JOIN boiler USING (gram)
+), cov AS (
+  SELECT DISTINCT doc_id, p
+  FROM hits, UNNEST(generate_series(i, i + 4)) AS c(p)
+), words AS (
+  SELECT doc_id, p, w[p] AS word
+  FROM t, UNNEST(generate_series(1, len(w))) AS u(p)
+), clean AS (
+  SELECT words.doc_id,
+         STRING_AGG(word, ' ' ORDER BY p) AS clean_text,
+         COUNT(*) AS kept_words
+  FROM words LEFT JOIN cov USING (doc_id, p)
+  WHERE cov.p IS NULL GROUP BY words.doc_id
+), spans AS (
+  SELECT doc_id, COUNT(*) AS dup_spans FROM hits GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(s.dup_spans, 0) AS dup_spans,
+       len(t.w) - COALESCE(c.kept_words, 0) AS removed_words,
+       COALESCE(c.kept_words, 0) AS kept_words,
+       COALESCE(c.clean_text, '') AS clean_text
+FROM t LEFT JOIN clean c ON t.doc_id = c.doc_id
+       LEFT JOIN spans s ON t.doc_id = s.doc_id""",
+)
+def text_boilerplate_scrub(sf_dir: str):
+    """C4/RefinedWeb-style corpus-wide boilerplate removal: word
+    5-grams appearing in ≥2 distinct documents are duplicated spans;
+    every word covered by one is scrubbed. Distributed df pass →
+    broadcast heavy-hitter gram set → vectorized scrub + text rebuild
+    (see raylog/functions/boilerplate.py)."""
+    import ray.data as rd
+
+    from raylog.functions.boilerplate import remove_boilerplate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return remove_boilerplate(ds, k=5, min_df=2)
+
+
+@query(
     "events_latest_per_user",
     """
 SELECT user_id, event_id, ts, event_type, value FROM (

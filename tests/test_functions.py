@@ -380,3 +380,42 @@ class TestArgmaxPerKey:
         assert out.loc[2, "id"] == 4  # all-null ts group still yields its row
         assert out.loc[3, "id"] == 100 + n_hot - 1
         assert out.loc[3, "payload"] == f"p{n_hot - 1}"
+
+
+class TestBoilerplate:
+    def test_scrub_edges(self):
+        from raylog.functions.boilerplate import remove_boilerplate
+
+        dup = "alpha beta gamma delta epsilon"  # one shared 5-gram
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([
+                dup,                          # fully covered -> empty clean
+                f"zeta {dup} eta",            # covered in the middle
+                "one two three",              # < k words: no grams, untouched
+                "unique words only here never repeated anywhere",
+            ]),
+        })
+        out = (remove_boilerplate(rd.from_arrow(tbl).repartition(2),
+                                  k=5, min_df=2, concurrency=1)
+               .to_pandas().set_index("doc_id").sort_index())
+        assert out.loc[1, "clean_text"] == "" and out.loc[1, "kept_words"] == 0
+        assert out.loc[1, "dup_spans"] == 1 and out.loc[1, "removed_words"] == 5
+        assert out.loc[2, "clean_text"] == "zeta eta"
+        assert out.loc[2, "removed_words"] == 5 and out.loc[2, "kept_words"] == 2
+        assert out.loc[3, "clean_text"] == "one two three"
+        assert out.loc[3, "dup_spans"] == 0
+        assert out.loc[4, "removed_words"] == 0
+
+    def test_no_boilerplate_found(self):
+        from raylog.functions.boilerplate import remove_boilerplate
+
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a b c d e f", "g h i j k l"]),
+        })
+        out = (remove_boilerplate(rd.from_arrow(tbl), k=5, min_df=2,
+                                  concurrency=1).to_pandas())
+        assert (out["removed_words"] == 0).all()
+        assert list(out.sort_values("doc_id")["clean_text"]) == [
+            "a b c d e f", "g h i j k l"]
