@@ -3460,6 +3460,60 @@ def text_boilerplate_scrub(sf_dir: str):
 
 
 @query(
+    "text_nb_classify",
+    """
+WITH w AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents
+), cnt AS (
+  SELECT lang, word, COUNT(*) AS c FROM w GROUP BY 1, 2
+), tot AS (
+  SELECT lang, SUM(c) AS t FROM cnt GROUP BY 1
+), vocab AS (
+  SELECT COUNT(DISTINCT word) AS v FROM w
+), prior AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1
+), nd AS (
+  SELECT COUNT(*) AS nd FROM documents
+), s AS (
+  SELECT dw.doc_id, c.lang AS cls,
+         ANY_VALUE(ln(CAST(p.n AS DOUBLE) / nd.nd)) +
+         SUM(ln(CAST(COALESCE(cnt.c, 0) + 1 AS DOUBLE) / (tot.t + vocab.v)))
+           AS score
+  FROM w dw
+  CROSS JOIN prior c
+  JOIN prior p ON p.lang = c.lang
+  CROSS JOIN nd
+  JOIN tot ON tot.lang = c.lang
+  CROSS JOIN vocab
+  LEFT JOIN cnt ON cnt.lang = c.lang AND cnt.word = dw.word
+  GROUP BY dw.doc_id, c.lang
+)
+SELECT d.doc_id, d.lang, pick.cls AS nb_pred
+FROM documents d JOIN (
+  SELECT doc_id, cls FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, cls) AS rn FROM s
+  ) WHERE rn = 1
+) pick ON d.doc_id = pick.doc_id""",
+)
+def text_nb_classify(sf_dir: str):
+    """Count-based quality/domain classifier (the SQL-exact stand-in
+    for FineWeb-style fastText filters): multinomial Naive Bayes fit on
+    the corpus's own ``lang`` labels via the distributed aggregate,
+    model broadcast once, vectorized per-batch scoring
+    (raylog/functions/nbayes.py). Output is the argmax label with
+    lexicographic tie-break."""
+    import ray.data as rd
+
+    from raylog.functions.nbayes import nbayes_classify
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "text"])
+    return (nbayes_classify(ds, text_col="text", label_col="lang")
+            .select_columns(["doc_id", "lang", "nb_pred"]))
+
+
+@query(
     "events_latest_per_user",
     """
 SELECT user_id, event_id, ts, event_type, value FROM (

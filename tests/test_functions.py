@@ -419,3 +419,46 @@ class TestBoilerplate:
         assert (out["removed_words"] == 0).all()
         assert list(out.sort_values("doc_id")["clean_text"]) == [
             "a b c d e f", "g h i j k l"]
+
+
+class TestNaiveBayes:
+    def test_separable_fixture_and_oov(self):
+        from raylog.functions.nbayes import NBPredictor, fit_nbayes
+
+        train = pa.table({
+            "doc_id": pa.array(range(8), pa.int64()),
+            "lang": pa.array(["en"] * 4 + ["fr"] * 4),
+            "text": pa.array(["the cat sat", "the dog ran", "a cat ran",
+                              "the the dog", "le chat noir", "le chien",
+                              "un chat", "le le chien noir"]),
+        })
+        m = fit_nbayes(rd.from_arrow(train), text_col="text", label_col="lang")
+        assert m.classes == ["en", "fr"]
+        pred = NBPredictor(m)
+        out = pred(pa.table({
+            "text": pa.array([
+                "the cat",            # en vocab
+                "le chien noir",      # fr vocab
+                "zzz qqq unseen",     # all OOV -> prior+smoothing only; equal
+            ]),
+        }))
+        assert out["nb_pred"].to_pylist()[:2] == ["en", "fr"]
+        # all-OOV: only priors + smoothing mass differ; en has 12 train
+        # tokens vs fr's 11, so fr's smaller denominator wins
+        assert out["nb_pred"].to_pylist()[2] == "fr"
+
+    def test_distributed_fit_equals_local(self, sf_dir):
+        import ray.data as rd2
+
+        from raylog.functions.nbayes import fit_nbayes
+
+        ds = rd2.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "lang", "text"])
+        m_many = fit_nbayes(ds.repartition(16), num_partitions=8)
+        m_one = fit_nbayes(ds.repartition(1), num_partitions=1)
+        assert m_many.classes == m_one.classes
+        assert np.array_equal(m_many.vocab, m_one.vocab)
+        # partials + distributed combine must reproduce the single-pass
+        # counts bit-for-bit (log of identical integers)
+        assert np.array_equal(m_many.loglik, m_one.loglik)
+        assert np.array_equal(m_many.logprior, m_one.logprior)
