@@ -3514,6 +3514,69 @@ def text_nb_classify(sf_dir: str):
 
 
 @query(
+    "text_bm25_topk",
+    """
+WITH q(query_id, term) AS (
+  VALUES (0, 'spark'), (0, 'join'), (0, 'merge'),
+         (1, 'window'), (1, 'batch'), (1, 'stream'),
+         (2, 'customer'), (2, 'vector'), (2, 'the')
+), w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY 1
+), stats AS (
+  SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT q.query_id, q.term, w.doc_id, COUNT(*) AS tf
+  FROM q JOIN w ON w.word = q.term GROUP BY 1, 2, 3
+), df AS (
+  SELECT word AS term, COUNT(DISTINCT doc_id) AS df FROM w
+  WHERE word IN (SELECT term FROM q) GROUP BY 1
+), s AS (
+  SELECT tf.query_id, tf.doc_id,
+         SUM(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS score
+  FROM tf JOIN df ON tf.term = df.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+  GROUP BY 1, 2
+)
+SELECT query_id, rnk, doc_id,
+       CAST(ROUND(score * 1000, 0) AS BIGINT) AS score_milli
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rnk
+      FROM s)
+WHERE rnk <= 10""",
+)
+def text_bm25_topk(sf_dir: str):
+    """Sparse-lexical retrieval: BM25 (k1=1.2, b=0.75, Lucene +1 idf)
+    top-10 per query over the corpus. One tiny stats aggregate + one
+    streaming score pass with per-block partial top-k
+    (raylog/functions/bm25.py) — exchange is O(terms) + O(k×queries×
+    blocks), constant in corpus size."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.bm25 import bm25_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    queries = [(0, ["spark", "join", "merge"]),
+               (1, ["window", "batch", "stream"]),
+               (2, ["customer", "vector", "the"])]
+    tbl = bm25_topk(ds, queries, k=10)
+    return pa.table({
+        "query_id": tbl["query_id"],
+        "rnk": pc.cast(tbl["rnk"], pa.int64()),
+        "doc_id": tbl["doc_id"],
+        "score_milli": pc.cast(
+            pc.round(pc.multiply(tbl["score"], pa.scalar(1000.0))),
+            pa.int64()),
+    })
+
+
+@query(
     "events_latest_per_user",
     """
 SELECT user_id, event_id, ts, event_type, value FROM (

@@ -462,3 +462,31 @@ class TestNaiveBayes:
         # counts bit-for-bit (log of identical integers)
         assert np.array_equal(m_many.loglik, m_one.loglik)
         assert np.array_equal(m_many.logprior, m_one.logprior)
+
+
+class TestBM25:
+    def test_ranking_and_partition_invariance(self):
+        from raylog.functions.bm25 import bm25_topk
+
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([
+                "cat cat cat",       # high tf for 'cat'
+                "cat dog",           # one of each
+                "dog dog dog dog",   # no 'cat'
+                "bird bird",         # matches nothing
+            ]),
+        })
+        q = [(0, ["cat"]), (1, ["cat", "dog"])]
+        one = bm25_topk(rd.from_arrow(tbl), q, k=3, concurrency=1).to_pandas()
+        many = bm25_topk(rd.from_arrow(tbl).repartition(4), q, k=3,
+                         concurrency=1).to_pandas()
+        key = ["query_id", "rnk", "doc_id"]
+        assert one.sort_values(key).reset_index(drop=True).equals(
+            many.sort_values(key).reset_index(drop=True))
+        q0 = one[one.query_id == 0].sort_values("rnk")
+        # only docs containing 'cat' score; tf saturation ranks 1 above 2
+        assert list(q0["doc_id"]) == [1, 2]
+        q1 = one[one.query_id == 1].sort_values("rnk")
+        assert set(q1["doc_id"]) == {1, 2, 3}
+        assert (one["score"] > 0).all()
