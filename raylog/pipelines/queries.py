@@ -3577,6 +3577,64 @@ def text_bm25_topk(sf_dir: str):
 
 
 @query(
+    "embed_pca_cov",
+    """
+WITH w AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+)
+SELECT a.i AS i, b.i AS j, COVAR_SAMP(a.x, b.x) AS cov
+FROM w a JOIN w b ON a.vec_id = b.vec_id
+GROUP BY 1, 2""",
+)
+def embed_pca_cov(sf_dir: str):
+    """PCA moment pass: the exact d×d sample covariance of the
+    embedding column from ONE streaming pass of d²-bounded per-block
+    partials (raylog/functions/pca.py) — the input to the driver-local
+    eigendecomposition. Emitted as (i, j, cov) rows, 1-based."""
+    import ray.data as rd
+
+    import numpy as np
+
+    from raylog.functions.pca import embedding_cov
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+    cov, _, _ = embedding_cov(ds)
+    d = cov.shape[0]
+    jj, ii = np.meshgrid(np.arange(1, d + 1), np.arange(1, d + 1))
+    return pa.table({
+        "i": pa.array(ii.ravel(), pa.int64()),
+        "j": pa.array(jj.ravel(), pa.int64()),
+        "cov": pa.array(cov.ravel(), pa.float64()),
+    })
+
+
+@query("embed_pca_project", None)  # eigenvector basis: no SQL restatement
+def embed_pca_project(sf_dir: str):
+    """PCA projection to 4 components (broadcast components, per-batch
+    matmul). Rows-only: the eigenbasis has no tractable SQL analog; the
+    pytest suite checks diagonalization + explained-variance order."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.pca import pca_project
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = pca_project(ds, 4)
+
+    def widen(b: pa.Table) -> pa.Table:
+        cols = {"vec_id": b["vec_id"]}
+        lst = b["pca"].combine_chunks()
+        for c in range(4):
+            cols[f"pc{c + 1}"] = pc.list_element(lst, c)
+        return pa.table(cols)
+
+    return out.map_batches(widen, batch_format="pyarrow", batch_size=None)
+
+
+@query(
     "events_latest_per_user",
     """
 SELECT user_id, event_id, ts, event_type, value FROM (

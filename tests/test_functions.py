@@ -490,3 +490,33 @@ class TestBM25:
         q1 = one[one.query_id == 1].sort_values("rnk")
         assert set(q1["doc_id"]) == {1, 2, 3}
         assert (one["score"] > 0).all()
+
+
+class TestPCA:
+    def test_fit_invariants_and_projection(self, emb_ds):
+        from raylog.functions.pca import embedding_cov, pca_fit, pca_project
+
+        comps, mean, evals = pca_fit(emb_ds, 4)
+        assert comps.shape[1] == 64 and len(evals) == 4
+        # explained variance sorted descending, components orthonormal
+        assert (np.diff(evals) <= 1e-9).all()
+        assert np.allclose(comps @ comps.T, np.eye(4), atol=1e-8)
+        # sign convention: largest-|coord| entry positive
+        for i in range(4):
+            assert comps[i, np.argmax(np.abs(comps[i]))] > 0
+
+        proj = pca_project(emb_ds, 4, concurrency=1)
+        mat = np.array([r["pca"] for r in proj.take_all()])
+        # projected covariance is diag(eigenvalues)
+        pcov = np.cov(mat, rowvar=False, ddof=1)
+        assert np.allclose(pcov, np.diag(evals), atol=1e-6)
+        assert abs(mat.mean(axis=0)).max() < 1e-8  # centered
+
+    def test_moment_pass_partition_invariance(self, emb_ds):
+        from raylog.functions.pca import embedding_cov
+
+        c1, m1, n1 = embedding_cov(emb_ds.repartition(1))
+        c8, m8, n8 = embedding_cov(emb_ds.repartition(8))
+        assert n1 == n8
+        assert np.allclose(c1, c8, atol=1e-12)
+        assert np.allclose(m1, m8, atol=1e-12)
