@@ -3635,6 +3635,83 @@ def embed_pca_project(sf_dir: str):
 
 
 @query(
+    "events_hourly_active_users",
+    """
+SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS "window",
+       COUNT(DISTINCT user_id) AS active_users
+FROM events GROUP BY 1""",
+)
+def events_hourly_active_users(sf_dir: str):
+    """Windowed exact COUNT DISTINCT (hourly active users): the naive
+    shape shuffles every event row; here the per-batch partial is the
+    batch-distinct (window, user) set, the hash-partitioned distinct
+    collapses duplicates with key-compressed exchange, and the final
+    per-window count is a windows-bounded aggregate."""
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+    from raylog.stages.throttle import add_window_column
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+    ds = add_window_column(ds, "ts", 3600).drop_columns(["ts"])
+    distinct = grouped_aggregate_ds(ds, ["window", "user_id"], [],
+                                    num_partitions=8)
+    return grouped_aggregate(distinct, ["window"],
+                             [("*", "count", "active_users")])
+
+
+@query(
+    "embed_quantize_int8",
+    """
+WITH s AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding,
+                                 y -> abs(CAST(y AS DOUBLE)))) / 127.0
+           AS scale
+  FROM embeddings
+)
+SELECT e.vec_id, s.scale,
+       CASE WHEN s.scale = 0
+            THEN list_transform(e.embedding, x -> CAST(0 AS BIGINT))
+            ELSE list_transform(e.embedding,
+                  x -> CAST(ROUND(CAST(x AS DOUBLE) / s.scale) AS BIGINT))
+       END AS q
+FROM embeddings e JOIN s ON e.vec_id = s.vec_id""",
+)
+def embed_quantize_int8(sf_dir: str):
+    """Symmetric per-vector int8 quantization (the 4× storage/bandwidth
+    reduction step before ANN index build at scale): scale = max|x|/127,
+    q = round(x/scale). Pure per-batch numpy — no exchange at all; the
+    oracle uses the bit-identical formula (x / (amax/127), not
+    x*127/amax) so values match exactly."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.pca import _raw_matrix
+
+    def quant(b: pa.Table) -> pa.Table:
+        m = _raw_matrix(b, "embedding")
+        amax = np.abs(m).max(axis=1)
+        scale = amax / 127.0
+        safe = np.where(scale == 0, 1.0, scale)
+        q = np.round(m / safe[:, None]).astype(np.int64)
+        q[scale == 0] = 0
+        flat = pa.array(q.ravel(), pa.int64())
+        offs = pa.array(np.arange(len(m) + 1, dtype=np.int32) * m.shape[1],
+                        pa.int32())
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "scale": pa.array(scale, pa.float64()),
+            "q": pa.ListArray.from_arrays(offs, flat),
+        })
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]).map_batches(
+        quant, batch_format="pyarrow", batch_size=None)
+
+
+@query(
     "events_latest_per_user",
     """
 SELECT user_id, event_id, ts, event_type, value FROM (
