@@ -169,6 +169,65 @@ class BoilerplateScrubber:
         })
 
 
+class NgramContaminationFlagger:
+    """Actor-pool pass: eval-set gram hashes fetched once per actor;
+    per batch one rolling-hash pass + searchsorted membership count."""
+
+    def __init__(self, eval_ref, text_col: str = "text", k: int = 8):
+        self.eval = (ray.get(eval_ref)
+                     if isinstance(eval_ref, ray.ObjectRef) else eval_ref)
+        self.text_col, self.k = text_col, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        wh, offsets = _split_words(batch[self.text_col], _PROCESS_HASHER)
+        gram, valid, doc_idx, _ = _gram_hashes_at_positions(
+            wh, offsets, self.k)
+        n_docs = len(offsets) - 1
+        ev = self.eval
+        if len(ev):
+            idx = np.minimum(np.searchsorted(ev, gram), len(ev) - 1)
+            hit = valid & (ev[idx] == gram)
+        else:
+            hit = np.zeros(len(gram), dtype=bool)
+        hits = np.bincount(doc_idx[hit], minlength=n_docs).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "ngram_hits": pa.array(hits, pa.int64()),
+            "contaminated": pa.array(hits > 0),
+        })
+
+
+def ngram_decontaminate(
+    ds: rd.Dataset,
+    eval_ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    k: int = 8,
+    concurrency: int = 2,
+) -> rd.Dataset:
+    """GPT-3/PaLM-style n-gram decontamination: flag any training doc
+    sharing a word k-gram with the held-out eval set.
+
+    The eval set is an eval SUITE — tiny versus the corpus — so its
+    distinct gram hashes are collected once (per-batch distinct first,
+    so the driver sees eval-gram-bounded rows) and broadcast sorted;
+    the corpus streams through one rolling-hash + searchsorted pass per
+    batch. Versus the substring variant (`text_decontaminate`), word
+    k-grams are tokenization-robust and count overlap positions."""
+    parts = eval_ds.map_batches(
+        lambda b: _df_partial(b, text_col, k).select(["gh"]),
+        batch_format="pyarrow", batch_size=None)
+    tbls = list(parts.iter_batches(batch_format="pyarrow", batch_size=None))
+    gh = (np.unique(np.concatenate([
+        np.array(t["gh"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        for t in tbls])) if tbls else np.array([], dtype=np.uint64))
+    ref = ray.put(gh) if ray.is_initialized() else gh
+    return ds.map_batches(
+        NgramContaminationFlagger,
+        fn_constructor_kwargs={"eval_ref": ref, "text_col": text_col, "k": k},
+        concurrency=concurrency, batch_format="pyarrow", batch_size=None)
+
+
 def remove_boilerplate(
     ds: rd.Dataset,
     *,

@@ -3712,6 +3712,46 @@ def embed_quantize_int8(sf_dir: str):
 
 
 @query(
+    "text_decontaminate_ngram",
+    """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+  FROM t, UNNEST(generate_series(1, len(w) - 7)) AS u(i)
+), ev AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+), h AS (
+  SELECT g.doc_id, COUNT(*) AS hits FROM g JOIN ev USING (gram) GROUP BY 1
+)
+SELECT t.doc_id, COALESCE(h.hits, 0) AS ngram_hits,
+       COALESCE(h.hits, 0) > 0 AS contaminated
+FROM t LEFT JOIN h USING (doc_id)""",
+)
+def text_decontaminate_ngram(sf_dir: str):
+    """N-gram-level benchmark decontamination (GPT-3 appx C / PaLM
+    style, word 8-grams standing in for the 13-gram standard on these
+    short docs): eval set = ``doc_id % 97 == 0`` docs; their distinct
+    gram hashes broadcast once; corpus streams through one rolling-hash
+    + searchsorted pass (raylog/functions/boilerplate.py)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.boilerplate import ngram_decontaminate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    def eval_docs(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.asarray(b["doc_id"].combine_chunks(), dtype=np.int64)
+        return b.filter(pa.array(ids % 97 == 0))
+
+    ev = ds.map_batches(eval_docs, batch_format="pyarrow", batch_size=None)
+    return ngram_decontaminate(ds, ev, k=8)
+
+
+@query(
     "events_latest_per_user",
     """
 SELECT user_id, event_id, ts, event_type, value FROM (

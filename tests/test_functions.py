@@ -520,3 +520,30 @@ class TestPCA:
         assert n1 == n8
         assert np.allclose(c1, c8, atol=1e-12)
         assert np.allclose(m1, m8, atol=1e-12)
+
+
+class TestNgramDecontaminate:
+    def test_flags_and_counts(self):
+        from raylog.functions.boilerplate import ngram_decontaminate
+
+        ev = pa.table({
+            "doc_id": pa.array([100], pa.int64()),
+            "text": pa.array(["secret eval answer key goes right here"]),
+        })
+        corpus = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([
+                # contains the eval 6-gram verbatim, shifted
+                "intro words secret eval answer key goes right here outro",
+                "totally unrelated words in this training document body",
+                "short doc",  # < k words: no grams, never flagged
+            ]),
+        })
+        out = (ngram_decontaminate(rd.from_arrow(corpus),
+                                   rd.from_arrow(ev), k=6, concurrency=1)
+               .to_pandas().set_index("doc_id").sort_index())
+        assert bool(out.loc[1, "contaminated"])
+        # eval doc has 7 words -> two 6-grams; doc 1 contains both
+        assert out.loc[1, "ngram_hits"] == 2
+        assert not out.loc[2, "contaminated"] and out.loc[2, "ngram_hits"] == 0
+        assert not out.loc[3, "contaminated"]
