@@ -3752,6 +3752,99 @@ def text_decontaminate_ngram(sf_dir: str):
 
 
 @query(
+    "docs_zscore_by_source",
+    """
+WITH s AS (
+  SELECT source, AVG(CAST(n_chars AS DOUBLE)) AS mu,
+         STDDEV_SAMP(CAST(n_chars AS DOUBLE)) AS sd
+  FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source,
+       CAST(ROUND((d.n_chars - s.mu) / s.sd * 1000, 0) AS BIGINT)
+         AS z_milli
+FROM documents d JOIN s USING (source)""",
+)
+def docs_zscore_by_source(sf_dir: str):
+    """Per-group z-score normalization (feature engineering for quality
+    scoring): one sources-bounded mean/std aggregate, stats broadcast,
+    one vectorized normalize pass — the broadcast-small-side shape, no
+    row shuffle. Std is the n-1 sample form computed from (Σx, Σx², n)
+    partials."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "n_chars"])
+
+    def sq(b: pa.Table) -> pa.Table:
+        x = np.asarray(b["n_chars"].combine_chunks(), dtype=np.float64)
+        return b.append_column("n_chars_sq", pa.array(x * x, pa.float64()))
+
+    stats = grouped_aggregate(
+        ds.map_batches(sq, batch_format="pyarrow", batch_size=None),
+        ["source"],
+        [("n_chars", "sum", "sx"), ("n_chars_sq", "sum", "sxx"),
+         ("*", "count", "n")]).to_pandas()
+    stats["mu"] = stats["sx"] / stats["n"]
+    # Welford-free two-moment sample std; matches STDDEV_SAMP
+    stats["sd"] = np.sqrt(
+        (stats["sxx"] - stats["n"] * stats["mu"] ** 2) / (stats["n"] - 1))
+    lut = {r.source: (r.mu, r.sd) for r in stats.itertuples()}
+    ref = ray.put(lut) if ray.is_initialized() else lut
+
+    def norm(b: pa.Table) -> pa.Table:
+        m = ray.get(ref) if ray.is_initialized() else ref
+        src = b["source"].to_pylist()
+        mu = np.array([m[s][0] for s in src])
+        sd = np.array([m[s][1] for s in src])
+        x = np.asarray(b["n_chars"].combine_chunks(), dtype=np.float64)
+        z = np.round((x - mu) / sd * 1000.0).astype(np.int64)
+        return pa.table({"doc_id": b["doc_id"], "source": b["source"],
+                         "z_milli": pa.array(z, pa.int64())})
+
+    return ds.map_batches(norm, batch_format="pyarrow", batch_size=None)
+
+
+@query(
+    "sample_exact_n",
+    """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM documents
+) WHERE rn <= 40""",
+)
+def sample_exact_n(sf_dir: str):
+    """Exactly-N global deterministic sample (the reservoir-sample
+    analog with a content-addressed rank): rank = md5(doc_id), each
+    block forwards only its own N smallest, driver merges N×blocks
+    rows. Unlike rate-based hash sampling (`sample_hash`), the output
+    size is exact regardless of corpus size."""
+    import hashlib
+
+    import ray.data as rd
+
+    from raylog.functions.topk import topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+
+    def rank(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        r = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return b.append_column("rnk_key", pa.array(r, pa.string()))
+
+    tbl = topk(ds.map_batches(rank, batch_format="pyarrow", batch_size=None),
+               sort_cols=["rnk_key", "doc_id"], descending=[False, False],
+               k=40)
+    return tbl.select(["doc_id", "source"])
+
+
+@query(
     "events_latest_per_user",
     """
 SELECT user_id, event_id, ts, event_type, value FROM (
