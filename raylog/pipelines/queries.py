@@ -3985,3 +3985,66 @@ def events_sessionize(sf_dir: str):
         })
 
     return partitioned_group_apply(ds, ["user_id"], sessions)
+
+
+@query(
+    "docs_histogram",
+    """
+WITH s AS (
+  SELECT CAST(MIN(n_chars) AS DOUBLE) AS lo,
+         CAST(MAX(n_chars) AS DOUBLE) AS hi
+  FROM documents
+)
+SELECT LEAST(CAST(FLOOR((n_chars - lo) * 32.0 / (hi - lo + 1.0)) AS BIGINT),
+             31) AS bin,
+       CAST(FLOOR(lo + (hi - lo + 1.0) / 32.0 * LEAST(CAST(FLOOR((n_chars
+             - lo) * 32.0 / (hi - lo + 1.0)) AS BIGINT), 31)) AS BIGINT)
+         AS lo_edge,
+       COUNT(*) AS n
+FROM documents, s GROUP BY 1, 2""",
+)
+def docs_histogram(sf_dir: str):
+    """Fixed-bin global histogram (dataset profiling / distribution
+    dashboard): pass 1 computes global min/max (scalar tree aggregate),
+    edges broadcast; pass 2 emits one 32-long ``np.bincount`` vector per
+    batch — the only exchange is bins-sized partials, elementwise-summed
+    (the HLL-merge shape, `functions/sketch.py`). No key shuffle, no
+    sort; exchange volume is independent of row count and value
+    cardinality, unlike a GROUP-BY-value histogram."""
+    import numpy as np
+    import ray.data as rd
+
+    NBINS = 32
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+
+    mm = ds.aggregate(rd.aggregate.Min("n_chars"), rd.aggregate.Max("n_chars"))
+    lo = float(mm["min(n_chars)"])
+    hi = float(mm["max(n_chars)"])
+    width = (hi - lo + 1.0) / NBINS
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = np.asarray(b["n_chars"].combine_chunks(), dtype=np.float64)
+        bins = np.minimum(np.floor((x - lo) * NBINS / (hi - lo + 1.0))
+                          .astype(np.int64), NBINS - 1)
+        counts = np.bincount(bins, minlength=NBINS)
+        return pa.table({"bin": pa.array(np.arange(NBINS, dtype=np.int64)),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    # bins×blocks partial rows merge in one tiny driver-side sum (bounded
+    # by NBINS × num_blocks, independent of data volume).
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_arrow_refs()
+    import ray
+
+    total = np.zeros(NBINS, dtype=np.int64)
+    for t in ray.get(parts):
+        tb = t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        total[np.asarray(tb["bin"].combine_chunks())] += np.asarray(
+            tb["n"].combine_chunks())
+    keep = total > 0
+    bins = np.arange(NBINS, dtype=np.int64)[keep]
+    return pa.table({
+        "bin": pa.array(bins),
+        "lo_edge": pa.array(np.floor(lo + width * bins).astype(np.int64)),
+        "n": pa.array(total[keep]),
+    })
