@@ -197,3 +197,48 @@ def chunk_texts(batch: pa.Table, *, id_col: str = "doc_id",
         "chunk": chunks,
         "chunk_len": pa.array(clen),
     })
+
+
+def char_entropy(batch: pa.Table, id_col: str = "doc_id",
+                 text_col: str = "text") -> pa.Table:
+    """Per-document character-distribution signals (quality filtering:
+    low-entropy docs are boilerplate/repetition, high modal-char docs
+    are ASCII art / separators): Shannon entropy (bits), distinct-char
+    count, modal-char frequency (per-mille, exact integer arithmetic).
+
+    Vectorized: one segmented bincount over the Arrow flat UTF-8 buffer
+    (doc_idx*128 + byte scatter), then row-wise ``n·log2 n`` sums on the
+    (docs × 128) count matrix. ASCII corpora only (bytes == chars), same
+    caveat as :func:`chunk_texts`.
+    """
+    col = batch[text_col]
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    off = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
+        col.offset: col.offset + len(col) + 1].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2] or b"", dtype=np.uint8)[
+        off[0]:off[-1]]
+    doc_len = np.diff(off)
+    n = len(doc_len)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), doc_len)
+    counts = np.bincount(doc_idx * 128 + data, minlength=n * 128
+                         ).reshape(n, 128)
+    tot = doc_len.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        snln = np.where(counts > 0,
+                        counts * np.log2(np.maximum(counts, 1)), 0.0
+                        ).sum(axis=1)
+        ent = np.where(doc_len > 0, np.log2(np.maximum(tot, 1)) - snln / tot,
+                       0.0)
+    maxn = counts.max(axis=1)
+    ids = batch[id_col]
+    ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+    return pa.table({
+        id_col: ids,
+        "entropy_milli": pa.array(np.floor(ent * 1000.0).astype(np.int64)),
+        "n_distinct_chars": pa.array(
+            (counts > 0).sum(axis=1).astype(np.int64)),
+        "modal_char_milli": pa.array(
+            np.where(doc_len > 0, (1000 * maxn) // np.maximum(doc_len, 1),
+                     0).astype(np.int64)),
+    })

@@ -4048,3 +4048,86 @@ def docs_histogram(sf_dir: str):
         "lo_edge": pa.array(np.floor(lo + width * bins).astype(np.int64)),
         "n": pa.array(total[keep]),
     })
+
+
+@query(
+    "log_templates",
+    _P() + """
+, t AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(log,
+           '[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}',
+           '<id>', 'g'),
+           '\\b[0-9a-f]{16}\\b', '<hex>', 'g'),
+           '\\b[0-9]+\\b', '<n>', 'g') AS template
+  FROM recs2
+)
+SELECT template, COUNT(*) AS n_lines, MIN(doc_id) AS first_doc
+FROM t GROUP BY 1""",
+)
+def log_templates(sf_dir: str):
+    """Log template mining (Drain/Spell-style pattern extraction, the
+    standard first step of log analytics): variable tokens — UUIDs, long
+    hex ids, integers — masked to placeholders with three chained RE2
+    passes (pyarrow and DuckDB share the RE2 engine, so semantics match
+    bit-for-bit), then counts + first-seen per template through the
+    hash-partitioned high-cardinality aggregate. No driver-side template
+    table; exchange is key-compressed partials."""
+    import pyarrow.compute as pc
+
+    from raylog.functions.agg import grouped_aggregate_ds
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.parsed_ds(LP.records_ds(sf_dir))
+
+    def mask(b: pa.Table) -> pa.Table:
+        t = b["log"]
+        t = pc.replace_substring_regex(
+            t,
+            pattern="[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}"
+                    "-[0-9a-f]{12}",
+            replacement="<id>")
+        t = pc.replace_substring_regex(t, pattern=r"\b[0-9a-f]{16}\b",
+                                       replacement="<hex>")
+        t = pc.replace_substring_regex(t, pattern=r"\b[0-9]+\b",
+                                       replacement="<n>")
+        return pa.table({"doc_id": b["doc_id"], "template": t})
+
+    masked = ds.map_batches(mask, batch_format="pyarrow", batch_size=None)
+    return grouped_aggregate_ds(
+        masked, ["template"],
+        [("*", "count", "n_lines"), ("doc_id", "min", "first_doc")])
+
+
+@query(
+    "docs_char_entropy",
+    """
+WITH c AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+), g AS (
+  SELECT doc_id, ch, COUNT(*) AS n FROM c GROUP BY 1, 2
+), h AS (
+  SELECT doc_id, SUM(n) AS tot, SUM(n * log2(n)) AS snln,
+         COUNT(*) AS n_distinct, MAX(n) AS maxn
+  FROM g GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(FLOOR((log2(h.tot) - h.snln / h.tot) * 1000.0) AS BIGINT)
+         AS entropy_milli,
+       h.n_distinct AS n_distinct_chars,
+       CAST((1000 * h.maxn) // h.tot AS BIGINT) AS modal_char_milli
+FROM documents d JOIN h USING (doc_id)""",
+)
+def docs_char_entropy(sf_dir: str):
+    """Character-distribution quality signals per document (entropy /
+    distinct chars / modal-char per-mille — the low-entropy-boilerplate
+    and ASCII-art detectors of C4/RefinedWeb-style cleaning). One
+    segmented-bincount pass per batch over the flat UTF-8 buffer, zero
+    exchange (`functions/text.py:char_entropy`)."""
+    import ray.data as rd
+
+    from raylog.functions.text import char_entropy
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).map_batches(
+        char_entropy, batch_format="pyarrow", batch_size=None)
