@@ -4131,3 +4131,107 @@ def docs_char_entropy(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"]).map_batches(
         char_entropy, batch_format="pyarrow", batch_size=None)
+
+
+@query(
+    "sample_dsir",
+    """
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+cr AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+ct AS (SELECT w, COUNT(*) AS c FROM words WHERE doc_id % 31 = 0 GROUP BY w),
+tot AS (SELECT (SELECT COUNT(*) FROM cr) AS v,
+               (SELECT SUM(c) FROM cr) AS tr,
+               (SELECT COALESCE(SUM(c), 0) FROM ct) AS tt),
+lr AS (SELECT cr.w,
+              ln((COALESCE(ct.c, 0) + 1.0) / (tot.tt + tot.v))
+                - ln((cr.c + 1.0) / (tot.tr + tot.v)) AS r
+       FROM cr LEFT JOIN ct USING (w) CROSS JOIN tot),
+dw AS (SELECT doc_id, SUM(r) AS logw FROM words JOIN lr USING (w)
+       GROUP BY doc_id)
+SELECT doc_id, source, CAST(ROUND(1e6 * logw) AS BIGINT) AS logw_micro
+FROM (
+  SELECT d.doc_id, d.source, dw.logw,
+         ROW_NUMBER() OVER (ORDER BY dw.logw DESC, d.doc_id) AS rn
+  FROM documents d JOIN dw USING (doc_id)
+) WHERE rn <= 100""",
+)
+def sample_dsir(sf_dir: str):
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): fit unigram bag-of-words
+    models on a target slice (``doc_id % 31 == 0``) and on the raw
+    corpus (Laplace-smoothed over the shared vocab), weight each doc by
+    its summed log importance ratio, keep the top-100 (the deterministic
+    argmax variant of the paper's Gumbel-top-k; swapping in Gumbel noise
+    is one hash-derived ``-log(-log u)`` add).
+
+    Scale shape: ONE word-count aggregate produces both distributions
+    (vocab-cardinality exchange, target mask applied per token inside the
+    batch); the log-ratio model broadcasts once; scoring is the
+    searchsorted+bincount kernel; selection is per-block partial top-k —
+    no shuffle of the corpus at any point."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate_ds
+    from raylog.functions.topk import topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "text"])
+
+    def wcounts(b: pa.Table) -> pa.Table:
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        lens = np.asarray(pc.list_value_length(split), dtype=np.int64)
+        flat = split.flatten().dictionary_encode()
+        codes = np.asarray(flat.indices, dtype=np.int64)
+        ids = np.asarray(b["doc_id"].combine_chunks(), dtype=np.int64)
+        tgt_tok = np.repeat(ids % 31 == 0, lens)
+        nv = len(flat.dictionary)
+        cr = np.bincount(codes, minlength=nv)
+        ct = np.bincount(codes[tgt_tok], minlength=nv)
+        return pa.table({"w": flat.dictionary,
+                         "cr": pa.array(cr, pa.int64()),
+                         "ct": pa.array(ct, pa.int64())})
+
+    vc = grouped_aggregate_ds(
+        ds.map_batches(wcounts, batch_format="pyarrow", batch_size=None),
+        ["w"], [("cr", "sum", "cr"), ("ct", "sum", "ct")],
+    ).to_pandas()
+    vocab = np.array(vc["w"], dtype=object)
+    order = np.argsort(vocab)
+    vocab = vocab[order].astype("U")
+    cr = vc["cr"].to_numpy()[order].astype(np.float64)
+    ct = vc["ct"].to_numpy()[order].astype(np.float64)
+    v, tr, tt = float(len(vocab)), cr.sum(), ct.sum()
+    ratio = np.log((ct + 1.0) / (tt + v)) - np.log((cr + 1.0) / (tr + v))
+    model = (vocab, ratio)
+    model_ref = ray.put(model) if ray.is_initialized() else model
+
+    def score(b: pa.Table) -> pa.Table:
+        vocab_, ratio_ = (ray.get(model_ref)
+                          if ray.is_initialized() else model_ref)
+        n_docs = b.num_rows
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        lens = np.asarray(pc.list_value_length(split), dtype=np.int64)
+        flat = split.flatten().dictionary_encode()
+        codes = np.asarray(flat.indices, dtype=np.int64)
+        dict_r = ratio_[np.searchsorted(vocab_,
+                                        np.asarray(flat.dictionary,
+                                                   dtype="U"))]
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        logw = np.bincount(doc_idx, weights=dict_r[codes], minlength=n_docs)
+        return pa.table({"doc_id": b["doc_id"], "source": b["source"],
+                         "logw": pa.array(logw, pa.float64())})
+
+    scored = ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+    best = topk(scored, sort_cols=["logw", "doc_id"],
+                descending=[True, False], k=100)
+    return pa.table({
+        "doc_id": best["doc_id"],
+        "source": best["source"],
+        "logw_micro": pc.cast(pc.round(pc.multiply(best["logw"],
+                                                   pa.scalar(1e6))),
+                              pa.int64()),
+    })
