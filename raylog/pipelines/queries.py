@@ -4235,3 +4235,59 @@ def sample_dsir(sf_dir: str):
                                                    pa.scalar(1e6))),
                               pa.int64()),
     })
+
+
+@query(
+    "events_anomaly",
+    """
+WITH c AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, AVG(CAST(n AS DOUBLE)) AS mu,
+         STDDEV_SAMP(CAST(n AS DOUBLE)) AS sd
+  FROM c GROUP BY 1
+)
+SELECT c.event_type, c.day, c.n,
+       CAST(ROUND((c.n - s.mu) / s.sd * 1000) AS BIGINT) AS z_milli,
+       (c.n - s.mu) > 2 * s.sd AS is_spike
+FROM c JOIN s USING (event_type)""",
+)
+def events_anomaly(sf_dir: str):
+    """Log/metric-volume anomaly detection (the ops-dashboard spike
+    alert a log agent feeds): daily counts per event type, per-type
+    volume z-score over the window series, spike = count > mean + 2σ.
+
+    The only full-data pass is the (type, day)-keyed count — partial +
+    tree combine, types×days-bounded result; the z-score/spike finish
+    runs on that tiny table driver-side. The scale knob is purely key
+    cardinality, never row volume."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def day(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+        })
+
+    counts = grouped_aggregate(
+        ds.map_batches(day, batch_format="pyarrow", batch_size=None),
+        ["event_type", "day"], [("*", "count", "n")]).to_pandas()
+    g = counts.groupby("event_type")["n"]
+    stats = g.agg(mu="mean", sd=lambda x: x.std(ddof=1)).reset_index()
+    m = counts.merge(stats, on="event_type")
+    z = (m["n"] - m["mu"]) / m["sd"]
+    return pa.table({
+        "event_type": pa.array(m["event_type"], pa.string()),
+        "day": pa.array(m["day"], pa.string()),
+        "n": pa.array(m["n"], pa.int64()),
+        "z_milli": pa.array(np.round(z * 1000).astype(np.int64)),
+        "is_spike": pa.array((m["n"] - m["mu"]) > 2 * m["sd"]),
+    })
