@@ -4291,3 +4291,37 @@ def events_anomaly(sf_dir: str):
         "z_milli": pa.array(np.round(z * 1000).astype(np.int64)),
         "is_spike": pa.array((m["n"] - m["mu"]) > 2 * m["sd"]),
     })
+
+
+@query("text_bpe_vocab", None)
+def text_bpe_vocab(sf_dir: str):
+    """BPE tokenizer training on the corpus (Sennrich 2016 / GPT-2
+    recipe): the distributed pass is ONE word→count aggregate; merges
+    run on the vocab-bounded weighted word table (`functions/bpe.py`).
+    Deterministic (count-desc, lexicographic tie-break) — no SQL oracle
+    (iterative merges are not SQL-expressible); pytest checks the merge
+    sequence against an independent scalar reference, round-trip
+    decode, and partition invariance."""
+    import ray.data as rd
+
+    from raylog.functions.bpe import bpe_train
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return bpe_train(ds, num_merges=64).merge_table()
+
+
+@query("text_bpe_encode", None)
+def text_bpe_encode(sf_dir: str):
+    """Encode the corpus with the corpus-trained BPE model: model
+    broadcast once via ``ray.put``; each batch dictionary-encodes its
+    word column so every distinct word is encoded exactly once, then
+    token lists gather per document. Returns (doc_id, bpe token ids,
+    n_bpe)."""
+    import ray.data as rd
+
+    from raylog.functions.bpe import bpe_encode_ds, bpe_train
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    model = bpe_train(ds, num_merges=64)
+    return bpe_encode_ds(ds, model)
