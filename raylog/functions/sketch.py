@@ -130,9 +130,15 @@ def _cms_row(keys: np.ndarray, width: int, i: int,
     """
     a, b = params
     x = keys.view(np.uint64) if keys.dtype == np.int64 else keys.astype(np.uint64)
-    h = a[i] * x + b[i]
-    h ^= h >> np.uint64(33)  # fold high bits down before masking
-    return (h & np.uint64(width - 1)).astype(np.int32)
+    # two temps total, everything else in place: on lazy-page-restore
+    # microVM hosts a fresh 100 MB allocation costs seconds in
+    # first-touch faults, far more than the arithmetic it holds
+    h = a[i] * x
+    h += b[i]
+    t = h >> np.uint64(33)
+    h ^= t  # fold high bits down before masking
+    h &= np.uint64(width - 1)
+    return h.view(np.int64)  # free reinterpret; bincount skips a cast too
 
 
 def cms_heavy_hitters(
