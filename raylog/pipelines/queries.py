@@ -4325,3 +4325,85 @@ def text_bpe_encode(sf_dir: str):
                          columns=["doc_id", "text"])
     model = bpe_train(ds, num_merges=64)
     return bpe_encode_ds(ds, model)
+
+
+@query(
+    "events_watermark_late",
+    """
+WITH e AS (
+  SELECT event_id, event_type, epoch_us(ts) AS t FROM events
+), w AS (
+  SELECT *,
+         MAX(t) OVER (PARTITION BY event_type ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS wm_prev,
+         MAX(t) OVER (PARTITION BY event_type ORDER BY event_id
+                      ROWS UNBOUNDED PRECEDING) AS wm
+  FROM e
+)
+SELECT event_id, event_type,
+       COALESCE(wm_prev - 3600000000 > t, FALSE) AS is_late,
+       wm AS watermark_us
+FROM w""",
+)
+def events_watermark_late(sf_dir: str):
+    """Event-time watermark + late-data classification (the streaming
+    allowed-lateness rule, batch-restated): records arrive in
+    ``event_id`` order per type; the watermark is the running max event
+    time seen so far; a record is late when it lags the pre-arrival
+    watermark by over 1 hour (it would have missed its window).
+
+    Types hash-partition (complete types per partition); ONE segmented
+    ``np.maximum.accumulate`` pass per partition covers every type in
+    it — no per-type task. A real stream keeps this state
+    incrementally per source partition; the batch analog's only
+    sequential dependency is within a type, which is inherent to
+    watermark semantics."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import partitioned_group_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "ts"])
+
+    def wm(part: pa.Table) -> pa.Table:
+        def col(name):
+            c = part[name]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        typ = np.asarray(col("event_type"))
+        eid = np.asarray(col("event_id"), dtype=np.int64)
+        t = np.asarray(col("ts")).astype("datetime64[us]").astype(np.int64)
+        n = len(typ)
+        if n == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "is_late": pa.array([], pa.bool_()),
+                             "watermark_us": pa.array([], pa.int64())})
+        order = np.lexsort((eid, typ))
+        typ_s, eid_s, t_s = typ[order], eid[order], t[order]
+        seg_start = np.ones(n, dtype=bool)
+        seg_start[1:] = typ_s[1:] != typ_s[:-1]
+        # segmented running max: one in-place accumulate per segment
+        # (segments = distinct types in this partition — a handful)
+        wm_incl = t_s.copy()
+        starts = np.flatnonzero(seg_start)
+        bounds = np.concatenate([starts, [n]])
+        for i in range(len(starts)):
+            s, e = bounds[i], bounds[i + 1]
+            np.maximum.accumulate(t_s[s:e], out=wm_incl[s:e])
+        wm_prev = np.empty(n, dtype=np.int64)
+        wm_prev[1:] = wm_incl[:-1]
+        is_late = np.zeros(n, dtype=bool)
+        np.less(t_s[1:], wm_prev[1:] - 3_600_000_000,
+                out=is_late[1:], where=~seg_start[1:])
+        is_late &= ~seg_start
+        return pa.table({
+            "event_id": pa.array(eid_s),
+            "event_type": pa.array(typ_s),
+            "is_late": pa.array(is_late),
+            "watermark_us": pa.array(wm_incl),
+        })
+
+    return partitioned_group_apply(ds, ["event_type"], wm)
