@@ -4407,3 +4407,106 @@ def events_watermark_late(sf_dir: str):
         })
 
     return partitioned_group_apply(ds, ["event_type"], wm)
+
+
+@query(
+    "pretrain_prep",
+    """
+WITH snips AS (
+  SELECT DISTINCT substr(text, 1, 40) AS snip
+  FROM documents WHERE doc_id % 97 = 0 AND len(text) >= 40
+), q AS (
+  SELECT doc_id, text,
+    CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+    CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a'))) AS BIGINT) AS stop_hits,
+    CAST(len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und'))) AS BIGINT) AS h_de,
+    CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS BIGINT) AS h_en,
+    CAST(len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','y'))) AS BIGINT) AS h_es,
+    CAST(len(list_filter(string_split(text,' '), w -> w IN ('le','la','de','et'))) AS BIGINT) AS h_fr
+  FROM documents
+), scored AS (
+  SELECT *,
+    CAST(FLOOR(1000 * (0.5 * LEAST(n_words / 40.0, 1.0)
+               + 0.5 * (1.0 - stop_hits * 1.0 / n_words))) AS BIGINT) AS score,
+    GREATEST(h_de, h_en, h_es, h_fr) AS mx,
+    (CASE WHEN h_de = GREATEST(h_de,h_en,h_es,h_fr) THEN 1 ELSE 0 END
+   + CASE WHEN h_en = GREATEST(h_de,h_en,h_es,h_fr) THEN 1 ELSE 0 END
+   + CASE WHEN h_es = GREATEST(h_de,h_en,h_es,h_fr) THEN 1 ELSE 0 END
+   + CASE WHEN h_fr = GREATEST(h_de,h_en,h_es,h_fr) THEN 1 ELSE 0 END) AS ties
+  FROM q
+), kept AS (
+  SELECT doc_id, text FROM scored
+  WHERE score >= 600 AND mx > 0 AND ties = 1 AND h_en = mx
+    AND NOT EXISTS (SELECT 1 FROM snips s WHERE contains(scored.text, s.snip))
+), surv AS (
+  SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text
+)
+SELECT doc_id, doc_id % 8 AS shard FROM surv""",
+)
+def pretrain_prep(sf_dir: str):
+    """End-to-end pretraining-corpus prep — the composite pipeline a
+    training-data user actually runs, every stage a proven engine
+    kernel: quality filter (score ≥ 600) → language filter (en) →
+    benchmark decontamination (eval-snippet RE2 alternation, broadcast
+    once) → exact dedup (hash-partitioned keep-first) → deterministic
+    shard assignment.
+
+    Order note: decontamination commutes with exact dedup (identical
+    texts share a contamination flag), so the cheap row-local filters
+    run before the keyed aggregate — filters first, shuffle last, the
+    100 TB-shape rule. Everything streams; the only exchange is the
+    dedup key aggregate; the snippet set is the only driver-side state
+    (eval-suite-sized by construction)."""
+    import re
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.dedup import exact_dedup_survivors
+    from raylog.functions.text import lang_id, quality_scores
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def eval_snips(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].combine_chunks(), dtype=np.int64)
+        lens = np.asarray(pc.utf8_length(b["text"].combine_chunks()),
+                          dtype=np.int64)
+        m = pa.array((ids % 97 == 0) & (lens >= 40))
+        return pa.table(
+            {"snip": pc.utf8_slice_codeunits(b.filter(m)["text"], 0, 40)})
+
+    snip_tbls = list(
+        ds.map_batches(eval_snips, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    snips = sorted({s for t in snip_tbls for s in t["snip"].to_pylist()})
+    pattern = "|".join(re.escape(s) for s in snips) if snips else None
+    pat_ref = ray.put(pattern) if ray.is_initialized() else pattern
+
+    def keep(b: pa.Table) -> pa.Table:
+        scored = lang_id(quality_scores(b))
+        m = pc.and_(pc.greater_equal(scored["score_milli"], pa.scalar(600)),
+                    pc.equal(scored["lang_pred"], pa.scalar("en")))
+        kept = scored.filter(m).select(["doc_id", "text"])
+        pat = ray.get(pat_ref) if ray.is_initialized() else pat_ref
+        if pat is None or kept.num_rows == 0:
+            return kept
+        clean = pc.invert(pc.match_substring_regex(
+            kept["text"].combine_chunks(), pat))
+        return kept.filter(clean)
+
+    kept = ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+    surv = exact_dedup_survivors(kept)
+
+    def shard(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"]
+        return pa.table({
+            "doc_id": ids,
+            "shard": pc.cast(
+                pc.bit_wise_and(ids.combine_chunks(), pa.scalar(7)),
+                pa.int64()),
+        })
+
+    return surv.map_batches(shard, batch_format="pyarrow", batch_size=None)
