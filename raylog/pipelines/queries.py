@@ -4510,3 +4510,57 @@ def pretrain_prep(sf_dir: str):
         })
 
     return surv.map_batches(shard, batch_format="pyarrow", batch_size=None)
+
+
+_STOPSET = ("the", "a", "of", "and", "der", "die", "das", "und",
+            "el", "la", "de", "y", "le", "et")
+
+
+@query(
+    "text_remove_stopwords",
+    """
+SELECT doc_id,
+       array_to_string(list_filter(string_split(text, ' '),
+         w -> w NOT IN ({stops})), ' ') AS cleaned,
+       CAST(len(string_split(text, ' '))
+            - len(list_filter(string_split(text, ' '),
+                  w -> w NOT IN ({stops}))) AS BIGINT) AS n_removed
+FROM documents""".format(stops=",".join(f"'{w}'" for w in _STOPSET)),
+)
+def text_remove_stopwords(sf_dir: str):
+    """Stopword-strip with full text rebuild (the classic IR/quality
+    preproc pass): split → membership mask computed ONCE on the batch's
+    dictionary-encoded distinct words (not per token) → masked flat
+    gather → list offsets rebuilt → Arrow ``binary_join`` re-joins the
+    cleaned text. Zero exchange, zero Python per row."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    stopset = set(_STOPSET)
+
+    def clean(b: pa.Table) -> pa.Table:
+        text = b["text"].combine_chunks()
+        split = pc.split_pattern(text, " ")
+        lens = np.asarray(pc.list_value_length(split), dtype=np.int64)
+        flat = split.flatten().dictionary_encode()
+        codes = np.asarray(flat.indices, dtype=np.int64)
+        dwords = flat.dictionary.to_pylist()
+        dict_keep = np.array([w not in stopset for w in dwords])
+        keep = dict_keep[codes]
+        doc_idx = np.repeat(np.arange(b.num_rows, dtype=np.int64), lens)
+        new_lens = np.bincount(doc_idx, weights=keep,
+                               minlength=b.num_rows).astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(new_lens)]).astype(np.int32)
+        kept_words = split.flatten().filter(pa.array(keep))
+        lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                         kept_words)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "cleaned": pc.binary_join(lists, " "),
+            "n_removed": pa.array(lens - new_lens),
+        })
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).map_batches(
+        clean, batch_format="pyarrow", batch_size=None)

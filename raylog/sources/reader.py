@@ -60,3 +60,51 @@ def read_sequences(
     return rd.from_items(packed).map_batches(
         _read, batch_format="pyarrow", batch_size=1
     )
+
+
+def read_harmonized(
+    files: list[str],
+    schema: pa.Schema,
+    row_groups_per_task: int = 1,
+) -> rd.Dataset:
+    """Schema-evolution-tolerant reader over heterogeneous shards.
+
+    Long-lived corpora accumulate shards written by different pipeline
+    versions: columns added, dropped, or widened. Each row group is
+    harmonized to ``schema`` as it is read — missing columns become
+    typed nulls, extra columns are dropped, mismatched types are cast
+    (error if not castable) — so every downstream stage sees ONE stable
+    schema and Ray never unions mismatched block schemas mid-pipeline.
+    Column pruning still applies: only ``schema``'s columns that exist
+    in a file are read from storage.
+    """
+    packed, cur = [], None
+    for it in _list_row_groups(files):
+        if (cur is None or it["path"] != cur["path"]
+                or len(cur["rgs"]) >= row_groups_per_task):
+            cur = {"path": it["path"], "rgs": []}
+            packed.append(cur)
+        cur["rgs"].append(it["row_group"])
+
+    names = schema.names
+
+    def _read(batch: pa.Table):
+        for path, rgs in zip(batch["path"].to_pylist(),
+                             batch["rgs"].to_pylist()):
+            f = pq.ParquetFile(path)
+            have = [c for c in names if c in f.schema_arrow.names]
+            tbl = f.read_row_groups(list(rgs), columns=have)
+            cols = []
+            for field in schema:
+                if field.name in tbl.column_names:
+                    col = tbl[field.name]
+                    if col.type != field.type:
+                        col = col.cast(field.type)
+                    cols.append(col)
+                else:
+                    cols.append(pa.nulls(tbl.num_rows, field.type))
+            yield pa.table(dict(zip(names, cols)))
+
+    return rd.from_items(packed).map_batches(
+        _read, batch_format="pyarrow", batch_size=1
+    )
