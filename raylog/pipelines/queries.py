@@ -4564,3 +4564,96 @@ def text_remove_stopwords(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"]).map_batches(
         clean, batch_format="pyarrow", batch_size=None)
+
+
+@query(
+    "corpus_source_kl",
+    """
+WITH words AS (SELECT source, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+sw AS (SELECT source, w, COUNT(*) AS c FROM words GROUP BY 1, 2),
+st AS (SELECT source, SUM(c) AS n FROM sw GROUP BY 1),
+gw AS (SELECT w, SUM(c) AS c FROM sw GROUP BY 1),
+gt AS (SELECT SUM(c) AS n FROM gw)
+SELECT sw.source,
+       CAST(FLOOR(1000 * SUM((sw.c * 1.0 / st.n)
+            * ln((sw.c * 1.0 / st.n) / (gw.c * 1.0 / gt.n)))) AS BIGINT)
+         AS kl_milli
+FROM sw JOIN st USING (source) JOIN gw USING (w) CROSS JOIN gt
+GROUP BY 1""",
+)
+def corpus_source_kl(sf_dir: str):
+    """Per-source KL divergence from the corpus-wide word distribution
+    (mixture diagnostics: which source is distributionally aberrant —
+    the quantitative form of the Pile/ROOTS source-audit step).
+
+    Exchange shape: ONE (source, word)-keyed count aggregate
+    (vocab×sources-bounded, hash-partitioned); the global distribution
+    and per-source totals derive from it and broadcast; the KL terms
+    are one vectorized pass over the count Dataset; the finish is a
+    sources-bounded sum. Corpus rows shuffle zero times."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+
+    def wcounts(b: pa.Table) -> pa.Table:
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        lens = np.asarray(pc.list_value_length(split), dtype=np.int64)
+        flat = split.flatten().dictionary_encode()
+        codes = np.asarray(flat.indices, dtype=np.int64)
+        src = np.asarray(b["source"].combine_chunks().dictionary_encode()
+                         .indices, dtype=np.int64)
+        src_dict = b["source"].combine_chunks().dictionary_encode().dictionary
+        tok_src = np.repeat(src, lens)
+        nv = len(flat.dictionary)
+        packed = tok_src * nv + codes
+        up, cnt = np.unique(packed, return_counts=True)
+        return pa.table({
+            "source": src_dict.take(pa.array(up // nv)),
+            "w": flat.dictionary.take(pa.array(up % nv)),
+            "c": pa.array(cnt.astype(np.int64)),
+        })
+
+    sw = grouped_aggregate_ds(
+        ds.map_batches(wcounts, batch_format="pyarrow", batch_size=None),
+        ["source", "w"], [("c", "sum", "c")])
+
+    gw = grouped_aggregate(sw, ["w"], [("c", "sum", "c")]).to_pandas()
+    vocab = np.array(gw["w"], dtype=object)
+    order = np.argsort(vocab)
+    vocab = vocab[order].astype("U")
+    gcnt = gw["c"].to_numpy()[order].astype(np.float64)
+    gtot = gcnt.sum()
+    st = grouped_aggregate(sw, ["source"], [("c", "sum", "n")]).to_pandas()
+    stot = {r.source: float(r.n) for r in st.itertuples()}
+    model = (vocab, gcnt / gtot, stot)
+    ref = ray.put(model) if ray.is_initialized() else model
+
+    def terms(b: pa.Table) -> pa.Table:
+        vocab_, q_, stot_ = ray.get(ref) if ray.is_initialized() else ref
+        w = np.asarray(b["w"].combine_chunks(), dtype="U")
+        c = np.asarray(b["c"].combine_chunks(), dtype=np.float64)
+        src = b["source"].to_pylist()
+        n = np.array([stot_[s] for s in src])
+        p = c / n
+        q = q_[np.searchsorted(vocab_, w)]
+        return pa.table({
+            "source": b["source"],
+            "term": pa.array(p * np.log(p / q), pa.float64()),
+        })
+
+    out = grouped_aggregate(
+        sw.map_batches(terms, batch_format="pyarrow", batch_size=None),
+        ["source"], [("term", "sum", "kl")])
+    return pa.table({
+        "source": out["source"],
+        "kl_milli": pc.cast(pc.floor(pc.multiply(out["kl"],
+                                                 pa.scalar(1000.0))),
+                            pa.int64()),
+    })
