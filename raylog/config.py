@@ -63,6 +63,20 @@ def _register_builtins() -> None:
             "modify": reshape.apply_modify,      # N7/N8/N11
         }
     )
+    # training-data batch kernels — config-driven curation chains
+    from raylog.functions import multimodal, text
+
+    STEP_REGISTRY.update(
+        {
+            "quality_scores": text.quality_scores,
+            "lang_id": text.lang_id,
+            "char_entropy": text.char_entropy,
+            "token_counts": text.token_counts,
+            "fingerprints": text.fingerprints,
+            "chunk_texts": text.chunk_texts,
+            "media_features": multimodal.MediaFeatures,  # actor
+        }
+    )
 
 
 _register_builtins()

@@ -231,14 +231,13 @@ def char_entropy(batch: pa.Table, id_col: str = "doc_id",
         ent = np.where(doc_len > 0, np.log2(np.maximum(tot, 1)) - snln / tot,
                        0.0)
     maxn = counts.max(axis=1)
-    ids = batch[id_col]
-    ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
-    return pa.table({
-        id_col: ids,
-        "entropy_milli": pa.array(np.floor(ent * 1000.0).astype(np.int64)),
-        "n_distinct_chars": pa.array(
-            (counts > 0).sum(axis=1).astype(np.int64)),
-        "modal_char_milli": pa.array(
+    return (
+        batch
+        .append_column("entropy_milli", pa.array(
+            np.floor(ent * 1000.0).astype(np.int64)))
+        .append_column("n_distinct_chars", pa.array(
+            (counts > 0).sum(axis=1).astype(np.int64)))
+        .append_column("modal_char_milli", pa.array(
             np.where(doc_len > 0, (1000 * maxn) // np.maximum(doc_len, 1),
-                     0).astype(np.int64)),
-    })
+                     0).astype(np.int64)))
+    )

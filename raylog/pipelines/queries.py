@@ -4130,7 +4130,8 @@ def docs_char_entropy(sf_dir: str):
 
     return rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"]).map_batches(
-        char_entropy, batch_format="pyarrow", batch_size=None)
+        char_entropy, batch_format="pyarrow", batch_size=None).select_columns(
+        ["doc_id", "entropy_milli", "n_distinct_chars", "modal_char_milli"])
 
 
 @query(

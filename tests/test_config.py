@@ -61,3 +61,26 @@ def test_fused_export_partitioned_by_collector(sf_dir, tmp_path):
     assert len(coll_dirs) >= 1  # one sub-sink per distinct collector URL
     # loose files must not exist directly under export/
     assert not glob.glob(os.path.join(out, "export", "*.parquet"))
+
+
+def test_curation_chain_stanzas(ray_session):
+    """Config-driven training-data curation: quality → langid via
+    registry stanzas, pure declarative assembly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raylog.config import build_pipeline
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["the quick brown fox jumps over the lazy dog",
+                          "der die das und der die das und"]),
+    }))
+    out = build_pipeline(ds, [
+        {"step": "quality_scores"},
+        {"step": "lang_id"},
+        {"step": "char_entropy"},
+    ]).to_pandas().sort_values("doc_id")
+    assert out["lang_pred"].tolist() == ["en", "de"]
+    assert (out["score_milli"] > 0).all()
+    assert (out["entropy_milli"] > 0).all()
