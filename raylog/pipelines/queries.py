@@ -4658,3 +4658,23 @@ def corpus_source_kl(sf_dir: str):
                                                  pa.scalar(1000.0))),
                             pa.int64()),
     })
+
+
+@query(
+    "dedup_online",
+    "SELECT DISTINCT text FROM documents",
+)
+def dedup_online(sf_dir: str):
+    """Online streaming dedup via the sharded shared mutable index
+    (`state/dedup_index.py`) — the raw-actor escape hatch: cross-batch
+    first-wins membership the Dataset API cannot express. The survivor
+    TEXT SET is deterministic (exactly one per distinct content) even
+    though which physical row survives follows arrival order, so the
+    oracle compares the set itself."""
+    import ray.data as rd
+
+    from raylog.state.dedup_index import online_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    out, _shards = online_dedup(ds, num_shards=4, concurrency=2)
+    return out.select_columns(["text"])
