@@ -4678,3 +4678,55 @@ def dedup_online(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
     out, _shards = online_dedup(ds, num_shards=4, concurrency=2)
     return out.select_columns(["text"])
+
+
+@query(
+    "embed_hard_negatives",
+    """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 5),
+s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.v, e.v) AS cos
+      FROM q JOIN e ON e.label <> q.label),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, rank, neighbor_id,
+       CAST(ROUND(1000000 * cos) AS BIGINT) AS cos_micro
+FROM r WHERE rank <= 5""",
+)
+def embed_hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive training (SimCSE/DPR
+    recipe): for each query vector, the top-5 most-similar vectors with
+    a DIFFERENT label — near-misses across the class boundary, the
+    negatives that matter.
+
+    Per-query label exclusion composes from the existing filtered-ANN
+    kernel: queries group by label (labels-bounded), one scan per query
+    label with the corpus predicate pushed into the read; each scan is
+    the broadcast-queries / per-batch-partial-top-k shape."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.similarity import ann_brute_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    qids = [0, 1, 2, 3, 4]
+    qlab = {}
+    lab_tbl = ds.map_batches(
+        lambda b: b.filter(pc.is_in(b["vec_id"], value_set=pa.array(qids)))
+        .select(["vec_id", "label"]),
+        batch_format="pyarrow", batch_size=None).to_pandas()
+    for r in lab_tbl.itertuples():
+        qlab[int(r.vec_id)] = int(r.label)
+
+    parts = []
+    for lab in sorted(set(qlab.values())):
+        group = [q for q, lb in qlab.items() if lb == lab]
+        corpus = ds.filter(
+            expr=f"label != {lab}")
+        parts.append(ann_brute_topk(ds, query_ids=group, k=5,
+                                    corpus_ds=corpus))
+    out = pa.concat_tables(parts)
+    return out.sort_by([("query_id", "ascending"), ("rank", "ascending")])
