@@ -1,0 +1,55 @@
+"""Hash-bucketed storage: round-trip, point-lookup pruning, idempotency."""
+
+import glob
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from raylog.functions.bucketed import (read_bucket_for, read_bucketed,
+                                       write_bucketed)
+
+
+def _tbl(n=2000):
+    rng = np.random.default_rng(3)
+    return pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "source": pa.array([f"src{v}" for v in rng.integers(0, 50, n)]),
+        "val": pa.array(rng.integers(0, 1000, n)),
+    })
+
+
+def test_bucketed_roundtrip_and_pruned_lookup(ray_session, tmp_path):
+    tbl = _tbl()
+    out = str(tmp_path / "bt")
+    write_bucketed(rd.from_arrow(tbl).repartition(4), out, key="source",
+                   num_buckets=8)
+    # full read preserves every row
+    back = read_bucketed(out).to_pandas()
+    assert len(back) == tbl.num_rows
+    assert sorted(back["doc_id"]) == list(range(tbl.num_rows))
+    # point lookup reads ONE bucket yet finds every matching row
+    want = [i for i, s in enumerate(tbl["source"].to_pylist())
+            if s == "src7"]
+    got = read_bucket_for(out, "source", "src7", num_buckets=8).to_pandas()
+    got = got[got["source"] == "src7"]
+    assert sorted(got["doc_id"]) == sorted(want)
+    # pruning is real: the probed bucket holds < half the corpus
+    probed = got  # noqa: F841
+    bucket_rows = read_bucket_for(out, "source", "src7",
+                                  num_buckets=8).count()
+    assert bucket_rows < tbl.num_rows / 2
+
+
+def test_bucketed_write_idempotent(ray_session, tmp_path):
+    tbl = _tbl(500)
+    out = str(tmp_path / "bt2")
+    ds = rd.from_arrow(tbl).repartition(2)
+    write_bucketed(ds, out, key="source", num_buckets=4)
+    files1 = sorted(glob.glob(f"{out}/bucket=*/part-*.parquet"))
+    # re-running the same write replaces, never duplicates
+    write_bucketed(rd.from_arrow(tbl).repartition(2), out, key="source",
+                   num_buckets=4)
+    files2 = sorted(glob.glob(f"{out}/bucket=*/part-*.parquet"))
+    assert files1 == files2
+    assert read_bucketed(out).count() == 500
