@@ -99,3 +99,33 @@ def read_bucket_for(out_dir: str, key: str, value,
     from raylog.sources.reader import read_sequences
 
     return read_sequences(files, columns=columns)
+
+
+def bucketed_join(left_dir: str, right_dir: str, key: str,
+                  num_buckets: int = 16,
+                  left_columns: list[str] | None = None,
+                  right_columns: list[str] | None = None) -> rd.Dataset:
+    """Shuffle-free join of two tables bucketed on the SAME key with the
+    same ``num_buckets``: bucket b of the left can only match bucket b
+    of the right, so each task reads one bucket pair and hash-joins it
+    locally — the network moves each row zero times (vs twice for a
+    shuffle join). This is the reuse dividend of picking one
+    partitioning key and writing it into the layout."""
+    import glob
+
+    items = [{"b": b} for b in range(num_buckets)]
+
+    def join_bucket(batch: pa.Table):
+        for b in batch["b"].to_pylist():
+            lf = sorted(glob.glob(f"{left_dir}/bucket={b:04d}/part-*.parquet"))
+            rf = sorted(glob.glob(f"{right_dir}/bucket={b:04d}/part-*.parquet"))
+            if not lf or not rf:
+                continue
+            lt = pa.concat_tables([pq.read_table(f, columns=left_columns)
+                                   for f in lf])
+            rt = pa.concat_tables([pq.read_table(f, columns=right_columns)
+                                   for f in rf])
+            yield lt.join(rt, keys=[key], join_type="inner")
+
+    return rd.from_items(items).map_batches(
+        join_bucket, batch_format="pyarrow", batch_size=1)

@@ -53,3 +53,25 @@ def test_bucketed_write_idempotent(ray_session, tmp_path):
     files2 = sorted(glob.glob(f"{out}/bucket=*/part-*.parquet"))
     assert files1 == files2
     assert read_bucketed(out).count() == 500
+
+
+def test_bucketed_join_matches_plain_join(ray_session, tmp_path):
+    left = _tbl(1500)
+    rng = np.random.default_rng(9)
+    right = pa.table({
+        "source": pa.array([f"src{v}" for v in range(50)]),
+        "weight": pa.array(rng.integers(1, 10, 50)),
+    })
+    ldir, rdir = str(tmp_path / "L"), str(tmp_path / "R")
+    from raylog.functions.bucketed import bucketed_join
+    write_bucketed(rd.from_arrow(left).repartition(3), ldir, key="source",
+                   num_buckets=8)
+    write_bucketed(rd.from_arrow(right), rdir, key="source", num_buckets=8)
+    got = bucketed_join(ldir, rdir, key="source", num_buckets=8,
+                        left_columns=["doc_id", "source"]).to_pandas()
+    want = left.select(["doc_id", "source"]).join(
+        right, keys=["source"], join_type="inner").to_pandas()
+    got_s = got.sort_values("doc_id").reset_index(drop=True)
+    want_s = want.sort_values("doc_id").reset_index(drop=True)
+    assert got_s["doc_id"].tolist() == want_s["doc_id"].tolist()
+    assert (got_s["weight"].to_numpy() == want_s["weight"].to_numpy()).all()
