@@ -18,10 +18,19 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 
-def _list_row_groups(files: list[str]) -> list[dict]:
+def _list_row_groups(files: list[str], on_error: str = "raise") -> list[dict]:
     items = []
     for path in sorted(files):
-        md = pq.ParquetFile(path).metadata
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:
+            if on_error == "skip":
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "skipping unreadable parquet file %s", path)
+                continue
+            raise
         for rg in range(md.num_row_groups):
             items.append({"path": path, "row_group": rg})
     return items
@@ -31,6 +40,7 @@ def read_sequences(
     files: list[str],
     columns: list[str] | None = None,
     row_groups_per_task: int = 1,
+    on_error: str = "raise",
 ) -> rd.Dataset:
     """Dataset over (file, row_group) read tasks, column-pruned.
 
@@ -42,9 +52,14 @@ def read_sequences(
     downstream ``map_batches(batch_size=...)`` would FUSE with this
     reader and bundle the one-row (path, row_group) items, collapsing
     the whole read into a single task.
+
+    ``on_error="skip"`` degrades gracefully on corrupt shards — an
+    unreadable file or row group is logged and skipped instead of
+    failing the run (a 100 TB corpus WILL contain a few bad objects;
+    losing one row group beats losing the job). Default stays strict.
     """
     packed, cur = [], None
-    for it in _list_row_groups(files):
+    for it in _list_row_groups(files, on_error=on_error):
         if (cur is None or it["path"] != cur["path"]
                 or len(cur["rgs"]) >= row_groups_per_task):
             cur = {"path": it["path"], "rgs": []}
@@ -54,8 +69,18 @@ def read_sequences(
     def _read(batch: pa.Table):
         for path, rgs in zip(batch["path"].to_pylist(),
                              batch["rgs"].to_pylist()):
-            f = pq.ParquetFile(path)
-            yield f.read_row_groups(list(rgs), columns=columns)
+            try:
+                f = pq.ParquetFile(path)
+                tbl = f.read_row_groups(list(rgs), columns=columns)
+            except Exception:
+                if on_error == "skip":
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "skipping unreadable row groups %s of %s", rgs, path)
+                    continue
+                raise
+            yield tbl
 
     return rd.from_items(packed).map_batches(
         _read, batch_format="pyarrow", batch_size=1

@@ -55,3 +55,45 @@ def test_harmonized_read_prunes_missing_gracefully(ray_session, tmp_path):
                                            batch_size=None))
     assert tbl["embedding"].null_count == 3
     assert tbl.schema.field("embedding").type == pa.list_(pa.float32())
+
+
+def test_read_sequences_skips_corrupt_file(ray_session, tmp_path):
+    import numpy as np
+
+    from raylog.sources.reader import read_sequences
+
+    good = f"{tmp_path}/good.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(100, dtype=np.int64)),
+        "n": pa.array(np.ones(100, dtype=np.int64)),
+    }), good)
+    bad = f"{tmp_path}/bad.parquet"
+    with open(bad, "wb") as f:
+        f.write(b"PAR1 this is not a parquet file")
+    # strict mode raises at plan time
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_sequences([good, bad]).count()
+    # skip mode reads everything readable
+    assert read_sequences([good, bad], on_error="skip").count() == 100
+
+
+def test_read_sequences_skips_truncated_row_group(ray_session, tmp_path):
+    import numpy as np
+
+    from raylog.sources.reader import read_sequences
+
+    path = f"{tmp_path}/trunc.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(1000, dtype=np.int64)),
+    }), path, row_group_size=250)
+    # truncate mid-body but keep the footer region invalid → data reads
+    # fail while metadata may parse; emulate by corrupting data pages
+    raw = bytearray(open(path, "rb").read())
+    raw[100:200] = b"\x00" * 100  # stomp an early data page
+    open(path, "wb").write(bytes(raw))
+    ds = read_sequences([path], on_error="skip")
+    # whatever row groups survive decode are returned; the run completes
+    n = ds.count()
+    assert 0 <= n <= 1000
