@@ -4730,3 +4730,52 @@ def embed_hard_negatives(sf_dir: str):
                                     corpus_ds=corpus))
     out = pa.concat_tables(parts)
     return out.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+@query(
+    "events_daily_top_users",
+    """
+WITH c AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, user_id, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY day
+                               ORDER BY n DESC, user_id) AS rnk
+  FROM c
+)
+SELECT day, rnk, user_id, n FROM r WHERE rnk <= 3""",
+)
+def events_daily_top_users(sf_dir: str):
+    """Trending entities per window (daily top-3 most active users —
+    the leaderboard/hot-key dashboard query): (day, user) counts via
+    the hash-partitioned high-cardinality aggregate, then the grouped
+    partial-top-k kernel — each block forwards ≤ k rows per day it
+    sees, merge is days×k-bounded. No global sort, no per-day giant
+    group task (the VERDICT r1 grouped-top-k trap)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate_ds
+    from raylog.functions.topk import topk
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def day(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+            "user_id": b["user_id"],
+        })
+
+    counts = grouped_aggregate_ds(
+        ds.map_batches(day, batch_format="pyarrow", batch_size=None),
+        ["day", "user_id"], [("*", "count", "n")])
+    tbl = topk(counts, sort_cols=["n", "user_id"],
+               descending=[True, False], k=3,
+               group_cols=["day"], add_rank="rnk")
+    return pa.table({
+        "day": tbl["day"],
+        "rnk": pc.cast(tbl["rnk"], pa.int64()),
+        "user_id": tbl["user_id"],
+        "n": tbl["n"],
+    })
