@@ -98,6 +98,40 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run any registered operator/pipeline from the query catalog."""
+    from raylog.pipelines.queries import QUERIES
+
+    if args.list or args.name is None:
+        for name in sorted(QUERIES):
+            print(name)
+        return 0
+    if args.name not in QUERIES:
+        print(f"unknown query {args.name!r} (use --list)", file=sys.stderr)
+        return 2
+    ray = _init_ray(args.cpus, args.address)
+    import pandas as pd
+    import pyarrow as pa
+    t0 = time.monotonic()
+    res = QUERIES[args.name](args.sf_dir)
+    if isinstance(res, pa.Table):
+        df = res.to_pandas()
+    elif isinstance(res, pd.DataFrame):
+        df = res
+    else:  # ray.data.Dataset
+        df = res.to_pandas()
+    wall = round(time.monotonic() - t0, 2)
+    if args.out:
+        df.to_parquet(args.out)
+    else:
+        with pd.option_context("display.max_rows", 20):
+            print(df)
+    print(json.dumps({"query": args.name, "rows": len(df),
+                      "wall_sec": wall}), file=sys.stderr)
+    ray.shutdown()
+    return 0
+
+
 def cmd_synth(args) -> int:
     ray = _init_ray(args.cpus, args.address)
     from raylog.sources.synth import synthesize_sequences
@@ -125,6 +159,19 @@ def main(argv=None) -> int:
                      help="Ray address: 'local' (default) or 'auto' to "
                           "attach to a cluster (ray job submit)")
     run.set_defaults(fn=cmd_run)
+
+    q = sub.add_parser("query", help="run a registered query/operator")
+    q.add_argument("name", nargs="?", default=None,
+                   help="query name (omit with --list to enumerate)")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                   help="input tables directory")
+    q.add_argument("--out", default=None,
+                   help="write result parquet here instead of printing")
+    q.add_argument("--list", action="store_true",
+                   help="list the registered query catalog")
+    q.add_argument("--cpus", type=int, default=None)
+    q.add_argument("--address", default=None)
+    q.set_defaults(fn=cmd_query)
 
     synth = sub.add_parser("synth", help="synthesize a sequences table")
     synth.add_argument("--out", required=True)

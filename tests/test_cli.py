@@ -41,3 +41,19 @@ def test_cli_synth_run_roundtrip(tmp_path):
     r4 = _run(["run", "--input", f"{seq}/*.parquet", "--out",
                str(tmp_path / "out_fused"), "--fused", "--cpus", "2"])
     assert r4["routed_rows"] == r2["routed_rows"]
+
+
+def test_cli_query_list_and_unknown():
+    import subprocess
+    import sys
+
+    r = subprocess.run([sys.executable, "-m", "raylog", "query", "--list"],
+                       capture_output=True, text=True, cwd="/root/repo",
+                       timeout=120)
+    assert r.returncode == 0
+    names = r.stdout.split()
+    assert "pretrain_prep" in names and len(names) >= 100
+    r2 = subprocess.run([sys.executable, "-m", "raylog", "query", "nope"],
+                        capture_output=True, text=True, cwd="/root/repo",
+                        timeout=120)
+    assert r2.returncode == 2
