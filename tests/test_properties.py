@@ -199,3 +199,64 @@ def test_pack_chunks_model_single_shard(lens, cap):
         assert out["first_offset"][i] == start % cap
         want_last = (cum - 1) // cap if ln > 0 else start // cap
         assert out["last_pack"][i] == want_last
+
+
+# --------------------------------------------------------------------------
+# BPE merge kernel: vectorized run-parity merge vs a literal scalar model
+# --------------------------------------------------------------------------
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.lists(st.integers(0, 3), min_size=1, max_size=12),
+             min_size=1, max_size=8),
+    st.integers(0, 3), st.integers(0, 3),
+)
+def test_bpe_apply_merge_matches_scalar(words, a, b):
+    import numpy as np
+
+    from raylog.functions.bpe import _apply_merge
+
+    flat = np.array([s for w in words for s in w], dtype=np.int64)
+    off = np.concatenate([[0], np.cumsum([len(w) for w in words])]).astype(
+        np.int64)
+    z = 99
+    got_flat, got_off = _apply_merge(flat, off, a, b, z)
+
+    # scalar left-to-right greedy merge per word
+    exp = []
+    for w in words:
+        out, i = [], 0
+        while i < len(w):
+            if i + 1 < len(w) and w[i] == a and w[i + 1] == b:
+                out.append(z)
+                i += 2
+            else:
+                out.append(w[i])
+                i += 1
+        exp.append(out)
+    exp_flat = [s for w in exp for s in w]
+    exp_off = [0]
+    for w in exp:
+        exp_off.append(exp_off[-1] + len(w))
+    assert got_flat.tolist() == exp_flat
+    assert got_off.tolist() == exp_off
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(0, 300), min_size=0, max_size=400),
+       st.integers(1, 6))
+def test_histogram_binning_matches_float_formula(vals, nbins_pow):
+    """docs_histogram's bin rule: numpy floor == the SQL FLOOR restated."""
+    import numpy as np
+
+    if not vals:
+        return
+    nbins = 2 ** nbins_pow
+    x = np.asarray(vals, dtype=np.float64)
+    lo, hi = x.min(), x.max()
+    bins = np.minimum(np.floor((x - lo) * nbins / (hi - lo + 1.0))
+                      .astype(np.int64), nbins - 1)
+    assert (bins >= 0).all() and (bins < nbins).all()
+    # monotone: larger value never gets a smaller bin
+    order = np.argsort(x)
+    assert (np.diff(bins[order]) >= 0).all()
