@@ -4170,7 +4170,11 @@ def sample_dsir(sf_dir: str):
     (vocab-cardinality exchange, target mask applied per token inside the
     batch); the log-ratio model broadcasts once; scoring is the
     searchsorted+bincount kernel; selection is per-block partial top-k —
-    no shuffle of the corpus at any point."""
+    no shuffle of the corpus at any point. At real scale the feature
+    table is capped exactly as the paper does (DSIR hashes n-grams into
+    10k buckets; equivalently top-V words + UNK mass, the `text_lm_score`
+    practice) — the synthetic vocab is tiny so the exact table ships
+    whole here."""
     import numpy as np
     import pyarrow.compute as pc
     import ray
