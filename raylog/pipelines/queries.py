@@ -4783,3 +4783,139 @@ def events_daily_top_users(sf_dir: str):
         "user_id": tbl["user_id"],
         "n": tbl["n"],
     })
+
+
+@query(
+    "events_user_trend",
+    """
+WITH e AS (
+  SELECT user_id, epoch(ts) AS t, value FROM events
+), s AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         REGR_SLOPE(value, t) AS slope
+  FROM e GROUP BY 1
+)
+SELECT user_id, n_events,
+       CAST(FLOOR(slope * 1e9) AS BIGINT) AS slope_nano
+FROM s WHERE n_events >= 2 AND slope IS NOT NULL""",
+)
+def events_user_trend(sf_dir: str):
+    """Per-entity linear trend (is each user's metric drifting up or
+    down — the grouped least-squares slope, the fleet-health regression
+    a telemetry pipeline runs per host/user/service).
+
+    Closed-form slope from five moment sums (n, Σt, Σv, Σtv, Σt²) —
+    each batch emits one moment row per key it sees, the
+    hash-partitioned combine merges them, the finish is pure arithmetic
+    per key. High-cardinality-safe: no per-group task, no sort, the
+    exchange is key-compressed moment partials (the `agg.py` shape)."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def moments(b: pa.Table) -> pa.Table:
+        t = (np.asarray(b["ts"].combine_chunks())
+             .astype("datetime64[us]").astype(np.int64) / 1e6)
+        v = np.asarray(b["value"].combine_chunks(), dtype=np.float64)
+        return pa.table({
+            "user_id": b["user_id"],
+            "t": pa.array(t, pa.float64()),
+            "v": pa.array(v, pa.float64()),
+            "tv": pa.array(t * v, pa.float64()),
+            "tt": pa.array(t * t, pa.float64()),
+        })
+
+    agg = grouped_aggregate_ds(
+        ds.map_batches(moments, batch_format="pyarrow", batch_size=None),
+        ["user_id"],
+        [("*", "count", "n"), ("t", "sum", "st"), ("v", "sum", "sv"),
+         ("tv", "sum", "stv"), ("tt", "sum", "stt")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["n"].combine_chunks(), dtype=np.float64)
+        st = np.asarray(b["st"].combine_chunks())
+        sv = np.asarray(b["sv"].combine_chunks())
+        stv = np.asarray(b["stv"].combine_chunks())
+        stt = np.asarray(b["stt"].combine_chunks())
+        denom = stt - st * st / n
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = (stv - st * sv / n) / denom
+        keep = (n >= 2) & (denom > 0) & np.isfinite(slope)
+        out = pa.table({
+            "user_id": b["user_id"],
+            "n_events": pa.array(n.astype(np.int64)),
+            "slope_nano": pa.array(
+                np.floor(np.where(keep, slope, 0.0) * 1e9).astype(np.int64)),
+        })
+        return out.filter(pa.array(keep))
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+@query(
+    "docs_percent_rank",
+    """
+SELECT doc_id, source,
+       CAST(FLOOR(1000 * PERCENT_RANK() OVER (PARTITION BY source
+                                              ORDER BY n_chars)) AS BIGINT)
+         AS pr_milli
+FROM documents""",
+)
+def docs_percent_rank(sf_dir: str):
+    """Per-row percentile rank of doc length within its source (the CDF
+    position feature quality classifiers consume). PERCENT_RANK =
+    (count of strictly smaller values) / (n_group - 1), computed WITHOUT
+    a sort: per-(source, value) counts are bounded by
+    sources × distinct-lengths (a length column has bounded range at
+    any corpus size), the tiny CDF table broadcasts, each batch looks
+    its rows up with one searchsorted. No shuffle of the corpus."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "n_chars"])
+
+    counts = grouped_aggregate(ds, ["source", "n_chars"],
+                               [("*", "count", "c")]).to_pandas()
+    cdf = {}
+    for src, g in counts.groupby("source"):
+        g = g.sort_values("n_chars")
+        vals = g["n_chars"].to_numpy()
+        c = g["c"].to_numpy()
+        below = np.concatenate([[0], np.cumsum(c)[:-1]])
+        n = int(c.sum())
+        cdf[src] = (vals, below, n)
+    ref = ray.put(cdf) if ray.is_initialized() else cdf
+
+    def rank(b: pa.Table) -> pa.Table:
+        m = ray.get(ref) if ray.is_initialized() else ref
+        src = b["source"].to_pylist()
+        x = np.asarray(b["n_chars"].combine_chunks(), dtype=np.int64)
+        pr = np.zeros(len(x), dtype=np.float64)
+        order = np.argsort(src, kind="stable")
+        i = 0
+        src_arr = np.array(src, dtype=object)
+        while i < len(order):
+            j = i
+            s = src_arr[order[i]]
+            while j < len(order) and src_arr[order[j]] == s:
+                j += 1
+            sel = order[i:j]
+            vals, below, n = m[s]
+            pos = np.searchsorted(vals, x[sel])
+            pr[sel] = below[pos] / max(n - 1, 1)
+            i = j
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "source": b["source"],
+            "pr_milli": pa.array(np.floor(1000 * pr).astype(np.int64)),
+        })
+
+    return ds.map_batches(rank, batch_format="pyarrow", batch_size=None)
