@@ -4919,3 +4919,200 @@ def docs_percent_rank(sf_dir: str):
         })
 
     return ds.map_batches(rank, batch_format="pyarrow", batch_size=None)
+
+
+@query(
+    "text_pmi_bigrams",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+words AS (SELECT doc_id, unnest(w) AS w FROM t),
+wc AS (SELECT w, COUNT(*) AS c FROM words GROUP BY 1),
+tot AS (SELECT SUM(c) AS n FROM wc),
+bg AS (
+  SELECT list_extract(w, i) AS w1, list_extract(w, i + 1) AS w2,
+         COUNT(*) AS c
+  FROM t, UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+  GROUP BY 1, 2
+), btot AS (SELECT SUM(c) AS n FROM bg),
+pmi AS (
+  SELECT bg.w1, bg.w2, bg.c,
+         ln((bg.c * 1.0 / btot.n)
+            / ((a.c * 1.0 / tot.n) * (b.c * 1.0 / tot.n))) AS v
+  FROM bg JOIN wc a ON bg.w1 = a.w JOIN wc b ON bg.w2 = b.w
+  CROSS JOIN tot CROSS JOIN btot
+  WHERE bg.c >= 5
+)
+SELECT w1, w2, c, CAST(FLOOR(1000 * v) AS BIGINT) AS pmi_milli
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY v DESC, w1, w2) AS rn
+      FROM pmi)
+WHERE rn <= 30""",
+)
+def text_pmi_bigrams(sf_dir: str):
+    """Collocation mining: top-30 word bigrams by pointwise mutual
+    information (count ≥ 5) — the classic phrase-detection pass
+    (word2vec's phrase building, Mikolov 2013).
+
+    Word counts and bigram counts each flow through the
+    hash-partitioned aggregate (vocab- / pairs-bounded partials); the
+    unigram distribution broadcasts; PMI evaluates vectorized over the
+    bigram Dataset; selection is partial top-k. Bigram pairs use
+    in-batch dictionary codes packed into one uint64 — the
+    `tokens.py` masked-pair kernel shape applied to words."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate_ds
+    from raylog.functions.topk import topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def bigram_counts(b: pa.Table) -> pa.Table:
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        lens = np.asarray(pc.list_value_length(split), dtype=np.int64)
+        flat = split.flatten().dictionary_encode()
+        codes = np.asarray(flat.indices, dtype=np.uint64)
+        nv = np.uint64(len(flat.dictionary))
+        if len(codes) < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        key = codes[:-1] * nv + codes[1:]
+        mask = np.ones(len(codes) - 1, dtype=bool)
+        ends = np.cumsum(lens)[:-1]
+        ends = ends[(ends > 0) & (ends < len(codes))]
+        mask[ends - 1] = False
+        uk, cnt = np.unique(key[mask], return_counts=True)
+        return pa.table({
+            "w1": flat.dictionary.take(pa.array((uk // nv).astype(np.int64))),
+            "w2": flat.dictionary.take(pa.array((uk % nv).astype(np.int64))),
+            "c": pa.array(cnt.astype(np.int64)),
+        })
+
+    def word_counts(b: pa.Table) -> pa.Table:
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        flat = split.flatten().dictionary_encode()
+        codes = np.asarray(flat.indices, dtype=np.int64)
+        uc, cnt = np.unique(codes, return_counts=True)
+        return pa.table({"w": flat.dictionary.take(pa.array(uc)),
+                         "c": pa.array(cnt, pa.int64())})
+
+    wc = grouped_aggregate_ds(
+        ds.map_batches(word_counts, batch_format="pyarrow", batch_size=None),
+        ["w"], [("c", "sum", "c")]).to_pandas()
+    vocab = np.array(wc["w"], dtype=object)
+    order = np.argsort(vocab)
+    vocab = vocab[order].astype("U")
+    wcnt = wc["c"].to_numpy()[order].astype(np.float64)
+    wtot = wcnt.sum()
+    model_ref = (ray.put((vocab, wcnt / wtot))
+                 if ray.is_initialized() else (vocab, wcnt / wtot))
+
+    bg = grouped_aggregate_ds(
+        ds.map_batches(bigram_counts, batch_format="pyarrow",
+                       batch_size=None),
+        ["w1", "w2"], [("c", "sum", "c")])
+    btot = float(bg.sum("c"))
+
+    def pmi(b: pa.Table) -> pa.Table:
+        vocab_, p_ = (ray.get(model_ref)
+                      if ray.is_initialized() else model_ref)
+        c = np.asarray(b["c"].combine_chunks(), dtype=np.float64)
+        keep = c >= 5
+        b2 = b.filter(pa.array(keep))
+        if b2.num_rows == 0:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.float64())})
+        c2 = c[keep]
+        p1 = p_[np.searchsorted(vocab_, np.asarray(b2["w1"].combine_chunks(),
+                                                   dtype="U"))]
+        p2 = p_[np.searchsorted(vocab_, np.asarray(b2["w2"].combine_chunks(),
+                                                   dtype="U"))]
+        v = np.log((c2 / btot) / (p1 * p2))
+        return pa.table({"w1": b2["w1"], "w2": b2["w2"],
+                         "c": pc.cast(b2["c"], pa.int64()),
+                         "v": pa.array(v, pa.float64())})
+
+    scored = bg.map_batches(pmi, batch_format="pyarrow", batch_size=None)
+    best = topk(scored, sort_cols=["v", "w1", "w2"],
+                descending=[True, False, False], k=30)
+    return pa.table({
+        "w1": best["w1"], "w2": best["w2"], "c": best["c"],
+        "pmi_milli": pc.cast(pc.floor(pc.multiply(best["v"],
+                                                  pa.scalar(1000.0))),
+                             pa.int64()),
+    })
+
+
+@query(
+    "docs_robust_z",
+    """
+WITH m AS (SELECT source, quantile_disc(n_chars, 0.5) AS med
+           FROM documents GROUP BY 1),
+a AS (SELECT d.doc_id, d.source, d.n_chars,
+             abs(d.n_chars - m.med) AS adev, m.med
+      FROM documents d JOIN m USING (source)),
+md AS (SELECT source, quantile_disc(adev, 0.5) AS mad FROM a GROUP BY 1)
+SELECT a.doc_id, a.source,
+       CAST(FLOOR(1000.0 * (a.n_chars - a.med) / md.mad) AS BIGINT)
+         AS rz_milli
+FROM a JOIN md USING (source) WHERE md.mad > 0""",
+)
+def docs_robust_z(sf_dir: str):
+    """Robust (median/MAD) per-group z-score — the outlier-resistant
+    normalization quality pipelines prefer over mean/std when lengths
+    are heavy-tailed. Two passes through the exact distributed-quantile
+    kernel (value-cardinality-bounded histograms, `quantile.py`): per-
+    source median, then median absolute deviation of the integer
+    deviations; both tiny tables broadcast; the normalize is one
+    vectorized pass. All arithmetic before the final divide is exact
+    integers — the SQL restatement matches bit-for-bit."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.quantile import grouped_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "n_chars"])
+
+    med_tbl = grouped_quantiles(ds, key="source", value="n_chars",
+                                ps=[0.5], out_names=["med"]).to_pandas()
+    med = {r.source: int(r.med) for r in med_tbl.itertuples()}
+    med_ref = ray.put(med) if ray.is_initialized() else med
+
+    def adev(b: pa.Table) -> pa.Table:
+        m = ray.get(med_ref) if ray.is_initialized() else med_ref
+        src = b["source"].to_pylist()
+        x = np.asarray(b["n_chars"].combine_chunks(), dtype=np.int64)
+        mv = np.array([m[s] for s in src], dtype=np.int64)
+        return pa.table({"source": b["source"],
+                         "adev": pa.array(np.abs(x - mv))})
+
+    mad_tbl = grouped_quantiles(
+        ds.map_batches(adev, batch_format="pyarrow", batch_size=None),
+        key="source", value="adev", ps=[0.5], out_names=["mad"]).to_pandas()
+    mad = {r.source: int(r.mad) for r in mad_tbl.itertuples()}
+    mad_ref = ray.put(mad) if ray.is_initialized() else mad
+
+    def norm(b: pa.Table) -> pa.Table:
+        m = ray.get(med_ref) if ray.is_initialized() else med_ref
+        d = ray.get(mad_ref) if ray.is_initialized() else mad_ref
+        src = b["source"].to_pylist()
+        x = np.asarray(b["n_chars"].combine_chunks(), dtype=np.int64)
+        mv = np.array([m[s] for s in src], dtype=np.int64)
+        dv = np.array([d[s] for s in src], dtype=np.int64)
+        keep = dv > 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rz = np.floor(1000.0 * (x - mv) / np.maximum(dv, 1)
+                          ).astype(np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "source": b["source"],
+            "rz_milli": pa.array(rz),
+        }).filter(pa.array(keep))
+
+    return ds.map_batches(norm, batch_format="pyarrow", batch_size=None)
