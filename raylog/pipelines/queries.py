@@ -5116,3 +5116,76 @@ def docs_robust_z(sf_dir: str):
         }).filter(pa.array(keep))
 
     return ds.map_batches(norm, batch_format="pyarrow", batch_size=None)
+
+
+@query(
+    "docs_shuffle_rank",
+    """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                               doc_id) - 1 AS BIGINT) AS shuffle_rank
+FROM documents""",
+)
+def docs_shuffle_rank(sf_dir: str):
+    """Deterministic global corpus shuffle (the training-order
+    permutation every pretraining run needs, resumable because it is a
+    pure function of the ids): rank = position under (md5(doc_id),
+    doc_id) order.
+
+    Distributed WITHOUT a global sort: md5 keys are uniform, so the
+    first byte is a balanced range partition — per-batch bucket counts
+    (256-bounded) tree-merge into exact bucket offsets, each hash
+    partition sorts only its own buckets' keys and adds the offset.
+    At 100 TB the same plan holds with 2-3 prefix bytes; the exchange
+    is (bucket, count) partials plus the one key-partitioned pass."""
+    import hashlib
+
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import (grouped_aggregate,
+                                      partitioned_group_apply)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        buckets = np.array([int(k[:2], 16) for k in keys], dtype=np.int64)
+        return pa.table({"doc_id": b["doc_id"],
+                         "key": pa.array(keys, pa.string()),
+                         "bucket": pa.array(buckets)})
+
+    kds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    counts = grouped_aggregate(kds, ["bucket"],
+                               [("*", "count", "c")]).to_pandas()
+    counts = counts.sort_values("bucket")
+    offsets = np.zeros(256, dtype=np.int64)
+    off = 0
+    for r in counts.itertuples():
+        offsets[int(r.bucket)] = off
+        off += int(r.c)
+    off_ref = ray.put(offsets) if ray.is_initialized() else offsets
+
+    def rank_partition(part: pa.Table) -> pa.Table:
+        offs = ray.get(off_ref) if ray.is_initialized() else off_ref
+        key = np.asarray(part["key"].combine_chunks(), dtype="U")
+        ids = np.asarray(part["doc_id"].combine_chunks(), dtype=np.int64)
+        bkt = np.asarray(part["bucket"].combine_chunks(), dtype=np.int64)
+        order = np.lexsort((ids, key, bkt))
+        # local rank within each bucket (buckets are COMPLETE per
+        # partition — partitioned_group_apply guarantees it)
+        b_sorted = bkt[order]
+        starts = np.ones(len(b_sorted), dtype=bool)
+        starts[1:] = b_sorted[1:] != b_sorted[:-1]
+        idx = np.arange(len(b_sorted))
+        local = idx - idx[starts][np.cumsum(starts) - 1]
+        rank = offs[b_sorted] + local
+        out = np.empty(len(ids), dtype=np.int64)
+        out[order] = rank
+        return pa.table({"doc_id": pa.array(ids),
+                         "shuffle_rank": pa.array(out)})
+
+    return partitioned_group_apply(kds, ["bucket"], rank_partition)
