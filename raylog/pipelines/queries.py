@@ -5189,3 +5189,57 @@ def docs_shuffle_rank(sf_dir: str):
                          "shuffle_rank": pa.array(out)})
 
     return partitioned_group_apply(kds, ["bucket"], rank_partition)
+
+
+@query(
+    "corpus_lang_source_chi2",
+    """
+WITH c AS (
+  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2
+), m AS (
+  SELECT lang, SUM(o) AS rl FROM c GROUP BY 1
+), n AS (
+  SELECT source, SUM(o) AS cs FROM c GROUP BY 1
+), t AS (SELECT SUM(o) AS tot FROM c),
+cells AS (
+  SELECT c.lang, c.source, c.o,
+         m.rl * n.cs * 1.0 / t.tot AS e
+  FROM c JOIN m USING (lang) JOIN n USING (source) CROSS JOIN t
+)
+SELECT lang, source, o,
+       CAST(FLOOR(1000 * (o - e) * (o - e) / e) AS BIGINT)
+         AS chi2_contrib_milli
+FROM cells""",
+)
+def corpus_lang_source_chi2(sf_dir: str):
+    """Corpus-composition independence audit: chi-square contribution of
+    every (lang, source) cell against the independence expectation —
+    the statistical form of "is language balanced across sources?"
+    (cells with large contributions are the skewed pockets a mixture
+    designer rebalances).
+
+    One (lang, source)-keyed count aggregate (langs×sources-bounded);
+    marginals and expectations derive from that tiny table driver-side.
+    The corpus streams once, shuffle-free."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "source"])
+    c = grouped_aggregate(ds, ["lang", "source"],
+                          [("*", "count", "o")]).to_pandas()
+    rl = c.groupby("lang")["o"].sum()
+    cs = c.groupby("source")["o"].sum()
+    tot = float(c["o"].sum())
+    e = (c["lang"].map(rl).to_numpy() * c["source"].map(cs).to_numpy()
+         / tot)
+    o = c["o"].to_numpy().astype(np.float64)
+    contrib = np.floor(1000 * (o - e) ** 2 / e).astype(np.int64)
+    return pa.table({
+        "lang": pa.array(c["lang"], pa.string()),
+        "source": pa.array(c["source"], pa.string()),
+        "o": pa.array(c["o"].to_numpy().astype(np.int64)),
+        "chi2_contrib_milli": pa.array(contrib),
+    })
