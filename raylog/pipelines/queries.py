@@ -5243,3 +5243,106 @@ def corpus_lang_source_chi2(sf_dir: str):
         "o": pa.array(c["o"].to_numpy().astype(np.int64)),
         "chi2_contrib_milli": pa.array(contrib),
     })
+
+
+@query(
+    "events_user_sequence",
+    """
+SELECT user_id,
+       list(event_type ORDER BY ts, event_id) AS seq,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id""",
+)
+def events_user_sequence(sf_dir: str):
+    """collect_list: per-user time-ordered event-type sequence (the
+    behavioral-sequence form fed to session models / next-event
+    prediction). Users hash-partition complete
+    (`partitioned_group_apply`); each partition sorts once and rebuilds
+    every user's list via offsets — no per-user Python calls, no global
+    sort."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import partitioned_group_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts",
+                                  "event_type"])
+
+    def collect(part: pa.Table) -> pa.Table:
+        def col(name):
+            c = part[name]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        user = np.asarray(col("user_id"), dtype=np.int64)
+        eid = np.asarray(col("event_id"), dtype=np.int64)
+        t = np.asarray(col("ts")).astype("datetime64[us]").astype(np.int64)
+        et = col("event_type")
+        n = len(user)
+        if n == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "seq": pa.array([], pa.list_(pa.string())),
+                "n_events": pa.array([], pa.int64()),
+            })
+        order = np.lexsort((eid, t, user))
+        user_s = user[order]
+        starts = np.ones(n, dtype=bool)
+        starts[1:] = user_s[1:] != user_s[:-1]
+        offs = np.concatenate([np.flatnonzero(starts), [n]]).astype(np.int32)
+        seq = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                       et.take(pa.array(order)))
+        return pa.table({
+            "user_id": pa.array(user_s[np.flatnonzero(starts)]),
+            "seq": seq,
+            "n_events": pa.array(np.diff(offs).astype(np.int64)),
+        })
+
+    return partitioned_group_apply(ds, ["user_id"], collect)
+
+
+@query(
+    "events_user_pivot",
+    """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events GROUP BY user_id""",
+)
+def events_user_pivot(sf_dir: str):
+    """Pivot (long → wide): per-user event-type count matrix — the
+    feature-vector form classifiers consume. Each batch pivots locally
+    (one-hot scatter via dictionary codes ONCE per batch), the wide
+    partials sum through the hash-partitioned combine — the pivot
+    happens before the exchange, so the shuffle carries users × 5
+    integer columns, not events."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate_ds
+
+    TYPES = ["click", "view", "purchase", "signup", "error"]
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def widen(b: pa.Table) -> pa.Table:
+        user = np.asarray(b["user_id"].combine_chunks(), dtype=np.int64)
+        et = b["event_type"].combine_chunks().dictionary_encode()
+        codes = np.asarray(et.indices, dtype=np.int64)
+        dwords = et.dictionary.to_pylist()
+        remap = np.array([TYPES.index(w) for w in dwords], dtype=np.int64)
+        tcode = remap[codes]
+        uu, uidx = np.unique(user, return_inverse=True)
+        mat = np.zeros((len(uu), len(TYPES)), dtype=np.int64)
+        np.add.at(mat, (uidx, tcode), 1)
+        cols = {"user_id": pa.array(uu)}
+        for j, t in enumerate(TYPES):
+            cols[f"n_{t}"] = pa.array(mat[:, j])
+        return pa.table(cols)
+
+    return grouped_aggregate_ds(
+        ds.map_batches(widen, batch_format="pyarrow", batch_size=None),
+        ["user_id"], [(f"n_{t}", "sum", f"n_{t}") for t in TYPES])
