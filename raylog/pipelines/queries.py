@@ -5346,3 +5346,58 @@ def events_user_pivot(sf_dir: str):
     return grouped_aggregate_ds(
         ds.map_batches(widen, batch_format="pyarrow", batch_size=None),
         ["user_id"], [(f"n_{t}", "sum", f"n_{t}") for t in TYPES])
+
+
+@query(
+    "sample_quality_weighted",
+    """
+WITH q AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(len(list_filter(string_split(text, ' '),
+              w -> w IN ('the', 'a'))) AS BIGINT) AS stop_hits,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h
+  FROM documents
+), s AS (
+  SELECT doc_id, h,
+         CAST(FLOOR(1000 * (0.5 * LEAST(n_words / 40.0, 1.0)
+              + 0.5 * (1.0 - stop_hits * 1.0 / n_words))) AS BIGINT)
+           AS score
+  FROM q
+)
+SELECT doc_id, score FROM s
+WHERE h % 1000 < score""",
+)
+def sample_quality_weighted(sf_dir: str):
+    """Quality-weighted downsampling (soft filtering — the "keep good
+    docs more often" alternative to a hard threshold, RefinedWeb-style
+    probabilistic retention): acceptance probability = quality score,
+    decision = deterministic per-doc hash uniform (reproducible across
+    runs and engines, resumable by construction). One streaming pass,
+    zero exchange; both the score and the coin are integer-exact in the
+    SQL restatement."""
+    import hashlib
+
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.text import quality_scores
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def pick(b: pa.Table) -> pa.Table:
+        scored = quality_scores(b)
+        score = np.asarray(scored["score_milli"].combine_chunks(),
+                           dtype=np.int64)
+        ids = b["doc_id"].to_pylist()
+        h = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                      for i in ids], dtype=np.int64)
+        keep = (h % 1000) < score
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "score": pa.array(score),
+        }).filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow", batch_size=None)
