@@ -133,3 +133,75 @@ def read_harmonized(
     return rd.from_items(packed).map_batches(
         _read, batch_format="pyarrow", batch_size=1
     )
+
+
+def read_pruned(
+    files: list[str],
+    columns: list[str] | None = None,
+    predicate: tuple[str, object, object] | None = None,
+    row_groups_per_task: int = 1,
+) -> rd.Dataset:
+    """Row-group-statistics predicate pushdown: ``predicate=(col, lo,
+    hi)`` skips every row group whose [min, max] cannot intersect
+    [lo, hi] — planned from footer metadata only, so a selective range
+    over a sorted/clustered column reads a small fraction of the bytes
+    (the "prune at the read" rule). Surviving row groups still get an
+    exact row-level filter, so results are correct for any layout.
+    ``lo``/``hi`` may be None for one-sided ranges.
+    """
+    col_name, lo, hi = predicate if predicate else (None, None, None)
+    packed, cur, scanned, kept = [], None, 0, 0
+    for path in sorted(files):
+        pf = pq.ParquetFile(path)
+        md = pf.metadata
+        try:
+            ci = md.schema.to_arrow_schema().get_field_index(col_name) \
+                if col_name else -1
+        except Exception:
+            ci = -1
+        for rg in range(md.num_row_groups):
+            scanned += 1
+            if col_name is not None and ci >= 0:
+                st = md.row_group(rg).column(ci).statistics
+                if st is not None and st.has_min_max:
+                    if (hi is not None and st.min > hi) or \
+                       (lo is not None and st.max < lo):
+                        continue
+            kept += 1
+            if (cur is None or path != cur["path"]
+                    or len(cur["rgs"]) >= row_groups_per_task):
+                cur = {"path": path, "rgs": []}
+                packed.append(cur)
+            cur["rgs"].append(rg)
+
+    read_cols = columns
+    if columns is not None and col_name is not None and \
+            col_name not in columns:
+        read_cols = list(columns) + [col_name]
+
+    def _read(batch: pa.Table):
+        import pyarrow.compute as pc
+
+        for path, rgs in zip(batch["path"].to_pylist(),
+                             batch["rgs"].to_pylist()):
+            tbl = pq.ParquetFile(path).read_row_groups(
+                list(rgs), columns=read_cols)
+            if col_name is not None:
+                m = None
+                if lo is not None:
+                    m = pc.greater_equal(tbl[col_name], pa.scalar(lo))
+                if hi is not None:
+                    m2 = pc.less_equal(tbl[col_name], pa.scalar(hi))
+                    m = m2 if m is None else pc.and_(m, m2)
+                if m is not None:
+                    tbl = tbl.filter(m)
+                if columns is not None and col_name not in columns:
+                    tbl = tbl.select(columns)
+            yield tbl
+
+    ds = rd.from_items(packed).map_batches(
+        _read, batch_format="pyarrow", batch_size=1)
+    # expose the plan-time pruning stats for tests/observability
+    ds._raylog_pruning = {"row_groups_total": scanned,
+                          "row_groups_read": kept}
+    return ds

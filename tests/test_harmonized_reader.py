@@ -97,3 +97,28 @@ def test_read_sequences_skips_truncated_row_group(ray_session, tmp_path):
     # whatever row groups survive decode are returned; the run completes
     n = ds.count()
     assert 0 <= n <= 1000
+
+
+def test_read_pruned_skips_row_groups(ray_session, tmp_path):
+    import numpy as np
+
+    from raylog.sources.reader import read_pruned
+
+    # sorted column → row groups have disjoint [min,max]
+    path = f"{tmp_path}/sorted.parquet"
+    pq.write_table(pa.table({
+        "k": pa.array(np.arange(10_000, dtype=np.int64)),
+        "v": pa.array(np.arange(10_000, dtype=np.int64) * 2),
+    }), path, row_group_size=1000)
+
+    ds = read_pruned([path], columns=["v"], predicate=("k", 2500, 3499))
+    stats = ds._raylog_pruning
+    assert stats["row_groups_total"] == 10
+    assert stats["row_groups_read"] == 2  # only rg2 and rg3 intersect
+    df = ds.to_pandas()
+    assert len(df) == 1000
+    assert df["v"].min() == 5000 and df["v"].max() == 6998
+    # one-sided range
+    ds2 = read_pruned([path], columns=["v"], predicate=("k", 9000, None))
+    assert ds2._raylog_pruning["row_groups_read"] == 1
+    assert ds2.count() == 1000
