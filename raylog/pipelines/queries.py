@@ -5401,3 +5401,88 @@ def sample_quality_weighted(sf_dir: str):
         }).filter(pa.array(keep))
 
     return ds.map_batches(pick, batch_format="pyarrow", batch_size=None)
+
+
+@query(
+    "text_log_odds_words",
+    """
+WITH words AS (
+  SELECT lang = 'en' AS grp_a, unnest(string_split(text, ' ')) AS w
+  FROM documents
+), wc AS (
+  SELECT w,
+         CAST(SUM(CASE WHEN grp_a THEN 1 ELSE 0 END) AS BIGINT) AS ya,
+         CAST(SUM(CASE WHEN grp_a THEN 0 ELSE 1 END) AS BIGINT) AS yb
+  FROM words GROUP BY 1
+), tot AS (
+  SELECT SUM(ya) AS na, SUM(yb) AS nb, SUM(ya + yb) AS n FROM wc
+), z AS (
+  SELECT wc.w, wc.ya, wc.yb,
+         (ln((wc.ya + 1000.0 * (wc.ya + wc.yb) / tot.n)
+             / (tot.na + 1000.0 - wc.ya - 1000.0 * (wc.ya + wc.yb) / tot.n))
+        - ln((wc.yb + 1000.0 * (wc.ya + wc.yb) / tot.n)
+             / (tot.nb + 1000.0 - wc.yb - 1000.0 * (wc.ya + wc.yb) / tot.n)))
+         / sqrt(1.0 / (wc.ya + 1000.0 * (wc.ya + wc.yb) / tot.n)
+              + 1.0 / (wc.yb + 1000.0 * (wc.ya + wc.yb) / tot.n)) AS zv
+  FROM wc CROSS JOIN tot
+)
+SELECT w, ya, yb, CAST(FLOOR(1000 * zv) AS BIGINT) AS z_milli
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY zv DESC, w) AS rn FROM z)
+WHERE rn <= 30""",
+)
+def text_log_odds_words(sf_dir: str):
+    """Discriminative-word mining between two subcorpora (Monroe et al.
+    2008 "Fightin' Words": log-odds ratio with informative Dirichlet
+    prior, z-scored) — which words characterize the English slice vs
+    the rest; the standard corpus-comparison diagnostic.
+
+    ONE masked word-count aggregate yields both group counts per word
+    (the DSIR kernel shape); the z computation runs on the
+    vocab-bounded table; selection is top-k. Corpus streams once,
+    shuffle-free. Prior strength a0=1000, prior = corpus distribution."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+
+    def wcounts(b: pa.Table) -> pa.Table:
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        lens = np.asarray(pc.list_value_length(split), dtype=np.int64)
+        flat = split.flatten().dictionary_encode()
+        codes = np.asarray(flat.indices, dtype=np.int64)
+        is_a = np.repeat(
+            np.asarray(pc.equal(b["lang"].combine_chunks(),
+                                pa.scalar("en"))), lens)
+        nv = len(flat.dictionary)
+        ya = np.bincount(codes[is_a], minlength=nv)
+        yb = np.bincount(codes[~is_a], minlength=nv)
+        return pa.table({"w": flat.dictionary,
+                         "ya": pa.array(ya.astype(np.int64)),
+                         "yb": pa.array(yb.astype(np.int64))})
+
+    wc = grouped_aggregate_ds(
+        ds.map_batches(wcounts, batch_format="pyarrow", batch_size=None),
+        ["w"], [("ya", "sum", "ya"), ("yb", "sum", "yb")]).to_pandas()
+    ya = wc["ya"].to_numpy().astype(np.float64)
+    yb = wc["yb"].to_numpy().astype(np.float64)
+    na, nb = ya.sum(), yb.sum()
+    n = na + nb
+    a0 = 1000.0
+    pw = a0 * (ya + yb) / n
+    delta = (np.log((ya + pw) / (na + a0 - ya - pw))
+             - np.log((yb + pw) / (nb + a0 - yb - pw)))
+    z = delta / np.sqrt(1.0 / (ya + pw) + 1.0 / (yb + pw))
+    wc["zv"] = z
+    top = wc.sort_values(["zv", "w"], ascending=[False, True],
+                         kind="mergesort").head(30)
+    return pa.table({
+        "w": pa.array(top["w"], pa.string()),
+        "ya": pa.array(top["ya"].to_numpy().astype(np.int64)),
+        "yb": pa.array(top["yb"].to_numpy().astype(np.int64)),
+        "z_milli": pa.array(np.floor(1000 * top["zv"].to_numpy())
+                            .astype(np.int64)),
+    })
