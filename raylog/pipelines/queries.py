@@ -5486,3 +5486,39 @@ def text_log_odds_words(sf_dir: str):
         "z_milli": pa.array(np.floor(1000 * top["zv"].to_numpy())
                             .astype(np.int64)),
     })
+
+
+@query(
+    "part_unpivot",
+    """
+SELECT p_partkey, 'p_size' AS attr,
+       CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice FROM part""",
+)
+def part_unpivot(sf_dir: str):
+    """Unpivot (wide → long / melt): numeric attribute columns become
+    (key, attr, value) rows — the inverse of `events_user_pivot`, the
+    form feature stores and long-format analytics consume. Pure
+    row-local reshaping: each batch emits its melted rows in place, no
+    exchange; output is exactly rows × n_attrs."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ATTRS = ["p_size", "p_retailprice"]
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey"] + ATTRS)
+
+    def melt(b: pa.Table) -> pa.Table:
+        keys, attrs, vals = [], [], []
+        for a in ATTRS:
+            keys.append(b["p_partkey"].combine_chunks())
+            attrs.append(pa.array([a] * b.num_rows, pa.string()))
+            vals.append(pc.cast(b[a].combine_chunks(), pa.float64()))
+        return pa.table({
+            "p_partkey": pa.concat_arrays(keys),
+            "attr": pa.concat_arrays(attrs),
+            "value": pa.concat_arrays(vals),
+        })
+
+    return ds.map_batches(melt, batch_format="pyarrow", batch_size=None)
