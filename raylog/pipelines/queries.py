@@ -5522,3 +5522,56 @@ def part_unpivot(sf_dir: str):
         })
 
     return ds.map_batches(melt, batch_format="pyarrow", batch_size=None)
+
+
+@query(
+    "lineitem_corr",
+    """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(FLOOR(1e6 * CORR(l_quantity, l_extendedprice)) AS BIGINT)
+         AS corr_micro
+FROM lineitem GROUP BY 1""",
+)
+def lineitem_corr(sf_dir: str):
+    """Grouped Pearson correlation (quantity vs price per return flag —
+    the drift/sanity statistic a metrics pipeline tracks): five moment
+    sums per key through the partial+tree aggregate, closed-form
+    finish; same exchange shape as `events_user_trend`."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_extendedprice"])
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = np.asarray(b["l_quantity"].combine_chunks(), dtype=np.float64)
+        y = np.asarray(b["l_extendedprice"].combine_chunks(),
+                       dtype=np.float64)
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "x": pa.array(x), "y": pa.array(y),
+            "xy": pa.array(x * y), "xx": pa.array(x * x),
+            "yy": pa.array(y * y),
+        })
+
+    agg = grouped_aggregate(
+        ds.map_batches(moments, batch_format="pyarrow", batch_size=None),
+        ["l_returnflag"],
+        [("*", "count", "n"), ("x", "sum", "sx"), ("y", "sum", "sy"),
+         ("xy", "sum", "sxy"), ("xx", "sum", "sxx"),
+         ("yy", "sum", "syy")]).to_pandas()
+    n = agg["n"].to_numpy().astype(np.float64)
+    sx, sy = agg["sx"].to_numpy(), agg["sy"].to_numpy()
+    sxy, sxx, syy = (agg["sxy"].to_numpy(), agg["sxx"].to_numpy(),
+                     agg["syy"].to_numpy())
+    cov = sxy - sx * sy / n
+    corr = cov / np.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+    return pa.table({
+        "l_returnflag": pa.array(agg["l_returnflag"], pa.string()),
+        "n": pa.array(agg["n"].to_numpy().astype(np.int64)),
+        "corr_micro": pa.array(np.floor(1e6 * corr).astype(np.int64)),
+    })
