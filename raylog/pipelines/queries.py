@@ -5575,3 +5575,75 @@ def lineitem_corr(sf_dir: str):
         "n": pa.array(agg["n"].to_numpy().astype(np.int64)),
         "corr_micro": pa.array(np.floor(1e6 * corr).astype(np.int64)),
     })
+
+
+@query(
+    "events_type_drift",
+    """
+WITH e AS (
+  SELECT event_type, CAST(day(ts) > 15 AS BOOLEAN) AS h2 FROM events
+), c AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN h2 THEN 0 ELSE 1 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN h2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM e GROUP BY 1
+), t AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM c),
+d AS (
+  SELECT c.event_type, c.c1, c.c2,
+         c.c1 * 1.0 / t.n1 AS p, c.c2 * 1.0 / t.n2 AS q
+  FROM c CROSS JOIN t
+)
+SELECT event_type, c1, c2,
+       CAST(FLOOR(1e6 * (
+         CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0 END
+       + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0 END))
+         AS BIGINT) AS js_contrib_micro
+FROM d""",
+)
+def events_type_drift(sf_dir: str):
+    """Distribution-drift detection between two periods (first vs
+    second half of the month): per-type Jensen-Shannon divergence
+    contributions of the event-type mix — the production monitoring
+    check that a pipeline's traffic composition shifted.
+
+    One (type, half)-keyed count aggregate (types-bounded); the JS
+    terms compute on the tiny table driver-side. Corpus streams once,
+    shuffle-free — the same cells-bounded shape as the chi-square
+    audit."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def half(b: pa.Table) -> pa.Table:
+        day = np.asarray(pc.day(b["ts"].combine_chunks()), dtype=np.int64)
+        return pa.table({"event_type": b["event_type"],
+                         "h2": pa.array(day > 15)})
+
+    c = grouped_aggregate(
+        ds.map_batches(half, batch_format="pyarrow", batch_size=None),
+        ["event_type", "h2"], [("*", "count", "n")]).to_pandas()
+    piv = c.pivot_table(index="event_type", columns="h2", values="n",
+                        fill_value=0, aggfunc="sum")
+    c1 = piv.get(False, 0)
+    c2 = piv.get(True, 0)
+    import pandas as pd
+
+    out = pd.DataFrame({"event_type": piv.index,
+                        "c1": np.asarray(c1, dtype=np.int64),
+                        "c2": np.asarray(c2, dtype=np.int64)})
+    p = out["c1"] / out["c1"].sum()
+    q = out["c2"] / out["c2"].sum()
+    m = (p + q) / 2
+    js = (0.5 * np.where(p > 0, p * np.log(np.where(p > 0, p, 1) / m), 0)
+          + 0.5 * np.where(q > 0, q * np.log(np.where(q > 0, q, 1) / m), 0))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "c1": pa.array(out["c1"]),
+        "c2": pa.array(out["c2"]),
+        "js_contrib_micro": pa.array(np.floor(1e6 * js).astype(np.int64)),
+    })
