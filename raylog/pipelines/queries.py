@@ -5647,3 +5647,70 @@ def events_type_drift(sf_dir: str):
         "c2": pa.array(out["c2"]),
         "js_contrib_micro": pa.array(np.floor(1e6 * js).astype(np.int64)),
     })
+
+
+@query(
+    "events_cohort_retention",
+    """
+WITH f AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch(MIN(ts)) / 604800) AS BIGINT) AS cohort_wk
+  FROM events GROUP BY 1
+), a AS (
+  SELECT DISTINCT e.user_id, f.cohort_wk,
+         CAST(FLOOR(epoch(e.ts) / 604800) AS BIGINT) - f.cohort_wk
+           AS wk_offset
+  FROM events e JOIN f USING (user_id)
+)
+SELECT cohort_wk, wk_offset, COUNT(*) AS n_users
+FROM a GROUP BY 1, 2""",
+)
+def events_cohort_retention(sf_dir: str):
+    """Cohort retention matrix (the product-analytics staple): users
+    cohorted by first-activity week; cell (cohort, offset) = distinct
+    users from that cohort active offset weeks later.
+
+    Three keyed passes, all high-cardinality-safe: per-user first-event
+    week (hash-partitioned min), broadcast-free hash join of events to
+    their user's cohort (native Dataset.join), then batch-distinct
+    (user, cohort, offset) partials into the hash-partitioned distinct
+    — the final matrix is cohorts×offsets-bounded."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def week(b: pa.Table) -> pa.Table:
+        t = (np.asarray(b["ts"].combine_chunks())
+             .astype("datetime64[us]").astype(np.int64))
+        wk = np.floor(t / 1e6 / 604800).astype(np.int64)
+        return pa.table({"user_id": b["user_id"], "wk": pa.array(wk)})
+
+    wks = ds.map_batches(week, batch_format="pyarrow", batch_size=None)
+    first = grouped_aggregate_ds(wks, ["user_id"],
+                                 [("wk", "min", "cohort_wk")])
+    joined = wks.join(first, join_type="inner", num_partitions=8,
+                      on=("user_id",))
+
+    def offs(b: pa.Table) -> pa.Table:
+        wk = np.asarray(b["wk"].combine_chunks(), dtype=np.int64)
+        cw = np.asarray(b["cohort_wk"].combine_chunks(), dtype=np.int64)
+        uid = np.asarray(b["user_id"].combine_chunks(), dtype=np.int64)
+        # batch-level distinct compresses before the exchange
+        key = np.stack([uid, cw, wk - cw], axis=1)
+        uniq = np.unique(key, axis=0)
+        return pa.table({
+            "user_id": pa.array(uniq[:, 0]),
+            "cohort_wk": pa.array(uniq[:, 1]),
+            "wk_offset": pa.array(uniq[:, 2]),
+        })
+
+    distinct = grouped_aggregate_ds(
+        joined.map_batches(offs, batch_format="pyarrow", batch_size=None),
+        ["user_id", "cohort_wk", "wk_offset"], [("*", "count", "_c")])
+    out = grouped_aggregate(distinct, ["cohort_wk", "wk_offset"],
+                            [("*", "count", "n_users")])
+    return out
