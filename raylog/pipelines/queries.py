@@ -5714,3 +5714,54 @@ def events_cohort_retention(sf_dir: str):
     out = grouped_aggregate(distinct, ["cohort_wk", "wk_offset"],
                             [("*", "count", "n_users")])
     return out
+
+
+@query(
+    "events_user_gini",
+    """
+WITH c AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1
+), r AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n, user_id) AS i FROM c
+), t AS (
+  SELECT COUNT(*) AS k, SUM(n) AS s, SUM(i * n) AS sin FROM r
+)
+SELECT CAST(FLOOR(1e6 * (2.0 * sin / (k * s) - (k + 1.0) / k)) AS BIGINT)
+         AS gini_micro,
+       k AS n_users, s AS n_events
+FROM t""",
+)
+def events_user_gini(sf_dir: str):
+    """Activity-concentration (Gini coefficient of events per user —
+    the skew/inequality audit: is the corpus dominated by a few heavy
+    hitters?). Computed exactly WITHOUT sorting users: per-user counts
+    hash-partition, then only the count-of-counts histogram (bounded by
+    distinct activity levels) reaches the driver; the sorted-rank Gini
+    formula evaluates on the histogram via cumulative arithmetic —
+    ties take consecutive ranks, whose contribution depends only on
+    the tie block's rank span, so the histogram form is exact."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    per_user = grouped_aggregate_ds(ds, ["user_id"],
+                                    [("*", "count", "n")])
+    hist = grouped_aggregate(per_user, ["n"],
+                             [("*", "count", "m")]).to_pandas()
+    hist = hist.sort_values("n")
+    n = hist["n"].to_numpy().astype(np.float64)
+    m = hist["m"].to_numpy().astype(np.float64)
+    k = m.sum()
+    s = (n * m).sum()
+    # ranks within a tie block of size m at cumulative start c0:
+    # sum of ranks = m*c0 + m(m+1)/2 ; contribution = n * that sum
+    c0 = np.concatenate([[0.0], np.cumsum(m)[:-1]])
+    sin = (n * (m * c0 + m * (m + 1) / 2)).sum()
+    gini = 2.0 * sin / (k * s) - (k + 1.0) / k
+    return pa.table({
+        "gini_micro": pa.array([int(np.floor(1e6 * gini))], pa.int64()),
+        "n_users": pa.array([int(k)], pa.int64()),
+        "n_events": pa.array([int(s)], pa.int64()),
+    })
