@@ -5765,3 +5765,68 @@ def events_user_gini(sf_dir: str):
         "n_users": pa.array([int(k)], pa.int64()),
         "n_events": pa.array([int(s)], pa.int64()),
     })
+
+
+@query(
+    "events_gap_quantiles",
+    """
+WITH o AS (
+  SELECT event_type, epoch_us(ts) AS t,
+         LAG(epoch_us(ts)) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id) AS prev
+  FROM events
+), g AS (
+  SELECT event_type, CAST(FLOOR((t - prev) / 1000000.0) AS BIGINT)
+           AS gap_sec
+  FROM o WHERE prev IS NOT NULL
+)
+SELECT event_type,
+       quantile_disc(gap_sec, 0.5) AS p50,
+       quantile_disc(gap_sec, 0.95) AS p95,
+       quantile_disc(gap_sec, 0.99) AS p99
+FROM g GROUP BY 1""",
+)
+def events_gap_quantiles(sf_dir: str):
+    """Inter-arrival-time distribution per event type (the latency /
+    traffic-cadence percentiles every log pipeline dashboards): gaps
+    from one segmented-diff pass per hash partition (complete types per
+    partition, arrival order by (ts, event_id)), quantized to whole
+    seconds (bounded distinct values — the exact-quantile histogram
+    contract), then the distributed quantile kernel."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import partitioned_group_apply
+    from raylog.functions.quantile import grouped_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "event_id", "ts"])
+
+    def gaps(part: pa.Table) -> pa.Table:
+        def col(name):
+            c = part[name]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        typ = np.asarray(col("event_type"))
+        eid = np.asarray(col("event_id"), dtype=np.int64)
+        t = np.asarray(col("ts")).astype("datetime64[us]").astype(np.int64)
+        n = len(typ)
+        if n == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "gap_sec": pa.array([], pa.int64())})
+        order = np.lexsort((eid, t, typ))
+        typ_s, t_s = typ[order], t[order]
+        same = np.zeros(n, dtype=bool)
+        same[1:] = typ_s[1:] == typ_s[:-1]
+        gap = np.empty(n, dtype=np.int64)
+        gap[1:] = np.floor((t_s[1:] - t_s[:-1]) / 1e6).astype(np.int64)
+        keep = same
+        return pa.table({
+            "event_type": pa.array(typ_s[keep]),
+            "gap_sec": pa.array(gap[keep]),
+        })
+
+    gds = partitioned_group_apply(ds, ["event_type"], gaps)
+    return grouped_quantiles(gds, key="event_type", value="gap_sec",
+                             ps=[0.5, 0.95, 0.99],
+                             out_names=["p50", "p95", "p99"])
