@@ -5830,3 +5830,75 @@ def events_gap_quantiles(sf_dir: str):
     return grouped_quantiles(gds, key="event_type", value="gap_sec",
                              ps=[0.5, 0.95, 0.99],
                              out_names=["p50", "p95", "p99"])
+
+
+@query(
+    "events_burstiness",
+    """
+WITH c AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT event_type, day, n,
+         LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS prev
+  FROM c
+), s AS (
+  SELECT event_type,
+         COUNT(*) AS k, AVG(CAST(n AS DOUBLE)) AS mu,
+         VAR_SAMP(CAST(n AS DOUBLE)) AS v,
+         CORR(CAST(n AS DOUBLE), CAST(prev AS DOUBLE)) AS ac1
+  FROM p GROUP BY 1
+)
+SELECT event_type, CAST(k AS BIGINT) AS n_days,
+       CAST(FLOOR(1000 * v / mu) AS BIGINT) AS fano_milli,
+       CAST(FLOOR(1000 * ac1) AS BIGINT) AS autocorr_milli
+FROM s""",
+)
+def events_burstiness(sf_dir: str):
+    """Traffic burstiness + persistence per event type: Fano factor
+    (variance/mean of daily counts — 1.0 = Poisson, higher = bursty)
+    and lag-1 day-over-day autocorrelation (does a hot day predict the
+    next). The only corpus pass is the (type, day) count aggregate;
+    both statistics evaluate on that cells-bounded series driver-side,
+    matching the SQL window restatement exactly (pairwise-complete
+    CORR over consecutive days)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def day(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+        })
+
+    c = grouped_aggregate(
+        ds.map_batches(day, batch_format="pyarrow", batch_size=None),
+        ["event_type", "day"], [("*", "count", "n")]).to_pandas()
+    rows = []
+    for et, g in c.groupby("event_type"):
+        g = g.sort_values("day")
+        n = g["n"].to_numpy().astype(np.float64)
+        k = len(n)
+        mu = n.mean()
+        v = n.var(ddof=1) if k > 1 else float("nan")
+        cur, prev = n[1:], n[:-1]
+        if len(cur) > 1 and cur.std(ddof=0) > 0 and prev.std(ddof=0) > 0:
+            ac1 = float(np.corrcoef(cur, prev)[0, 1])
+        else:
+            ac1 = float("nan")
+        rows.append((et, k, int(np.floor(1000 * v / mu)),
+                     int(np.floor(1000 * ac1))))
+    rows.sort()
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n_days": pa.array([r[1] for r in rows], pa.int64()),
+        "fano_milli": pa.array([r[2] for r in rows], pa.int64()),
+        "autocorr_milli": pa.array([r[3] for r in rows], pa.int64()),
+    })
