@@ -5902,3 +5902,79 @@ def events_burstiness(sf_dir: str):
         "fano_milli": pa.array([r[2] for r in rows], pa.int64()),
         "autocorr_milli": pa.array([r[3] for r in rows], pa.int64()),
     })
+
+
+@query(
+    "events_markov_transitions",
+    """
+WITH o AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), t AS (
+  SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+  FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
+), m AS (
+  SELECT from_type, SUM(n) AS tot FROM t GROUP BY 1
+)
+SELECT t.from_type, t.to_type, t.n,
+       CAST(FLOOR(1000.0 * t.n / m.tot) AS BIGINT) AS p_milli
+FROM t JOIN m USING (from_type)""",
+)
+def events_markov_transitions(sf_dir: str):
+    """First-order Markov transition matrix of user behavior (the
+    next-event model behind session prediction / anomaly scoring):
+    consecutive event-type pairs per user (arrival order), transition
+    counts and row-normalized probabilities.
+
+    One segmented-shift pass per complete-user partition produces the
+    pair stream already types²-compressed per batch; the global
+    combine and row normalization run on the types²-bounded matrix."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, partitioned_group_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts",
+                                  "event_type"])
+
+    def pairs(part: pa.Table) -> pa.Table:
+        def col(name):
+            c = part[name]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        uid = np.asarray(col("user_id"), dtype=np.int64)
+        eid = np.asarray(col("event_id"), dtype=np.int64)
+        t = np.asarray(col("ts")).astype("datetime64[us]").astype(np.int64)
+        et = col("event_type").dictionary_encode()
+        codes = np.asarray(et.indices, dtype=np.int64)
+        n = len(uid)
+        if n == 0:
+            return pa.table({"from_type": pa.array([], pa.string()),
+                             "to_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        order = np.lexsort((eid, t, uid))
+        u_s, c_s = uid[order], codes[order]
+        same = u_s[1:] == u_s[:-1]
+        nv = len(et.dictionary)
+        key = c_s[:-1][same] * nv + c_s[1:][same]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "from_type": et.dictionary.take(pa.array(uk // nv)),
+            "to_type": et.dictionary.take(pa.array(uk % nv)),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    pr = partitioned_group_apply(ds, ["user_id"], pairs)
+    mat = grouped_aggregate(pr, ["from_type", "to_type"],
+                            [("n", "sum", "n")]).to_pandas()
+    tot = mat.groupby("from_type")["n"].transform("sum").to_numpy()
+    nn = mat["n"].to_numpy().astype(np.float64)
+    return pa.table({
+        "from_type": pa.array(mat["from_type"], pa.string()),
+        "to_type": pa.array(mat["to_type"], pa.string()),
+        "n": pa.array(mat["n"].to_numpy().astype(np.int64)),
+        "p_milli": pa.array(np.floor(1000.0 * nn / tot).astype(np.int64)),
+    })
