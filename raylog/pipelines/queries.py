@@ -5978,3 +5978,137 @@ def events_markov_transitions(sf_dir: str):
         "n": pa.array(mat["n"].to_numpy().astype(np.int64)),
         "p_milli": pa.array(np.floor(1000.0 * nn / tot).astype(np.int64)),
     })
+
+
+@query(
+    "basket_pair_lift",
+    """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nn AS (SELECT COUNT(DISTINCT l_orderkey) AS orders FROM lineitem),
+ic AS (SELECT l_partkey, COUNT(*) AS c FROM li GROUP BY 1),
+pc AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n
+       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2),
+l AS (SELECT pc.p1, pc.p2, pc.n,
+             pc.n * nn.orders * 1.0 / (x.c * y.c) AS lift
+      FROM pc JOIN ic x ON pc.p1 = x.l_partkey
+              JOIN ic y ON pc.p2 = y.l_partkey
+      CROSS JOIN nn WHERE pc.n >= 2)
+SELECT p1, p2, n, CAST(FLOOR(1000 * lift) AS BIGINT) AS lift_milli
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, p1, p2) AS rn
+      FROM l)
+WHERE rn <= 20""",
+)
+def basket_pair_lift(sf_dir: str):
+    """Association-rule mining (market-basket co-occurrence): top-20
+    part pairs by lift = P(a,b)·N / (count(a)·count(b)) across orders,
+    pair support ≥ 2 — the Apriori first pass.
+
+    Baskets are tiny (≤ ~12 items), so pair expansion is quadratic
+    only within a basket: complete-order partitions emit each basket's
+    sorted-distinct pairs via repeat/arange arithmetic (no Python
+    per-order loop); pair counts and item supports each flow through
+    the hash-partitioned aggregate; lift evaluates on the
+    support-filtered pair table and selection is partial top-k."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import (grouped_aggregate,
+                                      grouped_aggregate_ds,
+                                      partitioned_group_apply)
+    from raylog.functions.topk import topk
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+
+    def pairs(part: pa.Table) -> pa.Table:
+        ok = np.asarray(part["l_orderkey"].combine_chunks(), dtype=np.int64)
+        pk = np.asarray(part["l_partkey"].combine_chunks(), dtype=np.int64)
+        if len(ok) == 0:
+            return pa.table({"p1": pa.array([], pa.int64()),
+                             "p2": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        uniq = np.unique(np.stack([ok, pk], axis=1), axis=0)
+        o_s, p_s = uniq[:, 0], uniq[:, 1]  # sorted by (order, part)
+        starts = np.ones(len(o_s), dtype=bool)
+        starts[1:] = o_s[1:] != o_s[:-1]
+        m = np.diff(np.concatenate([np.flatnonzero(starts), [len(o_s)]]))
+        base = np.concatenate([[0], np.cumsum(m)[:-1]])
+        npairs = m * (m - 1) // 2
+        tot = int(npairs.sum())
+        if tot == 0:
+            return pa.table({"p1": pa.array([], pa.int64()),
+                             "p2": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        # enumerate (i, j) i<j within each basket via triangular index
+        grp = np.repeat(np.arange(len(m)), npairs)
+        local = np.arange(tot) - np.repeat(
+            np.concatenate([[0], np.cumsum(npairs)[:-1]]), npairs)
+        mm = m[grp].astype(np.float64)
+        i = (np.floor((2 * mm - 1 - np.sqrt((2 * mm - 1) ** 2
+                                            - 8 * local)) / 2)
+             ).astype(np.int64)
+        j = (local - (i * (2 * m[grp] - i - 1)) // 2 + i + 1).astype(
+            np.int64)
+        a = p_s[base[grp] + i]
+        b = p_s[base[grp] + j]
+        key = np.stack([a, b], axis=1)
+        uk, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table({"p1": pa.array(uk[:, 0]),
+                         "p2": pa.array(uk[:, 1]),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    pr = partitioned_group_apply(ds, ["l_orderkey"], pairs)
+    pair_counts = grouped_aggregate_ds(pr, ["p1", "p2"],
+                                       [("n", "sum", "n")])
+
+    def order_items(b: pa.Table) -> pa.Table:
+        ok = np.asarray(b["l_orderkey"].combine_chunks(), dtype=np.int64)
+        pk = np.asarray(b["l_partkey"].combine_chunks(), dtype=np.int64)
+        uniq = np.unique(np.stack([ok, pk], axis=1), axis=0)
+        return pa.table({"l_orderkey": pa.array(uniq[:, 0]),
+                         "l_partkey": pa.array(uniq[:, 1])})
+
+    li = grouped_aggregate_ds(
+        ds.map_batches(order_items, batch_format="pyarrow",
+                       batch_size=None),
+        ["l_orderkey", "l_partkey"], [("*", "count", "_c")])
+    ic = grouped_aggregate(li, ["l_partkey"],
+                           [("*", "count", "c")]).to_pandas()
+    n_orders = float(grouped_aggregate(
+        li, ["l_orderkey"], [("*", "count", "_c")]).num_rows)
+    supp = dict(zip(ic["l_partkey"].astype(int), ic["c"].astype(float)))
+    ref = ray.put(supp) if ray.is_initialized() else supp
+
+    def lift(b: pa.Table) -> pa.Table:
+        s = ray.get(ref) if ray.is_initialized() else ref
+        n = np.asarray(b["n"].combine_chunks(), dtype=np.float64)
+        keep = n >= 2
+        b2 = b.filter(pa.array(keep))
+        if b2.num_rows == 0:
+            return pa.table({"p1": pa.array([], pa.int64()),
+                             "p2": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "lift": pa.array([], pa.float64())})
+        p1 = b2["p1"].to_pylist()
+        p2 = b2["p2"].to_pylist()
+        ca = np.array([s[x] for x in p1])
+        cb = np.array([s[x] for x in p2])
+        lv = n[keep] * n_orders / (ca * cb)
+        return pa.table({"p1": b2["p1"], "p2": b2["p2"],
+                         "n": pc.cast(b2["n"], pa.int64()),
+                         "lift": pa.array(lv, pa.float64())})
+
+    scored = pair_counts.map_batches(lift, batch_format="pyarrow",
+                                     batch_size=None)
+    best = topk(scored, sort_cols=["lift", "p1", "p2"],
+                descending=[True, False, False], k=20)
+    return pa.table({
+        "p1": best["p1"], "p2": best["p2"], "n": best["n"],
+        "lift_milli": pc.cast(pc.floor(pc.multiply(best["lift"],
+                                                   pa.scalar(1000.0))),
+                              pa.int64()),
+    })
