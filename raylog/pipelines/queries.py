@@ -6112,3 +6112,116 @@ def basket_pair_lift(sf_dir: str):
                                                    pa.scalar(1000.0))),
                               pa.int64()),
     })
+
+
+@query(
+    "events_time_weighted_avg",
+    """
+WITH o AS (
+  SELECT user_id, value, epoch_us(ts) AS t,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+  FROM events
+), w AS (
+  SELECT user_id, value, (nxt - t) AS dur FROM o WHERE nxt IS NOT NULL
+)
+SELECT user_id,
+       CAST(FLOOR(1e6 * SUM(value * dur) / SUM(dur)) AS BIGINT)
+         AS twa_micro,
+       CAST(SUM(dur) AS BIGINT) AS span_us
+FROM w GROUP BY 1""",
+)
+def events_time_weighted_avg(sf_dir: str):
+    """Time-weighted average of a metric per entity (the TWAP /
+    duration-weighted gauge every telemetry backend provides — a value
+    holds until the next observation): segment-aware LEAD durations
+    from one sorted pass per complete-user partition, then a plain
+    weighted-sum aggregate. Exchange = per-user partials only."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import partitioned_group_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts", "value"])
+
+    def twa(part: pa.Table) -> pa.Table:
+        def col(name):
+            c = part[name]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        uid = np.asarray(col("user_id"), dtype=np.int64)
+        eid = np.asarray(col("event_id"), dtype=np.int64)
+        t = np.asarray(col("ts")).astype("datetime64[us]").astype(np.int64)
+        v = np.asarray(col("value"), dtype=np.float64)
+        n = len(uid)
+        if n == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "twa_micro": pa.array([], pa.int64()),
+                             "span_us": pa.array([], pa.int64())})
+        order = np.lexsort((eid, t, uid))
+        u_s, t_s, v_s = uid[order], t[order], v[order]
+        same = np.zeros(n, dtype=bool)
+        same[:-1] = u_s[1:] == u_s[:-1]
+        dur = np.zeros(n, dtype=np.int64)
+        dur[:-1] = t_s[1:] - t_s[:-1]
+        dur[~same] = 0
+        wsum = np.zeros(n, dtype=np.float64)
+        np.multiply(v_s, dur, out=wsum)
+        starts = np.ones(n, dtype=bool)
+        starts[1:] = u_s[1:] != u_s[:-1]
+        sid = np.cumsum(starts) - 1
+        k = int(starts.sum())
+        tot_w = np.bincount(sid, weights=wsum, minlength=k)
+        tot_d = np.bincount(sid, weights=dur, minlength=k)
+        users = u_s[np.flatnonzero(starts)]
+        keep = tot_d > 0
+        return pa.table({
+            "user_id": pa.array(users[keep]),
+            "twa_micro": pa.array(np.floor(
+                1e6 * tot_w[keep] / tot_d[keep]).astype(np.int64)),
+            "span_us": pa.array(tot_d[keep].astype(np.int64)),
+        })
+
+    return partitioned_group_apply(ds, ["user_id"], twa)
+
+
+@query(
+    "events_null_audit",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_user_id,
+       CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_event_type,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_value,
+       CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_props
+FROM events""",
+)
+def events_null_audit(sf_dir: str):
+    """Data-quality null audit (the schema-health report an ingestion
+    pipeline publishes per batch): per-column null counts in one
+    streaming pass of constant-size partials — Arrow null bitmaps make
+    each column's count a popcount, no value scan."""
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    COLS = ["user_id", "event_type", "value", "props"]
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=COLS)
+
+    def partial(b: pa.Table) -> pa.Table:
+        out = {"n_rows": pa.array([b.num_rows], pa.int64())}
+        for c in COLS:
+            out[f"null_{c}"] = pa.array([b[c].null_count], pa.int64())
+        out["_k"] = pa.array([0], pa.int64())
+        return pa.table(out)
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["_k"],
+        [("n_rows", "sum", "n_rows")]
+        + [(f"null_{c}", "sum", f"null_{c}") for c in COLS])
+    return agg.drop_columns(["_k"])
