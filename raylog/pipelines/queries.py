@@ -6225,3 +6225,134 @@ def events_null_audit(sf_dir: str):
         [("n_rows", "sum", "n_rows")]
         + [(f"null_{c}", "sum", f"null_{c}") for c in COLS])
     return agg.drop_columns(["_k"])
+
+
+@query(
+    "ri_audit",
+    """
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_orderkey = l.l_orderkey))
+    AS orphan_lineitems,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                     WHERE c.c_custkey = o.o_custkey))
+    AS orphan_orders,
+  (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders)
+    AS active_customers,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS customers""",
+)
+def ri_audit(sf_dir: str):
+    """Referential-integrity audit across the star schema (the
+    ingestion health check: orphan facts, dangling foreign keys, dim
+    coverage). Each orphan count is a Bloom-prefiltered anti-join —
+    distinct keys of the small side broadcast as a sorted array, facts
+    stream one searchsorted membership pass; counts are the only
+    exchange."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    def keys_of(table: str, col: str) -> np.ndarray:
+        ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[col])
+        parts = [np.unique(np.asarray(b[col].combine_chunks(),
+                                      dtype=np.int64))
+                 for b in ds.iter_batches(batch_format="pyarrow",
+                                          batch_size=None)]
+        return np.unique(np.concatenate(parts)) if parts else \
+            np.array([], dtype=np.int64)
+
+    def orphan_count(table: str, col: str, ref_keys: np.ndarray) -> int:
+        ref = ray.put(ref_keys) if ray.is_initialized() else ref_keys
+        ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[col])
+
+        def miss(b: pa.Table) -> pa.Table:
+            ks = ray.get(ref) if ray.is_initialized() else ref
+            x = np.asarray(b[col].combine_chunks(), dtype=np.int64)
+            pos = np.clip(np.searchsorted(ks, x), 0, max(len(ks) - 1, 0))
+            n_miss = int((ks[pos] != x).sum()) if len(ks) else len(x)
+            return pa.table({"m": pa.array([n_miss], pa.int64())})
+
+        return int(ds.map_batches(miss, batch_format="pyarrow",
+                                  batch_size=None).sum("m"))
+
+    okeys = keys_of("orders", "o_orderkey")
+    ckeys = keys_of("customer", "c_custkey")
+    ocust = keys_of("orders", "o_custkey")
+    n_cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey"]).count()
+    return pa.table({
+        "orphan_lineitems": pa.array(
+            [orphan_count("lineitem", "l_orderkey", okeys)], pa.int64()),
+        "orphan_orders": pa.array(
+            [orphan_count("orders", "o_custkey", ckeys)], pa.int64()),
+        "active_customers": pa.array([len(ocust)], pa.int64()),
+        "customers": pa.array([n_cust], pa.int64()),
+    })
+
+
+@query(
+    "events_ewma_daily",
+    """
+WITH c AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM c
+), e AS (
+  SELECT a.event_type, a.day, a.n,
+         SUM(b.n * CASE WHEN b.i = 1 THEN POWER(0.5, a.i - 1)
+                        ELSE 0.5 * POWER(0.5, a.i - b.i) END) AS ew
+  FROM r a JOIN r b ON a.event_type = b.event_type AND b.i <= a.i
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, day, n, CAST(FLOOR(1000 * ew) AS BIGINT) AS ewma_milli
+FROM e""",
+)
+def events_ewma_daily(sf_dir: str):
+    """EWMA-smoothed daily volume per type (the smoothed trend line
+    behind every ops dashboard and its alert baseline). The corpus pass
+    is the (type, day) count aggregate; the recursive smoothing runs on
+    the cells-bounded series — inherently sequential per series, and
+    the series is days-long, not data-long, so that is the right place
+    for it. alpha = 0.5 deliberately: every EWMA value is then an exact
+    binary fraction, so the recursion here and the POWER-sum window
+    restatement in DuckDB agree bit-for-bit (a decimal alpha lands
+    float noise exactly on FLOOR boundaries — measured)."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def day(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+        })
+
+    c = grouped_aggregate(
+        ds.map_batches(day, batch_format="pyarrow", batch_size=None),
+        ["event_type", "day"], [("*", "count", "n")]).to_pandas()
+    out = []
+    for et, g in c.groupby("event_type"):
+        g = g.sort_values("day")
+        x = g["n"].to_numpy().astype(np.float64)
+        e = np.empty(len(x))
+        e[0] = x[0]
+        for i in range(1, len(x)):
+            e[i] = 0.5 * x[i] + 0.5 * e[i - 1]
+        for d, n, ew in zip(g["day"], g["n"], e):
+            out.append((et, d, int(n), int(np.floor(1000 * ew))))
+    out.sort()
+    return pa.table({
+        "event_type": pa.array([r[0] for r in out], pa.string()),
+        "day": pa.array([r[1] for r in out], pa.string()),
+        "n": pa.array([r[2] for r in out], pa.int64()),
+        "ewma_milli": pa.array([r[3] for r in out], pa.int64()),
+    })
