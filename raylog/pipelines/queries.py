@@ -6356,3 +6356,62 @@ def events_ewma_daily(sf_dir: str):
         "n": pa.array([r[2] for r in out], pa.int64()),
         "ewma_milli": pa.array([r[3] for r in out], pa.int64()),
     })
+
+
+@query(
+    "orders_benford_audit",
+    """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+), c AS (
+  SELECT digit, COUNT(*) AS n FROM d GROUP BY 1
+), t AS (SELECT SUM(n) AS tot FROM c)
+SELECT c.digit, c.n,
+       CAST(FLOOR(1e6 * c.n / t.tot) AS BIGINT) AS observed_micro,
+       CAST(FLOOR(1e6 * ln(1.0 + 1.0 / c.digit) / ln(10.0)) AS BIGINT)
+         AS benford_micro
+FROM c CROSS JOIN t""",
+)
+def orders_benford_audit(sf_dir: str):
+    """Benford's-law leading-digit audit of order totals (the synthetic
+    / fabricated-data forensic: natural multiplicative quantities
+    follow P(d) = log10(1 + 1/d); uniform generators do not).
+    Leading digit extracted vectorized from the integer part's decimal
+    magnitude, digit counts are a 9-row aggregate, expectations join
+    driver-side. One streaming pass."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_totalprice"])
+
+    def digit(b: pa.Table) -> pa.Table:
+        x = np.asarray(b["o_totalprice"].combine_chunks(),
+                       dtype=np.float64)
+        xi = x.astype(np.int64)
+        lead = xi[xi >= 1]
+        # exact integer strip (≤19 passes) — float log10 is off-by-one
+        # ulp on exact powers of ten
+        while (lead >= 10).any():
+            big = lead >= 10
+            lead[big] //= 10
+        return pa.table({"digit": pa.array(lead.astype(np.int64))})
+
+    c = grouped_aggregate(
+        ds.map_batches(digit, batch_format="pyarrow", batch_size=None),
+        ["digit"], [("*", "count", "n")]).to_pandas().sort_values("digit")
+    tot = float(c["n"].sum())
+    d = c["digit"].to_numpy().astype(np.float64)
+    return pa.table({
+        "digit": pa.array(c["digit"].to_numpy().astype(np.int64)),
+        "n": pa.array(c["n"].to_numpy().astype(np.int64)),
+        "observed_micro": pa.array(
+            np.floor(1e6 * c["n"].to_numpy() / tot).astype(np.int64)),
+        "benford_micro": pa.array(
+            np.floor(1e6 * np.log(1.0 + 1.0 / d) / np.log(10.0))
+            .astype(np.int64)),
+    })
