@@ -6415,3 +6415,59 @@ def orders_benford_audit(sf_dir: str):
             np.floor(1e6 * np.log(1.0 + 1.0 / d) / np.log(10.0))
             .astype(np.int64)),
     })
+
+
+@query(
+    "docs_ks_by_source",
+    """
+WITH c AS (SELECT source, n_chars AS v, COUNT(*) AS n
+           FROM documents GROUP BY 1, 2),
+vals AS (SELECT DISTINCT n_chars AS v FROM documents),
+srcs AS (SELECT DISTINCT source FROM documents),
+grid AS (SELECT s.source, va.v, COALESCE(c.n, 0) AS n
+         FROM srcs s CROSS JOIN vals va
+         LEFT JOIN c ON c.source = s.source AND c.v = va.v),
+cum AS (SELECT source, v,
+               SUM(n) OVER (PARTITION BY source ORDER BY v) AS cs,
+               SUM(n) OVER (PARTITION BY source) AS ns
+        FROM grid),
+tot AS (SELECT v, SUM(n) OVER (ORDER BY v) AS ct, SUM(n) OVER () AS nt
+        FROM (SELECT v, SUM(n) AS n FROM grid GROUP BY 1)),
+d AS (SELECT cum.source,
+             abs(cum.cs * 1.0 / cum.ns
+                 - (tot.ct - cum.cs) * 1.0 / (tot.nt - cum.ns)) AS dv
+      FROM cum JOIN tot USING (v))
+SELECT source, CAST(FLOOR(1000 * MAX(dv)) AS BIGINT) AS ks_milli
+FROM d GROUP BY 1""",
+)
+def docs_ks_by_source(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov statistic per source (each
+    source's length distribution vs the rest of the corpus — the
+    distribution-shift audit behind "is this source sampled from the
+    same population?"). The only corpus pass is the (source, value)
+    count aggregate (sources × distinct-lengths bounded); empirical
+    CDFs and the sup-norm evaluate on that grid with the SAME float
+    expression as the SQL restatement (exact integer operands → the
+    doubles agree bit-for-bit)."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "n_chars"])
+    c = grouped_aggregate(ds, ["source", "n_chars"],
+                          [("*", "count", "n")]).to_pandas()
+    piv = c.pivot_table(index="n_chars", columns="source", values="n",
+                        fill_value=0, aggfunc="sum").sort_index()
+    mat = piv.to_numpy().astype(np.int64)           # values × sources
+    cs = np.cumsum(mat, axis=0).astype(np.float64)  # per-source cum
+    ns = mat.sum(axis=0).astype(np.float64)
+    ct = cs.sum(axis=1)                             # global cum (exact)
+    nt = float(ns.sum())
+    dv = np.abs(cs * 1.0 / ns - (ct[:, None] - cs) * 1.0 / (nt - ns))
+    ks = dv.max(axis=0)
+    return pa.table({
+        "source": pa.array(list(piv.columns), pa.string()),
+        "ks_milli": pa.array(np.floor(1000 * ks).astype(np.int64)),
+    })
