@@ -6471,3 +6471,33 @@ def docs_ks_by_source(sf_dir: str):
         "source": pa.array(list(piv.columns), pa.string()),
         "ks_milli": pa.array(np.floor(1000 * ks).astype(np.int64)),
     })
+
+
+@query(
+    "dedup_cluster_sizes",
+    "WITH RECURSIVE " + _NGRAM_PAIRS_CTE + """
+, sizes AS (
+  SELECT cluster_id, COUNT(*) AS sz FROM cc GROUP BY 1
+)
+SELECT sz, COUNT(*) AS n_clusters FROM sizes GROUP BY 1""",
+)
+def dedup_cluster_sizes(sf_dir: str):
+    """Duplication profile: near-dup cluster size histogram (how much
+    of the corpus is duplicated, and in how large families — the
+    summary a dedup report leads with). Cluster labels come from the
+    distributed connected-components pass; sizes are a per-label count
+    (high-cardinality-safe), the histogram is a count-of-counts — the
+    same two-level shape as the Gini query."""
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+    from raylog.functions.cc import connected_components
+    from raylog.functions.dedup import ngram_jaccard_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3)
+    cc = connected_components(docs.select_columns(["doc_id"]), pairs)
+    sizes = grouped_aggregate_ds(cc, ["cluster_id"],
+                                 [("*", "count", "sz")])
+    return grouped_aggregate(sizes, ["sz"], [("*", "count", "n_clusters")])
