@@ -6501,3 +6501,64 @@ def dedup_cluster_sizes(sf_dir: str):
     sizes = grouped_aggregate_ds(cc, ["cluster_id"],
                                  [("*", "count", "sz")])
     return grouped_aggregate(sizes, ["sz"], [("*", "count", "n_clusters")])
+
+
+@query(
+    "text_zipf_exponent",
+    """
+WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+wc AS (SELECT w, COUNT(*) AS c FROM words GROUP BY 1),
+r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rank FROM wc),
+f AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+      FROM r WHERE rank <= 1000)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+       CAST(FLOOR(1e6 * REGR_SLOPE(y, x)) AS BIGINT) AS zipf_slope_micro,
+       CAST(FLOOR(1e6 * REGR_R2(y, x)) AS BIGINT) AS r2_micro
+FROM f""",
+)
+def text_zipf_exponent(sf_dir: str):
+    """Zipf-law fit of the word frequency distribution (the canonical
+    corpus-health statistic: natural language has rank-frequency slope
+    ≈ -1; templated/synthetic text deviates): log-log least-squares
+    over the top-1000 ranks, slope + R².
+
+    Word counts flow through the hash-partitioned aggregate; ranking
+    the top-1000 is a partial top-k; the regression is closed-form on
+    1000 points driver-side. Same five-moment arithmetic as
+    `events_user_trend`, restated exactly in SQL REGR_* form."""
+    import numpy as np
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    from raylog.functions.agg import grouped_aggregate_ds
+    from raylog.functions.topk import topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def wcounts(b: pa.Table) -> pa.Table:
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        flat = split.flatten().dictionary_encode()
+        codes = np.asarray(flat.indices, dtype=np.int64)
+        uc, cnt = np.unique(codes, return_counts=True)
+        return pa.table({"w": flat.dictionary.take(pa.array(uc)),
+                         "c": pa.array(cnt, pa.int64())})
+
+    wc = grouped_aggregate_ds(
+        ds.map_batches(wcounts, batch_format="pyarrow", batch_size=None),
+        ["w"], [("c", "sum", "c")])
+    top = topk(wc, sort_cols=["c", "w"], descending=[True, False], k=1000)
+    c = np.asarray(top["c"], dtype=np.float64)
+    rank = np.arange(1, len(c) + 1, dtype=np.float64)
+    x, y = np.log(rank), np.log(c)
+    n = float(len(x))
+    sx, sy, sxy, sxx, syy = x.sum(), y.sum(), (x * y).sum(), \
+        (x * x).sum(), (y * y).sum()
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    r2 = ((sxy - sx * sy / n) ** 2
+          / ((sxx - sx * sx / n) * (syy - sy * sy / n)))
+    return pa.table({
+        "n_ranks": pa.array([int(n)], pa.int64()),
+        "zipf_slope_micro": pa.array([int(np.floor(1e6 * slope))],
+                                     pa.int64()),
+        "r2_micro": pa.array([int(np.floor(1e6 * r2))], pa.int64()),
+    })
