@@ -6562,3 +6562,78 @@ def text_zipf_exponent(sf_dir: str):
                                      pa.int64()),
         "r2_micro": pa.array([int(np.floor(1e6 * r2))], pa.int64()),
     })
+
+
+@query(
+    "events_entropy_rate",
+    """
+WITH o AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), t AS (
+  SELECT prev AS a, event_type AS b, COUNT(*) AS n
+  FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
+), m AS (SELECT a, SUM(n) AS na FROM t GROUP BY 1),
+tot AS (SELECT SUM(n) AS nn FROM t)
+SELECT CAST(tot.nn AS BIGINT) AS n_transitions,
+       CAST(FLOOR(1e6 * SUM((t.n * 1.0 / tot.nn)
+            * -ln(t.n * 1.0 / m.na) / ln(2.0))) AS BIGINT)
+         AS h_cond_micro
+FROM t JOIN m USING (a) CROSS JOIN tot
+GROUP BY tot.nn""",
+)
+def events_entropy_rate(sf_dir: str):
+    """Behavioral predictability: the first-order entropy rate
+    H(next | prev) in bits over the event-type Markov chain (low =
+    deterministic habits, high = noise — the sessionization QA metric).
+    Reuses the transition-pair machinery (segmented shift per
+    complete-user partition, types²-bounded matrix); the entropy sum
+    evaluates on that tiny matrix driver-side."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, partitioned_group_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts",
+                                  "event_type"])
+
+    def pairs(part: pa.Table) -> pa.Table:
+        def col(name):
+            c = part[name]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        uid = np.asarray(col("user_id"), dtype=np.int64)
+        eid = np.asarray(col("event_id"), dtype=np.int64)
+        t = np.asarray(col("ts")).astype("datetime64[us]").astype(np.int64)
+        et = col("event_type").dictionary_encode()
+        codes = np.asarray(et.indices, dtype=np.int64)
+        n = len(uid)
+        if n == 0:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        order = np.lexsort((eid, t, uid))
+        u_s, c_s = uid[order], codes[order]
+        same = u_s[1:] == u_s[:-1]
+        nv = len(et.dictionary)
+        key = c_s[:-1][same] * nv + c_s[1:][same]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "a": et.dictionary.take(pa.array(uk // nv)),
+            "b": et.dictionary.take(pa.array(uk % nv)),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    pr = partitioned_group_apply(ds, ["user_id"], pairs)
+    mat = grouped_aggregate(pr, ["a", "b"], [("n", "sum", "n")]).to_pandas()
+    na = mat.groupby("a")["n"].transform("sum").to_numpy().astype(np.float64)
+    nn = float(mat["n"].sum())
+    p = mat["n"].to_numpy().astype(np.float64)
+    h = ((p / nn) * -np.log(p / na) / np.log(2.0)).sum()
+    return pa.table({
+        "n_transitions": pa.array([int(nn)], pa.int64()),
+        "h_cond_micro": pa.array([int(np.floor(1e6 * h))], pa.int64()),
+    })
