@@ -260,3 +260,40 @@ def test_histogram_binning_matches_float_formula(vals, nbins_pow):
     # monotone: larger value never gets a smaller bin
     order = np.argsort(x)
     assert (np.diff(bins[order]) >= 0).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(1, 50), min_size=2, max_size=30))
+def test_gini_histogram_matches_sorted_formula(counts):
+    """events_user_gini's tie-block rank arithmetic vs the literal
+    sorted-rank Gini formula."""
+    import numpy as np
+
+    x = np.sort(np.asarray(counts, dtype=np.float64))
+    k = len(x)
+    s = x.sum()
+    ranks = np.arange(1, k + 1)
+    gini_ref = 2.0 * (ranks * x).sum() / (k * s) - (k + 1.0) / k
+
+    vals, mult = np.unique(x, return_counts=True)
+    c0 = np.concatenate([[0.0], np.cumsum(mult)[:-1]])
+    sin = (vals * (mult * c0 + mult * (mult + 1) / 2)).sum()
+    gini_hist = 2.0 * sin / (k * s) - (k + 1.0) / k
+    assert abs(gini_ref - gini_hist) < 1e-12
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(0, 10 ** 12), min_size=1, max_size=200))
+def test_benford_integer_digit_strip(vals):
+    """Exact integer leading-digit strip vs string slicing."""
+    import numpy as np
+
+    xi = np.asarray([v for v in vals if v >= 1], dtype=np.int64)
+    if len(xi) == 0:
+        return
+    lead = xi.copy()
+    while (lead >= 10).any():
+        big = lead >= 10
+        lead[big] //= 10
+    want = [int(str(v)[0]) for v in xi.tolist()]
+    assert lead.tolist() == want
