@@ -6637,3 +6637,58 @@ def events_entropy_rate(sf_dir: str):
         "n_transitions": pa.array([int(nn)], pa.int64()),
         "h_cond_micro": pa.array([int(np.floor(1e6 * h))], pa.int64()),
     })
+
+
+@query(
+    "log_slo_report",
+    _P() + """
+SELECT source,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN upper(level) = 'ERROR' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_errors,
+       CAST(FLOOR(1e6 * SUM(CASE WHEN upper(level) = 'ERROR' THEN 1
+                                 ELSE 0 END) * 1.0 / COUNT(*)) AS BIGINT)
+         AS err_rate_micro,
+       SUM(CASE WHEN upper(level) = 'ERROR' THEN 1 ELSE 0 END) * 1.0
+         / COUNT(*) > 0.01 AS slo_violated
+FROM recs2 GROUP BY source""",
+)
+def log_slo_report(sf_dir: str):
+    """Per-source error-rate SLO report (the availability dashboard a
+    log pipeline feeds: error fraction vs a 1% budget, violation
+    flag). Level comes from the engine's own parse chain; counts are
+    sources-bounded partial+tree aggregates — one streaming pass over
+    the parsed stream."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+    from raylog.pipelines import log_pipeline as LP
+    from raylog.stages import parse
+
+    ds = LP.parsed_ds(LP.records_ds(sf_dir))
+    ds = ds.map_batches(lambda b: parse.erda_info(b, key="log"),
+                        batch_format="pyarrow")
+
+    def flags(b: pa.Table) -> pa.Table:
+        lvl = b["level"].combine_chunks()
+        is_err = pc.equal(pc.utf8_upper(pc.fill_null(lvl, "")),
+                          pa.scalar("ERROR"))
+        return pa.table({
+            "source": b["source"],
+            "e": pc.cast(is_err, pa.int64()),
+        })
+
+    agg = grouped_aggregate(
+        ds.map_batches(flags, batch_format="pyarrow", batch_size=None),
+        ["source"], [("*", "count", "n_lines"), ("e", "sum", "n_errors")])
+    n = np.asarray(agg["n_lines"], dtype=np.float64)
+    e = np.asarray(agg["n_errors"], dtype=np.float64)
+    return pa.table({
+        "source": agg["source"],
+        "n_lines": agg["n_lines"],
+        "n_errors": agg["n_errors"],
+        "err_rate_micro": pa.array(np.floor(1e6 * e / n).astype(np.int64)),
+        "slo_violated": pa.array(e / n > 0.01),
+    })
