@@ -6692,3 +6692,65 @@ def log_slo_report(sf_dir: str):
         "err_rate_micro": pa.array(np.floor(1e6 * e / n).astype(np.int64)),
         "slo_violated": pa.array(e / n > 0.01),
     })
+
+
+@query(
+    "events_anomaly_robust",
+    """
+WITH c AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type, quantile_disc(n, 0.5) AS med FROM c GROUP BY 1
+), a AS (
+  SELECT c.event_type, c.day, c.n, m.med, abs(c.n - m.med) AS adev
+  FROM c JOIN m USING (event_type)
+), md AS (
+  SELECT event_type, quantile_disc(adev, 0.5) AS mad FROM a GROUP BY 1
+)
+SELECT a.event_type, a.day, a.n,
+       a.n - a.med > 3 * md.mad AS is_spike
+FROM a JOIN md USING (event_type) WHERE md.mad > 0""",
+)
+def events_anomaly_robust(sf_dir: str):
+    """Robust (median/MAD) daily-volume spike detection — the
+    outlier-resistant twin of `events_anomaly`: a single extreme day
+    inflates mean/std and hides itself, but not the median/MAD fences
+    (spike = count > median + 3·MAD, all integer-exact arithmetic).
+    The corpus pass is the (type, day) count aggregate; medians come
+    from the cells-bounded series."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def day(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+        })
+
+    c = grouped_aggregate(
+        ds.map_batches(day, batch_format="pyarrow", batch_size=None),
+        ["event_type", "day"], [("*", "count", "n")]).to_pandas()
+    out = []
+    for et, g in c.groupby("event_type"):
+        n = np.sort(g["n"].to_numpy().astype(np.int64))
+        med = int(n[(len(n) - 1) // 2])  # quantile_disc(0.5) rank rule
+        adev = np.sort(np.abs(g["n"].to_numpy().astype(np.int64) - med))
+        mad = int(adev[(len(adev) - 1) // 2])
+        if mad <= 0:
+            continue
+        for d, cnt in zip(g["day"], g["n"]):
+            out.append((et, d, int(cnt), int(cnt) - med > 3 * mad))
+    out.sort()
+    return pa.table({
+        "event_type": pa.array([r[0] for r in out], pa.string()),
+        "day": pa.array([r[1] for r in out], pa.string()),
+        "n": pa.array([r[2] for r in out], pa.int64()),
+        "is_spike": pa.array([r[3] for r in out], pa.bool_()),
+    })
