@@ -6754,3 +6754,55 @@ def events_anomaly_robust(sf_dir: str):
         "n": pa.array([r[2] for r in out], pa.int64()),
         "is_spike": pa.array([r[3] for r in out], pa.bool_()),
     })
+
+
+@query(
+    "docs_histogram_by_source",
+    """
+WITH s AS (
+  SELECT source, CAST(MIN(n_chars) AS DOUBLE) AS lo,
+         CAST(MAX(n_chars) AS DOUBLE) AS hi
+  FROM documents GROUP BY 1
+)
+SELECT d.source,
+       LEAST(CAST(FLOOR((d.n_chars - s.lo) * 16.0 / (s.hi - s.lo + 1.0))
+                  AS BIGINT), 15) AS bin,
+       COUNT(*) AS n
+FROM documents d JOIN s USING (source)
+GROUP BY 1, 2""",
+)
+def docs_histogram_by_source(sf_dir: str):
+    """Per-group fixed-bin histogram (the faceted distribution panel of
+    a data-quality dashboard): each source gets 16 bins over its own
+    [min, max]. Pass 1 is a sources-bounded min/max aggregate
+    (broadcast); pass 2 emits (source, bin) count partials — exchange
+    bounded by sources × 16, independent of rows (the grouped form of
+    `docs_histogram`)."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    NBINS = 16
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "n_chars"])
+    mm = grouped_aggregate(ds, ["source"],
+                           [("n_chars", "min", "lo"),
+                            ("n_chars", "max", "hi")]).to_pandas()
+    lut = {r.source: (float(r.lo), float(r.hi)) for r in mm.itertuples()}
+    ref = ray.put(lut) if ray.is_initialized() else lut
+
+    def bins(b: pa.Table) -> pa.Table:
+        m = ray.get(ref) if ray.is_initialized() else ref
+        src = b["source"].to_pylist()
+        x = np.asarray(b["n_chars"].combine_chunks(), dtype=np.float64)
+        lo = np.array([m[s][0] for s in src])
+        hi = np.array([m[s][1] for s in src])
+        bn = np.minimum(np.floor((x - lo) * NBINS / (hi - lo + 1.0))
+                        .astype(np.int64), NBINS - 1)
+        return pa.table({"source": b["source"], "bin": pa.array(bn)})
+
+    return grouped_aggregate(
+        ds.map_batches(bins, batch_format="pyarrow", batch_size=None),
+        ["source", "bin"], [("*", "count", "n")])
