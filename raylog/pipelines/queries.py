@@ -6806,3 +6806,51 @@ def docs_histogram_by_source(sf_dir: str):
     return grouped_aggregate(
         ds.map_batches(bins, batch_format="pyarrow", batch_size=None),
         ["source", "bin"], [("*", "count", "n")])
+
+
+@query(
+    "events_dod_returning",
+    """
+WITH a AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d
+  FROM events
+)
+SELECT b.d AS day_epoch, COUNT(*) AS returning_users
+FROM a b JOIN a p ON p.user_id = b.user_id AND p.d = b.d - 1
+GROUP BY 1""",
+)
+def events_dod_returning(sf_dir: str):
+    """Day-over-day returning users (the stickiness/churn series): for
+    each day, how many active users were also active the previous day.
+
+    No self-join: users hash-partition complete, each partition sorts
+    its (user, day) pairs once and a segmented diff==1 test emits
+    (day, 1) partials — the exchange is days-bounded counts. The same
+    consecutive-pair trick as the Markov/watermark kernels."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, partitioned_group_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def pairs(part: pa.Table) -> pa.Table:
+        def col(name):
+            c = part[name]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        uid = np.asarray(col("user_id"), dtype=np.int64)
+        t = np.asarray(col("ts")).astype("datetime64[us]").astype(np.int64)
+        d = np.floor(t / 1e6 / 86400).astype(np.int64)
+        if len(uid) == 0:
+            return pa.table({"day_epoch": pa.array([], pa.int64())})
+        uniq = np.unique(np.stack([uid, d], axis=1), axis=0)
+        u_s, d_s = uniq[:, 0], uniq[:, 1]
+        consec = (u_s[1:] == u_s[:-1]) & (d_s[1:] - d_s[:-1] == 1)
+        return pa.table({"day_epoch": pa.array(d_s[1:][consec])})
+
+    pr = partitioned_group_apply(ds, ["user_id"], pairs)
+    return grouped_aggregate(pr, ["day_epoch"],
+                             [("*", "count", "returning_users")])
