@@ -6854,3 +6854,76 @@ def events_dod_returning(sf_dir: str):
     pr = partitioned_group_apply(ds, ["user_id"], pairs)
     return grouped_aggregate(pr, ["day_epoch"],
                              [("*", "count", "returning_users")])
+
+
+@query(
+    "events_changepoint",
+    """
+WITH c AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, day, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY day) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS tot,
+         COUNT(*) OVER (PARTITION BY event_type) AS k,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM c
+), d AS (
+  SELECT event_type, day,
+         abs(cum - i * (tot * 1.0 / k)) AS cusum
+  FROM s WHERE i < k
+)
+SELECT event_type, day AS change_day,
+       CAST(FLOOR(1000 * cusum) AS BIGINT) AS cusum_milli
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY cusum DESC, day) AS rn
+      FROM d)
+WHERE rn = 1""",
+)
+def events_changepoint(sf_dir: str):
+    """Changepoint detection per event type (the at-most-one-change
+    CUSUM scan statistic: the day where the centered cumulative sum of
+    daily counts peaks marks the most likely level shift). One
+    (type, day) count pass; the scan statistic evaluates on the
+    cells-bounded series with the identical float expression as the
+    SQL window restatement."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def day(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+        })
+
+    c = grouped_aggregate(
+        ds.map_batches(day, batch_format="pyarrow", batch_size=None),
+        ["event_type", "day"], [("*", "count", "n")]).to_pandas()
+    out = []
+    for et, g in c.groupby("event_type"):
+        g = g.sort_values("day")
+        n = g["n"].to_numpy().astype(np.int64)
+        k = len(n)
+        if k < 2:
+            continue
+        cum = np.cumsum(n).astype(np.float64)
+        i = np.arange(1, k + 1, dtype=np.float64)
+        tot = float(n.sum())
+        cusum = np.abs(cum - i * (tot * 1.0 / k))
+        cusum = cusum[:-1]  # i < k (the last point is always 0)
+        best = int(np.argmax(cusum))  # first max = earliest day tie-break
+        out.append((et, g["day"].iloc[best],
+                    int(np.floor(1000 * cusum[best]))))
+    out.sort()
+    return pa.table({
+        "event_type": pa.array([r[0] for r in out], pa.string()),
+        "change_day": pa.array([r[1] for r in out], pa.string()),
+        "cusum_milli": pa.array([r[2] for r in out], pa.int64()),
+    })
