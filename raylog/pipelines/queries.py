@@ -6927,3 +6927,68 @@ def events_changepoint(sf_dir: str):
         "change_day": pa.array([r[1] for r in out], pa.string()),
         "cusum_milli": pa.array([r[2] for r in out], pa.int64()),
     })
+
+
+@query(
+    "events_pareto_users",
+    """
+WITH c AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1
+), r AS (
+  SELECT user_id, n,
+         SUM(n) OVER (ORDER BY n DESC, user_id) AS cum,
+         SUM(n) OVER () AS tot,
+         ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS i,
+         COUNT(*) OVER () AS k
+  FROM c
+)
+SELECT CAST(MIN(i) AS BIGINT) AS users_for_80pct,
+       CAST(MAX(k) AS BIGINT) AS n_users,
+       CAST(FLOOR(1000.0 * MIN(i) / MAX(k)) AS BIGINT) AS frac_milli
+FROM r WHERE cum * 1.0 / tot >= 0.8""",
+)
+def events_pareto_users(sf_dir: str):
+    """Pareto 80/20 concentration: the smallest number of top users
+    that account for 80% of all events (the "how head-heavy is this
+    corpus" capacity-planning figure). Per-user counts hash-partition;
+    only the count-of-counts histogram reaches the driver, and the
+    cumulative-coverage threshold resolves on it exactly (heaviest
+    users first = walking the histogram from the top; within a tie
+    block the cumulative crosses 80% a computable number of users in)."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    per_user = grouped_aggregate_ds(ds, ["user_id"],
+                                    [("*", "count", "n")])
+    hist = grouped_aggregate(per_user, ["n"],
+                             [("*", "count", "m")]).to_pandas()
+    hist = hist.sort_values("n", ascending=False)
+    n = hist["n"].to_numpy().astype(np.float64)
+    m = hist["m"].to_numpy().astype(np.int64)
+    tot = float((n * m).sum())
+    k = int(m.sum())
+    users = 0
+    cum = 0.0
+    need = None
+    for ni, mi in zip(n, m):
+        # smallest j in this tie block with (cum + ni*j)/tot >= 0.8 —
+        # closed form, but validated with the same float comparison the
+        # SQL uses so boundary behavior is identical
+        j = int(np.ceil((0.8 * tot - cum) / ni))
+        j = max(j, 1)
+        while j <= mi and not ((cum + ni * j) * 1.0 / tot >= 0.8):
+            j += 1
+        if j <= mi and (cum + ni * j) * 1.0 / tot >= 0.8:
+            need = users + j
+            break
+        cum += ni * mi
+        users += mi
+    return pa.table({
+        "users_for_80pct": pa.array([need], pa.int64()),
+        "n_users": pa.array([k], pa.int64()),
+        "frac_milli": pa.array([int(np.floor(1000.0 * need / k))],
+                               pa.int64()),
+    })
