@@ -6992,3 +6992,127 @@ def events_pareto_users(sf_dir: str):
         "frac_milli": pa.array([int(np.floor(1000.0 * need / k))],
                                pa.int64()),
     })
+
+
+@query(
+    "orders_rfm_segments",
+    """
+WITH base AS (
+  SELECT o_custkey,
+         CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS od,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), g AS (
+  SELECT o_custkey, MAX(od) AS last_od, COUNT(*) AS f,
+         SUM(cents) AS m_cents
+  FROM base GROUP BY 1
+), mx AS (SELECT MAX(od) AS d FROM base),
+rfm AS (
+  SELECT o_custkey, mx.d - last_od AS r, f, m_cents
+  FROM g CROSS JOIN mx
+), q AS (
+  SELECT quantile_disc(r, 0.25) AS r1, quantile_disc(r, 0.5) AS r2,
+         quantile_disc(r, 0.75) AS r3,
+         quantile_disc(f, 0.25) AS f1, quantile_disc(f, 0.5) AS f2,
+         quantile_disc(f, 0.75) AS f3,
+         quantile_disc(m_cents, 0.25) AS m1,
+         quantile_disc(m_cents, 0.5) AS m2,
+         quantile_disc(m_cents, 0.75) AS m3
+  FROM rfm
+)
+SELECT o_custkey, r, f, m_cents,
+       1 + CASE WHEN r > q.r1 THEN 1 ELSE 0 END
+         + CASE WHEN r > q.r2 THEN 1 ELSE 0 END
+         + CASE WHEN r > q.r3 THEN 1 ELSE 0 END AS r_score,
+       1 + CASE WHEN f > q.f1 THEN 1 ELSE 0 END
+         + CASE WHEN f > q.f2 THEN 1 ELSE 0 END
+         + CASE WHEN f > q.f3 THEN 1 ELSE 0 END AS f_score,
+       1 + CASE WHEN m_cents > q.m1 THEN 1 ELSE 0 END
+         + CASE WHEN m_cents > q.m2 THEN 1 ELSE 0 END
+         + CASE WHEN m_cents > q.m3 THEN 1 ELSE 0 END AS m_score
+FROM rfm CROSS JOIN q""",
+)
+def orders_rfm_segments(sf_dir: str):
+    """RFM customer segmentation (recency / frequency / monetary
+    quartile scores — the marketing-analytics classic): per-customer
+    aggregates through the hash-partitioned combine (money as exact
+    integer cents — per-row round-half-up BEFORE summing, so both
+    engines sum identical integers), quartile thresholds from the
+    exact distributed-quantile kernel, scores = strictly-greater
+    threshold counts (integer-exact). At petabyte scale the monetary
+    thresholds would come from a coarser-unit bounded histogram; the
+    rest is cardinality-bounded as-is."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate_ds
+    from raylog.functions.quantile import grouped_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def base(b: pa.Table) -> pa.Table:
+        od = (np.asarray(b["o_orderdate"].combine_chunks())
+              .astype("datetime64[us]").astype(np.int64))
+        od = np.floor(od / 1e6 / 86400).astype(np.int64)
+        cents = np.floor(np.asarray(b["o_totalprice"].combine_chunks(),
+                                    dtype=np.float64) * 100 + 0.5
+                         ).astype(np.int64)
+        return pa.table({"o_custkey": b["o_custkey"],
+                         "od": pa.array(od),
+                         "cents": pa.array(cents)})
+
+    bs = ds.map_batches(base, batch_format="pyarrow", batch_size=None)
+    g = grouped_aggregate_ds(bs, ["o_custkey"],
+                             [("od", "max", "last_od"),
+                              ("*", "count", "f"),
+                              ("cents", "sum", "m_cents")])
+    d_max = int(bs.max("od"))
+
+    def mk_rfm(b: pa.Table) -> pa.Table:
+        last = np.asarray(b["last_od"].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "o_custkey": b["o_custkey"],
+            "r": pa.array(d_max - last),
+            "f": pa.array(np.asarray(b["f"].combine_chunks(),
+                                     dtype=np.int64)),
+            "m_cents": pa.array(np.asarray(b["m_cents"].combine_chunks(),
+                                           dtype=np.int64)),
+        })
+
+    rfm = g.map_batches(mk_rfm, batch_format="pyarrow", batch_size=None)
+
+    def one_key(b: pa.Table) -> pa.Table:
+        return b.append_column("_k", pa.array([0] * b.num_rows,
+                                              pa.int64()))
+
+    keyed = rfm.map_batches(one_key, batch_format="pyarrow",
+                            batch_size=None)
+    qs = {}
+    for colname in ["r", "f", "m_cents"]:
+        qt = grouped_quantiles(keyed, key="_k", value=colname,
+                               ps=[0.25, 0.5, 0.75],
+                               out_names=["q1", "q2", "q3"]).to_pandas()
+        qs[colname] = (int(qt["q1"][0]), int(qt["q2"][0]),
+                       int(qt["q3"][0]))
+    ref = ray.put(qs) if ray.is_initialized() else qs
+
+    def score(b: pa.Table) -> pa.Table:
+        q = ray.get(ref) if ray.is_initialized() else ref
+
+        def sc(col):
+            v = np.asarray(b[col].combine_chunks(), dtype=np.int64)
+            t1, t2, t3 = q[col]
+            return 1 + (v > t1).astype(np.int64) + (v > t2) + (v > t3)
+
+        return pa.table({
+            "o_custkey": b["o_custkey"], "r": b["r"], "f": b["f"],
+            "m_cents": b["m_cents"],
+            "r_score": pa.array(sc("r")),
+            "f_score": pa.array(sc("f")),
+            "m_score": pa.array(sc("m_cents")),
+        })
+
+    return rfm.map_batches(score, batch_format="pyarrow", batch_size=None)
