@@ -7116,3 +7116,62 @@ def orders_rfm_segments(sf_dir: str):
         })
 
     return rfm.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+@query(
+    "events_bounce_rate",
+    """
+WITH e AS (
+  SELECT user_id, event_id, epoch(ts) AS t FROM events
+), d AS (
+  SELECT *, CASE WHEN t - LAG(t) OVER (PARTITION BY user_id
+                                       ORDER BY t, event_id) > 1800
+                   OR LAG(t) OVER (PARTITION BY user_id
+                                   ORDER BY t, event_id) IS NULL
+            THEN 1 ELSE 0 END AS new_session
+  FROM e
+), s AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM d
+), g AS (
+  SELECT user_id, session_no, COUNT(*) AS n_events
+  FROM s GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST(FLOOR(1000.0 * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+            / COUNT(*)) AS BIGINT) AS bounce_milli
+FROM g""",
+)
+def events_bounce_rate(sf_dir: str):
+    """Bounce rate (share of single-event sessions under the 30-min
+    gap rule — the engagement KPI distilled from sessionization): the
+    proven session-window kernel produces per-session event counts;
+    the rate reduces over constant-size per-block partials — sessions
+    never materialize on the driver."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    sessions = QUERIES["events_sessionize"](sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ne = t["n_events"].combine_chunks()
+        nb = pc.sum(pc.cast(pc.equal(ne, pa.scalar(1)), pa.int64())).as_py()
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "b": pa.array([int(nb or 0)], pa.int64()),
+        })
+
+    parts = sessions.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=None)
+    n = int(parts.sum("n"))
+    b = int(parts.sum("b"))
+    return pa.table({
+        "n_sessions": pa.array([n], pa.int64()),
+        "n_bounces": pa.array([b], pa.int64()),
+        "bounce_milli": pa.array([int(np.floor(1000.0 * b / n))],
+                                 pa.int64()),
+    })
