@@ -7175,3 +7175,62 @@ def events_bounce_rate(sf_dir: str):
         "bounce_milli": pa.array([int(np.floor(1000.0 * b / n))],
                                  pa.int64()),
     })
+
+
+@query(
+    "events_rolling_7d",
+    """
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type, a.d AS day_epoch, a.n,
+       CAST(SUM(b.n) AS BIGINT) AS sum_7d
+FROM c a JOIN c b ON a.event_type = b.event_type
+                 AND b.d BETWEEN a.d - 6 AND a.d
+GROUP BY 1, 2, 3""",
+)
+def events_rolling_7d(sf_dir: str):
+    """Rolling 7-day window sum per type (the RANGE-frame windowed
+    aggregate — trailing weekly volume behind every rate dashboard):
+    one (type, day) count pass; the rolling sum evaluates on the
+    cells-bounded series via a vectorized two-pointer pass over the
+    sorted day axis (exact gaps respected — a missing day contributes
+    nothing, matching the RANGE frame, not a ROWS frame)."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def day(b: pa.Table) -> pa.Table:
+        t = (np.asarray(b["ts"].combine_chunks())
+             .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "event_type": b["event_type"],
+            "d": pa.array(np.floor(t / 1e6 / 86400).astype(np.int64)),
+        })
+
+    c = grouped_aggregate(
+        ds.map_batches(day, batch_format="pyarrow", batch_size=None),
+        ["event_type", "d"], [("*", "count", "n")]).to_pandas()
+    out = []
+    for et, g in c.groupby("event_type"):
+        g = g.sort_values("d")
+        d = g["d"].to_numpy().astype(np.int64)
+        n = g["n"].to_numpy().astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(n)])
+        lo = np.searchsorted(d, d - 6, side="left")
+        s7 = cum[np.arange(1, len(d) + 1)] - cum[lo]
+        for di, ni, si in zip(d, n, s7):
+            out.append((et, int(di), int(ni), int(si)))
+    out.sort()
+    return pa.table({
+        "event_type": pa.array([r[0] for r in out], pa.string()),
+        "day_epoch": pa.array([r[1] for r in out], pa.int64()),
+        "n": pa.array([r[2] for r in out], pa.int64()),
+        "sum_7d": pa.array([r[3] for r in out], pa.int64()),
+    })
