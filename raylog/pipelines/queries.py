@@ -7234,3 +7234,76 @@ def events_rolling_7d(sf_dir: str):
         "n": pa.array([r[2] for r in out], pa.int64()),
         "sum_7d": pa.array([r[3] for r in out], pa.int64()),
     })
+
+
+@query(
+    "events_weekday_ratio",
+    """
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, ((d + 4) % 7) IN (5, 6) AS is_weekend, n FROM c
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN is_weekend THEN 0 ELSE n END) AS BIGINT)
+         AS weekday_events,
+       CAST(SUM(CASE WHEN is_weekend THEN n ELSE 0 END) AS BIGINT)
+         AS weekend_events,
+       CAST(COUNT(CASE WHEN NOT is_weekend THEN 1 END) AS BIGINT)
+         AS weekdays,
+       CAST(COUNT(CASE WHEN is_weekend THEN 1 END) AS BIGINT) AS weekends,
+       CAST(FLOOR(1000.0
+            * (SUM(CASE WHEN is_weekend THEN 0 ELSE n END) * 1.0
+               / COUNT(CASE WHEN NOT is_weekend THEN 1 END))
+            / (SUM(CASE WHEN is_weekend THEN n ELSE 0 END) * 1.0
+               / COUNT(CASE WHEN is_weekend THEN 1 END))) AS BIGINT)
+         AS ratio_milli
+FROM t GROUP BY 1""",
+)
+def events_weekday_ratio(sf_dir: str):
+    """Weekday/weekend seasonality per type (mean weekday daily volume
+    over mean weekend daily volume — the traffic-shape fingerprint
+    separating business tools from consumer apps). Epoch day 0 =
+    Thursday, so ``(d+4) % 7 ∈ {5,6}`` marks Sat/Sun. One cells-bounded
+    count pass; ratios on the tiny table."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def day(b: pa.Table) -> pa.Table:
+        t = (np.asarray(b["ts"].combine_chunks())
+             .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "event_type": b["event_type"],
+            "d": pa.array(np.floor(t / 1e6 / 86400).astype(np.int64)),
+        })
+
+    c = grouped_aggregate(
+        ds.map_batches(day, batch_format="pyarrow", batch_size=None),
+        ["event_type", "d"], [("*", "count", "n")]).to_pandas()
+    c["is_we"] = ((c["d"] + 4) % 7).isin([5, 6])
+    rows = []
+    for et, g in c.groupby("event_type"):
+        wd = g[~g["is_we"]]
+        we = g[g["is_we"]]
+        if len(wd) == 0 or len(we) == 0 or we["n"].sum() == 0:
+            continue
+        r = ((wd["n"].sum() * 1.0 / len(wd))
+             / (we["n"].sum() * 1.0 / len(we)))
+        rows.append((et, int(wd["n"].sum()), int(we["n"].sum()),
+                     len(wd), len(we), int(np.floor(1000.0 * r))))
+    rows.sort()
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "weekday_events": pa.array([r[1] for r in rows], pa.int64()),
+        "weekend_events": pa.array([r[2] for r in rows], pa.int64()),
+        "weekdays": pa.array([r[3] for r in rows], pa.int64()),
+        "weekends": pa.array([r[4] for r in rows], pa.int64()),
+        "ratio_milli": pa.array([r[5] for r in rows], pa.int64()),
+    })
