@@ -7307,3 +7307,66 @@ def events_weekday_ratio(sf_dir: str):
         "weekends": pa.array([r[4] for r in rows], pa.int64()),
         "ratio_milli": pa.array([r[5] for r in rows], pa.int64()),
     })
+
+
+@query(
+    "events_type_comovement",
+    """
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), days AS (SELECT DISTINCT d FROM c),
+types AS (SELECT DISTINCT event_type FROM c),
+grid AS (
+  SELECT t.event_type, dy.d, COALESCE(c.n, 0) AS n
+  FROM types t CROSS JOIN days dy
+  LEFT JOIN c ON c.event_type = t.event_type AND c.d = dy.d
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(FLOOR(1e6 * CORR(CAST(a.n AS DOUBLE), CAST(b.n AS DOUBLE)))
+            AS BIGINT) AS corr_micro
+FROM grid a JOIN grid b ON a.d = b.d AND a.event_type < b.event_type
+GROUP BY 1, 2""",
+)
+def events_type_comovement(sf_dir: str):
+    """Cross-series co-movement: pairwise Pearson correlation of the
+    types' daily-volume series (which traffic streams rise and fall
+    together — the dependency map behind incident blast-radius
+    analysis). Zero-filled day grid (missing day = 0 volume), types² / 2
+    pairs evaluated from the one cells-bounded count pass."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def day(b: pa.Table) -> pa.Table:
+        t = (np.asarray(b["ts"].combine_chunks())
+             .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "event_type": b["event_type"],
+            "d": pa.array(np.floor(t / 1e6 / 86400).astype(np.int64)),
+        })
+
+    c = grouped_aggregate(
+        ds.map_batches(day, batch_format="pyarrow", batch_size=None),
+        ["event_type", "d"], [("*", "count", "n")]).to_pandas()
+    piv = c.pivot_table(index="d", columns="event_type", values="n",
+                        fill_value=0, aggfunc="sum").sort_index()
+    types = list(piv.columns)
+    mat = piv.to_numpy().astype(np.float64)
+    rows = []
+    for i, ta in enumerate(types):
+        for j, tb in enumerate(types):
+            if ta < tb:
+                r = float(np.corrcoef(mat[:, i], mat[:, j])[0, 1])
+                rows.append((ta, tb, int(np.floor(1e6 * r))))
+    rows.sort()
+    return pa.table({
+        "type_a": pa.array([r[0] for r in rows], pa.string()),
+        "type_b": pa.array([r[1] for r in rows], pa.string()),
+        "corr_micro": pa.array([r[2] for r in rows], pa.int64()),
+    })
