@@ -7370,3 +7370,63 @@ def events_type_comovement(sf_dir: str):
         "type_b": pa.array([r[1] for r in rows], pa.string()),
         "corr_micro": pa.array([r[2] for r in rows], pa.int64()),
     })
+
+
+@query(
+    "text_good_turing",
+    """
+WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+wc AS (SELECT w, COUNT(*) AS c FROM words GROUP BY 1),
+f AS (SELECT c, COUNT(*) AS m FROM wc GROUP BY 1),
+t AS (SELECT SUM(c * m) AS n_tokens, SUM(m) AS vocab FROM f),
+h AS (SELECT COALESCE(MAX(CASE WHEN c = 1 THEN m END), 0) AS n1 FROM f)
+SELECT CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(t.vocab AS BIGINT) AS vocab,
+       CAST(h.n1 AS BIGINT) AS hapax,
+       CAST(FLOOR(1e6 * h.n1 * 1.0 / t.vocab) AS BIGINT)
+         AS hapax_rate_micro,
+       CAST(FLOOR(1e6 * h.n1 * 1.0 / t.n_tokens) AS BIGINT)
+         AS gt_unseen_micro
+FROM t CROSS JOIN h""",
+)
+def text_good_turing(sf_dir: str):
+    """Vocabulary saturation diagnostics: hapax-legomena rate (share of
+    words seen exactly once) and the Good-Turing estimate of unseen
+    mass (n1/N — the probability the next token is a brand-new word;
+    high = the corpus hasn't covered its domain yet). Word counts via
+    the hash-partitioned aggregate; only the count-of-counts frequency
+    spectrum reaches the driver."""
+    import numpy as np
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def wcounts(b: pa.Table) -> pa.Table:
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        flat = split.flatten().dictionary_encode()
+        codes = np.asarray(flat.indices, dtype=np.int64)
+        uc, cnt = np.unique(codes, return_counts=True)
+        return pa.table({"w": flat.dictionary.take(pa.array(uc)),
+                         "c": pa.array(cnt, pa.int64())})
+
+    wc = grouped_aggregate_ds(
+        ds.map_batches(wcounts, batch_format="pyarrow", batch_size=None),
+        ["w"], [("c", "sum", "c")])
+    spec = grouped_aggregate(wc, ["c"], [("*", "count", "m")]).to_pandas()
+    c = spec["c"].to_numpy().astype(np.int64)
+    m = spec["m"].to_numpy().astype(np.int64)
+    n_tokens = int((c * m).sum())
+    vocab = int(m.sum())
+    n1 = int(m[c == 1].sum()) if (c == 1).any() else 0
+    return pa.table({
+        "n_tokens": pa.array([n_tokens], pa.int64()),
+        "vocab": pa.array([vocab], pa.int64()),
+        "hapax": pa.array([n1], pa.int64()),
+        "hapax_rate_micro": pa.array(
+            [int(np.floor(1e6 * n1 * 1.0 / vocab))], pa.int64()),
+        "gt_unseen_micro": pa.array(
+            [int(np.floor(1e6 * n1 * 1.0 / n_tokens))], pa.int64()),
+    })
