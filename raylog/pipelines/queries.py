@@ -7430,3 +7430,73 @@ def text_good_turing(sf_dir: str):
         "gt_unseen_micro": pa.array(
             [int(np.floor(1e6 * n1 * 1.0 / n_tokens))], pa.int64()),
     })
+
+
+@query(
+    "orders_repeat_cadence",
+    """
+WITH o AS (
+  SELECT o_custkey, CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS d,
+         o_orderkey
+  FROM orders
+), g AS (
+  SELECT o_custkey, d,
+         LAG(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+           AS prev
+  FROM o
+), gaps AS (
+  SELECT d - prev AS gap_days FROM g WHERE prev IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       quantile_disc(gap_days, 0.25) AS p25,
+       quantile_disc(gap_days, 0.5) AS p50,
+       quantile_disc(gap_days, 0.75) AS p75
+FROM gaps""",
+)
+def orders_repeat_cadence(sf_dir: str):
+    """Repeat-purchase cadence (days between a customer's consecutive
+    orders, quartiles — the reorder-cycle number inventory planning
+    runs on): per-customer gaps from one segmented diff per
+    complete-customer partition (order ties broken by orderkey, same
+    rule both engines), day-granularity integers through the exact
+    distributed-quantile kernel."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import partitioned_group_apply
+    from raylog.functions.quantile import grouped_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def gaps(part: pa.Table) -> pa.Table:
+        def col(name):
+            c = part[name]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        ck = np.asarray(col("o_custkey"), dtype=np.int64)
+        ok = np.asarray(col("o_orderkey"), dtype=np.int64)
+        t = (np.asarray(col("o_orderdate"))
+             .astype("datetime64[us]").astype(np.int64))
+        d = np.floor(t / 1e6 / 86400).astype(np.int64)
+        if len(ck) == 0:
+            return pa.table({"gap_days": pa.array([], pa.int64()),
+                             "_k": pa.array([], pa.int64())})
+        order = np.lexsort((ok, d, ck))
+        c_s, d_s = ck[order], d[order]
+        same = c_s[1:] == c_s[:-1]
+        gap = (d_s[1:] - d_s[:-1])[same]
+        return pa.table({"gap_days": pa.array(gap),
+                         "_k": pa.array(np.zeros(len(gap), np.int64))})
+
+    gds = partitioned_group_apply(ds, ["o_custkey"], gaps)
+    n_gaps = int(gds.count())
+    q = grouped_quantiles(gds, key="_k", value="gap_days",
+                          ps=[0.25, 0.5, 0.75],
+                          out_names=["p25", "p50", "p75"]).to_pandas()
+    return pa.table({
+        "n_gaps": pa.array([n_gaps], pa.int64()),
+        "p25": pa.array([int(q["p25"][0])], pa.int64()),
+        "p50": pa.array([int(q["p50"][0])], pa.int64()),
+        "p75": pa.array([int(q["p75"][0])], pa.int64()),
+    })
