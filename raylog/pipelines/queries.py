@@ -7500,3 +7500,50 @@ def orders_repeat_cadence(sf_dir: str):
         "p50": pa.array([int(q["p50"][0])], pa.int64()),
         "p75": pa.array([int(q["p75"][0])], pa.int64()),
     })
+
+
+@query(
+    "dedup_savings_report",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,
+       CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
+       CAST(FLOOR(1000.0 * (COUNT(*) - COUNT(DISTINCT text))
+            / COUNT(*)) AS BIGINT) AS dup_rate_milli
+FROM documents""",
+)
+def dedup_savings_report(sf_dir: str):
+    """Dedup savings headline (the one-line summary a curation run
+    reports: corpus size, distinct contents, duplication rate): row and
+    byte counts are streaming sums; the distinct count comes from the
+    hash-partitioned exact-dedup survivor Dataset — counted, never
+    collected."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.dedup import exact_dedup_survivors
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def sizes(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n": pa.array([b.num_rows], pa.int64()),
+            "bytes": pa.array(
+                [int(pc.sum(pc.utf8_length(b["text"].combine_chunks()))
+                     .as_py() or 0)], pa.int64()),
+        })
+
+    parts = ds.map_batches(sizes, batch_format="pyarrow", batch_size=None)
+    n_docs = int(parts.sum("n"))
+    total_bytes = int(parts.sum("bytes"))
+    n_distinct = int(exact_dedup_survivors(ds).count())
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "n_distinct": pa.array([n_distinct], pa.int64()),
+        "total_bytes": pa.array([total_bytes], pa.int64()),
+        "dup_rate_milli": pa.array(
+            [int(np.floor(1000.0 * (n_docs - n_distinct) / n_docs))],
+            pa.int64()),
+    })
