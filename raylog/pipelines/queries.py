@@ -7547,3 +7547,50 @@ def dedup_savings_report(sf_dir: str):
             [int(np.floor(1000.0 * (n_docs - n_distinct) / n_docs))],
             pa.int64()),
     })
+
+
+@query(
+    "lineitem_discount_revenue",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem
+WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+)
+def lineitem_discount_revenue(sf_dir: str):
+    """TPC-H Q6-shape forecast-revenue query (discount-band × quantity
+    filter, one global sum): per-row products are quantized to exact
+    1e-4 fixed-point integers BEFORE summing (identical double→int op
+    on both engines), so the distributed integer sum is bit-exact in
+    any order — no float-accumulation-order hazard. Predicates are
+    vectorized Arrow filters; partials are one row per block."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice", "l_discount",
+                                  "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        disc = np.asarray(b["l_discount"].combine_chunks(),
+                          dtype=np.float64)
+        qty = np.asarray(b["l_quantity"].combine_chunks(),
+                         dtype=np.float64)
+        price = np.asarray(b["l_extendedprice"].combine_chunks(),
+                           dtype=np.float64)
+        keep = (disc >= 0.05) & (disc <= 0.07) & (qty < 24)
+        rev = np.floor(price[keep] * disc[keep] * 10000 + 0.5
+                       ).astype(np.int64)
+        return pa.table({
+            "n": pa.array([int(keep.sum())], pa.int64()),
+            "r": pa.array([int(rev.sum())], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+    return pa.table({
+        "n_items": pa.array([int(parts.sum("n"))], pa.int64()),
+        "revenue_e4": pa.array([int(parts.sum("r"))], pa.int64()),
+    })
