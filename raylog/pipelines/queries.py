@@ -1315,10 +1315,10 @@ c AS (
   FROM r
 )
 SELECT shard, doc_id,
-       (cum - n_tok) // 512 AS first_pack,
-       CASE WHEN n_tok > 0 THEN (cum - 1) // 512
-            ELSE (cum - n_tok) // 512 END AS last_pack,
-       (cum - n_tok) % 512 AS first_offset
+       CAST((cum - n_tok) // 512 AS BIGINT) AS first_pack,
+       CAST(CASE WHEN n_tok > 0 THEN (cum - 1) // 512
+            ELSE (cum - n_tok) // 512 END AS BIGINT) AS last_pack,
+       CAST((cum - n_tok) % 512 AS BIGINT) AS first_offset
 FROM c""",
 )
 def tokens_pack_chunks(sf_dir: str):
@@ -5728,7 +5728,7 @@ WITH c AS (
 )
 SELECT CAST(FLOOR(1e6 * (2.0 * sin / (k * s) - (k + 1.0) / k)) AS BIGINT)
          AS gini_micro,
-       k AS n_users, s AS n_events
+       k AS n_users, CAST(s AS BIGINT) AS n_events
 FROM t""",
 )
 def events_user_gini(sf_dir: str):
@@ -7004,7 +7004,7 @@ WITH base AS (
   FROM orders
 ), g AS (
   SELECT o_custkey, MAX(od) AS last_od, COUNT(*) AS f,
-         SUM(cents) AS m_cents
+         CAST(SUM(cents) AS BIGINT) AS m_cents
   FROM base GROUP BY 1
 ), mx AS (SELECT MAX(od) AS d FROM base),
 rfm AS (

@@ -40,6 +40,15 @@ def compare(name: str, mine: pd.DataFrame, oracle: pd.DataFrame) -> bool:
         print(f"  {name}: ROWCOUNT mismatch mine={len(mine)} oracle={len(oracle)}")
         ok = False
     a, b = normalize(mine), normalize(oracle)
+    # The driver's external gate hashes raw fetched values, which IS
+    # dtype-sensitive (DuckDB HUGEINT window sums fetch as float64).
+    # Surface int-vs-float drift as a failure so it never ships red.
+    for c in a.columns:
+        ka = a[c].dtype.kind
+        kb = b[c].dtype.kind if c in b.columns else None
+        if kb and {ka, kb} == {"i", "f"}:
+            print(f"  {name}: DTYPE drift col={c} mine={a[c].dtype} oracle={b[c].dtype}")
+            ok = False
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c], b[c]
