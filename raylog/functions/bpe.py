@@ -23,6 +23,10 @@ encode here share one scheme, so round-trips are exact.
 All pair counting and merging is numpy on flat symbol arrays — no
 Python loop over words; the only Python-level loop is over the K merge
 ranks.
+
+Symbols are BYTE-level (UTF-8 bytes, one latin-1 char per byte — the
+GPT-2 byte↔char bijection), so any script trains, encodes and decodes;
+bytes unseen at train time map to a reserved ``<unk>`` symbol.
 """
 
 from __future__ import annotations
@@ -35,6 +39,7 @@ import ray.data as rd
 __all__ = ["bpe_train", "bpe_encode_ds", "BPEModel"]
 
 _EOW = "</w>"  # end-of-word sentinel symbol (classic BPE word boundary)
+_UNK = "<unk>"  # reserved id for bytes unseen at train time (ADVICE r2)
 
 
 class BPEModel:
@@ -60,19 +65,30 @@ class BPEModel:
         })
 
     def decode_ids(self, ids: np.ndarray) -> str:
-        return "".join(self.symbols[i] for i in ids).replace(_EOW, " ").rstrip()
+        """Ids → text. Symbols are byte-level (one latin-1 char per
+        UTF-8 byte), so the joined string round-trips through
+        latin-1 → utf-8; out-of-range ids render as the UNK symbol."""
+        n = len(self.symbols)
+        s = "".join(self.symbols[i] if 0 <= i < n else _UNK for i in ids)
+        s = s.replace(_EOW, " ")
+        return s.encode("latin-1").decode("utf-8", errors="replace").rstrip()
 
 
 def _words_to_flat(words: np.ndarray) -> tuple[np.ndarray, np.ndarray,
                                                list[str], dict[str, int]]:
     """Unique words → (flat symbol-id array, offsets, symbol list, index).
 
-    Initial symbols are single characters plus a per-word ``</w>``
-    terminator, so merges never cross a word boundary and decoding
-    restores spacing.
+    BYTE-level: words encode to UTF-8 and every byte value is one
+    initial symbol (represented as its latin-1 char — the GPT-2
+    byte↔char bijection), so any script (CJK, Cyrillic, emoji) trains
+    and round-trips; the earlier latin-1 ``str.encode`` raised on
+    non-Latin-1 text (ADVICE r2). The ``\\x00`` separator never occurs
+    inside UTF-8 text. Each word gets a ``</w>`` terminator, so merges
+    never cross a word boundary and decoding restores spacing; a
+    reserved ``<unk>`` symbol absorbs bytes unseen at train time.
     """
     joined = "\x00".join(words.tolist()) + ("\x00" if len(words) else "")
-    chars = np.frombuffer(joined.encode("latin-1"), dtype=np.uint8)
+    chars = np.frombuffer(joined.encode("utf-8"), dtype=np.uint8)
     sym_index: dict[str, int] = {}
     symbols: list[str] = []
 
@@ -85,6 +101,8 @@ def _words_to_flat(words: np.ndarray) -> tuple[np.ndarray, np.ndarray,
     eow = len(symbols)
     sym_index[_EOW] = eow
     symbols.append(_EOW)
+    sym_index[_UNK] = len(symbols)
+    symbols.append(_UNK)
 
     lut = np.full(256, -1, dtype=np.int64)
     for ch, i in sym_index.items():
@@ -205,17 +223,18 @@ def _encode_words(words: np.ndarray, model: BPEModel) -> tuple[np.ndarray,
     (flat token-id array, offsets) aligned with ``words``."""
     sym_index = {s: i for i, s in enumerate(model.symbols)}
     joined = "\x00".join(words.tolist()) + ("\x00" if len(words) else "")
-    chars = np.frombuffer(joined.encode("latin-1"), dtype=np.uint8)
+    chars = np.frombuffer(joined.encode("utf-8"), dtype=np.uint8)
     lut = np.full(256, -1, dtype=np.int64)
     for s, i in sym_index.items():
-        if len(s) == 1:
+        if len(s) == 1 and ord(s) < 256:
             lut[ord(s)] = i
     lut[0] = sym_index[_EOW]
     flat = lut[chars]
-    if (flat < 0).any():
-        # chars unseen at train time become per-char UNK = -1 (caller may
-        # remap); keep them atomic so merges skip them
-        pass
+    unseen = flat < 0
+    if unseen.any():
+        # bytes unseen at train time map to the reserved <unk> symbol;
+        # no merge rule references it, so unks stay atomic
+        flat[unseen] = sym_index[_UNK]
     ends = np.flatnonzero(chars == 0) + 1
     off = np.concatenate([[0], ends]).astype(np.int64)
     for a, b, z in model.merges:

@@ -51,13 +51,17 @@ def write_bucketed(ds: rd.Dataset, out_dir: str, key: str,
         parr = np.asarray(pids)
         # deterministic per-(content, bucket) file identity → a retried
         # task overwrites its own files, never duplicates them; the tag
-        # covers the FULL key column so distinct blocks never collide
+        # covers EVERY column's buffers (key column alone collides for
+        # two blocks with equal keys but different payloads — silent
+        # row loss, ADVICE r2)
         import hashlib
 
         h = hashlib.md5(str(batch.num_rows).encode())
-        for buf in batch[key].combine_chunks().buffers():
-            if buf is not None:
-                h.update(buf)
+        for name in batch.column_names:
+            h.update(name.encode())
+            for buf in batch[name].combine_chunks().buffers():
+                if buf is not None:
+                    h.update(buf)
         tag = h.hexdigest()[:16]
         n = 0
         for b in np.unique(parr):

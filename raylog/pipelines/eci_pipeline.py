@@ -21,13 +21,36 @@ import ray.data as rd
 from raylog.pipelines import log_pipeline as LP
 from raylog.stages import enrich, parse, route
 
-# E3 constant tags (the ~20 env-var record_modifier stamps,
-# conf/eci/fluent-bit.conf:77-99) — representative subset
+# E3 constant tags — the COMPLETE 20-key env-var record_modifier stamp
+# set (conf/eci/fluent-bit.conf:77-99). The reference injects these from
+# the ECI pod's environment, so they are constants for one pipeline
+# instance; values here are the deterministic synthetic environment.
+# Key names mirror the reference's `__tags_<name>` records with the
+# repo's `eci_` column prefix (the `__tags_` lift happens in reshape).
 ECI_CONST_TAGS = {
-    "eci_cluster_name": "terminus-dev",
-    "eci_workspace": "dev",
+    "eci_terminus_define_tag": "eci-job-tag",
+    "eci_terminus_key": "terminus-key-0",
+    "eci_org_id": "1",
     "eci_org_name": "erda",
+    "eci_project_id": "42",
+    "eci_project_name": "proj-erda",
+    "eci_application_id": "7",
+    "eci_application_name": "app-erda",
+    "eci_runtime_id": "13",
+    "eci_runtime_name": "rt-master",
+    "eci_service_name": "svc-api",
+    "eci_workspace": "dev",
+    "eci_component": "eci",
+    "eci_terminus_log_key": "log-key-0",
+    "eci_monitor_log_key": "mon-key-0",
+    "eci_dice_cluster_name": "terminus-dev",
+    "eci_msp_env_id": "msp-env-0",
+    "eci_msp_log_attach": "true",
+    "eci_pod_ip": "10.0.0.9",
+    "eci_monitor_log_collector": "http://collector-eci/collect",
 }
+# backward-compatible alias kept by earlier rounds' queries
+ECI_CONST_TAGS["eci_cluster_name"] = ECI_CONST_TAGS["eci_dice_cluster_name"]
 
 
 def cpuset_dim(sources: list[str]) -> pa.Table:

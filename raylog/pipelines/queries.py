@@ -36,6 +36,11 @@ def _P() -> str:
     return R.oracle_prefix()
 
 
+from raylog.pipelines.eci_pipeline import (  # noqa: E402
+    ECI_CONST_TAGS as _ECI_TAGS,
+)
+
+
 def _src_tag(sf_dir: str, table: str = "documents") -> str:
     """Cache tag for fixtures derived from ``sf_dir``'s parquet: the
     full path plus the source file's (mtime_ns, size) fingerprint, so a
@@ -266,14 +271,22 @@ WITH m AS (
                     ROWS UNBOUNDED PRECEDING) AS head_id
   FROM m
 )
-SELECT head_id, source, COUNT(*) AS n_lines
-FROM g WHERE head_id IS NOT NULL GROUP BY 1, 2""",
+-- headless prefix (continuations before any head) flushes as ONE
+-- record rooted at the source's first row, like the reference engine
+, g2 AS (
+  SELECT source,
+         COALESCE(head_id, MIN(doc_id) OVER (PARTITION BY source))
+           AS head_id
+  FROM g
+)
+SELECT head_id, source, COUNT(*) AS n_lines FROM g2 GROUP BY 1, 2""",
 )
 def log_multiline_join(sf_dir: str):
     """P5 multiline join: continuation rows (doc_id%10 ∈ {8,9} — the
     stack-trace-line analog) collapse onto the preceding head row per
     source, in doc order (bucketed record-id assignment — no
-    hot-source single task)."""
+    hot-source single task). Leading headless continuations flush as
+    one record per source (reference buffer-until-firstline behavior)."""
     import pyarrow.compute as pc
     import ray.data as rd
 
@@ -1334,12 +1347,39 @@ def tokens_pack_chunks(sf_dir: str):
     return out
 
 
-@query("tokens_pack_greedy", None)  # greedy recurrence: invariants in pytest
+@query(
+    "tokens_pack_greedy",
+    # first-fit is a sequential recurrence — expressible as a DuckDB
+    # recursive CTE stepping one doc per shard per iteration (the
+    # dedup_cluster_sizes technique; VERDICT r2 next-round #7)
+    _P().replace("WITH ", "WITH RECURSIVE ", 1) + """
+, r AS (SELECT doc_id, doc_id % 8 AS shard, n_tok FROM recs2),
+seq AS (
+  SELECT shard, doc_id, n_tok,
+         CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id)
+              AS BIGINT) AS rn,
+         CAST(SUM(LEAST(n_tok, 512)) OVER (PARTITION BY shard
+              ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM r
+),
+g AS (
+  SELECT shard, doc_id, n_tok, rn, cum,
+         CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS base
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.shard, s.doc_id, s.n_tok, s.rn, s.cum,
+         CASE WHEN s.cum <= g.base + 512 THEN g.pack_id
+              ELSE g.pack_id + 1 END,
+         CASE WHEN s.cum <= g.base + 512 THEN g.base ELSE g.cum END
+  FROM g JOIN seq s ON s.shard = g.shard AND s.rn = g.rn + 1
+)
+SELECT shard, doc_id, pack_id, n_tok > 512 AS overflow FROM g""",
+)
 def tokens_pack_greedy(sf_dir: str):
     """Sequence packing (whole-doc first-fit): greedy window assignment
     per shard; sequential boundary recurrence as per-pack searchsorted
-    steps on the partition cumsum. Non-SQL; packing invariants asserted
-    in tests/test_packing.py."""
+    steps on the partition cumsum. Packing invariants additionally
+    asserted in tests/test_packing.py."""
     from raylog.functions.packing import pack_greedy
     from raylog.pipelines import log_pipeline as LP
 
@@ -2203,10 +2243,15 @@ def dedup_embed_pairs(sf_dir: str):
     import numpy as np
     import ray.data as rd
 
+    import pyarrow.parquet as pq
+
     from raylog.functions.dedup import embedding_near_dup_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    tbl = embedding_near_dup_pairs(ds, threshold=0.4)
+    # parquet metadata row count: no extra ds.count() pass for the
+    # broadcast-vs-bucketed path choice
+    n_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    tbl = embedding_near_dup_pairs(ds, threshold=0.4, n_rows=n_rows)
     return tbl
 
 
@@ -2269,12 +2314,15 @@ def dedup_embed_pairs_bucketed(sf_dir: str):
     pytest."""
     import ray.data as rd
 
+    import pyarrow.parquet as pq
+
     from raylog.functions.dedup import embedding_near_dup_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
+    n_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
     return embedding_near_dup_pairs(ds, threshold=0.4, max_broadcast_rows=10,
-                                    n_clusters=8, assign_top=2)
+                                    n_clusters=8, assign_top=2, n_rows=n_rows)
 
 
 # --------------------------------------------------------------------------
@@ -2572,17 +2620,25 @@ SELECT r.doc_id,
        END AS cpuset,
        CASE WHEN s.sid % 20 <> 19 THEN printf('%016x', s.sid * 2654435761)
        END AS container_id_cpuset,
-       'terminus-dev' AS eci_cluster_name
+       'terminus-dev' AS eci_cluster_name,
+""" + ",\n".join(
+        f"       '{_ECI_TAGS[k]}' AS {k}"
+        for k in sorted(_ECI_TAGS) if k != "eci_cluster_name"
+    ) + """
 FROM recs2 r JOIN src_rank s USING (source)""",
 )
 def eci_enrich(sf_dir: str):
     """ECI chain: P6 log-id from the tail path, E2 cpuset broadcast
-    lookup, P7 container-id regex, E3 constant tags (SURVEY §3.2)."""
+    lookup, P7 container-id regex, E3 constant tags — the reference's
+    COMPLETE 20-key record_modifier set (conf/eci/fluent-bit.conf:77-99)
+    — (SURVEY §3.2)."""
     from raylog.pipelines.eci_pipeline import eci_pipeline
 
     ds = eci_pipeline(sf_dir)
     return ds.select_columns(
-        ["doc_id", "pri_id", "cpuset", "container_id_cpuset", "eci_cluster_name"]
+        ["doc_id", "pri_id", "cpuset", "container_id_cpuset",
+         "eci_cluster_name"]
+        + [k for k in sorted(_ECI_TAGS) if k != "eci_cluster_name"]
     )
 
 

@@ -31,9 +31,10 @@ Partitioning assumptions (documented for the 100 TB case): ``order_col``
 is unique per source (tail offset); one logical record is small (a stack
 trace / one split line — the reference bounds it by Buffer_Max_Size 10MB,
 conf/ds/docker-runtime.conf:9), so groups of ``records_per_group``
-records stay bounded. Leading continuations with no head are dropped
-(the reference buffers them until a first-line arrives; at batch
-boundaries it flushes them standalone — documented divergence). A
+records stay bounded. Leading continuations with no head flush as one
+headless record per source by default (``headless="emit"`` — the
+reference buffers them until a first-line or the flush timeout arrives;
+round-2's drop behavior remains available as ``headless="drop"``). A
 trailing unterminated ``P``-run IS emitted (the reference's
 Multiline_Flush timeout flush).
 """
@@ -128,13 +129,24 @@ def multiline_join(
     sep: str = "\n",
     bucket_size: int = 65_536,
     records_per_group: int = 4096,
+    headless: str = "emit",
 ) -> rd.Dataset:
     """Collapse continuation rows onto their head row per source
     (firstline / head-marked multiline).
 
     Returns one row per logical record: (head_id = head row's order_col,
     source, n_lines, joined content if content_col given).
+
+    ``headless`` controls continuations arriving BEFORE any head in a
+    source: ``"emit"`` (default) joins them into one headless record
+    whose head_id is the first row's order — the reference engine
+    buffers such lines and flushes them as one record when the first
+    firstline (or the flush timeout) arrives; ``"drop"`` discards them
+    (round-2 behavior, kept for callers that want strict head-rooted
+    records only).
     """
+    if headless not in ("emit", "drop"):
+        raise ValueError(f"headless must be 'emit' or 'drop', got {headless!r}")
 
     def mark(b: pa.Table) -> pa.Table:
         cont = b[is_continuation]
@@ -148,7 +160,7 @@ def multiline_join(
     )
     return _assemble_records(
         ids, source_col=source_col, order_col=order_col,
-        content_col=content_col, sep=sep, drop_zero=True,
+        content_col=content_col, sep=sep, drop_zero=(headless == "drop"),
         records_per_group=records_per_group,
     )
 

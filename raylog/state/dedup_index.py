@@ -91,8 +91,11 @@ class DedupShard:
         return out
 
     def size(self) -> int:
-        return (int(self.bits.sum()) if self.approximate
-                else len(self.seen))
+        # occupancy = POPCOUNT of the bit words, not their numeric sum
+        # (ADVICE r2: sum of uint64 word values was astronomically wrong
+        # once high bits set)
+        return (int(np.unpackbits(self.bits.view(np.uint8)).sum())
+                if self.approximate else len(self.seen))
 
 
 class _OnlineDeduper:

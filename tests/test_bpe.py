@@ -128,3 +128,39 @@ def test_bpe_overlapping_run_merge(ray_session):
     a, b, z = model.merges[0]
     assert model.symbols[a] == "a" and model.symbols[b] == "a"
     assert model.symbols[z] == "aa"
+
+
+def test_bpe_utf8_corpus_roundtrips(ray_session):
+    """Byte-level BPE: non-Latin-1 scripts (CJK, Cyrillic, emoji) train,
+    encode and decode exactly (ADVICE r2: the latin-1 path raised)."""
+    corpus = ["мир мир мир", "你好 你好 世界", "naïve café 🚀 🚀"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(corpus), dtype=np.int64)),
+        "text": pa.array(corpus, pa.string()),
+    }))
+    model = bpe_train(ds, num_merges=12)
+    enc = bpe_encode_ds(ds, model).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    for i, text in enumerate(corpus):
+        ids = np.asarray(enc["bpe_tokens"][i])
+        assert (ids >= 0).all()
+        assert model.decode_ids(ids) == text
+
+
+def test_bpe_unseen_bytes_become_unk(ray_session):
+    """Bytes absent from the training corpus encode to the reserved
+    <unk> id — never a negative id (ADVICE r2)."""
+    from raylog.functions.bpe import _UNK
+
+    model = bpe_train(rd.from_arrow(_docs()), num_merges=4)
+    unk_id = model.symbols.index(_UNK)
+    probe = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["low λow"], pa.string()),
+    }))
+    enc = bpe_encode_ds(probe, model).to_pandas()
+    ids = np.asarray(enc["bpe_tokens"][0])
+    assert (ids >= 0).all()
+    assert unk_id in ids
+    # decode renders the unk marker, never a silently-wrong symbol
+    assert _UNK in model.decode_ids(ids)

@@ -1,6 +1,7 @@
 """Real PPM/WAV codecs and the mime-dispatched multimodal stages."""
 
 import numpy as np
+import pytest
 import pyarrow as pa
 import ray.data as rd
 
@@ -109,3 +110,76 @@ def test_media_pipeline_real_end_to_end(sf_dir):
         kind="audio").to_pandas()
     assert (auto["height"] == 1).all()
     assert ((auto["mean_px"] > 0) & (auto["mean_px"] < 1)).all()
+
+
+class TestOptionalRealCodecs:
+    """The PIL/soundfile branches light up when the libraries exist
+    (cluster image); skipped in this container (VERDICT r2 #8)."""
+
+    def test_pil_decode_and_resize_real_branch(self):
+        PIL_Image = pytest.importorskip("PIL.Image")
+        import io
+
+        import numpy as np
+        import pyarrow as pa
+
+        from raylog.functions.multimodal import MediaDecode, MediaResize
+
+        img = PIL_Image.fromarray(
+            (np.mgrid[0:20, 0:30][0] * 8 % 256).astype("uint8")).convert("RGB")
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        batch = pa.table({
+            "doc_id": pa.array([1], pa.int64()),
+            "payload": pa.array([buf.getvalue()], pa.binary()),
+            "mime": pa.array(["image/png"]),
+        })
+        dec = MediaDecode(fake=False)(batch)
+        assert dec["height"][0].as_py() == 20
+        assert dec["width"][0].as_py() == 30
+        out = MediaResize(max_side=10, fake=False)(dec)
+        assert out["resized_height"][0].as_py() <= 10
+        assert out["resized_width"][0].as_py() <= 10
+        # resized payload round-trips through PIL at the new geometry
+        rt = PIL_Image.open(io.BytesIO(out["resized_payload"][0].as_py()))
+        assert rt.size == (out["resized_width"][0].as_py(),
+                           out["resized_height"][0].as_py())
+
+    def test_soundfile_decode_real_branch(self):
+        sf = pytest.importorskip("soundfile")
+        import io
+
+        import numpy as np
+        import pyarrow as pa
+
+        from raylog.functions.multimodal import MediaDecode
+
+        buf = io.BytesIO()
+        sf.write(buf, np.zeros(100), 8000, format="OGG")
+        batch = pa.table({
+            "doc_id": pa.array([1], pa.int64()),
+            "payload": pa.array([buf.getvalue()], pa.binary()),
+            "mime": pa.array(["audio/ogg"]),
+        })
+        dec = MediaDecode(fake=False)(batch)
+        assert dec["width"][0].as_py() == 100
+
+    def test_fake_path_unchanged_without_libs(self):
+        """Without PIL, an image/png mime still routes to the digest
+        pseudo-decode (fake=True) or the documented stub (fake=False)."""
+        import pyarrow as pa
+
+        from raylog.functions import multimodal
+        from raylog.functions.multimodal import MediaDecode
+
+        if multimodal._try_import_pil() is not None:
+            pytest.skip("Pillow present: fake fallback not reachable")
+        batch = pa.table({
+            "doc_id": pa.array([1], pa.int64()),
+            "payload": pa.array([b"not-a-real-png"], pa.binary()),
+            "mime": pa.array(["image/png"]),
+        })
+        out = MediaDecode(fake=True)(batch)
+        assert out["height"][0].as_py() >= 16
+        with pytest.raises(NotImplementedError):
+            MediaDecode(fake=False)(batch)

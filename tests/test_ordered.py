@@ -30,13 +30,18 @@ def _lines_table(n_sources=4, rows_per_source=200, hot_share=None, seed=5):
     return pa.Table.from_pylist(rows)
 
 
-def _expected_multiline(df: pd.DataFrame):
+def _expected_multiline(df: pd.DataFrame, headless: str = "emit"):
     out = {}
     for src, g in df.groupby("source"):
         g = g.sort_values("order")
         head = None
         for r in g.itertuples():
             if not r.cont:
+                head = r.order
+                out[(src, head)] = 0
+            elif head is None and headless == "emit":
+                # leading continuations flush as one headless record
+                # rooted at the source's first row (reference behavior)
                 head = r.order
                 out[(src, head)] = 0
             if head is not None:
@@ -66,6 +71,24 @@ def test_multiline_bucketed_matches_reference_semantics(ray_session, bucket_size
                          bucket_size=bucket_size).to_pandas()
     want = _expected_multiline(tbl.to_pandas())
     got = {(r.source, r.head_id): r.n_lines for r in out.itertuples()}
+    assert got == want
+
+
+@pytest.mark.parametrize("headless", ["emit", "drop"])
+def test_multiline_headless_modes(ray_session, headless):
+    """'emit' flushes a leading headless-continuation prefix as one
+    record (reference buffer-until-firstline); 'drop' discards it."""
+    tbl = pa.table({
+        "source": pa.array(["s"] * 6),
+        "order": pa.array(range(6), pa.int64()),
+        "cont": pa.array([True, True, False, True, False, True]),
+    })
+    out = multiline_join(rd.from_arrow(tbl), is_continuation="cont",
+                         order_col="order", headless=headless).to_pandas()
+    got = {(r.source, r.head_id): r.n_lines for r in out.itertuples()}
+    want = {("s", 2): 2, ("s", 4): 2}
+    if headless == "emit":
+        want[("s", 0)] = 2  # the two leading continuations, one record
     assert got == want
 
 

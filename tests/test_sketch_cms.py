@@ -74,3 +74,51 @@ class TestBloom:
         a = np.frombuffer(bloom_partial(h1[:200], h2[:200], m_bits, k), np.uint8)
         b = np.frombuffer(bloom_partial(h1[200:], h2[200:], m_bits, k), np.uint8)
         assert np.array_equal(whole, a | b)  # OR-merge == one-shot build
+
+
+class TestTreeFold:
+    def test_driver_sees_at_most_combine_blocks_partials(self, ray_session):
+        """VERDICT r2 'what's wrong' #3 done-criterion: the driver-side
+        fold loop sees ≤ combine_blocks merged partials regardless of
+        input block count, and the fold result is unchanged."""
+        import numpy as np
+
+        from raylog.functions.sketch import tree_fold_partials
+
+        n_blocks, m = 64, 32
+        rng = np.random.default_rng(5)
+        regs = rng.integers(0, 50, (n_blocks, m)).astype(np.uint8)
+        parts = rd.from_arrow_refs([
+            __import__("ray").put(pa.table(
+                {"regs": pa.array([r.tobytes()], pa.binary())}))
+            for r in regs
+        ])
+        assert parts.num_blocks() == n_blocks
+
+        def merge_regs(t: pa.Table) -> pa.Table:
+            acc = np.zeros(m, dtype=np.uint8)
+            for blob in t["regs"].to_pylist():
+                acc = np.maximum(acc, np.frombuffer(blob, dtype=np.uint8))
+            return pa.table({"regs": pa.array([acc.tobytes()], pa.binary())})
+
+        folded = tree_fold_partials(parts, merge_regs, combine_blocks=8)
+        n_driver_rows = sum(t.num_rows for t in folded)
+        assert len(folded) <= 8
+        assert n_driver_rows <= 8
+        final = np.zeros(m, dtype=np.uint8)
+        for t in folded:
+            for blob in t["regs"].to_pylist():
+                final = np.maximum(final, np.frombuffer(blob, np.uint8))
+        assert np.array_equal(final, regs.max(axis=0))
+
+    def test_approx_distinct_unchanged_by_fold(self, ray_session):
+        """approx_distinct over many blocks equals the same estimate over
+        one block — the tree fold is a pure reorganization."""
+        from raylog.functions.sketch import approx_distinct
+
+        vals = [f"v{i % 700}" for i in range(5000)]
+        tbl = pa.table({"x": pa.array(vals)})
+        one = approx_distinct(rd.from_arrow(tbl), "x")
+        many = approx_distinct(
+            rd.from_arrow(tbl).repartition(32), "x")
+        assert one["approx_distinct"] == many["approx_distinct"]
