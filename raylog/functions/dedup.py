@@ -970,3 +970,111 @@ def _embedding_near_dup_bucketed(
     )
     return grouped_aggregate_ds(cand, ["vec_a", "vec_b"],
                                 [("cos_milli", "min", "cos_milli")])
+
+
+# --------------------------------------------------------------------------
+# Exact substring (duplicate n-gram span) coverage — Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better": the curation
+# signal is, per document, how much of it is verbatim-repeated elsewhere.
+# --------------------------------------------------------------------------
+
+
+def _doc_window_occurrences(wh: np.ndarray, offsets: np.ndarray,
+                            n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Every n-word window OCCURRENCE per doc (no per-doc dedup — each
+    window position is one occurrence; docs with < n words contribute
+    none). Same positional polynomial gram hash as :func:`_doc_shingles`.
+    Returns (doc_idx, gram_hash)."""
+    total = int(offsets[-1]) if len(offsets) else 0
+    lens = offsets[1:] - offsets[:-1]
+    gram = np.zeros(total, dtype=np.uint64)
+    for j in range(n):
+        shifted = np.empty(total, dtype=np.uint64)
+        shifted[: total - j] = wh[j:]
+        shifted[total - j:] = 0
+        gram = gram * _MIX + shifted
+    pos = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], lens)
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    n_wins = np.maximum(lens - n + 1, 0)
+    valid = pos < np.repeat(n_wins, lens)
+    return doc_idx[valid], gram[valid]
+
+
+def substring_duplicate_coverage(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Per-doc duplicated-substring coverage: of the doc's n-word
+    windows, how many occur verbatim in >= ``min_docs`` DISTINCT docs.
+
+    Scale shape (one hash exchange end to end):
+
+    1. map: every window occurrence → (gram, doc_id) row — vectorized
+       polynomial rolling hash, no Python per row;
+    2. occurrences hash-partition by gram (`partitioned_group_apply`):
+       one lexsorted segment scan per partition computes each gram's
+       distinct-doc count, flags its occurrences, and pre-aggregates
+       per-doc partials INSIDE the partition (the exchange emits at
+       most one row per (partition, doc), not per occurrence);
+    3. per-doc partials combine in the hash-partitioned aggregate.
+
+    Output: (doc_id, n_windows, dup_windows). A trainer drops or
+    trims docs above a dup_windows/n_windows threshold. The gram is a
+    64-bit hash — distinct windows collide with ~2^-64 probability
+    (documented collision regime of every shingle op here).
+    """
+    from raylog.functions.agg import grouped_aggregate_ds, partitioned_group_apply
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].combine_chunks(), dtype=np.int64)
+        wh, offsets = _split_words(batch[text_col], _PROCESS_HASHER)
+        d, g = _doc_window_occurrences(wh, offsets, n)
+        return pa.table({
+            "gram": pa.array(g.view(np.int64)),
+            "doc_id": pa.array(ids[d]),
+        })
+
+    occ = ds.map_batches(occurrences, batch_format="pyarrow",
+                         batch_size=None)
+
+    def per_partition(part: pa.Table) -> pa.Table:
+        g = np.asarray(part["gram"].combine_chunks(), dtype=np.int64)
+        d = np.asarray(part["doc_id"].combine_chunks(), dtype=np.int64)
+        if len(g) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_windows": pa.array([], pa.int64()),
+                             "dup_windows": pa.array([], pa.int64())})
+        order = np.lexsort((d, g))
+        g_s, d_s = g[order], d[order]
+        new_gram = np.empty(len(g_s), dtype=bool)
+        new_gram[0] = True
+        new_gram[1:] = g_s[1:] != g_s[:-1]
+        # distinct docs per gram: count (gram, doc) run starts per gram
+        new_pair = np.empty(len(g_s), dtype=bool)
+        new_pair[0] = True
+        new_pair[1:] = new_gram[1:] | (d_s[1:] != d_s[:-1])
+        gram_id = np.cumsum(new_gram) - 1
+        nd = np.bincount(gram_id[new_pair])
+        dup = nd[gram_id] >= min_docs
+        # per-doc partials inside the partition
+        docs, inv = np.unique(d_s, return_inverse=True)
+        return pa.table({
+            "doc_id": pa.array(docs),
+            "n_windows": pa.array(np.bincount(inv).astype(np.int64)),
+            "dup_windows": pa.array(
+                np.bincount(inv, weights=dup).astype(np.int64)),
+        })
+
+    partials = partitioned_group_apply(
+        occ, ["gram"], per_partition, num_partitions=num_partitions,
+    )
+    return grouped_aggregate_ds(
+        partials, ["doc_id"],
+        [("n_windows", "sum", "n_windows"),
+         ("dup_windows", "sum", "dup_windows")],
+    )

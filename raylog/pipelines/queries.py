@@ -151,6 +151,71 @@ def log_route_flags(sf_dir: str):
 
 
 @query(
+    "route_tokens_equality",
+    _P() + """
+, chk AS (
+  SELECT doc_id,
+         CAST(COALESCE(SUM(i * tokens[CAST(i AS INT)]), 0) AS BIGINT)
+           AS tok_chk
+  FROM recs2, LATERAL (
+    SELECT unnest(generate_series(1, len(tokens))) AS i
+  ) g
+  GROUP BY doc_id
+)
+SELECT 'container' AS sink, r.doc_id, c.tok_chk, r.n_tok
+FROM routed r JOIN chk c USING (doc_id) WHERE r.in_container
+UNION ALL
+SELECT 'job', r.doc_id, c.tok_chk, r.n_tok
+FROM routed r JOIN chk c USING (doc_id) WHERE r.in_job
+UNION ALL
+SELECT 'export', r.doc_id, c.tok_chk, r.n_tok
+FROM routed r JOIN chk c USING (doc_id) WHERE r.in_export""",
+)
+def route_tokens_equality(sf_dir: str):
+    """North-rule invariant, checked per ROW per SINK: the token array
+    of every routed row is byte-identical through parse → enrich →
+    route, witnessed by a position-weighted checksum Σ (i+1-start)·t_i
+    (order- and value-sensitive — any reorder, drop or mutation of one
+    token changes it) plus n_tok. One output row per (sink, routed
+    doc), exactly the fan-out the sinks receive."""
+    import numpy as np
+
+    from raylog.pipelines import log_pipeline as LP
+
+    routed = LP.full_pipeline(sf_dir)
+
+    def fan_out(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        toks = (toks.combine_chunks() if isinstance(toks, pa.ChunkedArray)
+                else toks)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        vals = np.asarray(toks.values, dtype=np.int64)
+        pos = (np.arange(len(vals), dtype=np.int64)
+               - np.repeat(off[:-1], np.diff(off)) + 1)
+        csum = np.concatenate([[0], np.cumsum(vals * pos)])
+        chk = csum[off[1:] - off[0]] - csum[off[:-1] - off[0]]
+        doc = np.asarray(b["doc_id"].combine_chunks(), dtype=np.int64)
+        ntok = np.asarray(b["n_tok"].combine_chunks(), dtype=np.int64)
+        out_sink, out_doc, out_chk, out_n = [], [], [], []
+        for sink, flag in (("container", "in_container"), ("job", "in_job"),
+                           ("export", "in_export")):
+            m = np.asarray(b[flag].combine_chunks(), dtype=bool)
+            out_sink.append(np.full(int(m.sum()), sink, dtype=object))
+            out_doc.append(doc[m])
+            out_chk.append(chk[m])
+            out_n.append(ntok[m])
+        return pa.table({
+            "sink": pa.array(np.concatenate(out_sink), pa.string()),
+            "doc_id": pa.array(np.concatenate(out_doc)),
+            "tok_chk": pa.array(np.concatenate(out_chk)),
+            "n_tok": pa.array(np.concatenate(out_n)),
+        })
+
+    return routed.map_batches(fan_out, batch_format="pyarrow",
+                              batch_size=None)
+
+
+@query(
     "log_tags",
     _P() + f"""
 SELECT doc_id, {route.tags_str_sql()} AS tags_str FROM enriched""",
@@ -2088,6 +2153,42 @@ def dedup_incremental(sf_dir: str):
         cand_m.union(ref_pruned), ["content_h1", "content_h2"], verify,
         num_partitions=8)
     return negatives.union(verified)
+
+
+@query(
+    "dedup_substring_coverage",
+    """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+wins AS (
+  SELECT doc_id,
+         array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS gram
+  FROM words, LATERAL (
+    SELECT unnest(generate_series(1, len(w) - 7)) AS i
+  ) g
+),
+gd AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY 1)
+SELECT w.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN gd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_windows
+FROM wins w JOIN gd USING (gram)
+GROUP BY 1""",
+)
+def dedup_substring_coverage(sf_dir: str):
+    """Exact substring dedup signal (Lee et al. 2022): per doc, how many
+    of its 8-word windows occur verbatim in >= 2 distinct docs — the
+    coverage a curation pass thresholds to drop or trim
+    boilerplate-heavy documents. One hash exchange end to end: rolling
+    window hashes partition by gram, distinct-doc counts + per-doc
+    partials compute inside each partition, partials combine in the
+    hash-partitioned aggregate."""
+    import ray.data as rd
+
+    from raylog.functions.dedup import substring_duplicate_coverage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return substring_duplicate_coverage(ds, n=8, min_docs=2)
 
 
 @query(

@@ -666,3 +666,34 @@ class TestJaccardVerifyKernel:
             self._scalar_ref(batch, 0.3)
             t_sca = min(t_sca, time.perf_counter() - t0)
         assert t_sca / max(t_vec, 1e-9) >= 4.0, (t_sca, t_vec)
+
+
+class TestSubstringCoverage:
+    def test_known_overlaps(self, ray_session):
+        """Hand-built corpus: doc0/doc1 share an 8-word span, doc2 is
+        unique, doc3 repeats doc0's span twice (both its occurrences
+        count), doc4 is too short for any window."""
+        from raylog.functions.dedup import substring_duplicate_coverage
+
+        span = "a b c d e f g h"
+        docs = pa.table({
+            "doc_id": pa.array(range(5), pa.int64()),
+            "text": pa.array([
+                span + " x y",                 # 0: windows of 10 words: 3
+                "p q " + span,                 # 1: 3 windows, 1 dup
+                "u v w x y z aa bb cc dd",     # 2: unique
+                span + " " + span,             # 3: 10 windows (17 words)
+                "too short",                   # 4: no window
+            ]),
+        })
+        out = substring_duplicate_coverage(
+            rd.from_arrow(docs), n=8, min_docs=2,
+            num_partitions=4).to_pandas().set_index("doc_id")
+        assert out.loc[0, "n_windows"] == 3 and out.loc[0, "dup_windows"] == 1
+        assert out.loc[1, "n_windows"] == 3 and out.loc[1, "dup_windows"] == 1
+        assert out.loc[2, "dup_windows"] == 0
+        # doc3: 16 words -> 9 windows; both copies of the span are
+        # windows duplicated vs doc0/1
+        assert out.loc[3, "n_windows"] == 9
+        assert out.loc[3, "dup_windows"] == 2
+        assert 4 not in out.index  # < 8 words: no windows, no row
