@@ -1078,3 +1078,95 @@ def substring_duplicate_coverage(
         [("n_windows", "sum", "n_windows"),
          ("dup_windows", "sum", "dup_windows")],
     )
+
+
+def duplicate_spans(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Maximal duplicated spans per doc (the TRIM form of exact
+    substring dedup): every maximal run of word positions covered by
+    n-word windows that occur in >= ``min_docs`` distinct docs.
+
+    Same two hash exchanges as :func:`substring_duplicate_coverage`
+    plus an islands pass: duplicated window START positions partition
+    by doc, and consecutive starts whose gap <= n merge into one
+    interval (equal-length interval union is a single sorted segment
+    scan). Output: (doc_id, span_start [0-based word index],
+    span_len [words]). A curation pass cuts these ranges out of the
+    doc instead of dropping it whole (Lee et al. 2022 §4).
+    """
+    from raylog.functions.agg import partitioned_group_apply
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].combine_chunks(), dtype=np.int64)
+        wh, offsets = _split_words(batch[text_col], _PROCESS_HASHER)
+        d, g = _doc_window_occurrences(wh, offsets, n)
+        lens = offsets[1:] - offsets[:-1]
+        # window start position within its doc: occurrences are emitted
+        # doc-major in order, so positions are 0..n_wins-1 per doc
+        n_wins = np.maximum(lens - n + 1, 0)
+        pos = (np.arange(len(d), dtype=np.int64)
+               - np.repeat(np.cumsum(n_wins) - n_wins, n_wins))
+        return pa.table({
+            "gram": pa.array(g.view(np.int64)),
+            "doc_id": pa.array(ids[d]),
+            "pos": pa.array(pos),
+        })
+
+    occ = ds.map_batches(occurrences, batch_format="pyarrow",
+                         batch_size=None)
+
+    def flag_dups(part: pa.Table) -> pa.Table:
+        g = np.asarray(part["gram"].combine_chunks(), dtype=np.int64)
+        d = np.asarray(part["doc_id"].combine_chunks(), dtype=np.int64)
+        p = np.asarray(part["pos"].combine_chunks(), dtype=np.int64)
+        if len(g) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        order = np.lexsort((d, g))
+        g_s, d_s = g[order], d[order]
+        new_gram = np.empty(len(g_s), dtype=bool)
+        new_gram[0] = True
+        new_gram[1:] = g_s[1:] != g_s[:-1]
+        new_pair = np.empty(len(g_s), dtype=bool)
+        new_pair[0] = True
+        new_pair[1:] = new_gram[1:] | (d_s[1:] != d_s[:-1])
+        gram_id = np.cumsum(new_gram) - 1
+        nd = np.bincount(gram_id[new_pair])
+        dup = nd[gram_id[np.argsort(order)]] >= min_docs  # back to input order
+        return pa.table({"doc_id": pa.array(d[dup]), "pos": pa.array(p[dup])})
+
+    dup_pos = partitioned_group_apply(
+        occ, ["gram"], flag_dups, num_partitions=num_partitions,
+    )
+
+    def islands(part: pa.Table) -> pa.Table:
+        d = np.asarray(part["doc_id"].combine_chunks(), dtype=np.int64)
+        p = np.asarray(part["pos"].combine_chunks(), dtype=np.int64)
+        if len(d) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "span_start": pa.array([], pa.int64()),
+                             "span_len": pa.array([], pa.int64())})
+        order = np.lexsort((p, d))
+        d_s, p_s = d[order], p[order]
+        brk = np.empty(len(d_s), dtype=bool)
+        brk[0] = True
+        # equal-length interval union: same island while start gap <= n
+        brk[1:] = (d_s[1:] != d_s[:-1]) | (p_s[1:] - p_s[:-1] > n)
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(d_s)) - 1
+        return pa.table({
+            "doc_id": pa.array(d_s[starts]),
+            "span_start": pa.array(p_s[starts]),
+            "span_len": pa.array(p_s[ends] + n - p_s[starts]),
+        })
+
+    return partitioned_group_apply(
+        dup_pos, ["doc_id"], islands, num_partitions=num_partitions,
+    )

@@ -2192,6 +2192,51 @@ def dedup_substring_coverage(sf_dir: str):
 
 
 @query(
+    "dedup_duplicate_spans",
+    """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+wins AS (
+  SELECT doc_id, i,
+         array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS gram
+  FROM words, LATERAL (
+    SELECT unnest(generate_series(1, len(w) - 7)) AS i
+  ) g
+),
+gd AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY 1),
+dup AS (SELECT doc_id, i FROM wins JOIN gd USING (gram) WHERE nd >= 2),
+isl AS (
+  SELECT doc_id, i,
+         CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i) <= 8
+              THEN 0 ELSE 1 END AS brk
+  FROM dup
+),
+grp AS (
+  SELECT doc_id, i,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) AS isl_id
+  FROM isl
+)
+SELECT doc_id,
+       CAST(MIN(i) - 1 AS BIGINT) AS span_start,
+       CAST(MAX(i) + 8 - MIN(i) AS BIGINT) AS span_len
+FROM grp GROUP BY doc_id, isl_id""",
+)
+def dedup_duplicate_spans(sf_dir: str):
+    """Exact substring dedup, TRIM form (Lee et al. 2022 §4): the
+    maximal word ranges of each doc covered by 8-word windows that
+    occur verbatim in >= 2 distinct docs — the ranges a curation pass
+    cuts out instead of dropping the doc. Islands-and-gaps over
+    duplicated window starts, all three passes hash-partitioned."""
+    import ray.data as rd
+
+    from raylog.functions.dedup import duplicate_spans
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return duplicate_spans(ds, n=8, min_docs=2)
+
+
+@query(
     "dedup_exact",
     "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
 )

@@ -697,3 +697,27 @@ class TestSubstringCoverage:
         assert out.loc[3, "n_windows"] == 9
         assert out.loc[3, "dup_windows"] == 2
         assert 4 not in out.index  # < 8 words: no windows, no row
+
+    def test_duplicate_spans_islands(self, ray_session):
+        """Two duplicated windows 3 apart merge into one span (gap <= n);
+        a window further than n starts a new span."""
+        from raylog.functions.dedup import duplicate_spans
+
+        span = "a b c d e f g h"          # 8 words, shared
+        span2 = "q r s t u v w x"         # 8 words, shared
+        filler = " ".join(f"f{i}" for i in range(9))
+        docs = pa.table({
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array([
+                # doc0: dup windows at pos 0 and pos 17 (two islands)
+                span + " " + filler + " " + span2,
+                # doc1: the same two spans, contiguous (one island 0..15)
+                span + " " + span2,
+                "nothing shared here at all zz yy xx ww vv uu tt ss",
+            ]),
+        })
+        out = duplicate_spans(rd.from_arrow(docs), n=8, min_docs=2,
+                              num_partitions=4).to_pandas()
+        got = {(r.doc_id, r.span_start, r.span_len)
+               for r in out.itertuples()}
+        assert got == {(0, 0, 8), (0, 17, 8), (1, 0, 16)}
