@@ -4047,6 +4047,44 @@ def sample_exact_n(sf_dir: str):
 
 
 @query(
+    "sample_mixture_budget",
+    """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         (doc_id * 2654435761) % 4294967296 AS coin
+  FROM documents
+), c AS (
+  SELECT *, SUM(n_tok) OVER (PARTITION BY source ORDER BY coin, doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tok AS prior
+  FROM t
+)
+SELECT doc_id, source, n_tok FROM c
+WHERE prior < CASE WHEN source IN ('src0', 'src1', 'src2')
+                   THEN 600 ELSE 150 END""",
+)
+def sample_mixture_budget(sf_dir: str):
+    """Data mixing to a token budget: each source contributes docs up
+    to its mixture target in TOKENS (not doc counts), deterministically
+    (multiplicative coin order). Distributed threshold selection: a
+    tiny (source, coin-bucket) token histogram picks each source's
+    cutoff bucket on the driver; only the ~1/n_buckets boundary sliver
+    is ever sorted. Here src0-2 are upweighted 4:1 over the rest, with
+    targets small enough that every source's threshold actually cuts."""
+    import ray.data as rd
+
+    from raylog.functions.mixture import mixture_by_token_budget
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["doc_id", "source", "n_tok"])
+    srcs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source"]).unique("source")
+    targets = {s: (600 if s in ("src0", "src1", "src2") else 150)
+               for s in srcs}
+    return mixture_by_token_budget(ds, targets=targets)
+
+
+@query(
     "events_latest_per_user",
     """
 SELECT user_id, event_id, ts, event_type, value FROM (

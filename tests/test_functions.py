@@ -721,3 +721,40 @@ class TestSubstringCoverage:
         got = {(r.doc_id, r.span_start, r.span_len)
                for r in out.itertuples()}
         assert got == {(0, 0, 8), (0, 17, 8), (1, 0, 16)}
+
+
+class TestMixtureSampler:
+    def test_budget_and_determinism(self, ray_session):
+        """Each source's kept tokens reach its target and overshoot by
+        < 1 doc; re-running picks the identical doc set; a tiny
+        n_buckets (large boundary sliver) agrees with a huge one
+        (boundary resolution is exact, not approximate)."""
+        import numpy as np
+
+        from raylog.functions.mixture import mixture_by_token_budget
+
+        rng = np.random.default_rng(3)
+        n = 3000
+        tbl = pa.table({
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "source": pa.array([f"s{i % 5}" for i in range(n)]),
+            "n_tok": pa.array(rng.integers(10, 200, n), pa.int64()),
+        })
+        targets = {"s0": 5000, "s1": 2000, "s2": 2000, "s3": 800}
+        # s4 absent: dropped entirely
+        out = mixture_by_token_budget(
+            rd.from_arrow(tbl), targets=targets, n_buckets=256,
+        ).to_pandas()
+        assert set(out["source"]) == set(targets)
+        for src, g in out.groupby("source"):
+            tot = g["n_tok"].sum()
+            assert tot >= targets[src]
+            assert tot - g["n_tok"].max() < targets[src]  # < 1 doc over
+        out2 = mixture_by_token_budget(
+            rd.from_arrow(tbl), targets=targets, n_buckets=256,
+        ).to_pandas()
+        assert set(out["doc_id"]) == set(out2["doc_id"])
+        coarse = mixture_by_token_budget(
+            rd.from_arrow(tbl), targets=targets, n_buckets=4,
+        ).to_pandas()
+        assert set(coarse["doc_id"]) == set(out["doc_id"])
