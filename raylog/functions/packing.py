@@ -137,3 +137,94 @@ def pack_greedy(
         _with_shard(ds.select_columns([id_col, len_col]), id_col, num_shards),
         ["shard"], run, num_partitions=num_partitions,
     )
+
+
+def pack_windows(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    tok_col: str = "tokens",
+    max_tokens: int = 512,
+    num_shards: int = 8,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """MATERIALIZED concat-and-chunk: the actual fixed-size token
+    windows a trainer consumes, not just the span bookkeeping of
+    :func:`pack_chunks`.
+
+    Per shard (complete shards per partition): token arrays concatenate
+    in doc_id order and the flat stream is cut every ``max_tokens``.
+    Output: (shard, pack_id, n_fill, tokens list<int32>) — the final
+    window of a shard may be short (``n_fill < max_tokens``; the
+    trainer pads it). Fully vectorized: one ListArray take + flatten
+    per partition, window boundaries are arithmetic on the shard's
+    token counts, the output list column is rebuilt from offsets with
+    zero per-window Python.
+    """
+
+    def run(part: pa.Table) -> pa.Table:
+        ids = np.asarray(part[id_col].combine_chunks(), dtype=np.int64)
+        shard = np.asarray(part["shard"].combine_chunks(), dtype=np.int64)
+        toks = part[tok_col]
+        toks = (toks.combine_chunks() if isinstance(toks, pa.ChunkedArray)
+                else toks)
+        order = np.lexsort((ids, shard))
+        taken = toks.take(pa.array(order))
+        flat = taken.flatten()  # concatenated in (shard, doc) order
+        lens = np.asarray(pc.list_value_length(taken), dtype=np.int64)
+        shard_s = shard[order]
+        n = len(shard_s)
+        if n == 0:
+            return pa.table({
+                "shard": pa.array([], pa.int64()),
+                "pack_id": pa.array([], pa.int64()),
+                "n_fill": pa.array([], pa.int64()),
+                "tokens": pa.array([], pa.list_(flat.type)),
+            })
+        new_shard = np.empty(n, dtype=bool)
+        new_shard[0] = True
+        new_shard[1:] = shard_s[1:] != shard_s[:-1]
+        starts = np.flatnonzero(new_shard)
+        shard_tok = np.add.reduceat(lens, starts)
+        seg_base = np.concatenate([[0], np.cumsum(shard_tok)[:-1]])
+        out_shard, out_pid, out_off = [], [], []
+        for s_val, base, tot in zip(shard_s[starts], seg_base, shard_tok):
+            if tot == 0:
+                continue
+            k = int(-(-tot // max_tokens))  # ceil
+            out_shard.append(np.full(k, s_val, dtype=np.int64))
+            out_pid.append(np.arange(k, dtype=np.int64))
+            out_off.append(base + np.arange(k, dtype=np.int64) * max_tokens)
+        if not out_shard:
+            return pa.table({
+                "shard": pa.array([], pa.int64()),
+                "pack_id": pa.array([], pa.int64()),
+                "n_fill": pa.array([], pa.int64()),
+                "tokens": pa.array([], pa.list_(flat.type)),
+            })
+        o_shard = np.concatenate(out_shard)
+        o_pid = np.concatenate(out_pid)
+        o_off = np.concatenate(out_off)
+        ends = np.minimum(o_off + max_tokens,
+                          np.repeat(seg_base + shard_tok,
+                                    [len(a) for a in out_shard]))
+        # windows tile the flat token stream exactly (contiguous per
+        # shard, shards back to back), so the list column rebuilds from
+        # window lengths over `flat` with NO gather at all
+        win_lists = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(ends - o_off)]),
+                     pa.int32()),
+            flat,
+        )
+        return pa.table({
+            "shard": pa.array(o_shard),
+            "pack_id": pa.array(o_pid),
+            "n_fill": pa.array(ends - o_off),
+            "tokens": win_lists,
+        })
+
+    return partitioned_group_apply(
+        _with_shard(ds.select_columns([id_col, tok_col]), id_col,
+                    num_shards),
+        ["shard"], run, num_partitions=num_partitions,
+    )

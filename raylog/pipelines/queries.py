@@ -1413,6 +1413,64 @@ def tokens_pack_chunks(sf_dir: str):
 
 
 @query(
+    "tokens_pack_windows",
+    _P() + """
+, r AS (SELECT doc_id, doc_id % 8 AS shard, tokens FROM recs2),
+flat AS (
+  SELECT shard, doc_id, i, tokens[CAST(i AS INT)] AS t
+  FROM r, LATERAL (
+    SELECT unnest(generate_series(1, len(tokens))) AS i
+  ) g
+),
+seq AS (
+  SELECT shard, t,
+         CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id, i)
+              - 1 AS BIGINT) AS pos
+  FROM flat
+)
+SELECT shard, CAST(pos // 512 AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_fill,
+       CAST(SUM((pos % 512 + 1) * t) AS BIGINT) AS tok_chk
+FROM seq GROUP BY shard, pos // 512""",
+)
+def tokens_pack_windows(sf_dir: str):
+    """MATERIALIZED context windows: the actual fixed 512-token
+    sequences a trainer reads (concat-and-chunk per shard in doc
+    order), built as a real list<int32> column with zero per-window
+    Python. The oracle form reduces each window to a position-weighted
+    checksum — order- and value-exact — because the raw list column is
+    the deliverable but a scalar is the robust hash-compare form."""
+    import numpy as np
+
+    from raylog.functions.packing import pack_windows
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["doc_id", "tokens"])
+    wins = pack_windows(ds, max_tokens=512, num_shards=8, num_partitions=8)
+
+    def checksum(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        toks = (toks.combine_chunks() if isinstance(toks, pa.ChunkedArray)
+                else toks)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        vals = np.asarray(toks.values, dtype=np.int64)[off[0]:off[-1]]
+        off = off - off[0]
+        pos = (np.arange(len(vals), dtype=np.int64)
+               - np.repeat(off[:-1], np.diff(off)) + 1)
+        csum = np.concatenate([[0], np.cumsum(vals * pos)])
+        chk = csum[off[1:]] - csum[off[:-1]]
+        return pa.table({
+            "shard": b["shard"],
+            "pack_id": b["pack_id"],
+            "n_fill": b["n_fill"],
+            "tok_chk": pa.array(chk),
+        })
+
+    return wins.map_batches(checksum, batch_format="pyarrow",
+                            batch_size=None)
+
+
+@query(
     "tokens_pack_greedy",
     # first-fit is a sequential recurrence — expressible as a DuckDB
     # recursive CTE stepping one doc per shard per iteration (the

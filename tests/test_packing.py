@@ -67,3 +67,37 @@ def test_greedy_first_fit_invariants():
             assert sums[p - 1] + firsts.loc[p, "capped"] > CAP
     # overflow flag == doc longer than CAP
     assert (df["overflow"] == (df["len"] > CAP)).all()
+
+
+class TestPackWindows:
+    def test_windows_tile_the_stream(self, ray_session):
+        """Materialized windows per shard reproduce the concatenated
+        token stream exactly: right lengths, right order, last window
+        short."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from raylog.functions.packing import pack_windows
+
+        rng = np.random.default_rng(5)
+        n = 200
+        toks = [rng.integers(0, 100, rng.integers(1, 40)).astype("int32")
+                for _ in range(n)]
+        tbl = pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "tokens": pa.array([t.tolist() for t in toks],
+                               pa.list_(pa.int32())),
+        })
+        out = pack_windows(rd.from_arrow(tbl), max_tokens=64,
+                           num_shards=4, num_partitions=4).to_pandas()
+        for s in range(4):
+            stream = np.concatenate(
+                [toks[d] for d in range(s, n, 4)])
+            g = out[out["shard"] == s].sort_values("pack_id")
+            got = np.concatenate([np.asarray(t) for t in g["tokens"]])
+            assert np.array_equal(got, stream)
+            fills = g["n_fill"].to_numpy()
+            assert (fills[:-1] == 64).all()
+            assert fills[-1] == (len(stream) - 1) % 64 + 1
+            assert (fills == np.array([len(t) for t in g["tokens"]])).all()
