@@ -1471,6 +1471,70 @@ def tokens_pack_windows(sf_dir: str):
 
 
 @query(
+    "tokens_batch_padding",
+    _P() + """
+, t AS (
+  SELECT doc_id, n_tok,
+         CAST(((n_tok + 31) // 32) * 32 AS BIGINT) AS lbucket
+  FROM recs2
+),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lbucket ORDER BY doc_id)
+                 - 1 AS BIGINT) AS rn
+  FROM t
+)
+SELECT lbucket, CAST(rn // 16 AS BIGINT) AS batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS real_tok,
+       CAST(MAX(n_tok) * COUNT(*) AS BIGINT) AS padded_tok
+FROM r GROUP BY 1, 2""",
+)
+def tokens_batch_padding(sf_dir: str):
+    """Length-bucketed dynamic batching with padding accounting: docs
+    round up to 32-token length buckets, rank within their bucket (the
+    skew-proof bucketed running count — no per-bucket giant task), form
+    16-doc batches in rank order, and each batch reports real vs padded
+    tokens (padded = batch max × batch size — the dynamic-padding cost
+    a dataloader pays). The real/padded ratio is the padding-efficiency
+    curve that picks bucket widths."""
+    import pyarrow.compute as pc
+
+    from raylog.functions.agg import grouped_aggregate
+    from raylog.pipelines import log_pipeline as LP
+    from raylog.stages.ordered import running_count
+
+    ds = LP.records_ds(sf_dir).select_columns(["doc_id", "n_tok"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        nt = np.asarray(b["n_tok"].combine_chunks(), dtype=np.int64)
+        return b.append_column("lbucket", pa.array(((nt + 31) // 32) * 32))
+
+    ranked = running_count(
+        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None),
+        part_col="lbucket", order_col="doc_id", out_col="rank",
+    )
+
+    def add_batch(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        rk = np.asarray(b["rank"].combine_chunks(), dtype=np.int64)
+        return b.append_column("batch_id", pa.array((rk - 1) // 16))
+
+    agg = grouped_aggregate(
+        ranked.map_batches(add_batch, batch_format="pyarrow",
+                           batch_size=None),
+        ["lbucket", "batch_id"],
+        [("*", "count", "n_docs"), ("n_tok", "sum", "real_tok"),
+         ("n_tok", "max", "max_tok")],
+    )
+    return (agg.append_column(
+        "padded_tok", pc.multiply(agg["max_tok"], agg["n_docs"]))
+        .drop_columns(["max_tok"]))
+
+
+@query(
     "tokens_pack_greedy",
     # first-fit is a sequential recurrence — expressible as a DuckDB
     # recursive CTE stepping one doc per shard per iteration (the
