@@ -255,6 +255,43 @@ def run_bench() -> dict:
     dedup_survivors(d.select_columns(["doc_id"]), clusters).count()
     queries["cc_dedup_docs"] = round(time.monotonic() - t0, 3)
 
+    # q9: materialized context windows over the FULL token stream —
+    # the heaviest token-axis op (one shard exchange of every token)
+    t0 = time.monotonic()
+    from raylog.functions.packing import pack_windows
+
+    pack_windows(
+        read_sequences(files, columns=["doc_id", "tokens"],
+                       row_groups_per_task=4),
+        max_tokens=2048, num_shards=64, num_partitions=32,
+    ).count()
+    queries["tokens_pack_windows_full"] = round(time.monotonic() - t0, 3)
+
+    # q10: exact substring-dedup coverage over documents (gram-hash
+    # exchange of every 8-word window)
+    t0 = time.monotonic()
+    from raylog.functions.dedup import substring_duplicate_coverage
+
+    substring_duplicate_coverage(docs(), n=8, min_docs=2).count()
+    queries["substring_coverage_docs"] = round(time.monotonic() - t0, 3)
+
+    # q11: token-budget mixture over the full sequences table (tiny
+    # histogram aggregate + broadcast-verdict filter — two scans of
+    # three narrow columns, no sort)
+    t0 = time.monotonic()
+    from raylog.functions.mixture import mixture_by_token_budget
+
+    seq = read_sequences(files, columns=["doc_id", "source", "n_tok"],
+                         row_groups_per_task=4)
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    srcs = _pc.unique(
+        _pq.read_table(files[0], columns=["source"])["source"]).to_pylist()
+    targets = {s: 500_000 for s in srcs}
+    mixture_by_token_budget(seq, targets=targets).count()
+    queries["mixture_budget_seq"] = round(time.monotonic() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "end-to-end parse→route→aggregate wall time (sequences table)",

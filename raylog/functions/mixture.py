@@ -32,15 +32,25 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-# 32-bit multiplicative coin, chosen to be exactly expressible in ANSI
-# SQL BIGINT arithmetic so a DuckDB oracle can replicate the selection:
-# coin = (doc_id * 2654435761) % 2^32
+# 32-bit multiplicative coin for INTEGER ids, chosen to be exactly
+# expressible in ANSI SQL BIGINT arithmetic so a DuckDB oracle can
+# replicate the selection: coin = (doc_id * 2654435761) % 2^32.
+# String ids (the sequences table) use polars' seeded xxhash instead —
+# same determinism, no SQL form.
 _COIN_MULT = np.int64(2654435761)
 _COIN_MOD = np.int64(1 << 32)
 
 
-def _coins(ids: np.ndarray) -> np.ndarray:
-    return (ids * _COIN_MULT) % _COIN_MOD
+def _coins_col(col) -> np.ndarray:
+    """Deterministic 32-bit coin per row of an id column."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_integer(col.type):
+        ids = np.asarray(col, dtype=np.int64)
+        return (ids * _COIN_MULT) % _COIN_MOD
+    import polars as pl
+
+    h = pl.from_arrow(pa.table({"k": col}))["k"].hash(seed=17).to_numpy()
+    return (h % np.uint64(_COIN_MOD)).astype(np.int64)
 
 
 def mixture_by_token_budget(
@@ -66,8 +76,7 @@ def mixture_by_token_budget(
     bucket_shift = _COIN_MOD // n_buckets
 
     def with_bucket(b: pa.Table) -> pa.Table:
-        ids = np.asarray(b[id_col].combine_chunks(), dtype=np.int64)
-        coin = _coins(ids)
+        coin = _coins_col(b[id_col])
         return pa.table({
             "source": b[source_col],
             "bucket": pa.array(coin // bucket_shift),
@@ -105,9 +114,8 @@ def mixture_by_token_budget(
     def classify(b: pa.Table) -> pa.Table:
         cb, _res = (verd_ref if isinstance(verd_ref, tuple)
                     else ray.get(verd_ref))
-        ids = np.asarray(b[id_col].combine_chunks(), dtype=np.int64)
         srcs = b[source_col].combine_chunks().to_pylist()
-        bucket = _coins(ids) // bucket_shift
+        bucket = _coins_col(b[id_col]) // bucket_shift
         cuts = np.array([cb.get(s, -1) for s in srcs], dtype=np.int64)
         sub = b.select([id_col, source_col, len_col])
         out = sub.filter(pa.array(bucket < cuts))
@@ -131,11 +139,15 @@ def mixture_by_token_budget(
         lexsort+cumsum cut over ~1/n_buckets of each source."""
         _cb, res = (verd_ref if isinstance(verd_ref, tuple)
                     else ray.get(verd_ref))
-        ids = np.asarray(part[id_col].combine_chunks(), dtype=np.int64)
+        idc = part[id_col].combine_chunks() if isinstance(
+            part[id_col], pa.ChunkedArray) else part[id_col]
+        ids = (np.asarray(idc, dtype=np.int64)
+               if pa.types.is_integer(idc.type)
+               else np.asarray(idc.to_pylist(), dtype=object))
         srcs = np.asarray(part[source_col].combine_chunks().to_pylist(),
                           dtype=object)
         toks = np.asarray(part[len_col].combine_chunks(), dtype=np.int64)
-        coin = _coins(ids)
+        coin = _coins_col(idc)
         if len(ids) == 0:
             return part.select([id_col, source_col, len_col])
         order = np.lexsort((ids, coin, srcs))

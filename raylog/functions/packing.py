@@ -33,10 +33,27 @@ import ray.data as rd
 from raylog.functions.agg import partitioned_group_apply
 
 
+def _ids_array(col) -> np.ndarray:
+    """Id column as a sortable numpy array: int64 for integer ids,
+    object (string) otherwise — np.lexsort handles both."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_integer(col.type):
+        return np.asarray(col, dtype=np.int64)
+    return np.asarray(col.to_pylist(), dtype=object)
+
+
 def _with_shard(ds: rd.Dataset, id_col: str, num_shards: int) -> rd.Dataset:
+    """Stable shard per doc: ``id % num_shards`` for integer ids (the
+    SQL-oracle-parity form) and the seeded-xxhash partitioner for
+    string ids (the sequences table's ``doc_id`` is a string)."""
+    from raylog.functions.agg import partition_ids
+
     def add(b: pa.Table) -> pa.Table:
-        ids = np.asarray(b[id_col].combine_chunks(), dtype=np.int64)
-        return b.append_column("shard", pa.array(ids % num_shards))
+        if pa.types.is_integer(b[id_col].type):
+            ids = np.asarray(b[id_col].combine_chunks(), dtype=np.int64)
+            return b.append_column("shard", pa.array(ids % num_shards))
+        return b.append_column("shard", partition_ids(b, [id_col],
+                                                      num_shards))
 
     return ds.map_batches(add, batch_format="pyarrow", batch_size=None)
 
@@ -57,7 +74,7 @@ def pack_chunks(
     """
 
     def run(part: pa.Table) -> pa.Table:
-        ids = np.asarray(part[id_col].combine_chunks(), dtype=np.int64)
+        ids = _ids_array(part[id_col])
         lens = np.asarray(part[len_col].combine_chunks(), dtype=np.int64)
         shard = np.asarray(part["shard"].combine_chunks(), dtype=np.int64)
         order = np.lexsort((ids, shard))
@@ -106,7 +123,7 @@ def pack_greedy(
     """
 
     def run(part: pa.Table) -> pa.Table:
-        ids = np.asarray(part[id_col].combine_chunks(), dtype=np.int64)
+        ids = _ids_array(part[id_col])
         lens = np.asarray(part[len_col].combine_chunks(), dtype=np.int64)
         shard = np.asarray(part["shard"].combine_chunks(), dtype=np.int64)
         order = np.lexsort((ids, shard))
@@ -163,7 +180,7 @@ def pack_windows(
     """
 
     def run(part: pa.Table) -> pa.Table:
-        ids = np.asarray(part[id_col].combine_chunks(), dtype=np.int64)
+        ids = _ids_array(part[id_col])
         shard = np.asarray(part["shard"].combine_chunks(), dtype=np.int64)
         toks = part[tok_col]
         toks = (toks.combine_chunks() if isinstance(toks, pa.ChunkedArray)
