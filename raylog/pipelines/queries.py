@@ -1497,9 +1497,7 @@ def tokens_batch_padding(sf_dir: str):
     tokens (padded = batch max × batch size — the dynamic-padding cost
     a dataloader pays). The real/padded ratio is the padding-efficiency
     curve that picks bucket widths."""
-    import pyarrow.compute as pc
-
-    from raylog.functions.agg import grouped_aggregate
+    from raylog.functions.agg import grouped_aggregate_ds
     from raylog.pipelines import log_pipeline as LP
     from raylog.stages.ordered import running_count
 
@@ -1522,16 +1520,25 @@ def tokens_batch_padding(sf_dir: str):
         rk = np.asarray(b["rank"].combine_chunks(), dtype=np.int64)
         return b.append_column("batch_id", pa.array((rk - 1) // 16))
 
-    agg = grouped_aggregate(
+    # (lbucket, batch_id) cardinality GROWS with corpus size (~n/16
+    # rows) — hash-partitioned combine, never a driver merge
+    agg = grouped_aggregate_ds(
         ranked.map_batches(add_batch, batch_format="pyarrow",
                            batch_size=None),
         ["lbucket", "batch_id"],
         [("*", "count", "n_docs"), ("n_tok", "sum", "real_tok"),
          ("n_tok", "max", "max_tok")],
+        num_partitions=8,
     )
-    return (agg.append_column(
-        "padded_tok", pc.multiply(agg["max_tok"], agg["n_docs"]))
-        .drop_columns(["max_tok"]))
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return (b.append_column(
+            "padded_tok", pc.multiply(b["max_tok"], b["n_docs"]))
+            .drop_columns(["max_tok"]))
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
 
 
 @query(
