@@ -177,6 +177,13 @@ def pack_windows(
     per partition, window boundaries are arithmetic on the shard's
     token counts, the output list column is rebuilt from offsets with
     zero per-window Python.
+
+    Scale knob: a shard is processed whole (window boundaries cross doc
+    boundaries, so a shard cannot split), so ``num_shards`` must scale
+    with the corpus — pick ``corpus_tokens × 4 B / ~1 GB`` shards (e.g.
+    ~10^5 at 10^12 sequences) and ``num_partitions ≈ cluster cores``;
+    shards are also the natural output-file granularity for resumable
+    writes.
     """
 
     def run(part: pa.Table) -> pa.Table:
