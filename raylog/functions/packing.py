@@ -187,12 +187,16 @@ def pack_windows(
     """
 
     def run(part: pa.Table) -> pa.Table:
-        ids = _ids_array(part[id_col])
         shard = np.asarray(part["shard"].combine_chunks(), dtype=np.int64)
         toks = part[tok_col]
         toks = (toks.combine_chunks() if isinstance(toks, pa.ChunkedArray)
                 else toks)
-        order = np.lexsort((ids, shard))
+        # Arrow's C++ sort: string doc_ids compare in native code — an
+        # object-dtype np.lexsort here cost ~6x the whole op on the
+        # 8M-row sequences bench
+        order = np.asarray(pc.sort_indices(
+            part, sort_keys=[("shard", "ascending"),
+                             (id_col, "ascending")]), dtype=np.int64)
         taken = toks.take(pa.array(order))
         flat = taken.flatten()  # concatenated in (shard, doc) order
         lens = np.asarray(pc.list_value_length(taken), dtype=np.int64)
