@@ -77,7 +77,11 @@ def pack_chunks(
         ids = _ids_array(part[id_col])
         lens = np.asarray(part[len_col].combine_chunks(), dtype=np.int64)
         shard = np.asarray(part["shard"].combine_chunks(), dtype=np.int64)
-        order = np.lexsort((ids, shard))
+        # Arrow C++ sort: object-dtype lexsort on string ids is ~6x
+        # slower (see pack_windows)
+        order = np.asarray(pc.sort_indices(
+            part, sort_keys=[("shard", "ascending"),
+                             (id_col, "ascending")]), dtype=np.int64)
         ids, lens, shard = ids[order], lens[order], shard[order]
         cum = np.cumsum(lens)
         seg_start = np.empty(len(ids), dtype=bool)
@@ -126,7 +130,11 @@ def pack_greedy(
         ids = _ids_array(part[id_col])
         lens = np.asarray(part[len_col].combine_chunks(), dtype=np.int64)
         shard = np.asarray(part["shard"].combine_chunks(), dtype=np.int64)
-        order = np.lexsort((ids, shard))
+        # Arrow C++ sort: object-dtype lexsort on string ids is ~6x
+        # slower (see pack_windows)
+        order = np.asarray(pc.sort_indices(
+            part, sort_keys=[("shard", "ascending"),
+                             (id_col, "ascending")]), dtype=np.int64)
         ids, lens, shard = ids[order], lens[order], shard[order]
         n = len(ids)
         pack = np.zeros(n, dtype=np.int64)
