@@ -132,3 +132,95 @@ def run_resumable(
     final = pa.Table.from_pandas(out, preserve_index=False)
     pq.write_table(final, os.path.join(out_root, "sink_counts.parquet"))
     return final
+
+
+def run_follow(
+    input_dir: str,
+    out_root: str,
+    dim: pa.Table,
+    *,
+    pattern: str = "*.parquet",
+    poll_sec: float = 0.5,
+    max_ticks: int | None = None,
+    stop_after_idle: int | None = None,
+    concurrency: int | tuple[int, int] | None = None,
+) -> pa.Table:
+    """Continuous micro-batch mode — the engine's TAIL analog.
+
+    The reference is a resident agent: tail picks up log files as they
+    appear and the offset DB survives restarts. The batch-engine analog
+    is a follow loop: each tick lists ``input_dir``, processes files
+    not yet committed to the manifest (one shard per FILE — lineage is
+    append-only, so new files never invalidate old entries the way a
+    changed fixed file list does in :func:`run_resumable`), and commits
+    a manifest line after the shard's outputs are durable. A killed
+    follower restarted on the same ``out_root`` resumes exactly where
+    it stopped.
+
+    Stop conditions (a production follower runs forever; tests and
+    drain jobs need bounds): ``max_ticks`` total ticks, or
+    ``stop_after_idle`` consecutive ticks that discovered nothing new.
+    Returns the cumulative sink counts from the durable per-file
+    aggregates.
+    """
+    import glob as _glob
+
+    os.makedirs(out_root, exist_ok=True)
+    manifest = Manifest(os.path.join(out_root, "follow_manifest.jsonl"))
+    ticks = idle = 0
+    while True:
+        files = sorted(_glob.glob(os.path.join(input_dir, pattern)))
+        new = [f for f in files if not manifest.done(os.path.basename(f))]
+        for f in new:
+            key = os.path.basename(f)
+            shard_dir = os.path.join(out_root, f"file={key}")
+            if os.path.exists(shard_dir):
+                shutil.rmtree(shard_dir)  # incomplete from a dead follower
+            os.makedirs(shard_dir)
+            t0 = time.monotonic()
+            agg, stages = run_fused([f], dim, shard_dir,
+                                    concurrency=concurrency,
+                                    collect_stats=True)
+            pq.write_table(agg, os.path.join(shard_dir,
+                                             "sink_counts.parquet"))
+            wall = time.monotonic() - t0
+            total = sum(r["cnt"] for r in agg.to_pylist())
+            manifest.mark_done(key, {
+                "input_files": [f],
+                "routed_rows": total,
+                "wall_sec": round(wall, 3),
+                "rows_per_sec": round(total / wall, 1) if wall > 0 else None,
+                "stages": stages,
+            })
+        ticks += 1
+        idle = 0 if new else idle + 1
+        if max_ticks is not None and ticks >= max_ticks:
+            break
+        if stop_after_idle is not None and idle >= stop_after_idle:
+            break
+        time.sleep(poll_sec)
+
+    done_aggs = [
+        os.path.join(out_root, f"file={e['shard_id']}",
+                     "sink_counts.parquet")
+        for e in manifest.entries()
+    ]
+    if not done_aggs:
+        return pa.table(
+            {"sink": pa.array([], pa.string()),
+             "source": pa.array([], pa.string()),
+             "level": pa.array([], pa.string()),
+             "cnt": pa.array([], pa.int64())}
+        )
+    import pandas as pd
+
+    df = pd.concat([pq.read_table(p).to_pandas() for p in done_aggs])
+    out = (
+        df.groupby(["sink", "source", "level"], dropna=False)["cnt"]
+        .sum()
+        .reset_index()
+    )
+    out["level"] = out["level"].where(out["level"].notna(), None)
+    final = pa.Table.from_pandas(out, preserve_index=False)
+    pq.write_table(final, os.path.join(out_root, "sink_counts.parquet"))
+    return final

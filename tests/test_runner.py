@@ -87,3 +87,51 @@ def test_manifest_records_lineage_and_metrics(synth_files, dim, tmp_path):
     for e in entries:
         sd = os.path.join(out, f"shard={e['shard_id']:05d}")
         assert os.path.exists(os.path.join(sd, "sink_counts.parquet"))
+
+
+def test_follow_picks_up_new_files_and_resumes(synth_files, dim, tmp_path,
+                                               ray_session):
+    """Tail-analog follow mode: a first wave of files processes; files
+    arriving later are picked up on the next tick without reprocessing
+    the old ones; a restarted follower resumes from the manifest."""
+    import shutil as _sh
+
+    import pyarrow.parquet as _pq
+
+    from raylog.pipelines.runner import run_follow
+
+    watch = str(tmp_path / "watch")
+    out = str(tmp_path / "fout")
+    os.makedirs(watch)
+    # wave 1: two files
+    for f in synth_files[:2]:
+        _sh.copy(f, watch)
+    first = run_follow(watch, out, dim, poll_sec=0.01, max_ticks=1,
+                       concurrency=2)
+    man = os.path.join(out, "follow_manifest.jsonl")
+    lines = [json.loads(l) for l in open(man)]
+    assert len(lines) == 2
+    first_total = sum(r["cnt"] for r in first.to_pylist())
+
+    # wave 2: one more file appears; a fresh follower (restart) picks up
+    # ONLY the new file
+    _sh.copy(synth_files[2], watch)
+    second = run_follow(watch, out, dim, poll_sec=0.01, max_ticks=1,
+                        concurrency=2)
+    lines = [json.loads(l) for l in open(man)]
+    assert len(lines) == 3
+    second_total = sum(r["cnt"] for r in second.to_pylist())
+    assert second_total > first_total
+
+    # equivalence: follow's cumulative counts == one-shot resumable run
+    # over the same three files
+    oneshot = run_resumable(sorted(
+        os.path.join(watch, os.path.basename(f)) for f in synth_files[:3]),
+        str(tmp_path / "oneshot"), dim, n_shards=3, concurrency=2)
+    assert _counts_map(second) == _counts_map(oneshot)
+
+    # idle stop: nothing new → no growth, identical counts
+    third = run_follow(watch, out, dim, poll_sec=0.01, stop_after_idle=2,
+                       concurrency=2)
+    assert _counts_map(third) == _counts_map(second)
+    assert len([json.loads(l) for l in open(man)]) == 3
