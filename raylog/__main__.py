@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import glob
 import json
+import os
 import sys
 import time
 
@@ -142,6 +143,39 @@ def cmd_synth(args) -> int:
     return 0
 
 
+def cmd_follow(args) -> int:
+    ray = _init_ray(args.cpus, args.address)
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from raylog.pipelines.runner import run_follow
+    from raylog.records import build_dim_table
+
+    first = sorted(glob.glob(os.path.join(args.input_dir, args.pattern)))
+    sources = set()
+    for f in first:
+        col = pq.read_table(f, columns=["source"])["source"]
+        sources.update(pc.unique(col.combine_chunks()).to_pylist())
+    if args.sources:
+        sources.update(args.sources.split(","))
+    dim = build_dim_table(sorted(sources))
+    t0 = time.monotonic()
+    agg = run_follow(
+        args.input_dir, args.out, dim, pattern=args.pattern,
+        poll_sec=args.poll_sec, max_ticks=args.max_ticks,
+        stop_after_idle=args.stop_after_idle,
+    )
+    total = sum(r["cnt"] for r in agg.to_pylist())
+    print(json.dumps({
+        "routed_rows": int(total),
+        "agg_keys": agg.num_rows,
+        "wall_sec": round(time.monotonic() - t0, 2),
+        "out": args.out,
+    }))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="raylog")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -172,6 +206,25 @@ def main(argv=None) -> int:
     q.add_argument("--cpus", type=int, default=None)
     q.add_argument("--address", default=None)
     q.set_defaults(fn=cmd_query)
+
+    fol = sub.add_parser(
+        "follow",
+        help="tail analog: watch a directory, process new files per tick")
+    fol.add_argument("--input-dir", required=True)
+    fol.add_argument("--out", required=True)
+    fol.add_argument("--pattern", default="*.parquet")
+    fol.add_argument("--poll-sec", type=float, default=2.0)
+    fol.add_argument("--max-ticks", type=int, default=None)
+    fol.add_argument("--stop-after-idle", type=int, default=None,
+                     help="stop after N ticks with no new files "
+                          "(omit to follow forever)")
+    fol.add_argument("--sources", default=None,
+                     help="comma-separated extra sources for the dim "
+                          "table (files arriving later may carry "
+                          "sources absent from the first wave)")
+    fol.add_argument("--cpus", type=int, default=None)
+    fol.add_argument("--address", default=None)
+    fol.set_defaults(fn=cmd_follow)
 
     synth = sub.add_parser("synth", help="synthesize a sequences table")
     synth.add_argument("--out", required=True)

@@ -57,3 +57,32 @@ def test_cli_query_list_and_unknown():
                         capture_output=True, text=True, cwd="/root/repo",
                         timeout=120)
     assert r2.returncode == 2
+
+
+def test_cli_follow(tmp_path):
+    """`raylog follow` drains a directory and stops on idle."""
+    import glob as _glob
+    import json
+    import shutil
+    import subprocess
+    import sys
+
+    from raylog.sources.synth import synthesize_sequences
+
+    seq = str(tmp_path / "seq")
+    files = synthesize_sequences(seq, 4000, seed=3, rows_per_file=2000)
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    for f in files:
+        shutil.copy(f, watch)
+    out = str(tmp_path / "fout")
+    r = subprocess.run(
+        [sys.executable, "-m", "raylog", "follow", "--input-dir", watch,
+         "--out", out, "--poll-sec", "0.01", "--max-ticks", "1",
+         "--cpus", "3"],
+        capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    assert info["routed_rows"] > 0
+    assert len(_glob.glob(os.path.join(out, "file=*"))) == len(files)
