@@ -1471,6 +1471,47 @@ def tokens_pack_windows(sf_dir: str):
 
 
 @query(
+    "tokens_quantile_sketch",
+    _P() + """
+, t AS (SELECT source, n_tok FROM recs2 WHERE n_tok > 0),
+b AS (
+  SELECT source,
+         CAST(CEIL(LN(CAST(n_tok AS DOUBLE)) / LN(1.01 / 0.99)) AS BIGINT)
+           AS bucket
+  FROM t
+),
+h AS (SELECT source, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+r AS (
+  SELECT source, bucket,
+         SUM(cnt) OVER (PARTITION BY source ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY source) AS tot
+  FROM h
+)
+SELECT source, q.q_milli, CAST(MIN(bucket) AS BIGINT) AS bucket
+FROM r, (VALUES (500), (950), (990)) AS q(q_milli)
+WHERE cum >= GREATEST(1, CEIL(q.q_milli / 1000.0 * tot))
+GROUP BY 1, 2""",
+)
+def tokens_quantile_sketch(sf_dir: str):
+    """DDSketch per-source token-length quantiles (p50/p95/p99) — the
+    MERGEABLE sketch path for unbounded value domains that
+    quantile.py's exact histogram path points to: log-width buckets
+    bound every estimate's relative error at alpha=1%, and partials are
+    key-compressed (group, bucket) counts, so the merge is the ordinary
+    hash-partitioned grouped count. Output carries the bucket INDEX
+    (integer — exact oracle compare); dd_value(bucket, alpha) is the
+    value estimate."""
+    from raylog.functions.quantile import grouped_quantile_sketch
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["source", "n_tok"])
+    return grouped_quantile_sketch(
+        ds, group_cols=["source"], value_col="n_tok",
+        qs=[0.5, 0.95, 0.99], alpha=0.01)
+
+
+@query(
     "tokens_batch_padding",
     _P() + """
 , t AS (
