@@ -1027,6 +1027,16 @@ def substring_duplicate_coverage(
     trims docs above a dup_windows/n_windows threshold. The gram is a
     64-bit hash — distinct windows collide with ~2^-64 probability
     (documented collision regime of every shingle op here).
+
+    Scale note (honest cost model): the gram exchange carries one row
+    per WINDOW — ~24 B/token vs the corpus's ~5 B/token, i.e. a
+    constant factor over re-reading the data, spread across the
+    cluster. That is the exact-answer lower bound for cross-document
+    span detection (Lee et al. reach the same volume through
+    distributed suffix arrays); the documented cheaper alternatives
+    when exactness can relax are the MinHash/SimHash candidate paths
+    above, or a seen-twice Bloom prefilter sharded by gram range so
+    only candidate occurrences shuffle.
     """
     from raylog.functions.agg import grouped_aggregate_ds, partitioned_group_apply
 
@@ -1170,3 +1180,109 @@ def duplicate_spans(
     return partitioned_group_apply(
         dup_pos, ["doc_id"], islands, num_partitions=num_partitions,
     )
+
+
+def trim_duplicate_spans(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """APPLY the trim: re-emit every doc with its duplicated spans
+    (:func:`duplicate_spans`) cut out — the corpus a curation pass
+    actually ships (Lee et al. 2022 §4 keep-one-remove-rest at span
+    granularity; here every cross-doc-duplicated range is removed).
+
+    The span table and the doc table co-partition by doc hash
+    (partitioned_group_apply over their tagged union), and the per-doc
+    word surgery is vectorized: one split per partition, a boolean keep
+    mask scattered from the span ranges, and the trimmed text rebuilt
+    with a ListArray re-offset + ``binary_join`` — no per-doc Python
+    string work. Output: (doc_id, text_trimmed, n_removed).
+    """
+    import pyarrow.compute as pc
+
+    from raylog.functions.agg import partitioned_group_apply
+
+    spans = duplicate_spans(ds, id_col=id_col, text_col=text_col, n=n,
+                            min_docs=min_docs,
+                            num_partitions=num_partitions)
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b[id_col],
+            "payload": b[text_col],
+            "span_start": pa.array(
+                np.full(b.num_rows, -1, dtype=np.int64)),
+            "span_len": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+        })
+
+    def tag_spans(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b[id_col],
+            "payload": pa.nulls(b.num_rows, pa.string()),
+            "span_start": b["span_start"],
+            "span_len": b["span_len"],
+        })
+
+    both = ds.map_batches(tag_docs, batch_format="pyarrow",
+                          batch_size=None).union(
+        spans.map_batches(tag_spans, batch_format="pyarrow",
+                          batch_size=None))
+
+    def surgery(part: pa.Table) -> pa.Table:
+        is_doc = np.asarray(part["span_start"].combine_chunks(),
+                            dtype=np.int64) == -1
+        docs = part.filter(pa.array(is_doc))
+        spn = part.filter(pa.array(~is_doc))
+        if docs.num_rows == 0:
+            return pa.table({id_col: pa.array([], part[id_col].type),
+                             "text_trimmed": pa.array([], pa.string()),
+                             "n_removed": pa.array([], pa.int64())})
+        split = pc.split_pattern(docs["payload"].combine_chunks(), " ")
+        split = (split.combine_chunks()
+                 if isinstance(split, pa.ChunkedArray) else split)
+        off = np.asarray(split.offsets, dtype=np.int64)
+        total = int(off[-1] - off[0])
+        keep = np.ones(total, dtype=bool)
+        # map span rows onto flat word positions of their doc
+        doc_ids = np.asarray(docs[id_col].combine_chunks(), dtype=np.int64)
+        doc_base = dict(zip(doc_ids.tolist(), (off[:-1] - off[0]).tolist()))
+        s_ids = np.asarray(spn[id_col].combine_chunks(), dtype=np.int64)
+        s_start = np.asarray(spn["span_start"].combine_chunks(),
+                             dtype=np.int64)
+        s_len = np.asarray(spn["span_len"].combine_chunks(), dtype=np.int64)
+        base = np.array([doc_base.get(int(i), -1) for i in s_ids],
+                        dtype=np.int64)
+        ok = base >= 0
+        starts = base[ok] + s_start[ok]
+        lens = s_len[ok]
+        if len(starts):
+            # scatter interval removals via a diff array
+            d = np.zeros(total + 1, dtype=np.int64)
+            np.add.at(d, starts, 1)
+            np.add.at(d, starts + lens, -1)
+            keep = np.cumsum(d[:-1]) == 0
+        vals = split.values
+        if split.offset or off[0]:
+            vals = vals.slice(off[0], total)
+        kept_vals = vals.filter(pa.array(keep))
+        per_doc_kept = np.add.reduceat(
+            keep.astype(np.int64), off[:-1] - off[0]) if total else \
+            np.zeros(len(doc_ids), dtype=np.int64)
+        per_doc_tot = np.diff(off)
+        # empty docs (all words removed) keep an empty string
+        new_off = np.concatenate([[0], np.cumsum(per_doc_kept)])
+        lists = pa.ListArray.from_arrays(
+            pa.array(new_off, pa.int32()), kept_vals)
+        return pa.table({
+            id_col: pa.array(doc_ids),
+            "text_trimmed": pc.binary_join(lists, " "),
+            "n_removed": pa.array(per_doc_tot - per_doc_kept),
+        })
+
+    return partitioned_group_apply(both, [id_col], surgery,
+                                   num_partitions=num_partitions)

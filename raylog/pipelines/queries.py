@@ -2407,6 +2407,61 @@ def dedup_duplicate_spans(sf_dir: str):
 
 
 @query(
+    "dedup_trim_spans",
+    """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+wins AS (
+  SELECT doc_id, i,
+         array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS gram
+  FROM words, LATERAL (
+    SELECT unnest(generate_series(1, len(w) - 7)) AS i
+  ) g
+),
+gd AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY 1),
+dup AS (SELECT doc_id, i FROM wins JOIN gd USING (gram) WHERE nd >= 2),
+pos AS (
+  SELECT doc_id, j, w[CAST(j AS INT)] AS word
+  FROM words, LATERAL (
+    SELECT unnest(generate_series(1, len(w))) AS j
+  ) g
+),
+kept AS (
+  SELECT p.doc_id, p.j, p.word
+  FROM pos p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dup d
+    WHERE d.doc_id = p.doc_id AND p.j >= d.i AND p.j < d.i + 8
+  )
+)
+SELECT d.doc_id,
+       coalesce(k.text_trimmed, '') AS text_trimmed,
+       CAST(len(string_split(d.text, ' ')) - coalesce(k.n_kept, 0)
+            AS BIGINT) AS n_removed
+FROM documents d LEFT JOIN (
+  SELECT doc_id, array_to_string(array_agg(word ORDER BY j), ' ')
+           AS text_trimmed,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)""",
+)
+def dedup_trim_spans(sf_dir: str):
+    """APPLY the exact-substring trim: the corpus with every
+    cross-doc-duplicated 8-word range removed (the keep-one-remove-rest
+    output of Lee et al. 2022 at span granularity — here all duplicated
+    occurrences are cut; a keep-one policy is one extra min-doc rank).
+    Word surgery is vectorized: interval removals scatter into a diff
+    array, the kept words re-offset through one ListArray +
+    binary_join."""
+    import ray.data as rd
+
+    from raylog.functions.dedup import trim_duplicate_spans
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return trim_duplicate_spans(ds, n=8, min_docs=2)
+
+
+@query(
     "dedup_exact",
     "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
 )

@@ -758,3 +758,26 @@ class TestMixtureSampler:
             rd.from_arrow(tbl), targets=targets, n_buckets=4,
         ).to_pandas()
         assert set(coarse["doc_id"]) == set(out["doc_id"])
+
+    def test_trim_duplicate_spans(self, ray_session):
+        """The shared 8-word span is removed from every doc containing
+        it; unique text survives verbatim; a fully-duplicated doc trims
+        to empty."""
+        from raylog.functions.dedup import trim_duplicate_spans
+
+        span = "a b c d e f g h"
+        docs = pa.table({
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array([
+                span + " keep1 keep2",
+                "lead1 lead2 " + span,
+                span,  # only the span: trims to empty
+            ]),
+        })
+        out = trim_duplicate_spans(rd.from_arrow(docs), n=8, min_docs=2,
+                                   num_partitions=4).to_pandas()
+        got = {r.doc_id: (r.text_trimmed, r.n_removed)
+               for r in out.itertuples()}
+        assert got[0] == ("keep1 keep2", 8)
+        assert got[1] == ("lead1 lead2", 8)
+        assert got[2] == ("", 8)
