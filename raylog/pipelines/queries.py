@@ -4310,6 +4310,59 @@ def sample_mixture_budget(sf_dir: str):
 
 
 @query(
+    "sample_epochs",
+    """
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN source IN ('src0', 'src1') THEN 2.5
+              WHEN source IN ('src2', 'src3') THEN 1.5 ELSE 1.0 END AS w,
+         (doc_id * 2654435761) % 4294967296 AS coin
+  FROM documents
+), c AS (
+  SELECT doc_id, source,
+         CAST(FLOOR(w) AS BIGINT)
+           + CASE WHEN coin < (w - FLOOR(w)) * 4294967296
+                  THEN 1 ELSE 0 END AS n_copies
+  FROM t
+)
+SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
+FROM c, LATERAL (SELECT unnest(generate_series(1, n_copies)) AS e) g""",
+)
+def sample_epochs(sf_dir: str):
+    """Source upweighting by REPETITION (fractional epochs, the other
+    standard mixture mechanism besides budget truncation): weight 2.5
+    emits every doc twice plus a third copy for a deterministic 50% of
+    docs (multiplicative coin < frac). Map-only — each batch expands
+    its own rows, no shuffle, exact in expectation per source. Output:
+    (doc_id, source, epoch)."""
+    import numpy as np
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+
+    def expand(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].combine_chunks(), dtype=np.int64)
+        srcs = np.asarray(b["source"].combine_chunks().to_pylist(),
+                          dtype=object)
+        w = np.where(np.isin(srcs, ("src0", "src1")), 2.5,
+                     np.where(np.isin(srcs, ("src2", "src3")), 1.5, 1.0))
+        coin = (ids * 2654435761) % (1 << 32)
+        n_copies = (np.floor(w)
+                    + (coin < (w - np.floor(w)) * (1 << 32))).astype(np.int64)
+        rep = np.repeat(np.arange(len(ids)), n_copies)
+        cum = np.cumsum(n_copies) - n_copies
+        epoch = np.arange(len(rep), dtype=np.int64) - cum[rep] + 1
+        return pa.table({
+            "doc_id": pa.array(ids[rep]),
+            "source": pa.array(srcs[rep], pa.string()),
+            "epoch": pa.array(epoch),
+        })
+
+    return ds.map_batches(expand, batch_format="pyarrow", batch_size=None)
+
+
+@query(
     "events_latest_per_user",
     """
 SELECT user_id, event_id, ts, event_type, value FROM (
