@@ -135,3 +135,16 @@ def test_follow_picks_up_new_files_and_resumes(synth_files, dim, tmp_path,
                        concurrency=2)
     assert _counts_map(third) == _counts_map(second)
     assert len([json.loads(l) for l in open(man)]) == 3
+
+
+def test_manifest_carries_stage_metrics(synth_files, dim, tmp_path,
+                                        ray_session):
+    """North-rule metrics: every committed shard records parsed
+    per-operator throughput/latency entries, not an empty list."""
+    out = str(tmp_path / "mrun")
+    run_resumable(synth_files[:1], out, dim, n_shards=1, concurrency=2)
+    lines = [json.loads(l) for l in open(os.path.join(out, "manifest.jsonl"))]
+    assert lines and lines[0]["stages"], lines
+    st = lines[0]["stages"][0]
+    assert st["tasks"] >= 1 and st["wall_sec"] >= 0
+    assert "operator" in st
