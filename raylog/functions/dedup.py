@@ -325,18 +325,28 @@ def _segmented_intersect_counts(fa: np.ndarray, la: np.ndarray,
         r_s, v_s = rows[order], vals[order]
         eq = (r_s[1:] == r_s[:-1]) & (v_s[1:] == v_s[:-1])
         return np.bincount(r_s[1:][eq], minlength=n)
-    if _JACC_SCRATCH.get("shape") != (n, width):
-        _JACC_SCRATCH["C"] = np.empty((n, width), np.uint64)
-        _JACC_SCRATCH["ma"] = np.empty((n, width), bool)
-        _JACC_SCRATCH["mb"] = np.empty((n, width), bool)
-        _JACC_SCRATCH["eq"] = np.empty((n, width - 1), bool)
-        _JACC_SCRATCH["cols"] = np.arange(width, dtype=np.int32)
+    # grow-only scratch: batch shapes vary batch to batch, and a fresh
+    # multi-MB allocation costs page-fault seconds on this microVM, so
+    # reallocate only when a dimension EXCEEDS the buffer and slice
+    # views otherwise
+    bn, bw = _JACC_SCRATCH.get("cap", (0, 0))
+    if n > bn or width > bw:
+        bn, bw = max(n, bn), max(width, bw)
+        _JACC_SCRATCH["C"] = np.empty((bn, bw), np.uint64)
+        _JACC_SCRATCH["ma"] = np.empty((bn, bw), bool)
+        _JACC_SCRATCH["mb"] = np.empty((bn, bw), bool)
+        _JACC_SCRATCH["eq"] = np.empty((bn, bw - 1), bool)
+        _JACC_SCRATCH["cols"] = np.arange(bw, dtype=np.int32)
         # ascending unique sentinels occupy each row's tail after sort
         _JACC_SCRATCH["pad"] = (np.uint64(0xFFFFFFFFFFFFFFFF)
-                                - np.arange(width, dtype=np.uint64)[::-1])
-        _JACC_SCRATCH["shape"] = (n, width)
-    C, ma, mb, eq, cols, pad = (_JACC_SCRATCH[k] for k in
-                                ("C", "ma", "mb", "eq", "cols", "pad"))
+                                - np.arange(bw, dtype=np.uint64)[::-1])
+        _JACC_SCRATCH["cap"] = (bn, bw)
+    C = _JACC_SCRATCH["C"][:n, :width]
+    ma = _JACC_SCRATCH["ma"][:n, :width]
+    mb = _JACC_SCRATCH["mb"][:n, :width]
+    eq = _JACC_SCRATCH["eq"][:n, :width - 1]
+    cols = _JACC_SCRATCH["cols"][:width]
+    pad = _JACC_SCRATCH["pad"][-width:]
     la32 = la.astype(np.int32)[:, None]
     lab32 = lab.astype(np.int32)[:, None]
     np.less(cols[None, :], la32, out=ma)
