@@ -223,14 +223,17 @@ def pack_windows(
         starts = np.flatnonzero(new_shard)
         shard_tok = np.add.reduceat(lens, starts)
         seg_base = np.concatenate([[0], np.cumsum(shard_tok)[:-1]])
-        out_shard, out_pid, out_off = [], [], []
+        out_shard, out_pid, out_off, out_end = [], [], [], []
         for s_val, base, tot in zip(shard_s[starts], seg_base, shard_tok):
             if tot == 0:
+                # a shard of all-empty token lists yields no windows —
+                # and contributes no tokens, so the tiling below holds
                 continue
             k = int(-(-tot // max_tokens))  # ceil
             out_shard.append(np.full(k, s_val, dtype=np.int64))
             out_pid.append(np.arange(k, dtype=np.int64))
             out_off.append(base + np.arange(k, dtype=np.int64) * max_tokens)
+            out_end.append(np.full(k, base + tot, dtype=np.int64))
         if not out_shard:
             return pa.table({
                 "shard": pa.array([], pa.int64()),
@@ -241,9 +244,7 @@ def pack_windows(
         o_shard = np.concatenate(out_shard)
         o_pid = np.concatenate(out_pid)
         o_off = np.concatenate(out_off)
-        ends = np.minimum(o_off + max_tokens,
-                          np.repeat(seg_base + shard_tok,
-                                    [len(a) for a in out_shard]))
+        ends = np.minimum(o_off + max_tokens, np.concatenate(out_end))
         # windows tile the flat token stream exactly (contiguous per
         # shard, shards back to back), so the list column rebuilds from
         # window lengths over `flat` with NO gather at all
