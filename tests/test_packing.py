@@ -101,3 +101,22 @@ class TestPackWindows:
             assert (fills[:-1] == 64).all()
             assert fills[-1] == (len(stream) - 1) % 64 + 1
             assert (fills == np.array([len(t) for t in g["tokens"]])).all()
+
+    def test_empty_token_shard(self, ray_session):
+        """A shard whose docs all carry empty token lists yields no
+        windows and must not desynchronize the others (regression)."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from raylog.functions.packing import pack_windows
+
+        tbl = pa.table({
+            "doc_id": pa.array(range(8), pa.int64()),
+            "tokens": pa.array(
+                [[] if i % 4 == 1 else [1, 2, 3] for i in range(8)],
+                pa.list_(pa.int32())),
+        })
+        out = pack_windows(rd.from_arrow(tbl), max_tokens=4, num_shards=4,
+                           num_partitions=2).to_pandas()
+        assert out["n_fill"].sum() == 6 * 3  # six non-empty docs
+        assert set(out["shard"]) == {0, 2, 3}  # shard 1 = empty docs
