@@ -32,25 +32,35 @@ from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
 
 
 def _word_count_partial(batch: pa.Table, text_col: str, label_col: str) -> pa.Table:
-    """(label, word) occurrence-count partials, batch-vocab bounded."""
+    """(label, word) occurrence-count partials, batch-vocab bounded.
+
+    Identity resolution runs on Arrow dictionary CODES packed into one
+    int key (label_code × vocab + word_code) — no per-occurrence Python
+    strings, no object-array unique (the earlier string-key formulation
+    cost ~20× on wide batches)."""
     split = batch[text_col].combine_chunks()
     split = pc.split_pattern(split, pattern=" ")
     split = split.combine_chunks() if isinstance(split, pa.ChunkedArray) else split
-    words = np.asarray(split.values.to_pylist(), dtype=object)
     offsets = np.asarray(split.offsets, dtype=np.int64)
-    lens = offsets[1:] - offsets[:-1]
-    labels = np.asarray(batch[label_col].to_pylist(), dtype=object)
-    word_label = np.repeat(labels, lens)
-    key = np.char.add(np.char.add(word_label.astype(str), "\x1f"),
-                      words.astype(str))
-    uniq, inv = np.unique(key, return_inverse=True)
-    cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
-    lab, wrd = np.array([k.split("\x1f", 1) for k in uniq], dtype=object).T \
-        if len(uniq) else (np.array([], object), np.array([], object))
+    vals = split.values
+    if split.offset or (len(offsets) and offsets[0]):
+        vals = vals.slice(offsets[0], offsets[-1] - offsets[0])
+    if len(vals) == 0:
+        return pa.table({"label": pa.array([], pa.string()),
+                         "word": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    wd = vals.dictionary_encode()
+    wcodes = np.asarray(wd.indices, dtype=np.int64)
+    ld = batch[label_col].combine_chunks().dictionary_encode()
+    lcodes = np.asarray(ld.indices, dtype=np.int64)
+    lens = np.diff(offsets - offsets[0])
+    nv = len(wd.dictionary)
+    packed = np.repeat(lcodes, lens) * nv + wcodes
+    uniq, cnt = np.unique(packed, return_counts=True)
     return pa.table({
-        "label": pa.array(lab, pa.string()),
-        "word": pa.array(wrd, pa.string()),
-        "cnt": pa.array(cnt, pa.int64()),
+        "label": ld.dictionary.take(pa.array(uniq // nv)),
+        "word": wd.dictionary.take(pa.array(uniq % nv)),
+        "cnt": pa.array(cnt.astype(np.int64)),
     })
 
 
