@@ -1512,6 +1512,98 @@ def tokens_quantile_sketch(sf_dir: str):
 
 
 @query(
+    "tokens_span_corruption",
+    _P() + """
+, pos AS (
+  SELECT doc_id, n_tok, i - 1 AS p, tokens[CAST(i AS INT)] AS t
+  FROM recs2, LATERAL (
+    SELECT unnest(generate_series(1, len(tokens))) AS i
+  ) g
+),
+m AS (
+  SELECT *,
+         ((p + doc_id * 7) % 10 = 0
+          OR (p >= 1 AND (p - 1 + doc_id * 7) % 10 = 0)
+          OR (p >= 2 AND (p - 2 + doc_id * 7) % 10 = 0)) AS masked
+  FROM pos
+),
+r AS (
+  SELECT doc_id, masked, t,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id, masked
+                                 ORDER BY p) AS BIGINT) AS rnk
+  FROM m
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       CAST(COALESCE(SUM(CASE WHEN masked THEN rnk * t END), 0)
+            AS BIGINT) AS target_chk,
+       CAST(COALESCE(SUM(CASE WHEN NOT masked THEN rnk * t END), 0)
+            AS BIGINT) AS input_chk
+FROM r GROUP BY doc_id""",
+)
+def tokens_span_corruption(sf_dir: str):
+    """Denoising-objective (T5/UL2 span corruption) data prep, counted
+    and checksummed: a deterministic rule starts a 3-token mask span at
+    every position p with (p + 7·doc_id) % 10 == 0 (≈30% corruption
+    after overlap), splitting each doc into the model INPUT (kept
+    tokens) and the denoising TARGET (masked tokens). Output per doc:
+    n_masked plus position-weighted checksums of both streams — exact
+    content+order witnesses without emitting the streams themselves.
+    Map-only and fully vectorized (the mask is three shifted modular
+    tests; stream checksums are segmented cumsums)."""
+    import numpy as np
+
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["doc_id", "tokens"])
+
+    def corrupt(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        toks = (toks.combine_chunks() if isinstance(toks, pa.ChunkedArray)
+                else toks)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        vals = np.asarray(toks.values, dtype=np.int64)[off[0]:off[-1]]
+        off = off - off[0]
+        ids = np.asarray(b["doc_id"].combine_chunks(), dtype=np.int64)
+        lens = np.diff(off)
+        row = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+        p = np.arange(len(vals), dtype=np.int64) - np.repeat(off[:-1], lens)
+        phase = (p + ids[row] * 7) % 10
+        masked = (phase == 0)
+        masked |= (p >= 1) & ((phase - 1) % 10 == 0)
+        masked |= (p >= 2) & ((phase - 2) % 10 == 0)
+        # rank within (doc, masked-stream): running count per stream
+        def stream_chk(sel: np.ndarray) -> np.ndarray:
+            r = row[sel]
+            ones = np.ones(sel.sum(), dtype=np.int64)
+            # rank = position within its doc segment of the stream
+            seg_start = np.concatenate(
+                [[True], r[1:] != r[:-1]]) if len(r) else np.array([], bool)
+            csum = np.cumsum(ones)
+            base = np.repeat(csum[np.flatnonzero(seg_start)] - 1,
+                             np.diff(np.append(np.flatnonzero(seg_start),
+                                               len(r))))
+            rnk = csum - base
+            prod = np.cumsum(vals[sel] * rnk)
+            prodc = np.concatenate([[0], prod])
+            starts = np.flatnonzero(seg_start)
+            ends = np.append(starts[1:], len(r))
+            out = np.zeros(len(ids), dtype=np.int64)
+            out[r[starts]] = prodc[ends] - prodc[starts]
+            return out
+
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_masked": pa.array(np.bincount(
+                row[masked], minlength=len(ids)).astype(np.int64)),
+            "target_chk": pa.array(stream_chk(masked)),
+            "input_chk": pa.array(stream_chk(~masked)),
+        })
+
+    return ds.map_batches(corrupt, batch_format="pyarrow", batch_size=None)
+
+
+@query(
     "tokens_batch_padding",
     _P() + """
 , t AS (
