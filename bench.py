@@ -255,17 +255,20 @@ def run_bench() -> dict:
     dedup_survivors(d.select_columns(["doc_id"]), clusters).count()
     queries["cc_dedup_docs"] = round(time.monotonic() - t0, 3)
 
-    # q9: materialized context windows over the FULL token stream —
-    # the heaviest token-axis op (one shard exchange of every token)
+    # q9: materialized context windows over HALF the token stream —
+    # the heaviest token-axis op (one shard exchange of every token;
+    # half keeps the whole bench inside the per-round budget, same
+    # convention as the bigrams 1/16 unit)
     t0 = time.monotonic()
     from raylog.functions.packing import pack_windows
 
     pack_windows(
-        read_sequences(files, columns=["doc_id", "tokens"],
+        read_sequences(files[: max(1, len(files) // 2)],
+                       columns=["doc_id", "tokens"],
                        row_groups_per_task=4),
         max_tokens=2048, num_shards=64, num_partitions=32,
     ).count()
-    queries["tokens_pack_windows_full"] = round(time.monotonic() - t0, 3)
+    queries["tokens_pack_windows_half"] = round(time.monotonic() - t0, 3)
 
     # q10: exact substring-dedup coverage over documents (gram-hash
     # exchange of every 8-word window)
