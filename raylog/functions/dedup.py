@@ -1022,11 +1022,22 @@ def _doc_window_occurrences(wh: np.ndarray, offsets: np.ndarray,
     return doc_idx[valid], gram[valid]
 
 
+def _token_stream(col) -> tuple[np.ndarray, np.ndarray]:
+    """list<int> token column → (uint64 values, zero-based offsets) —
+    the pre-tokenized analog of :func:`_split_words` (no hashing: token
+    ids are already integers)."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    off = np.asarray(col.offsets, dtype=np.int64)
+    vals = np.asarray(col.values, dtype=np.int64)[off[0]:off[-1]]
+    return vals.astype(np.uint64), off - (off[0] if len(off) else 0)
+
+
 def substring_duplicate_coverage(
     ds: rd.Dataset,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    token_col: str | None = None,
     n: int = 8,
     min_docs: int = 2,
     num_partitions: int = 32,
@@ -1064,7 +1075,12 @@ def substring_duplicate_coverage(
 
     def occurrences(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col].combine_chunks(), dtype=np.int64)
-        wh, offsets = _split_words(batch[text_col], _PROCESS_HASHER)
+        if token_col is not None:
+            # pre-tokenized payload: windows slide over the raw token
+            # ids — no word hashing at all
+            wh, offsets = _token_stream(batch[token_col])
+        else:
+            wh, offsets = _split_words(batch[text_col], _PROCESS_HASHER)
         d, g = _doc_window_occurrences(wh, offsets, n)
         return pa.table({
             "gram": pa.array(g.view(np.int64)),

@@ -2605,6 +2605,39 @@ def dedup_trim_spans(sf_dir: str):
 
 
 @query(
+    "dedup_token_substring",
+    _P() + """
+, wins AS (
+  SELECT doc_id,
+         array_to_string(tokens[CAST(i AS INT):CAST(i + 7 AS INT)], ',')
+           AS gram
+  FROM recs2, LATERAL (
+    SELECT unnest(generate_series(1, len(tokens) - 7)) AS i
+  ) g
+),
+gd AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY 1)
+SELECT w.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN gd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_windows
+FROM wins w JOIN gd USING (gram)
+GROUP BY 1""",
+)
+def dedup_token_substring(sf_dir: str):
+    """Exact substring dedup on the PRE-TOKENIZED payload: duplicated
+    8-TOKEN windows of the sequences table's `tokens` arrays (the
+    input_hint column), no word hashing at all — windows slide over the
+    raw int32 ids. Same one-exchange shape as the text form
+    (`dedup_substring_coverage` with token_col)."""
+    from raylog.functions.dedup import substring_duplicate_coverage
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["doc_id", "tokens"])
+    return substring_duplicate_coverage(ds, token_col="tokens", n=8,
+                                        min_docs=2)
+
+
+@query(
     "dedup_exact",
     "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
 )
