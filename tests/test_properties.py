@@ -297,3 +297,63 @@ def test_benford_integer_digit_strip(vals):
         lead[big] //= 10
     want = [int(str(v)[0]) for v in xi.tolist()]
     assert lead.tolist() == want
+
+
+# --- round-3 kernels: hypothesis vs literal Python models ---------------
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(
+    st.lists(st.integers(min_value=0, max_value=10**12), min_size=0,
+             max_size=30).map(lambda v: sorted(set(v))),
+    min_size=2, max_size=20).filter(lambda ls: len(ls) % 2 == 0))
+def test_segmented_intersect_counts_matches_set_model(sets):
+    import numpy as np
+
+    from raylog.functions.dedup import _segmented_intersect_counts
+
+    half = len(sets) // 2
+    a, b = sets[:half], sets[half:]
+    fa = np.array([x for s in a for x in s], dtype=np.uint64)
+    fb = np.array([x for s in b for x in s], dtype=np.uint64)
+    la = np.array([len(s) for s in a], dtype=np.int64)
+    lb = np.array([len(s) for s in b], dtype=np.int64)
+    got = _segmented_intersect_counts(fa, la, fb, lb)
+    want = [len(set(x) & set(y)) for x, y in zip(a, b)]
+    assert got.tolist() == want
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=500), min_size=1,
+                max_size=60),
+       st.integers(min_value=1, max_value=64))
+def test_dd_bucket_alpha_guarantee(vals, denom):
+    """dd_value(dd_bucket(x)) is within alpha of x for every positive x
+    (the DDSketch defining property), across magnitudes."""
+    import numpy as np
+
+    from raylog.functions.quantile import dd_bucket, dd_value
+
+    alpha = 0.01 + (denom % 5) * 0.01
+    x = np.array(vals, dtype=np.float64) / denom
+    est = dd_value(dd_bucket(x, alpha), alpha)
+    assert (np.abs(est - x) <= alpha * x * (1 + 1e-9)).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=9), min_size=8,
+                max_size=40),
+       st.integers(min_value=0, max_value=1000))
+def test_span_corruption_mask_model(tokens, doc_id):
+    """The vectorized mask equals the literal per-position model."""
+    import numpy as np
+
+    p = np.arange(len(tokens), dtype=np.int64)
+    phase = (p + doc_id * 7) % 10
+    masked = (phase == 0)
+    masked |= (p >= 1) & ((phase - 1) % 10 == 0)
+    masked |= (p >= 2) & ((phase - 2) % 10 == 0)
+    want = [any((s + doc_id * 7) % 10 == 0
+                for s in range(max(0, i - 2), i + 1))
+            for i in range(len(tokens))]
+    assert masked.tolist() == want
