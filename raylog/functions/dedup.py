@@ -1135,6 +1135,7 @@ def duplicate_spans(
     text_col: str = "text",
     n: int = 8,
     min_docs: int = 2,
+    keep: str = "none",
     num_partitions: int = 32,
 ) -> rd.Dataset:
     """Maximal duplicated spans per doc (the TRIM form of exact
@@ -1148,7 +1149,16 @@ def duplicate_spans(
     scan). Output: (doc_id, span_start [0-based word index],
     span_len [words]). A curation pass cuts these ranges out of the
     doc instead of dropping it whole (Lee et al. 2022 §4).
+
+    ``keep="none"`` (default) marks EVERY occurrence of a qualifying
+    gram; ``keep="first"`` exempts the globally first occurrence
+    (min doc_id, then min position) so one copy of each duplicated
+    passage survives — the literal Lee et al. keep-one-remove-rest
+    policy. Computable in-partition because a gram's occurrences all
+    share its hash partition.
     """
+    if keep not in ("none", "first"):
+        raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
     from raylog.functions.agg import partitioned_group_apply
 
     def occurrences(batch: pa.Table) -> pa.Table:
@@ -1177,7 +1187,7 @@ def duplicate_spans(
         if len(g) == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "pos": pa.array([], pa.int64())})
-        order = np.lexsort((d, g))
+        order = np.lexsort((p, d, g))
         g_s, d_s = g[order], d[order]
         new_gram = np.empty(len(g_s), dtype=bool)
         new_gram[0] = True
@@ -1187,7 +1197,12 @@ def duplicate_spans(
         new_pair[1:] = new_gram[1:] | (d_s[1:] != d_s[:-1])
         gram_id = np.cumsum(new_gram) - 1
         nd = np.bincount(gram_id[new_pair])
-        dup = nd[gram_id[np.argsort(order)]] >= min_docs  # back to input order
+        inv = np.argsort(order)
+        dup = nd[gram_id[inv]] >= min_docs  # back to input order
+        if keep == "first":
+            # exempt each gram's globally first occurrence — rows are
+            # (gram, doc, pos)-sorted, so it is the gram run's head
+            dup &= ~new_gram[inv]
         return pa.table({"doc_id": pa.array(d[dup]), "pos": pa.array(p[dup])})
 
     dup_pos = partitioned_group_apply(
@@ -1227,6 +1242,7 @@ def trim_duplicate_spans(
     text_col: str = "text",
     n: int = 8,
     min_docs: int = 2,
+    keep: str = "none",
     num_partitions: int = 32,
 ) -> rd.Dataset:
     """APPLY the trim: re-emit every doc with its duplicated spans
@@ -1246,7 +1262,7 @@ def trim_duplicate_spans(
     from raylog.functions.agg import partitioned_group_apply
 
     spans = duplicate_spans(ds, id_col=id_col, text_col=text_col, n=n,
-                            min_docs=min_docs,
+                            min_docs=min_docs, keep=keep,
                             num_partitions=num_partitions)
 
     def tag_docs(b: pa.Table) -> pa.Table:

@@ -2605,6 +2605,69 @@ def dedup_trim_spans(sf_dir: str):
 
 
 @query(
+    "dedup_trim_keep_one",
+    """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+wins AS (
+  SELECT doc_id, i,
+         array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS gram
+  FROM words, LATERAL (
+    SELECT unnest(generate_series(1, len(w) - 7)) AS i
+  ) g
+),
+gstat AS (
+  SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY 1
+),
+ranked AS (
+  SELECT w.doc_id, w.i, g.nd,
+         ROW_NUMBER() OVER (PARTITION BY w.gram
+                            ORDER BY w.doc_id, w.i) AS occ_rank
+  FROM wins w JOIN gstat g USING (gram)
+),
+dup AS (
+  SELECT doc_id, i FROM ranked WHERE nd >= 2 AND occ_rank > 1
+),
+pos AS (
+  SELECT doc_id, j, w[CAST(j AS INT)] AS word
+  FROM words, LATERAL (
+    SELECT unnest(generate_series(1, len(w))) AS j
+  ) g
+),
+kept AS (
+  SELECT p.doc_id, p.j, p.word
+  FROM pos p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dup d
+    WHERE d.doc_id = p.doc_id AND p.j >= d.i AND p.j < d.i + 8
+  )
+)
+SELECT d.doc_id,
+       coalesce(k.text_trimmed, '') AS text_trimmed,
+       CAST(len(string_split(d.text, ' ')) - coalesce(k.n_kept, 0)
+            AS BIGINT) AS n_removed
+FROM documents d LEFT JOIN (
+  SELECT doc_id, array_to_string(array_agg(word ORDER BY j), ' ')
+           AS text_trimmed,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)""",
+)
+def dedup_trim_keep_one(sf_dir: str):
+    """keep-one-remove-rest span trim (the literal Lee et al. 2022
+    policy): the globally first occurrence of each duplicated 8-word
+    passage (min doc_id, then min position) survives; every other
+    occurrence is cut. The exemption is computed inside the gram's hash
+    partition — a gram's occurrences are co-located by construction."""
+    import ray.data as rd
+
+    from raylog.functions.dedup import trim_duplicate_spans
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return trim_duplicate_spans(ds, n=8, min_docs=2, keep="first")
+
+
+@query(
     "dedup_token_substring",
     _P() + """
 , wins AS (

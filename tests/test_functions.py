@@ -781,3 +781,26 @@ class TestMixtureSampler:
         assert got[0] == ("keep1 keep2", 8)
         assert got[1] == ("lead1 lead2", 8)
         assert got[2] == ("", 8)
+
+    def test_trim_keep_one_preserves_first_copy(self, ray_session):
+        """keep='first': the min-doc occurrence of the shared span
+        survives; later docs lose it."""
+        from raylog.functions.dedup import trim_duplicate_spans
+
+        span = "a b c d e f g h"
+        docs = pa.table({
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array([
+                span + " tail0",
+                span + " tail1",
+                "head2 " + span,
+            ]),
+        })
+        out = trim_duplicate_spans(rd.from_arrow(docs), n=8, min_docs=2,
+                                   keep="first",
+                                   num_partitions=4).to_pandas()
+        got = {r.doc_id: (r.text_trimmed, r.n_removed)
+               for r in out.itertuples()}
+        assert got[0] == (span + " tail0", 0)   # first copy survives
+        assert got[1] == ("tail1", 8)
+        assert got[2] == ("head2", 8)
