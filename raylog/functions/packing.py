@@ -66,11 +66,13 @@ def pack_chunks(
     max_tokens: int = 2048,
     num_shards: int = 8,
     num_partitions: int = 8,
+    keep_len: bool = False,
 ) -> rd.Dataset:
     """Concat-and-chunk window assignment per shard (= doc_id % shards).
 
     Output per doc: shard, doc_id, first_pack, last_pack, first_offset
-    (token offset of the doc inside its first window).
+    (token offset of the doc inside its first window); ``keep_len``
+    additionally carries ``len_col`` through to the output.
     """
 
     def run(part: pa.Table) -> pa.Table:
@@ -96,14 +98,17 @@ def pack_chunks(
         ) if len(ids) else np.zeros(0, dtype=np.int64)
         cum = cum - prior
         start = cum - lens
-        return pa.table({
+        cols = {
             "shard": pa.array(shard),
             id_col: pa.array(ids),
             "first_pack": pa.array(start // max_tokens),
             "last_pack": pa.array(np.where(lens > 0, (cum - 1) // max_tokens,
                                            start // max_tokens)),
             "first_offset": pa.array(start % max_tokens),
-        })
+        }
+        if keep_len:
+            cols[len_col] = pa.array(lens)
+        return pa.table(cols)
 
     return partitioned_group_apply(
         _with_shard(ds.select_columns([id_col, len_col]), id_col, num_shards),

@@ -2668,6 +2668,93 @@ def dedup_trim_keep_one(sf_dir: str):
 
 
 @query(
+    "curation_trim_repack",
+    """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+wins AS (
+  SELECT doc_id, i,
+         array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS gram
+  FROM words, LATERAL (
+    SELECT unnest(generate_series(1, len(w) - 7)) AS i
+  ) g
+),
+gd AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY 1),
+dup AS (SELECT doc_id, i FROM wins JOIN gd USING (gram) WHERE nd >= 2),
+pos AS (
+  SELECT doc_id, j
+  FROM words, LATERAL (
+    SELECT unnest(generate_series(1, len(w))) AS j
+  ) g
+),
+keptc AS (
+  SELECT p.doc_id, COUNT(*) AS n_kept
+  FROM pos p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dup d
+    WHERE d.doc_id = p.doc_id AND p.j >= d.i AND p.j < d.i + 8
+  )
+  GROUP BY p.doc_id
+),
+t2 AS (
+  SELECT d.doc_id, d.doc_id % 8 AS shard,
+         CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_tok2
+  FROM documents d LEFT JOIN keptc k USING (doc_id)
+),
+c AS (
+  SELECT shard, doc_id, n_tok2,
+         SUM(n_tok2) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t2
+)
+SELECT shard, doc_id, n_tok2,
+       CAST((cum - n_tok2) // 512 AS BIGINT) AS first_pack,
+       CAST(CASE WHEN n_tok2 > 0 THEN (cum - 1) // 512
+            ELSE (cum - n_tok2) // 512 END AS BIGINT) AS last_pack
+FROM c""",
+)
+def curation_trim_repack(sf_dir: str):
+    """Composite curation chain over the round-3 operators: exact
+    substring TRIM (all duplicated 8-word ranges removed) → re-count
+    tokens on the trimmed text → REPACK into 512-token windows — the
+    point being that dedup changes token counts, so window assignments
+    must be recomputed downstream of it. Each stage keeps its
+    distributed shape (trim's two hash exchanges, packing's per-shard
+    closed form); the oracle replays the whole chain in one SQL
+    statement."""
+    import numpy as np
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.dedup import trim_duplicate_spans
+    from raylog.functions.packing import pack_chunks
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    trimmed = trim_duplicate_spans(ds, n=8, min_docs=2)
+
+    def recount(b: pa.Table) -> pa.Table:
+        txt = b["text_trimmed"].combine_chunks()
+        n2 = np.asarray(pc.list_value_length(
+            pc.split_pattern(txt, pattern=" ")), dtype=np.int64)
+        empty = np.asarray(pc.equal(txt, ""), dtype=bool)
+        n2 = np.where(empty, 0, n2)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tok2": pa.array(n2),
+        })
+
+    counted = trimmed.map_batches(recount, batch_format="pyarrow",
+                                  batch_size=None)
+    packed = pack_chunks(counted, id_col="doc_id", len_col="n_tok2",
+                         max_tokens=512, num_shards=8, num_partitions=8,
+                         keep_len=True)
+    return packed.map_batches(
+        lambda b: b.drop_columns(["first_offset"]),
+        batch_format="pyarrow", batch_size=None)
+
+
+@query(
     "dedup_token_substring",
     _P() + """
 , wins AS (
