@@ -332,3 +332,146 @@ def ann_ivf_topk(
         "lists_probed": len(probed_lists),
         "n_clusters": n_clusters,
     }
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC) —
+# Jégou, Douze, Schmid, "Product quantization for nearest neighbor
+# search", TPAMI 2011. The memory-bound scale path: a d-dim float
+# vector compresses to m bytes (one uint8 code per subspace), and a
+# query scores the whole corpus from an [m, ks] lookup table — no
+# float vectors in the scan at all.
+# --------------------------------------------------------------------------
+
+
+def _kmeans_l2(sample: np.ndarray, ks: int, iters: int = 12,
+               seed: int = 7) -> np.ndarray:
+    """Euclidean k-means (PQ codebooks quantize raw sub-vectors, not
+    directions — the spherical variant above is wrong for this)."""
+    rng = np.random.default_rng(seed)
+    ks = min(ks, len(sample))
+    cents = sample[rng.choice(len(sample), size=ks, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(ks):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def pq_train(sample: np.ndarray, *, m: int = 8, ks: int = 32,
+             iters: int = 12, seed: int = 7) -> np.ndarray:
+    """Codebooks [m, ks, d/m] from a training sample (row-normalized
+    vectors; d must divide by m)."""
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return np.stack([
+        _kmeans_l2(sample[:, s * dsub:(s + 1) * dsub], ks,
+                   iters=iters, seed=seed + s)
+        for s in range(m)
+    ])
+
+
+def pq_encode(mat: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """[n, d] → uint8 codes [n, m]: per-subspace nearest centroid."""
+    m, ks, dsub = codebooks.shape
+    codes = np.empty((len(mat), m), dtype=np.uint8)
+    for s in range(m):
+        sub = mat[:, s * dsub:(s + 1) * dsub]
+        # ||x - c||^2 argmin == (c·c - 2 x·c) argmin — no n×ks×d temp
+        cc = (codebooks[s] ** 2).sum(axis=1)
+        codes[:, s] = (cc[None, :] - 2.0 * (sub @ codebooks[s].T)
+                       ).argmin(axis=1)
+    return codes
+
+
+def pq_decode(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """codes [n, m] → reconstructed [n, d] (the quantized vectors)."""
+    m, ks, dsub = codebooks.shape
+    return np.concatenate(
+        [codebooks[s][codes[:, s]] for s in range(m)], axis=1)
+
+
+def ann_pq_topk(
+    ds: rd.Dataset,
+    query_ids: list[int],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = 8,
+    ks: int = 32,
+    train_sample: int = 4096,
+) -> pa.Table:
+    """Approximate cosine top-k via PQ codes + ADC lookup tables.
+
+    Driver trains the codebooks on a sample and broadcasts them with
+    the query vectors; each batch ENCODES its vectors to m uint8 codes
+    and scores every query with one [m, ks] inner-product table —
+    ``score = Σ_s T[s, code_s]`` — so the scan touches m bytes per
+    vector instead of d floats (8×-32× less memory traffic; at 100 TB
+    the encode runs once and the codes table is what ships). Per-batch
+    partial top-k, bounded driver merge — same consume shape as
+    :func:`ann_brute_topk`. Approximation = quantization error only
+    (measured in pytest: ADC scores are EXACTLY the dot products
+    against the decoded vectors; recall vs brute is the recall of the
+    quantization).
+    """
+    import ray
+
+    sample_tbl = pa.concat_tables(list(
+        ds.limit(train_sample).iter_batches(batch_format="pyarrow",
+                                            batch_size=None)))
+    sample_tbl = sample_tbl.sort_by(id_col)  # run-stable training set
+    smat = _to_matrix(sample_tbl, vec_col)
+    books = pq_train(smat, m=m, ks=ks)
+
+    sids = np.asarray(sample_tbl[id_col].combine_chunks(), dtype=np.int64)
+    qsel = np.isin(sids, np.asarray(query_ids, dtype=np.int64))
+    if qsel.sum() != len(query_ids):
+        raise ValueError("query ids must appear in the training sample "
+                         "prefix (extend train_sample)")
+    qmat = smat[qsel]
+    qids = sids[qsel]
+    # per-query ADC tables [q, m, ks]
+    dsub = smat.shape[1] // m
+    tables = np.stack([
+        np.stack([qmat[:, s * dsub:(s + 1) * dsub] @ books[s].T
+                  for s in range(m)], axis=1)
+    ])[0]  # [q, m, ks]
+    bcast = (books, tables, qids)
+    ref = ray.put(bcast) if ray.is_initialized() else bcast
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bk, tb, qi = ref if isinstance(ref, tuple) else ray.get(ref)
+        ids = np.asarray(batch[id_col].combine_chunks(), dtype=np.int64)
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        mat = _to_matrix(batch, vec_col)
+        codes = pq_encode(mat, bk)
+        nq = len(qi)
+        out_q, out_n, out_s = [], [], []
+        for q in range(nq):
+            score = np.zeros(len(ids), dtype=np.float64)
+            for s in range(bk.shape[0]):
+                score += tb[q, s][codes[:, s]]
+            top = np.argsort(-score)[:k]
+            out_q.append(np.full(len(top), qi[q], dtype=np.int64))
+            out_n.append(ids[top])
+            out_s.append(score[top])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "cos": pa.array(np.concatenate(out_s)),
+        })
+
+    allp = pa.concat_tables(list(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    return _merge_topk(allp, k)

@@ -3102,6 +3102,22 @@ def ann_ivf_topk(sf_dir: str):
                index_dir=f"/tmp/raylog_ivf/{_src_tag(sf_dir, 'embeddings')}_c16")
 
 
+@query("ann_pq_topk", None)  # rows-only: iterative codebook training
+def ann_pq_topk(sf_dir: str):
+    """PQ + ADC approximate top-10 (Jégou et al. 2011): vectors
+    compress to m uint8 codes and every query scores the corpus from
+    an [m, ks] inner-product table — the memory-bound scale path (m
+    bytes per vector in the scan instead of d floats). ADC-exactness
+    and recall-vs-brute asserted in pytest."""
+    import ray.data as rd
+
+    from raylog.functions.similarity import ann_pq_topk as pq
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return pq(ds, query_ids=[0, 1, 2, 3, 4], k=10, m=32, ks=64)
+
+
 @query("embed_kmeans", None)  # rows-only: iterative algorithm, no SQL analog
 def embed_kmeans(sf_dir: str):
     """Distributed k-means cluster assignment over the embedding column

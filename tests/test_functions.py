@@ -804,3 +804,47 @@ class TestMixtureSampler:
         assert got[0] == (span + " tail0", 0)   # first copy survives
         assert got[1] == ("tail1", 8)
         assert got[2] == ("head2", 8)
+
+
+class TestPQ:
+    def test_adc_scores_equal_decoded_dots(self):
+        """ADC table lookups must equal dot products against the
+        decoded (quantized) vectors — the approximation is ONLY the
+        quantization, never the scoring math."""
+        import numpy as np
+
+        from raylog.functions.similarity import (
+            pq_decode, pq_encode, pq_train)
+
+        rng = np.random.default_rng(23)
+        mat = rng.normal(0, 1, (400, 32))
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        books = pq_train(mat[:256], m=8, ks=16)
+        codes = pq_encode(mat, books)
+        dec = pq_decode(codes, books)
+        q = mat[3]
+        dsub = 32 // 8
+        table = np.stack([q[s * dsub:(s + 1) * dsub] @ books[s].T
+                          for s in range(8)])
+        adc = sum(table[s][codes[:, s]] for s in range(8))
+        assert np.allclose(adc, dec @ q)
+
+    def test_recall_vs_brute_and_compression(self, emb_ds, ray_session):
+        from raylog.functions.similarity import ann_brute_topk, ann_pq_topk
+
+        qids = [0, 1, 2, 3, 4]
+        brute = ann_brute_topk(emb_ds, query_ids=qids, k=10).to_pandas()
+        # m=32 over the 64-dim synthetic embeddings (random-ish vectors
+        # have weak cluster structure, so finer subspaces are needed;
+        # 32 bytes/vector is still 16x below the float64 rows)
+        pq = ann_pq_topk(emb_ds, query_ids=qids, k=10, m=32,
+                         ks=64).to_pandas()
+        recalls = []
+        for q in qids:
+            b = set(brute[brute.query_id == q].neighbor_id)
+            p = set(pq[pq.query_id == q].neighbor_id)
+            recalls.append(len(b & p) / len(b))
+        assert sum(recalls) / len(recalls) >= 0.5, recalls
+        # self-match: a query's own quantized vector scores near the top
+        for q in qids:
+            assert q in set(pq[pq.query_id == q].neighbor_id.head(5))
