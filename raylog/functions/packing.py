@@ -365,3 +365,25 @@ def pack_segments(
                     num_shards),
         ["shard"], run, num_partitions=num_partitions,
     )
+
+
+def write_packed_windows(
+    ds: rd.Dataset,
+    out_dir: str,
+    *,
+    max_tokens: int = 512,
+    num_shards: int = 8,
+    num_partitions: int = 8,
+    **pack_kw,
+) -> None:
+    """Materialize context windows and persist them resumably:
+    ``out_dir/bucket=NNNN/part-*.parquet`` via the idempotent bucketed
+    writer (deterministic file names — a retried or re-run write
+    replaces its own files, never duplicates). Shards are the write
+    granularity, matching the packing partitioning, so a failed run
+    resumes by re-running only the shards whose files are absent."""
+    from raylog.functions.bucketed import write_bucketed
+
+    wins = pack_windows(ds, max_tokens=max_tokens, num_shards=num_shards,
+                        num_partitions=num_partitions, **pack_kw)
+    write_bucketed(wins, out_dir, key="shard", num_buckets=num_shards)

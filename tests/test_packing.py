@@ -154,3 +154,40 @@ class TestPackWindows:
         # == sum of all n_fill
         tot = sum(len(t) for t in toks)
         assert wins["n_fill"].sum() == tot
+
+    def test_write_packed_windows_roundtrip_idempotent(self, ray_session,
+                                                       tmp_path):
+        """Windows written to bucketed parquet read back equal to the
+        in-memory packing; a second write replaces, never duplicates."""
+        import glob
+
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from raylog.functions.packing import pack_windows, write_packed_windows
+
+        rng = np.random.default_rng(29)
+        n = 120
+        toks = [rng.integers(0, 50, rng.integers(1, 60)).astype("int32")
+                for _ in range(n)]
+        tbl = pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "tokens": pa.array([t.tolist() for t in toks],
+                               pa.list_(pa.int32())),
+        })
+        out = str(tmp_path / "wins")
+        kw = dict(max_tokens=64, num_shards=4, num_partitions=2)
+        write_packed_windows(rd.from_arrow(tbl), out, **kw)
+        files1 = sorted(glob.glob(f"{out}/bucket=*/part-*.parquet"))
+        assert files1
+        got = rd.read_parquet(out).to_pandas()
+        want = pack_windows(rd.from_arrow(tbl), **kw).to_pandas()
+        key = lambda d: sorted(
+            (r.shard, r.pack_id, r.n_fill, tuple(r.tokens))
+            for r in d.itertuples())
+        assert key(got) == key(want)
+        # re-run: identical file set (idempotent replace)
+        write_packed_windows(rd.from_arrow(tbl), out, **kw)
+        files2 = sorted(glob.glob(f"{out}/bucket=*/part-*.parquet"))
+        assert files1 == files2
