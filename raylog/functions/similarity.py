@@ -475,3 +475,176 @@ def ann_pq_topk(
         ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .iter_batches(batch_format="pyarrow", batch_size=None)))
     return _merge_topk(allp, k)
+
+
+def build_ivfpq_index(
+    ds: rd.Dataset,
+    index_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    m: int = 16,
+    ks: int = 64,
+    train_sample: int = 2048,
+) -> tuple[np.ndarray, np.ndarray]:
+    """IVF × PQ: the production billion-vector index shape (FAISS
+    IVFPQ; Jégou et al. 2011 §IV). Vectors partition into coarse lists
+    AND each list stores only (vec_id, m uint8 codes) of the RESIDUAL
+    vector (x − centroid) — list files shrink by d·8/m, so a probe's
+    IO drops by the same factor on top of the nprobe/n_clusters scan
+    fraction. One assignment+encode pass, idempotent writes; codebooks
+    and centroids persist for reuse. Returns (centroids, codebooks).
+    """
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    cents_path = os.path.join(index_dir, "centroids.npy")
+    books_path = os.path.join(index_dir, "codebooks.npy")
+    done = os.path.join(index_dir, "_DONE")
+    if os.path.exists(done):
+        return np.load(cents_path), np.load(books_path)
+    os.makedirs(index_dir, exist_ok=True)
+    sample_tbl = pa.concat_tables(list(
+        ds.limit(train_sample).map_batches(
+            lambda b: b.select([id_col, vec_col]),
+            batch_format="pyarrow", batch_size=None,
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    ))
+    sample_tbl = sample_tbl.sort_by(id_col)
+    smat = _to_matrix(sample_tbl, vec_col)
+    cents = _kmeans(smat, n_clusters)
+    sassign = (smat @ cents.T).argmax(axis=1)
+    books = pq_train(smat - cents[sassign], m=m, ks=ks)
+    for c in range(n_clusters):
+        os.makedirs(os.path.join(index_dir, f"list={c:04d}"), exist_ok=True)
+    bc = (cents, books)
+    ref = ray.put(bc) if ray.is_initialized() else bc
+
+    def assign_encode_write(batch: pa.Table) -> pa.Table:
+        cents_, books_ = ref if isinstance(ref, tuple) else ray.get(ref)
+        bids = np.asarray(batch[id_col].combine_chunks(), dtype=np.int64)
+        bmat = _to_matrix(batch, vec_col)
+        assign = (bmat @ cents_.T).argmax(axis=1).astype(np.int32)
+        codes = pq_encode(bmat - cents_[assign], books_)
+        out = pa.table({
+            id_col: pa.array(bids),
+            "codes": pa.array([c.tobytes() for c in codes], pa.binary()),
+            "list_id": pa.array(assign),
+        })
+        bid = hashlib.md5(np.ascontiguousarray(bids).tobytes()).hexdigest()[:16]
+        for c in np.unique(assign):
+            part = out.filter(pa.array(assign == c))
+            path = os.path.join(index_dir, f"list={int(c):04d}",
+                                f"part-{bid}.parquet")
+            tmp = path + ".tmp"
+            pq.write_table(part, tmp)
+            os.replace(tmp, path)
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    ds.map_batches(assign_encode_write, batch_format="pyarrow",
+                   batch_size=None).count()
+    np.save(cents_path, cents)
+    np.save(books_path, books)
+    open(done, "w").close()
+    return cents, books
+
+
+def ann_ivfpq_topk(
+    ds: rd.Dataset,
+    query_ids: list[int],
+    *,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_clusters: int = 16,
+    m: int = 16,
+    ks: int = 64,
+    nprobe: int = 4,
+) -> pa.Table:
+    """Probe the IVFPQ index: per query, read only the ``nprobe``
+    nearest list directories and ADC-score their CODES —
+    ``q·x ≈ q·c_list + Σ_s T[s, code_s]`` with T the query-residual
+    inner-product table per probed list. The scan touches
+    (nprobe/n_clusters) × (m/8d) of the raw data volume."""
+    import glob
+    import os
+
+    import ray
+    import ray.data as rd_
+
+    cents, books = build_ivfpq_index(
+        ds, index_dir, id_col=id_col, vec_col=vec_col,
+        n_clusters=n_clusters, m=m, ks=ks)
+
+    qtbl = pa.concat_tables(list(
+        ds.map_batches(
+            lambda b, q=tuple(query_ids): b.filter(
+                pa.compute.is_in(b[id_col],
+                                 value_set=pa.array(list(q)))),
+            batch_format="pyarrow", batch_size=None,
+        ).iter_batches(batch_format="pyarrow", batch_size=None)))
+    qmat = _to_matrix(qtbl, vec_col)
+    qids = np.asarray(qtbl[id_col].combine_chunks(), dtype=np.int64)
+    probes = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
+
+    mq, _, dsub = books.shape
+    files: list[str] = []
+    file_queries: dict[str, list[int]] = {}
+    for qi in range(len(qids)):
+        for c in probes[qi]:
+            for f in glob.glob(os.path.join(index_dir,
+                                            f"list={int(c):04d}",
+                                            "part-*.parquet")):
+                file_queries.setdefault(f, []).append(qi)
+    items = [{"path": f, "qs": v} for f, v in sorted(file_queries.items())]
+    bc = (books, cents, qmat, qids)
+    ref = ray.put(bc) if ray.is_initialized() else bc
+
+    def scan(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        books_, cents_, qmat_, qids_ = (ref if isinstance(ref, tuple)
+                                        else ray.get(ref))
+        out_q, out_n, out_s = [], [], []
+        for path, qs in zip(batch["path"].to_pylist(),
+                            batch["qs"].to_pylist()):
+            t = pq.read_table(path)
+            ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+            if not len(ids):
+                continue
+            codes = np.frombuffer(
+                b"".join(t["codes"].to_pylist()), dtype=np.uint8
+            ).reshape(len(ids), -1)
+            list_id = int(t["list_id"][0].as_py())
+            cvec = cents_[list_id]
+            for qi in qs:
+                resid_q = qmat_[qi]
+                base = float(resid_q @ cvec)
+                score = np.full(len(ids), base)
+                for s in range(books_.shape[0]):
+                    tab = resid_q[s * dsub:(s + 1) * dsub] @ books_[s].T
+                    score += tab[codes[:, s]]
+                top = np.argsort(-score)[:k]
+                out_q.append(np.full(len(top), qids_[qi], dtype=np.int64))
+                out_n.append(ids[top])
+                out_s.append(score[top])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "cos": pa.array(np.concatenate(out_s)),
+        })
+
+    allp = pa.concat_tables(list(
+        rd_.from_items(items).map_batches(
+            scan, batch_format="pyarrow", batch_size=1)
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    return _merge_topk(allp, k)

@@ -3118,6 +3118,25 @@ def ann_pq_topk(sf_dir: str):
     return pq(ds, query_ids=[0, 1, 2, 3, 4], k=10, m=32, ks=64)
 
 
+@query("ann_ivfpq_topk", None)  # rows-only: iterative training
+def ann_ivfpq_topk(sf_dir: str):
+    """IVF × PQ probe (FAISS-IVFPQ shape): coarse lists partition the
+    corpus on disk AND store only m uint8 residual codes per vector, so
+    a probe's IO is (nprobe/n_clusters) × (m/8d) of the raw volume —
+    the billion-vector production index. Recall + code-only-storage
+    asserted in pytest."""
+    import ray.data as rd
+
+    from raylog.functions.similarity import ann_ivfpq_topk as ivfpq
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return ivfpq(
+        ds, query_ids=[0, 1, 2, 3, 4], k=10, n_clusters=8, m=32, ks=64,
+        nprobe=4,
+        index_dir=f"/tmp/raylog_ivfpq/{_src_tag(sf_dir, 'embeddings')}_c8")
+
+
 @query("embed_kmeans", None)  # rows-only: iterative algorithm, no SQL analog
 def embed_kmeans(sf_dir: str):
     """Distributed k-means cluster assignment over the embedding column

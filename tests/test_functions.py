@@ -848,3 +848,32 @@ class TestPQ:
         # self-match: a query's own quantized vector scores near the top
         for q in qids:
             assert q in set(pq[pq.query_id == q].neighbor_id.head(5))
+
+    def test_ivfpq_recall_and_scan_shape(self, emb_ds, ray_session,
+                                         tmp_path):
+        """IVFPQ probes only its lists and stores only codes; recall vs
+        brute stays useful on the synthetic embeddings."""
+        import glob
+        import os
+
+        import pyarrow.parquet as papq
+
+        from raylog.functions.similarity import ann_brute_topk, ann_ivfpq_topk
+
+        qids = [0, 1, 2, 3, 4]
+        idx = str(tmp_path / "ivfpq")
+        brute = ann_brute_topk(emb_ds, query_ids=qids, k=10).to_pandas()
+        got = ann_ivfpq_topk(emb_ds, query_ids=qids, k=10, index_dir=idx,
+                             n_clusters=8, m=32, ks=64,
+                             nprobe=4).to_pandas()
+        recalls = []
+        for q in qids:
+            b = set(brute[brute.query_id == q].neighbor_id)
+            g = set(got[got.query_id == q].neighbor_id)
+            recalls.append(len(b & g) / len(b))
+        assert sum(recalls) / len(recalls) >= 0.4, recalls
+        # the index stores codes, not vectors: schema check + size
+        f = glob.glob(os.path.join(idx, "list=*", "part-*.parquet"))[0]
+        t = papq.read_table(f)
+        assert set(t.column_names) == {"vec_id", "codes", "list_id"}
+        assert len(t["codes"][0].as_py()) == 32  # m bytes per vector
