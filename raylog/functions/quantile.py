@@ -18,7 +18,6 @@ EXACT path the oracle can check. Selection rule matches SQL
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
