@@ -877,3 +877,50 @@ class TestPQ:
         t = papq.read_table(f)
         assert set(t.column_names) == {"vec_id", "codes", "list_id"}
         assert len(t["codes"][0].as_py()) == 32  # m bytes per vector
+
+
+class TestEdges:
+    def test_mixture_zero_target_drops_source(self, ray_session):
+        from raylog.functions.mixture import mixture_by_token_budget
+
+        tbl = pa.table({
+            "doc_id": pa.array(range(40), pa.int64()),
+            "source": pa.array(["a" if i % 2 else "b" for i in range(40)]),
+            "n_tok": pa.array([10] * 40, pa.int64()),
+        })
+        out = mixture_by_token_budget(
+            rd.from_arrow(tbl), targets={"a": 50, "b": 0},
+            n_buckets=8).to_pandas()
+        assert set(out["source"]) == {"a"}
+        assert out["n_tok"].sum() >= 50
+        assert out["n_tok"].sum() - 10 < 50  # < 1 doc overshoot
+
+    def test_ddsketch_single_value_group(self, ray_session):
+        from raylog.functions.quantile import dd_value, grouped_quantile_sketch
+
+        tbl = pa.table({"g": pa.array(["x"]), "v": pa.array([42.0])})
+        out = grouped_quantile_sketch(
+            rd.from_arrow(tbl), group_cols=["g"], value_col="v",
+            qs=[0.5, 0.99], alpha=0.01, num_partitions=2).to_pandas()
+        assert len(out) == 2
+        for r in out.itertuples():
+            est = dd_value(np.array([r.bucket]), 0.01)[0]
+            assert abs(est - 42.0) <= 0.01 * 42.0 * 1.0001
+
+    def test_trim_spans_prefix_and_suffix(self, ray_session):
+        from raylog.functions.dedup import trim_duplicate_spans
+
+        span = "a b c d e f g h"
+        span2 = "q r s t u v w x"
+        docs = pa.table({
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array([
+                span + " mid " + span2,       # dup prefix AND suffix
+                span + " other tail here now aa bb",
+                "zz yy " + span2,
+            ]),
+        })
+        out = trim_duplicate_spans(rd.from_arrow(docs), n=8, min_docs=2,
+                                   num_partitions=4).to_pandas()
+        got = {r.doc_id: r.text_trimmed for r in out.itertuples()}
+        assert got[0] == "mid"
