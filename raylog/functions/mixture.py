@@ -114,9 +114,14 @@ def mixture_by_token_budget(
     def classify(b: pa.Table) -> pa.Table:
         cb, _res = (verd_ref if isinstance(verd_ref, tuple)
                     else ray.get(verd_ref))
-        srcs = b[source_col].combine_chunks().to_pylist()
         bucket = _coins_col(b[id_col]) // bucket_shift
-        cuts = np.array([cb.get(s, -1) for s in srcs], dtype=np.int64)
+        # per-DICTIONARY cut lookup + code gather: the per-row dict.get
+        # over 8M Python strings cost ~1-2 s per scan
+        sd = b[source_col].combine_chunks().dictionary_encode()
+        dict_cuts = np.array(
+            [cb.get(s, -1) for s in sd.dictionary.to_pylist()],
+            dtype=np.int64)
+        cuts = dict_cuts[np.asarray(sd.indices, dtype=np.int64)]
         sub = b.select([id_col, source_col, len_col])
         out = sub.filter(pa.array(bucket < cuts))
         edge = sub.filter(pa.array(bucket == cuts))
