@@ -86,3 +86,27 @@ def test_cli_follow(tmp_path):
     info = json.loads(r.stdout.strip().splitlines()[-1])
     assert info["routed_rows"] > 0
     assert len(_glob.glob(os.path.join(out, "file=*"))) == len(files)
+
+
+def test_bench_scaling_smoke(tmp_path):
+    """The driver runs `bench.py --scaling` every round; smoke the full
+    path at tiny scale (1 trial, 2 vs 4 cpus) and check the contract:
+    one JSON line with both throughputs and an efficiency field."""
+    import json
+    import subprocess
+    import sys
+
+    env = dict(os.environ,
+               GRAFT_SF_DIR="/root/testdata/sf0.001",
+               RAYLOG_SCALE_LO="2", RAYLOG_SCALE_HI="4",
+               RAYLOG_SCALE_TRIALS="1")
+    r = subprocess.run(
+        [sys.executable, "bench.py", "--scaling"],
+        capture_output=True, text=True, timeout=420, env=env,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    assert "scaling_efficiency" in info
+    assert info["sec_2"] > 0 and info["sec_4"] > 0
+    assert info["rows"] > 0
