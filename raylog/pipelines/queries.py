@@ -1501,7 +1501,10 @@ def tokens_quantile_sketch(sf_dir: str):
     key-compressed (group, bucket) counts, so the merge is the ordinary
     hash-partitioned grouped count. Output carries the bucket INDEX
     (integer — exact oracle compare); dd_value(bucket, alpha) is the
-    value estimate."""
+    value estimate. The oracle replays ceil(ln(x)/ln(gamma)) in SQL —
+    numpy and DuckDB share libm doubles on one host, so indices match
+    exactly; a cross-platform oracle would compare dd_value within
+    alpha instead of indices."""
     from raylog.functions.quantile import grouped_quantile_sketch
     from raylog.pipelines import log_pipeline as LP
 
