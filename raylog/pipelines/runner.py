@@ -162,6 +162,13 @@ def run_follow(
     ``stop_after_idle`` consecutive ticks that discovered nothing new.
     Returns the cumulative sink counts from the durable per-file
     aggregates.
+
+    Rotation semantics: manifest entries key on the file NAME, so a
+    rotated file must arrive under a new name (the universal convention
+    for immutable shard drops). Rewriting an already-committed name in
+    place is NOT detected — the reference's inode-tracking tail has no
+    analog over immutable parquet, and silent reprocessing would
+    double-count; drop rewrites under fresh names instead.
     """
     import glob as _glob
 
