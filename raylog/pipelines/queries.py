@@ -2758,6 +2758,61 @@ def curation_trim_repack(sf_dir: str):
 
 
 @query(
+    "corpus_snapshot_diff",
+    """
+WITH b AS (
+  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                      ELSE text END AS text
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'new ' || text AS text
+  FROM documents WHERE doc_id % 13 = 0
+)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.text = b.text THEN 'same'
+            ELSE 'changed' END AS status
+FROM documents a FULL OUTER JOIN b USING (doc_id)""",
+)
+def corpus_snapshot_diff(sf_dir: str):
+    """Snapshot diff: per doc id, added / removed / changed / same
+    between corpus v1 (the documents table) and a deterministic v2
+    (docs %11 dropped, %7 text-edited, %13 re-added under new ids) —
+    the primitive an incremental curation run uses to process only the
+    delta. Hash-only exchange (~24 B/doc), content never moves."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.dedup import snapshot_diff
+
+    a = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+
+    def to_v2(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].combine_chunks(), dtype=np.int64)
+        txt = batch["text"].combine_chunks()
+        keep = ids % 11 != 0
+        edited = pc.if_else(
+            pa.array(ids % 7 == 0),
+            pc.binary_join_element_wise(txt, pa.scalar(" v2"), ""),
+            txt)
+        kept = pa.table({"doc_id": pa.array(ids),
+                         "text": edited}).filter(pa.array(keep))
+        newm = ids % 13 == 0
+        new = pa.table({
+            "doc_id": pa.array(ids[newm] + 1_000_000),
+            "text": pc.binary_join_element_wise(
+                pa.scalar("new "), txt.filter(pa.array(newm)), ""),
+        })
+        return pa.concat_tables([kept, new])
+
+    b = a.map_batches(to_v2, batch_format="pyarrow", batch_size=None)
+    return snapshot_diff(a, b)
+
+
+@query(
     "dedup_token_substring",
     _P() + """
 , wins AS (

@@ -924,3 +924,19 @@ class TestEdges:
                                    num_partitions=4).to_pandas()
         got = {r.doc_id: r.text_trimmed for r in out.itertuples()}
         assert got[0] == "mid"
+
+    def test_snapshot_diff_statuses(self, ray_session):
+        from raylog.functions.dedup import snapshot_diff
+
+        a = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["alpha", "beta", "gamma"]),
+        })
+        b = pa.table({
+            "doc_id": pa.array([2, 3, 4], pa.int64()),
+            "text": pa.array(["beta", "GAMMA", "delta"]),
+        })
+        out = snapshot_diff(rd.from_arrow(a), rd.from_arrow(b),
+                            num_partitions=4).to_pandas()
+        got = dict(zip(out["doc_id"], out["status"]))
+        assert got == {1: "removed", 2: "same", 3: "changed", 4: "added"}
