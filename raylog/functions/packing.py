@@ -177,6 +177,7 @@ def pack_windows(
     max_tokens: int = 512,
     num_shards: int = 8,
     num_partitions: int = 8,
+    sep_token: int | None = None,
 ) -> rd.Dataset:
     """MATERIALIZED concat-and-chunk: the actual fixed-size token
     windows a trainer consumes, not just the span bookkeeping of
@@ -186,10 +187,12 @@ def pack_windows(
     in doc_id order and the flat stream is cut every ``max_tokens``.
     Output: (shard, pack_id, n_fill, tokens list<int32>) — the final
     window of a shard may be short (``n_fill < max_tokens``; the
-    trainer pads it). Fully vectorized: one ListArray take + flatten
-    per partition, window boundaries are arithmetic on the shard's
-    token counts, the output list column is rebuilt from offsets with
-    zero per-window Python.
+    trainer pads it). ``sep_token`` (e.g. an EOS id) is inserted after
+    every document before chunking — the standard trainer layout, so a
+    model can learn document boundaries inside packed windows. Fully
+    vectorized: one ListArray take + flatten per partition, window
+    boundaries are arithmetic on the shard's token counts, the output
+    list column is rebuilt from offsets with zero per-window Python.
 
     Scale knob: a shard is processed whole (window boundaries cross doc
     boundaries, so a shard cannot split), so ``num_shards`` must scale
@@ -213,6 +216,22 @@ def pack_windows(
         taken = toks.take(pa.array(order))
         flat = taken.flatten()  # concatenated in (shard, doc) order
         lens = np.asarray(pc.list_value_length(taken), dtype=np.int64)
+        if sep_token is not None and len(lens):
+            # append one separator after every doc: scatter the doc
+            # tokens around reserved sep slots — pure offset arithmetic
+            vals = np.asarray(flat, dtype=np.int64)
+            n_docs_p = len(lens)
+            new_lens = lens + 1
+            new_total = int(new_lens.sum())
+            out = np.full(new_total, int(sep_token), dtype=np.int64)
+            new_off = np.concatenate([[0], np.cumsum(new_lens)])
+            # destination index of each original token
+            shift = np.repeat(new_off[:-1]
+                              - np.concatenate([[0], np.cumsum(lens)])[:-1],
+                              lens)
+            out[np.arange(len(vals), dtype=np.int64) + shift] = vals
+            flat = pa.array(out.astype(np.int32), pa.int32())
+            lens = new_lens
         shard_s = shard[order]
         n = len(shard_s)
         if n == 0:

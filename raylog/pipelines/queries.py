@@ -1566,6 +1566,65 @@ def tokens_pack_segments(sf_dir: str):
 
 
 @query(
+    "tokens_pack_windows_eos",
+    _P() + """
+, r AS (SELECT doc_id, doc_id % 8 AS shard,
+               list_append(tokens, 99999) AS tokens
+        FROM recs2),
+flat AS (
+  SELECT shard, doc_id, i, tokens[CAST(i AS INT)] AS t
+  FROM r, LATERAL (
+    SELECT unnest(generate_series(1, len(tokens))) AS i
+  ) g
+),
+seq AS (
+  SELECT shard, t,
+         CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id, i)
+              - 1 AS BIGINT) AS pos
+  FROM flat
+)
+SELECT shard, CAST(pos // 512 AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_fill,
+       CAST(SUM((pos % 512 + 1) * t) AS BIGINT) AS tok_chk
+FROM seq GROUP BY shard, pos // 512""",
+)
+def tokens_pack_windows_eos(sf_dir: str):
+    """Context windows with a document separator (EOS id 99999)
+    inserted after every doc before chunking — the standard trainer
+    layout so models learn document boundaries inside packed windows.
+    Same checksum oracle form as `tokens_pack_windows`."""
+    import numpy as np
+
+    from raylog.functions.packing import pack_windows
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["doc_id", "tokens"])
+    wins = pack_windows(ds, max_tokens=512, num_shards=8,
+                        num_partitions=8, sep_token=99999)
+
+    def checksum(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        toks = (toks.combine_chunks() if isinstance(toks, pa.ChunkedArray)
+                else toks)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        vals = np.asarray(toks.values, dtype=np.int64)[off[0]:off[-1]]
+        off = off - off[0]
+        pos = (np.arange(len(vals), dtype=np.int64)
+               - np.repeat(off[:-1], np.diff(off)) + 1)
+        csum = np.concatenate([[0], np.cumsum(vals * pos)])
+        chk = csum[off[1:]] - csum[off[:-1]]
+        return pa.table({
+            "shard": b["shard"],
+            "pack_id": b["pack_id"],
+            "n_fill": b["n_fill"],
+            "tok_chk": pa.array(chk),
+        })
+
+    return wins.map_batches(checksum, batch_format="pyarrow",
+                            batch_size=None)
+
+
+@query(
     "tokens_span_corruption",
     _P() + """
 , pos AS (

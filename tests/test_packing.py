@@ -191,3 +191,24 @@ class TestPackWindows:
         write_packed_windows(rd.from_arrow(tbl), out, **kw)
         files2 = sorted(glob.glob(f"{out}/bucket=*/part-*.parquet"))
         assert files1 == files2
+
+    def test_sep_token_between_docs(self, ray_session):
+        """EOS insertion: one sep after every doc; stream content and
+        window tiling still exact."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from raylog.functions.packing import pack_windows
+
+        toks = [[1, 2, 3], [4, 5], [6]]
+        tbl = pa.table({
+            "doc_id": pa.array(range(3), pa.int64()),
+            "tokens": pa.array(toks, pa.list_(pa.int32())),
+        })
+        out = pack_windows(rd.from_arrow(tbl), max_tokens=4, num_shards=1,
+                           num_partitions=1, sep_token=99).to_pandas()
+        stream = np.concatenate(
+            [np.asarray(t) for t in out.sort_values("pack_id")["tokens"]])
+        assert stream.tolist() == [1, 2, 3, 99, 4, 5, 99, 6, 99]
+        assert out["n_fill"].sum() == 9
