@@ -357,3 +357,44 @@ def test_span_corruption_mask_model(tokens, doc_id):
                 for s in range(max(0, i - 2), i + 1))
             for i in range(len(tokens))]
     assert masked.tolist() == want
+
+
+def test_pack_chunks_closed_form_matches_accumulator():
+    """first/last pack + offset from the running-sum closed form equal a
+    literal token-accumulator walk across many random shards, in ONE
+    Ray run (a hypothesis-per-example harness would re-run the pipeline
+    100x — the randomization lives inside instead)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.packing import pack_chunks
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    rng = np.random.default_rng(31)
+    n = 600
+    ids = np.sort(rng.choice(10**6, size=n, replace=False)).astype(np.int64)
+    lens = rng.integers(0, 700, n).astype(np.int64)
+    max_tokens = 512
+    tbl = pa.table({"doc_id": pa.array(ids), "n_tok": pa.array(lens)})
+    out = pack_chunks(rd.from_arrow(tbl), max_tokens=max_tokens,
+                      num_shards=8, num_partitions=4).to_pandas()
+    out = out.set_index("doc_id")
+    checked = 0
+    for shard in range(8):
+        cursor = 0
+        for did, ln in zip(ids, lens):
+            if did % 8 != shard:
+                continue
+            first = cursor // max_tokens
+            last = (cursor + ln - 1) // max_tokens if ln > 0 else first
+            off = cursor % max_tokens
+            row = out.loc[did]
+            assert (row["first_pack"], row["last_pack"],
+                    row["first_offset"]) == (first, last, off), (did, ln)
+            cursor += ln
+            checked += 1
+    assert checked == n
