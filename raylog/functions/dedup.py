@@ -1040,6 +1040,8 @@ def substring_duplicate_coverage(
     n: int = 8,
     min_docs: int = 2,
     num_partitions: int = 32,
+    prefilter: str | None = None,
+    prefilter_m: int = 1 << 22,
 ) -> rd.Dataset:
     """Per-doc duplicated-substring coverage: of the doc's n-word
     windows, how many occur verbatim in >= ``min_docs`` DISTINCT docs.
@@ -1089,6 +1091,68 @@ def substring_duplicate_coverage(
     occ = ds.map_batches(occurrences, batch_format="pyarrow",
                          batch_size=None)
 
+    if prefilter == "count_sketch":
+        # seen-twice prefilter (SCALE.md's documented alternative, now
+        # real): one extra cheap pass builds a saturating counter
+        # sketch over gram hashes; only grams whose counter reaches 2
+        # — every true duplicate, plus a collision-rate of false
+        # candidates that the exact verify absorbs — enter the gram
+        # exchange. Valid while the sketch (prefilter_m counters)
+        # broadcasts; at corpus scales beyond that, shard by gram
+        # range or fall back to the full exchange.
+        import ray
+
+        from raylog.functions.sketch import tree_fold_partials
+
+        def sketch_partial(b: pa.Table) -> pa.Table:
+            g = np.asarray(b["gram"].combine_chunks(),
+                           dtype=np.int64).astype(np.uint64)
+            idx = (g % np.uint64(prefilter_m)).astype(np.int64)
+            cnt = np.bincount(idx, minlength=prefilter_m)
+            return pa.table({"cnt": pa.array(
+                [np.minimum(cnt, 2).astype(np.uint8).tobytes()],
+                pa.binary())})
+
+        def merge_cnt(t: pa.Table) -> pa.Table:
+            acc = np.zeros(prefilter_m, dtype=np.uint8)
+            for blob in t["cnt"].to_pylist():
+                acc = np.minimum(
+                    acc.astype(np.int16)
+                    + np.frombuffer(blob, dtype=np.uint8), 2
+                ).astype(np.uint8)
+            return pa.table({"cnt": pa.array([acc.tobytes()],
+                                             pa.binary())})
+
+        acc = np.zeros(prefilter_m, dtype=np.uint8)
+        for t in tree_fold_partials(
+                occ.map_batches(sketch_partial, batch_format="pyarrow",
+                                batch_size=None), merge_cnt):
+            for blob in t["cnt"].to_pylist():
+                acc = np.minimum(
+                    acc.astype(np.int16)
+                    + np.frombuffer(blob, dtype=np.uint8), 2
+                ).astype(np.uint8)
+        cand = np.packbits(acc >= 2)
+        cand_ref = ray.put(cand) if ray.is_initialized() else cand
+
+        def keep_candidates(b: pa.Table) -> pa.Table:
+            c = (cand_ref if isinstance(cand_ref, np.ndarray)
+                 else ray.get(cand_ref))
+            g = np.asarray(b["gram"].combine_chunks(),
+                           dtype=np.int64).astype(np.uint64)
+            idx = (g % np.uint64(prefilter_m)).astype(np.int64)
+            hit = (c[idx >> 3] >> (7 - (idx & 7).astype(np.uint8))) & 1
+            return b.filter(pa.array(hit.astype(bool)))
+
+        occ = occ.map_batches(keep_candidates, batch_format="pyarrow",
+                              batch_size=None)
+        # NOTE: with the prefilter, docs whose windows are ALL unique
+        # produce no rows; re-emit their (doc, n_windows, 0) totals
+        # from a map-side count so the output contract is unchanged
+        prefiltered = True
+    else:
+        prefiltered = False
+
     def per_partition(part: pa.Table) -> pa.Table:
         g = np.asarray(part["gram"].combine_chunks(), dtype=np.int64)
         d = np.asarray(part["doc_id"].combine_chunks(), dtype=np.int64)
@@ -1108,11 +1172,15 @@ def substring_duplicate_coverage(
         gram_id = np.cumsum(new_gram) - 1
         nd = np.bincount(gram_id[new_pair])
         dup = nd[gram_id] >= min_docs
-        # per-doc partials inside the partition
+        # per-doc partials inside the partition; when the prefilter
+        # dropped unique-gram occurrences, totals come from the
+        # map-side count instead (n_windows contribution 0 here)
         docs, inv = np.unique(d_s, return_inverse=True)
+        n_win = (np.zeros(len(docs), dtype=np.int64) if prefiltered
+                 else np.bincount(inv).astype(np.int64))
         return pa.table({
             "doc_id": pa.array(docs),
-            "n_windows": pa.array(np.bincount(inv).astype(np.int64)),
+            "n_windows": pa.array(n_win),
             "dup_windows": pa.array(
                 np.bincount(inv, weights=dup).astype(np.int64)),
         })
@@ -1120,6 +1188,26 @@ def substring_duplicate_coverage(
     partials = partitioned_group_apply(
         occ, ["gram"], per_partition, num_partitions=num_partitions,
     )
+    if prefiltered:
+        def totals(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch[id_col].combine_chunks(),
+                             dtype=np.int64)
+            if token_col is not None:
+                _, offsets = _token_stream(batch[token_col])
+            else:
+                _, offsets = _split_words(batch[text_col],
+                                          _PROCESS_HASHER)
+            n_wins = np.maximum(np.diff(offsets) - n + 1, 0)
+            keep = n_wins > 0
+            return pa.table({
+                "doc_id": pa.array(ids[keep]),
+                "n_windows": pa.array(n_wins[keep]),
+                "dup_windows": pa.array(
+                    np.zeros(int(keep.sum()), dtype=np.int64)),
+            })
+
+        partials = partials.union(ds.map_batches(
+            totals, batch_format="pyarrow", batch_size=None))
     return grouped_aggregate_ds(
         partials, ["doc_id"],
         [("n_windows", "sum", "n_windows"),

@@ -940,3 +940,24 @@ class TestEdges:
                             num_partitions=4).to_pandas()
         got = dict(zip(out["doc_id"], out["status"]))
         assert got == {1: "removed", 2: "same", 3: "changed", 4: "added"}
+
+    def test_substring_prefilter_identical_output(self, ray_session,
+                                                  docs_ds):
+        """count_sketch prefilter must not change the result — it only
+        shrinks the gram exchange (unique grams never reach it)."""
+        from raylog.functions.dedup import substring_duplicate_coverage
+
+        plain = substring_duplicate_coverage(
+            docs_ds, n=8, min_docs=2, num_partitions=8).to_pandas()
+        pre = substring_duplicate_coverage(
+            docs_ds, n=8, min_docs=2, num_partitions=8,
+            prefilter="count_sketch").to_pandas()
+        key = lambda d: sorted(map(tuple, d[
+            ["doc_id", "n_windows", "dup_windows"]].to_numpy()))
+        assert key(plain) == key(pre)
+        # a tiny sketch (heavy collisions) must STILL be exact — false
+        # candidates only add exchange, the verify absorbs them
+        tiny = substring_duplicate_coverage(
+            docs_ds, n=8, min_docs=2, num_partitions=8,
+            prefilter="count_sketch", prefilter_m=1 << 10).to_pandas()
+        assert key(plain) == key(tiny)
