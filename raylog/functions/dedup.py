@@ -1031,6 +1031,58 @@ def _token_stream(col) -> tuple[np.ndarray, np.ndarray]:
     return vals.astype(np.uint64), off - (off[0] if len(off) else 0)
 
 
+def _seen_twice_filter(occ: rd.Dataset, m: int) -> rd.Dataset:
+    """Drop occurrences of globally-unique grams before the gram
+    exchange: a tree-folded saturating counter sketch over gram hashes
+    broadcasts once, and only grams whose global count reaches 2 pass.
+    EXACT for any >= 2-occurrence criterion (every true duplicate
+    reaches counter 2; collisions only admit extra rows that the exact
+    verify downstream absorbs). Valid while the m-counter sketch
+    broadcasts; shard by gram range beyond that."""
+    import ray
+
+    from raylog.functions.sketch import tree_fold_partials
+
+    def sketch_partial(b: pa.Table) -> pa.Table:
+        g = np.asarray(b["gram"].combine_chunks(),
+                       dtype=np.int64).astype(np.uint64)
+        idx = (g % np.uint64(m)).astype(np.int64)
+        cnt = np.bincount(idx, minlength=m)
+        return pa.table({"cnt": pa.array(
+            [np.minimum(cnt, 2).astype(np.uint8).tobytes()], pa.binary())})
+
+    def merge_cnt(t: pa.Table) -> pa.Table:
+        acc = np.zeros(m, dtype=np.uint8)
+        for blob in t["cnt"].to_pylist():
+            acc = np.minimum(
+                acc.astype(np.int16) + np.frombuffer(blob, dtype=np.uint8),
+                2).astype(np.uint8)
+        return pa.table({"cnt": pa.array([acc.tobytes()], pa.binary())})
+
+    acc = np.zeros(m, dtype=np.uint8)
+    for t in tree_fold_partials(
+            occ.map_batches(sketch_partial, batch_format="pyarrow",
+                            batch_size=None), merge_cnt):
+        for blob in t["cnt"].to_pylist():
+            acc = np.minimum(
+                acc.astype(np.int16) + np.frombuffer(blob, dtype=np.uint8),
+                2).astype(np.uint8)
+    cand = np.packbits(acc >= 2)
+    cand_ref = ray.put(cand) if ray.is_initialized() else cand
+
+    def keep_candidates(b: pa.Table) -> pa.Table:
+        c = (cand_ref if isinstance(cand_ref, np.ndarray)
+             else ray.get(cand_ref))
+        g = np.asarray(b["gram"].combine_chunks(),
+                       dtype=np.int64).astype(np.uint64)
+        idx = (g % np.uint64(m)).astype(np.int64)
+        hit = (c[idx >> 3] >> (7 - (idx & 7).astype(np.uint8))) & 1
+        return b.filter(pa.array(hit.astype(bool)))
+
+    return occ.map_batches(keep_candidates, batch_format="pyarrow",
+                           batch_size=None)
+
+
 def substring_duplicate_coverage(
     ds: rd.Dataset,
     *,
@@ -1092,63 +1144,10 @@ def substring_duplicate_coverage(
                          batch_size=None)
 
     if prefilter == "count_sketch":
-        # seen-twice prefilter (SCALE.md's documented alternative, now
-        # real): one extra cheap pass builds a saturating counter
-        # sketch over gram hashes; only grams whose counter reaches 2
-        # — every true duplicate, plus a collision-rate of false
-        # candidates that the exact verify absorbs — enter the gram
-        # exchange. Valid while the sketch (prefilter_m counters)
-        # broadcasts; at corpus scales beyond that, shard by gram
-        # range or fall back to the full exchange.
-        import ray
-
-        from raylog.functions.sketch import tree_fold_partials
-
-        def sketch_partial(b: pa.Table) -> pa.Table:
-            g = np.asarray(b["gram"].combine_chunks(),
-                           dtype=np.int64).astype(np.uint64)
-            idx = (g % np.uint64(prefilter_m)).astype(np.int64)
-            cnt = np.bincount(idx, minlength=prefilter_m)
-            return pa.table({"cnt": pa.array(
-                [np.minimum(cnt, 2).astype(np.uint8).tobytes()],
-                pa.binary())})
-
-        def merge_cnt(t: pa.Table) -> pa.Table:
-            acc = np.zeros(prefilter_m, dtype=np.uint8)
-            for blob in t["cnt"].to_pylist():
-                acc = np.minimum(
-                    acc.astype(np.int16)
-                    + np.frombuffer(blob, dtype=np.uint8), 2
-                ).astype(np.uint8)
-            return pa.table({"cnt": pa.array([acc.tobytes()],
-                                             pa.binary())})
-
-        acc = np.zeros(prefilter_m, dtype=np.uint8)
-        for t in tree_fold_partials(
-                occ.map_batches(sketch_partial, batch_format="pyarrow",
-                                batch_size=None), merge_cnt):
-            for blob in t["cnt"].to_pylist():
-                acc = np.minimum(
-                    acc.astype(np.int16)
-                    + np.frombuffer(blob, dtype=np.uint8), 2
-                ).astype(np.uint8)
-        cand = np.packbits(acc >= 2)
-        cand_ref = ray.put(cand) if ray.is_initialized() else cand
-
-        def keep_candidates(b: pa.Table) -> pa.Table:
-            c = (cand_ref if isinstance(cand_ref, np.ndarray)
-                 else ray.get(cand_ref))
-            g = np.asarray(b["gram"].combine_chunks(),
-                           dtype=np.int64).astype(np.uint64)
-            idx = (g % np.uint64(prefilter_m)).astype(np.int64)
-            hit = (c[idx >> 3] >> (7 - (idx & 7).astype(np.uint8))) & 1
-            return b.filter(pa.array(hit.astype(bool)))
-
-        occ = occ.map_batches(keep_candidates, batch_format="pyarrow",
-                              batch_size=None)
-        # NOTE: with the prefilter, docs whose windows are ALL unique
-        # produce no rows; re-emit their (doc, n_windows, 0) totals
-        # from a map-side count so the output contract is unchanged
+        # seen-twice prefilter (SCALE.md): only grams whose global
+        # count reaches 2 enter the exchange; window TOTALS re-emit
+        # map-side below so the output contract is unchanged
+        occ = _seen_twice_filter(occ, prefilter_m)
         prefiltered = True
     else:
         prefiltered = False
@@ -1224,6 +1223,8 @@ def duplicate_spans(
     min_docs: int = 2,
     keep: str = "none",
     num_partitions: int = 32,
+    prefilter: str | None = None,
+    prefilter_m: int = 1 << 22,
 ) -> rd.Dataset:
     """Maximal duplicated spans per doc (the TRIM form of exact
     substring dedup): every maximal run of word positions covered by
@@ -1266,6 +1267,10 @@ def duplicate_spans(
 
     occ = ds.map_batches(occurrences, batch_format="pyarrow",
                          batch_size=None)
+    if prefilter == "count_sketch":
+        # contract-free here: only duplicated positions are ever
+        # emitted, and unique grams cannot produce them
+        occ = _seen_twice_filter(occ, prefilter_m)
 
     def flag_dups(part: pa.Table) -> pa.Table:
         g = np.asarray(part["gram"].combine_chunks(), dtype=np.int64)

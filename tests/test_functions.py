@@ -961,3 +961,14 @@ class TestEdges:
             docs_ds, n=8, min_docs=2, num_partitions=8,
             prefilter="count_sketch", prefilter_m=1 << 10).to_pandas()
         assert key(plain) == key(tiny)
+
+    def test_spans_prefilter_identical(self, ray_session, docs_ds):
+        from raylog.functions.dedup import duplicate_spans
+
+        plain = duplicate_spans(docs_ds, n=8, min_docs=2,
+                                num_partitions=8).to_pandas()
+        pre = duplicate_spans(docs_ds, n=8, min_docs=2, num_partitions=8,
+                              prefilter="count_sketch",
+                              prefilter_m=1 << 12).to_pandas()
+        key = lambda d: sorted(map(tuple, d.to_numpy()))
+        assert key(plain) == key(pre)
