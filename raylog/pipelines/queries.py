@@ -4788,6 +4788,67 @@ def sample_mixture_budget(sf_dir: str):
 
 
 @query(
+    "sample_mixture_report",
+    """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         (doc_id * 2654435761) % 4294967296 AS coin,
+         CASE WHEN source IN ('src0', 'src1', 'src2')
+              THEN 600 ELSE 150 END AS target
+  FROM documents
+), c AS (
+  SELECT *, SUM(n_tok) OVER (PARTITION BY source ORDER BY coin, doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tok AS prior
+  FROM t
+)
+SELECT source,
+       CAST(MIN(target) AS BIGINT) AS target_tok,
+       CAST(SUM(CASE WHEN prior < target THEN n_tok ELSE 0 END)
+            AS BIGINT) AS kept_tok,
+       CAST(SUM(CASE WHEN prior < target THEN 1 ELSE 0 END)
+            AS BIGINT) AS kept_docs,
+       CAST(COUNT(*) AS BIGINT) AS total_docs
+FROM c GROUP BY source""",
+)
+def sample_mixture_report(sf_dir: str):
+    """Mixture AUDIT: per source, the token target vs what the
+    budget sampler actually kept (kept_tok >= target, overshoot < 1
+    doc) and the doc counts — the attainment report a data-mixing run
+    publishes next to its output. Derived from the same selection rule
+    as `sample_mixture_budget`, aggregated per source."""
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+    from raylog.functions.mixture import mixture_by_token_budget
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["doc_id", "source", "n_tok"])
+    srcs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source"]).unique("source")
+    targets = {s: (600 if s in ("src0", "src1", "src2") else 150)
+               for s in srcs}
+    kept = mixture_by_token_budget(ds, targets=targets)
+    agg = grouped_aggregate(
+        kept, ["source"],
+        [("n_tok", "sum", "kept_tok"), ("*", "count", "kept_docs")],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s_list = b["source"].combine_chunks().to_pylist()
+        return (b.append_column("target_tok", pa.array(
+            np.array([targets[s] for s in s_list], dtype=np.int64)))
+            .append_column("total_docs", pa.array(
+                np.array([totals[s] for s in s_list], dtype=np.int64))))
+
+    totals = {r["source"]: r["n"] for r in grouped_aggregate(
+        ds, ["source"], [("*", "count", "n")]).to_pylist()}
+    return finish(agg)
+
+
+@query(
     "sample_epochs",
     """
 WITH t AS (
