@@ -213,20 +213,22 @@ def build_ivf_index(
 
 
 def _merge_topk(allp: pa.Table, k: int) -> pa.Table:
-    import pandas as pd
+    """Driver merge of per-batch ANN partials (≤ k × queries × blocks
+    rows): the shared Arrow top-k kernel — one sort + group-mask pass,
+    no pandas (the former per-query pandas loop was the similarity
+    family's last pandas hold-out)."""
+    from raylog.functions.topk import _partial_topk
 
-    df = allp.to_pandas()
-    out = []
-    for qid, g in df.groupby("query_id"):
-        g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1))
-        out.append(g)
-    merged = pd.concat(out) if out else df.assign(rank=[])
+    merged = _partial_topk(
+        allp, ["cos", "neighbor_id"], [True, False], k,
+        group_cols=["query_id"], rank_col="rank")
     return pa.table({
-        "query_id": pa.array(merged["query_id"].to_numpy(), pa.int64()),
-        "rank": pa.array(merged["rank"].to_numpy(), pa.int64()),
-        "neighbor_id": pa.array(merged["neighbor_id"].to_numpy(), pa.int64()),
-        "cos_micro": pa.array(np.round(1e6 * merged["cos"].to_numpy()).astype(np.int64)),
+        "query_id": pa.compute.cast(merged["query_id"], pa.int64()),
+        "rank": pa.compute.cast(merged["rank"], pa.int64()),
+        "neighbor_id": pa.compute.cast(merged["neighbor_id"], pa.int64()),
+        "cos_micro": pa.array(np.round(
+            1e6 * np.asarray(merged["cos"].combine_chunks(),
+                             dtype=np.float64)).astype(np.int64)),
     })
 
 
