@@ -215,3 +215,67 @@ def bigram_keys_batch(batch: pa.Table, list_col: str = "tokens") -> pa.Table:
     return pa.table({
         "key": pa.array(_masked_bigram_keys(vals, lengths).view(np.int64))
     })
+
+
+def sequence_hash_columns(batch: pa.Table, tok_col: str = "tokens",
+                          h1_col: str = "seq_h1",
+                          h2_col: str = "seq_h2") -> pa.Table:
+    """Append two 64-bit polynomial hashes of each row's token ARRAY
+    (order- and value-sensitive; independent odd multipliers make a
+    joint collision ~2^-128). Fully vectorized: values × a reversed
+    power ladder, one segmented sum per hash — no per-row Python."""
+    import numpy as np
+
+    toks = batch[tok_col]
+    toks = (toks.combine_chunks() if isinstance(toks, pa.ChunkedArray)
+            else toks)
+    off = np.asarray(toks.offsets, dtype=np.int64)
+    vals = np.asarray(toks.values, dtype=np.int64)[off[0]:off[-1]]
+    off = off - off[0]
+    lens = np.diff(off)
+    n = len(lens)
+    out = {}
+    # position from the END of each row (so h = Σ v_i · p^(L-1-i),
+    # the classic left-to-right Horner result)
+    pos_from_end = (np.repeat(off[1:], lens)
+                    - np.arange(len(vals), dtype=np.int64) - 1)
+    for name, mult in ((h1_col, 0x9E3779B97F4A7C15),
+                      (h2_col, 0xC2B2AE3D27D4EB4F)):
+        p = np.uint64(mult)
+        max_len = int(lens.max()) if n else 0
+        ladder = np.empty(max_len, dtype=np.uint64)
+        if max_len:
+            ladder[0] = np.uint64(1)
+            for i in range(1, max_len):
+                ladder[i] = ladder[i - 1] * p
+        terms = (vals.astype(np.uint64) + np.uint64(1)) * ladder[
+            pos_from_end] if len(vals) else np.array([], np.uint64)
+        csum = np.concatenate([[np.uint64(0)],
+                               np.cumsum(terms, dtype=np.uint64)])
+        h = csum[off[1:]] - csum[off[:-1]]
+        # mix the length so [0] and [0,0] (both summing to ladder
+        # values that could alias) stay distinct
+        h = (h + np.uint64(0x9E37) * lens.astype(np.uint64)) * p
+        out[name] = h
+    return (batch.append_column(h1_col, pa.array(out[h1_col].view(np.int64)))
+            .append_column(h2_col, pa.array(out[h2_col].view(np.int64))))
+
+
+def dedup_sequences(ds: rd.Dataset, *, id_col: str = "doc_id",
+                    tok_col: str = "tokens",
+                    num_partitions: int = 32) -> rd.Dataset:
+    """Exact dedup of identical TOKEN SEQUENCES (the pre-tokenized
+    payload): survivors keep the min id per distinct token array.
+    Hash-only exchange (two 64-bit sequence hashes per row); the
+    hash-partitioned keep-first aggregate resolves groups."""
+    from raylog.functions.agg import grouped_aggregate_ds
+
+    hashed = ds.map_batches(
+        lambda b: sequence_hash_columns(b, tok_col=tok_col).select(
+            ["seq_h1", "seq_h2", id_col]),
+        batch_format="pyarrow", batch_size=None)
+    kept = grouped_aggregate_ds(
+        hashed, ["seq_h1", "seq_h2"], [(id_col, "min", id_col)],
+        num_partitions=num_partitions)
+    return kept.map_batches(lambda b: b.select([id_col]),
+                            batch_format="pyarrow", batch_size=None)

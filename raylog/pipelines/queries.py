@@ -2905,6 +2905,24 @@ def dedup_token_substring(sf_dir: str):
 
 
 @query(
+    "dedup_exact_sequences",
+    _P() + """
+SELECT MIN(doc_id) AS doc_id FROM recs2 GROUP BY tokens""",
+)
+def dedup_exact_sequences(sf_dir: str):
+    """Exact dedup of identical TOKEN SEQUENCES — the payload-axis
+    form of keep-first dedup: the oracle groups by the list itself,
+    the engine exchanges two vectorized 64-bit polynomial sequence
+    hashes per row (never the arrays) and keep-firsts through the
+    hash-partitioned aggregate."""
+    from raylog.functions.tokens import dedup_sequences
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["doc_id", "tokens"])
+    return dedup_sequences(ds)
+
+
+@query(
     "dedup_exact",
     "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
 )

@@ -104,3 +104,37 @@ def test_chunk_texts_sliced_batch():
     out = chunk_texts(t, size=4, stride=3).to_pandas()
     assert out[out.doc_id == 2]["chunk"].tolist() == ["foo"]
     assert out[out.doc_id == 3]["chunk"].tolist() == ["barb", "baz"]
+
+
+class TestSequenceDedup:
+    def test_identical_arrays_collapse_order_matters(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from raylog.functions.tokens import dedup_sequences
+
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "tokens": pa.array(
+                [[1, 2, 3], [3, 2, 1], [1, 2, 3], [1, 2], [], []],
+                pa.list_(pa.int32())),
+        })
+        out = dedup_sequences(rd.from_arrow(tbl)).to_pandas()
+        # [1,2,3] collapses (min id 1); reversed order is DISTINCT;
+        # prefix is distinct; empty arrays collapse
+        assert sorted(out["doc_id"]) == [1, 2, 4, 5]
+
+    def test_hashes_distinguish_tricky_shapes(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from raylog.functions.tokens import sequence_hash_columns
+
+        tbl = pa.table({
+            "tokens": pa.array(
+                [[0], [0, 0], [0, 0, 0], [], [1, 0], [0, 1]],
+                pa.list_(pa.int32())),
+        })
+        h = sequence_hash_columns(tbl)
+        pairs = list(zip(h["seq_h1"].to_pylist(), h["seq_h2"].to_pylist()))
+        assert len(set(pairs)) == len(pairs)  # all distinct
