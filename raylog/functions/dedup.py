@@ -196,8 +196,33 @@ class ShingleLists(Shingler):
                          "shingles": pa.array(blobs, pa.binary())})
 
 
+class SizedShingler(Shingler):
+    """Batch → (doc_id, shingle, dlen) rows — :class:`Shingler` plus the
+    per-document DISTINCT shingle count on every row. Carrying ``dlen``
+    through the inverted index lets exact Jaccard finish from a grouped
+    COUNT of the pair enumeration alone (see
+    :func:`ngram_jaccard_pairs`): two int64s per posting row instead of a
+    full shingle-set blob join downstream."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        wh, offsets = _split_words(batch[self.text_col], self.hasher)
+        g_doc, g_hash, seg_starts = _doc_shingles(wh, offsets, self.k)
+        ids = np.asarray(batch[self.id_col].combine_chunks(), dtype=np.int64)
+        bounds = np.concatenate([seg_starts, [len(g_doc)]]).astype(np.int64)
+        dlens = bounds[1:] - bounds[:-1]
+        return pa.table({
+            "doc_id": pa.array(ids[g_doc]),
+            "shingle": pa.array(g_hash),
+            "dlen": pa.array(dlens[g_doc]),
+        })
+
+
 def shingle_batch(batch: pa.Table, id_col="doc_id", text_col="text", k=3) -> pa.Table:
     return Shingler(id_col, text_col, k)(batch)
+
+
+def sized_shingle_batch(batch: pa.Table, id_col="doc_id", text_col="text", k=3) -> pa.Table:
+    return SizedShingler(id_col, text_col, k)(batch)
 
 
 def shingle_lists_batch(batch: pa.Table, id_col="doc_id", text_col="text", k=3) -> pa.Table:
@@ -301,6 +326,21 @@ def _flat_packed_u64(col) -> tuple[np.ndarray, np.ndarray]:
 _JACC_SCRATCH: dict[str, np.ndarray] = {}
 
 
+def _ragged_gather(flat: np.ndarray, offs: np.ndarray, lens: np.ndarray,
+                   rows: np.ndarray) -> np.ndarray:
+    """Concatenate flat[offs[r] : offs[r]+lens[r]] for r in rows — one
+    vectorized fancy-index, no per-row slicing loop."""
+    sel = lens[rows]
+    total = int(sel.sum())
+    if total == 0:
+        return flat[:0]
+    starts = np.concatenate([[0], np.cumsum(sel)[:-1]]).astype(np.int64)
+    idx = (np.repeat(offs[rows], sel)
+           + np.arange(total, dtype=np.int64)
+           - np.repeat(starts, sel))
+    return flat[idx]
+
+
 def _segmented_intersect_counts(fa: np.ndarray, la: np.ndarray,
                                 fb: np.ndarray, lb: np.ndarray) -> np.ndarray:
     """|A_i ∩ B_i| per row of two flat packed uint64 set families.
@@ -324,6 +364,24 @@ def _segmented_intersect_counts(fa: np.ndarray, la: np.ndarray,
     width = int(lab.max()) if n else 0
     if width == 0:
         return np.zeros(n, dtype=np.int64)
+    # Width skew guard (the round-3 regression mode): one long doc pair
+    # makes EVERY row pay max-width in the padded sort. When the padded
+    # area exceeds 4× the real data, split rows into power-of-two width
+    # classes and recurse per class (≤ 2× padding within a class; ragged
+    # gather is O(sum of widths)).
+    total = int(lab.sum())
+    if n > 64 and n * width > 4 * total:
+        oa = np.concatenate([[0], np.cumsum(la)]).astype(np.int64)
+        ob = np.concatenate([[0], np.cumsum(lb)]).astype(np.int64)
+        cls = np.frexp(np.maximum(lab, 1).astype(np.float64))[1]
+        out = np.zeros(n, dtype=np.int64)
+        for c in np.unique(cls):
+            rows = np.flatnonzero(cls == c)
+            sel_a = _ragged_gather(fa, oa, la, rows)
+            sel_b = _ragged_gather(fb, ob, lb, rows)
+            out[rows] = _segmented_intersect_counts(
+                sel_a, la[rows], sel_b, lb[rows])
+        return out
     pad_lo = np.uint64(0xFFFFFFFFFFFFFFFF) - np.uint64(width - 1)
     if ((len(fa) and fa.max() >= pad_lo)
             or (len(fb) and fb.max() >= pad_lo)):
@@ -410,25 +468,37 @@ def _segment_bounds(sorted_keys: list[np.ndarray]) -> tuple[np.ndarray, np.ndarr
 
 def _intra_bucket_pairs(part: pa.Table, key_cols: list[str],
                         id_col: str = "doc_id",
-                        max_bucket: int | None = None) -> pa.Table:
+                        max_bucket: int | None = None,
+                        payload_col: str | None = None) -> pa.Table:
     """All intra-bucket (doc_a < doc_b) pairs of a partition holding
     complete buckets — one vectorized pass (lexsort + segment scan), no
     per-group pandas calls. Oversized buckets (> max_bucket members) are
     skipped when the cap is set (stop-gram / boilerplate-cluster guard,
-    off by default)."""
+    off by default). When ``payload_col`` is set, that int64 column rides
+    along: the output gains ``len_a``/``len_b`` holding each side's
+    payload value (used by the count-based exact Jaccard path to carry
+    per-doc set sizes)."""
     keys = [np.asarray(part[c].combine_chunks()
                        if isinstance(part[c], pa.ChunkedArray) else part[c])
             for c in key_cols]
     ids = np.asarray(part[id_col].combine_chunks()
                      if isinstance(part[id_col], pa.ChunkedArray)
                      else part[id_col], dtype=np.int64)
+    pay = None
+    if payload_col is not None:
+        pay = np.asarray(part[payload_col].combine_chunks()
+                         if isinstance(part[payload_col], pa.ChunkedArray)
+                         else part[payload_col], dtype=np.int64)
     order = np.lexsort((ids, *keys[::-1]))
     ids_s = ids[order]
+    pay_s = pay[order] if pay is not None else None
     keys_s = [c[order] for c in keys]
     starts, ends = _segment_bounds(keys_s)
     sizes = ends - starts
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
+    out_pa: list[np.ndarray] = []
+    out_pb: list[np.ndarray] = []
     for s, e in zip(starts[sizes >= 2], ends[sizes >= 2]):
         m = int(e - s)
         if max_bucket and m > max_bucket:
@@ -436,11 +506,22 @@ def _intra_bucket_pairs(part: pa.Table, key_cols: list[str],
         a, b = np.triu_indices(m, 1)
         out_a.append(ids_s[s:e][a])
         out_b.append(ids_s[s:e][b])
+        if pay_s is not None:
+            out_pa.append(pay_s[s:e][a])
+            out_pb.append(pay_s[s:e][b])
     if not out_a:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64())})
-    return pa.table({"doc_a": pa.array(np.concatenate(out_a)),
-                     "doc_b": pa.array(np.concatenate(out_b))})
+        cols = {"doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64())}
+        if pay is not None:
+            cols["len_a"] = pa.array([], pa.int64())
+            cols["len_b"] = pa.array([], pa.int64())
+        return pa.table(cols)
+    cols = {"doc_a": pa.array(np.concatenate(out_a)),
+            "doc_b": pa.array(np.concatenate(out_b))}
+    if pay_s is not None:
+        cols["len_a"] = pa.array(np.concatenate(out_pa))
+        cols["len_b"] = pa.array(np.concatenate(out_pb))
+    return pa.table(cols)
 
 
 def ngram_jaccard_pairs(
@@ -461,12 +542,63 @@ def ngram_jaccard_pairs(
     (``partitioned_group_apply`` — a per-group pandas fn was 10-30×
     slower), so a stop-shingle shared by m docs costs m²/2 — acceptable
     for the exact baseline (cap with ``max_postings``); the LSH variant
-    is the scale path. Doc sizes come from a distributed join back to
-    the shingle-list table, never a driver dict.
+    is the scale path.
+
+    Default (uncapped) path: since per-doc shingles are DISTINCT, pair
+    (a, b) is enumerated exactly once per shared shingle, so
+    ``|A∩B|`` is just the grouped COUNT of the enumeration — with the
+    per-doc set sizes riding on the posting rows (``SizedShingler``),
+    exact Jaccard finishes map-only from that count. No shingle-set blob
+    join, no per-pair set intersection (that kernel was the round-3
+    ~1.8× chain regression: its padded row-sort paid
+    n_pairs × max_width per block instead of sum-of-widths). Exchange
+    per pair row: 4 int64s.
+
+    With ``max_postings`` set, skipped buckets would silently undercount
+    the shared-shingle tally, so that mode keeps the join + verify path
+    (full sets → exact Jaccard regardless of which bucket surfaced the
+    candidate).
     """
     from raylog.functions.agg import partitioned_group_apply
 
     kwargs = dict(id_col=id_col, text_col=text_col, k=k)
+    if max_postings is None:
+        shingles = ds.map_batches(
+            sized_shingle_batch, fn_kwargs=kwargs,
+            batch_format="pyarrow", batch_size=None,
+        )
+        pair_rows = partitioned_group_apply(
+            shingles, ["shingle"],
+            lambda part: _intra_bucket_pairs(part, ["shingle"],
+                                             payload_col="dlen"),
+            num_partitions=num_partitions,
+        )
+        # len_a/len_b are functionally dependent on doc_a/doc_b, so
+        # grouping on all four keys is the same partition as the pair
+        counted = grouped_aggregate_ds(
+            pair_rows, ["doc_a", "doc_b", "len_a", "len_b"],
+            [("doc_a", "count", "inter")], num_partitions=num_partitions,
+        )
+
+        def finalize(b: pa.Table) -> pa.Table:
+            inter = np.asarray(b["inter"].combine_chunks(), dtype=np.int64)
+            la = np.asarray(b["len_a"].combine_chunks(), dtype=np.int64)
+            lb = np.asarray(b["len_b"].combine_chunks(), dtype=np.int64)
+            union = la + lb - inter
+            jacc = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+            keep = jacc >= threshold
+            da = np.asarray(b["doc_a"].combine_chunks(), dtype=np.int64)
+            db = np.asarray(b["doc_b"].combine_chunks(), dtype=np.int64)
+            return pa.table({
+                "doc_a": pa.array(da[keep]),
+                "doc_b": pa.array(db[keep]),
+                "jacc_milli": pa.array(
+                    np.floor(1000 * jacc[keep]).astype(np.int64)),
+            })
+
+        return counted.map_batches(finalize, batch_format="pyarrow",
+                                   batch_size=None)
+
     shingles = ds.map_batches(
         shingle_batch, fn_kwargs=kwargs, batch_format="pyarrow", batch_size=None,
     )
