@@ -1283,6 +1283,12 @@ def substring_duplicate_coverage(
                          batch_size=None)
 
     if prefilter == "count_sketch":
+        if min_docs < 2:
+            # a globally-unique gram DOES qualify at min_docs=1 but the
+            # seen-twice filter would drop it — exactness only holds
+            # for any >=2-occurrence criterion
+            raise ValueError(
+                "prefilter='count_sketch' requires min_docs >= 2")
         # seen-twice prefilter (SCALE.md): only grams whose global
         # count reaches 2 enter the exchange; window TOTALS re-emit
         # map-side below so the output contract is unchanged
@@ -1407,7 +1413,12 @@ def duplicate_spans(
     occ = ds.map_batches(occurrences, batch_format="pyarrow",
                          batch_size=None)
     if prefilter == "count_sketch":
-        # contract-free here: only duplicated positions are ever
+        if min_docs < 2:
+            # same invariant as substring_duplicate_coverage: at
+            # min_docs=1 unique grams qualify and the filter drops them
+            raise ValueError(
+                "prefilter='count_sketch' requires min_docs >= 2")
+        # exact for min_docs>=2: only duplicated positions are ever
         # emitted, and unique grams cannot produce them
         occ = _seen_twice_filter(occ, prefilter_m)
 
@@ -1561,8 +1572,10 @@ def trim_duplicate_spans(
         per_doc_tot = np.diff(off)
         # empty docs (all words removed) keep an empty string
         new_off = np.concatenate([[0], np.cumsum(per_doc_kept)])
-        lists = pa.ListArray.from_arrays(
-            pa.array(new_off, pa.int32()), kept_vals)
+        # int64 offsets: a partition past 2^31 flat words would
+        # overflow int32 here (same cap as pack_windows, ADVICE r3)
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(new_off, pa.int64()), kept_vals)
         return pa.table({
             id_col: pa.array(doc_ids),
             "text_trimmed": pc.binary_join(lists, " "),

@@ -45,8 +45,12 @@ def _coins_col(col) -> np.ndarray:
     """Deterministic 32-bit coin per row of an id column."""
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if pa.types.is_integer(col.type):
-        ids = np.asarray(col, dtype=np.int64)
-        return (ids * _COIN_MULT) % _COIN_MOD
+        # uint64 wraparound matches SQL BIGINT %-semantics for all
+        # nonnegative ids; an int64 multiply wraps NEGATIVE past
+        # doc_id ~3.5e9, silently diverging from the DuckDB oracle
+        ids = np.asarray(col, dtype=np.int64).astype(np.uint64)
+        return ((ids * np.uint64(_COIN_MULT))
+                & np.uint64(_COIN_MOD - 1)).astype(np.int64)
     import polars as pl
 
     h = pl.from_arrow(pa.table({"k": col}))["k"].hash(seed=17).to_numpy()

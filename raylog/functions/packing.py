@@ -207,6 +207,12 @@ def pack_windows(
         toks = part[tok_col]
         toks = (toks.combine_chunks() if isinstance(toks, pa.ChunkedArray)
                 else toks)
+        # 64-bit offsets end to end: a partition past 2^31 flat tokens
+        # would overflow 32-bit list offsets in both the take and the
+        # window rebuild (the docstring's 10^12-token sizing guidance
+        # allows ~60 GB shards); the cast copies offsets only
+        if not pa.types.is_large_list(toks.type):
+            toks = toks.cast(pa.large_list(toks.type.value_type))
         # Arrow's C++ sort: string doc_ids compare in native code — an
         # object-dtype np.lexsort here cost ~6x the whole op on the
         # 8M-row sequences bench
@@ -239,7 +245,7 @@ def pack_windows(
                 "shard": pa.array([], pa.int64()),
                 "pack_id": pa.array([], pa.int64()),
                 "n_fill": pa.array([], pa.int64()),
-                "tokens": pa.array([], pa.list_(flat.type)),
+                "tokens": pa.array([], pa.large_list(flat.type)),
             })
         new_shard = np.empty(n, dtype=bool)
         new_shard[0] = True
@@ -263,7 +269,7 @@ def pack_windows(
                 "shard": pa.array([], pa.int64()),
                 "pack_id": pa.array([], pa.int64()),
                 "n_fill": pa.array([], pa.int64()),
-                "tokens": pa.array([], pa.list_(flat.type)),
+                "tokens": pa.array([], pa.large_list(flat.type)),
             })
         o_shard = np.concatenate(out_shard)
         o_pid = np.concatenate(out_pid)
@@ -272,9 +278,9 @@ def pack_windows(
         # windows tile the flat token stream exactly (contiguous per
         # shard, shards back to back), so the list column rebuilds from
         # window lengths over `flat` with NO gather at all
-        win_lists = pa.ListArray.from_arrays(
+        win_lists = pa.LargeListArray.from_arrays(
             pa.array(np.concatenate([[0], np.cumsum(ends - o_off)]),
-                     pa.int32()),
+                     pa.int64()),
             flat,
         )
         return pa.table({

@@ -184,6 +184,13 @@ def build_ivf_index(
     # nondeterministic) so the seeded centroid init is run-stable
     sample_tbl = sample_tbl.sort_by(id_col)
     cents = _kmeans(_to_matrix(sample_tbl, vec_col), n_clusters)
+    # fresh build (no _DONE): clear parts a previously-interrupted run
+    # left behind — part names hash batch CONTENT, so a retry with
+    # different Ray block boundaries would otherwise duplicate vectors
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(index_dir, "list=*", "part-*.parquet")):
+        os.remove(stale)
     for c in range(n_clusters):
         os.makedirs(os.path.join(index_dir, f"list={c:04d}"), exist_ok=True)
     cents_ref = ray.put(cents) if ray.is_initialized() else cents
@@ -521,6 +528,13 @@ def build_ivfpq_index(
     cents = _kmeans(smat, n_clusters)
     sassign = (smat @ cents.T).argmax(axis=1)
     books = pq_train(smat - cents[sassign], m=m, ks=ks)
+    # fresh build (no _DONE): clear parts a previously-interrupted run
+    # left behind — part names hash batch CONTENT, so a retry with
+    # different Ray block boundaries would otherwise duplicate vectors
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(index_dir, "list=*", "part-*.parquet")):
+        os.remove(stale)
     for c in range(n_clusters):
         os.makedirs(os.path.join(index_dir, f"list={c:04d}"), exist_ok=True)
     bc = (cents, books)

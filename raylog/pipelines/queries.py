@@ -189,11 +189,14 @@ def route_tokens_equality(sf_dir: str):
         toks = (toks.combine_chunks() if isinstance(toks, pa.ChunkedArray)
                 else toks)
         off = np.asarray(toks.offsets, dtype=np.int64)
-        vals = np.asarray(toks.values, dtype=np.int64)
+        # rebase: a sliced ListArray (Ray block splits) has offsets that
+        # don't start at 0 and a values buffer wider than this slice
+        vals = np.asarray(toks.values, dtype=np.int64)[off[0]: off[-1]]
+        off = off - off[0]
         pos = (np.arange(len(vals), dtype=np.int64)
                - np.repeat(off[:-1], np.diff(off)) + 1)
         csum = np.concatenate([[0], np.cumsum(vals * pos)])
-        chk = csum[off[1:] - off[0]] - csum[off[:-1] - off[0]]
+        chk = csum[off[1:]] - csum[off[:-1]]
         doc = np.asarray(b["doc_id"].combine_chunks(), dtype=np.int64)
         ntok = np.asarray(b["n_tok"].combine_chunks(), dtype=np.int64)
         out_sink, out_doc, out_chk, out_n = [], [], [], []

@@ -954,6 +954,84 @@ class TestPQ:
         assert len(t["codes"][0].as_py()) == 32  # m bytes per vector
 
 
+class TestAdviceR3:
+    """Regression coverage for the round-3 ADVICE findings."""
+
+    def test_prefilter_rejects_min_docs_1(self, ray_session):
+        import pytest as _pytest
+
+        from raylog.functions.dedup import (duplicate_spans,
+                                            substring_duplicate_coverage)
+
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a b c d e f g h", "a b c d e f g h"]),
+        }))
+        with _pytest.raises(ValueError):
+            substring_duplicate_coverage(docs, n=4, min_docs=1,
+                                         prefilter="count_sketch")
+        with _pytest.raises(ValueError):
+            duplicate_spans(docs, n=4, min_docs=1,
+                            prefilter="count_sketch")
+
+    def test_coin_large_ids_nonnegative(self):
+        from raylog.functions.mixture import _COIN_MOD, _coins_col
+
+        big = pa.array([0, 1, 3_500_000_000, 2**62, 2**63 - 1], pa.int64())
+        coins = _coins_col(big)
+        assert (coins >= 0).all() and (coins < int(_COIN_MOD)).all()
+        # matches the mathematical (id * mult) % 2^32 the SQL oracle uses
+        want = [(i * 2654435761) % (1 << 32) for i in big.to_pylist()]
+        assert coins.tolist() == want
+
+    def test_ivf_fresh_build_clears_stale_parts(self, ray_session, tmp_path):
+        import os
+
+        from raylog.functions.similarity import build_ivf_index
+
+        rng = np.random.default_rng(3)
+        mat = rng.normal(size=(200, 8))
+        tbl = pa.table({
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array(mat.tolist(), pa.list_(pa.float64())),
+        })
+        idx = str(tmp_path / "ivf")
+        # simulate a partially-completed earlier run: stale part,
+        # no _DONE marker
+        os.makedirs(os.path.join(idx, "list=0000"), exist_ok=True)
+        stale = os.path.join(idx, "list=0000", "part-deadbeef.parquet")
+        import pyarrow.parquet as _pq
+
+        _pq.write_table(tbl.slice(0, 5).append_column(
+            "list_id", pa.array([0] * 5, pa.int32())), stale)
+        build_ivf_index(rd.from_arrow(tbl), idx, n_clusters=4)
+        assert not os.path.exists(stale)
+        import glob as _glob
+
+        n_indexed = sum(
+            _pq.read_table(f).num_rows
+            for f in _glob.glob(os.path.join(idx, "list=*", "*.parquet")))
+        assert n_indexed == 200  # no duplicated vectors
+
+    def test_pack_windows_large_list_offsets(self, ray_session):
+        import pyarrow.compute as pc
+
+        from raylog.functions.packing import pack_windows
+
+        tbl = pa.table({
+            "doc_id": pa.array(range(20), pa.int64()),
+            "tokens": pa.array([[i, i + 1, i + 2] for i in range(20)],
+                               pa.list_(pa.int32())),
+        })
+        out_ds = pack_windows(rd.from_arrow(tbl), max_tokens=7,
+                              num_shards=2, num_partitions=2)
+        tb = pa.concat_tables(list(out_ds.iter_batches(
+            batch_format="pyarrow", batch_size=None)))
+        assert pa.types.is_large_list(tb["tokens"].type)  # int64 offsets
+        assert int(pc.sum(pc.list_value_length(
+            tb["tokens"].combine_chunks())).as_py()) == 60
+
+
 class TestEdges:
     def test_mixture_zero_target_drops_source(self, ray_session):
         from raylog.functions.mixture import mixture_by_token_budget
