@@ -20,6 +20,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 
@@ -116,6 +117,49 @@ def approx_distinct(ds: rd.Dataset, col: str, *, p: int = 12) -> pa.Table:
         "approx_distinct": pa.array([int(round(hll_estimate(merged)))],
                                     pa.int64())
     })
+
+
+def distinct_kmv(ds: rd.Dataset, col: str, *, k: int = 256) -> pa.Table:
+    """Bottom-k (KMV) distinct estimator — the SQL-restatable companion
+    to :func:`approx_distinct` (VERDICT r3 'do this' #3).
+
+    Each batch contributes its k lexicographically-smallest DISTINCT
+    md5 hex digests (bottom-k is mergeable: the global bottom-k is the
+    bottom-k of the union of per-batch bottom-ks, so partials are
+    ≤ k rows per block and the driver folds a k×blocks sliver, never
+    values). With fewer than k distinct hashes the count is exact;
+    otherwise est = (k−1)·2^60 // h_(k) with h_(k) the k-th smallest
+    digest's first 15 hex digits — integer arithmetic, so a DuckDB
+    oracle (``ORDER BY md5(col) LIMIT k`` + HUGEINT division)
+    reproduces it bit-for-bit. Std error ≈ 1/√(k−2) ≈ 6% at k=256.
+    The HLL path stays the scale default (4 KB partials vs k rows;
+    no per-row md5); this one exists to be externally checkable.
+    """
+    import hashlib
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch[col]
+        c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        vals = pc.unique(c)
+        hx = sorted(hashlib.md5(str(v).encode()).hexdigest()
+                    for v in vals.to_pylist())[:k]
+        return pa.table({"m": pa.array(hx, pa.string())})
+
+    def merge_m(t: pa.Table) -> pa.Table:
+        hx = sorted(set(t["m"].to_pylist()))[:k]
+        return pa.table({"m": pa.array(hx, pa.string())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+    acc: set[str] = set()
+    for t in tree_fold_partials(partials, merge_m):
+        acc.update(t["m"].to_pylist())
+    bottom = sorted(acc)[:k]
+    if len(bottom) < k:
+        est = len(bottom)
+    else:
+        est = (k - 1) * (1 << 60) // int(bottom[-1][:15], 16)
+    return pa.table({"est_distinct": pa.array([est], pa.int64())})
 
 
 # ---------------------------------------------------------------------------

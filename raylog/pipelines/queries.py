@@ -799,18 +799,32 @@ def events_hourly(sf_dir: str):
     )
 
 
-@query("approx_distinct_docs", None)  # rows-only: probabilistic sketch
+@query(
+    "approx_distinct_docs",
+    """
+WITH h AS (SELECT DISTINCT md5(text) AS m FROM documents),
+b AS (SELECT m FROM h ORDER BY m LIMIT 256),
+s AS (SELECT COUNT(*) AS n, MAX(m) AS mk FROM b)
+SELECT CASE WHEN n < 256 THEN CAST(n AS BIGINT)
+       ELSE CAST((CAST(255 AS HUGEINT) * 1152921504606846976)
+                 // CAST('0x' || substr(mk, 1, 15) AS BIGINT) AS BIGINT)
+       END AS est_distinct
+FROM s""",
+)
 def approx_distinct_docs(sf_dir: str):
-    """HyperLogLog approximate distinct-document count (p=12, ~1.6% std
-    error): per-batch 4 KB register partials, element-wise-max merge —
-    one streaming pass, no key shuffle (the COUNT-only alternative to
-    exact distinct at 10^11 keys). Error bound asserted in pytest."""
+    """Approximate distinct-document count via a bottom-k (KMV, k=256)
+    estimator: k smallest md5 digests, est = (k−1)·2^60 // h_(k) —
+    integer arithmetic a DuckDB oracle reproduces exactly (the HLL
+    register max-merge in ``sketch.approx_distinct`` stays the scale
+    path, pytest-guarded; its estimate has no SQL restatement).
+    Reference analog: the fluent-bit metrics counters
+    (conf/ds/fluent-bit.conf:8-10)."""
     import ray.data as rd
 
-    from raylog.functions.sketch import approx_distinct
+    from raylog.functions.sketch import distinct_kmv
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
-    return approx_distinct(ds, "text")
+    return distinct_kmv(ds, "text", k=256)
 
 
 @query(

@@ -122,3 +122,27 @@ class TestTreeFold:
         many = approx_distinct(
             rd.from_arrow(tbl).repartition(32), "x")
         assert one["approx_distinct"] == many["approx_distinct"]
+
+
+class TestKMV:
+    def test_exact_below_k(self, ray_session):
+        from raylog.functions.sketch import distinct_kmv
+
+        vals = [f"v{i % 100}" for i in range(3000)]
+        out = distinct_kmv(rd.from_arrow(pa.table({"x": pa.array(vals)})),
+                           "x", k=256)
+        assert out["est_distinct"].to_pylist() == [100]
+
+    def test_estimate_accuracy_and_block_invariance(self, ray_session):
+        """Above k distinct: estimate within ~5 std errors of truth, and
+        invariant to block layout (bottom-k partials are mergeable)."""
+        from raylog.functions.sketch import distinct_kmv
+
+        n = 20_000
+        vals = [f"value-{i}" for i in range(n)] * 2
+        ds = rd.from_arrow(pa.table({"x": pa.array(vals)}))
+        one = distinct_kmv(ds, "x", k=256)["est_distinct"].to_pylist()[0]
+        many = distinct_kmv(ds.repartition(16), "x",
+                            k=256)["est_distinct"].to_pylist()[0]
+        assert one == many
+        assert abs(one - n) / n < 5 / (256 - 2) ** 0.5, one
