@@ -1222,6 +1222,56 @@ def _seen_twice_filter(occ: rd.Dataset, m: int) -> rd.Dataset:
                            batch_size=None)
 
 
+# Auto-regime for the seen-twice prefilter (VERDICT r3 'do this' #4).
+# Two conditions must BOTH hold before auto turns it on (measured, see
+# SCALE.md "prefilter regime"):
+#   1. the gram exchange is big enough to matter: input bytes ≥ this
+#      threshold (the exchange is ~5× input bytes; below it the extra
+#      sketch scan costs more than the exchange it removes — measured
+#      0.8 s plain vs 6.8 s prefiltered on sf0.1 documents, and
+#      29-55 s plain vs 41-71 s prefiltered on 48-190M-gram token
+#      streams where the single-node "exchange" never leaves the box);
+#   2. the sketch can actually filter: counters ≳ 4× the distinct-gram
+#      count, else it saturates (every counter ≥ 2) and filters NOTHING
+#      while still paying the scan — measured identical-or-worse at
+#      both m=2^22 (saturated) and m=2^27 on random-token streams.
+# Distinct-gram cardinality is not knowable from plan metadata, so auto
+# requires the caller's ``est_distinct_grams`` (e.g. from a prior
+# HLL/KMV pass or corpus knowledge); without it auto stays plain — it
+# never silently ships a saturated sketch.
+_PREFILTER_AUTO_BYTES = 8 << 30
+_PREFILTER_MAX_M = 1 << 32  # ~4 GB uint8 broadcast ceiling
+
+
+def _resolve_prefilter(ds: rd.Dataset, prefilter: str | None,
+                       min_docs: int, est_input_bytes: int | None,
+                       est_distinct_grams: int | None,
+                       prefilter_m: int) -> tuple[str | None, int]:
+    """Resolve prefilter='auto' → (mode, sketch_size). Input size comes
+    from parquet file sizes via ``ds.input_files()`` (plan metadata,
+    never triggers execution; in-memory datasets have no files and stay
+    plain). Explicit modes pass through with ``prefilter_m`` as given.
+    """
+    if prefilter != "auto":
+        return prefilter, prefilter_m
+    if min_docs < 2:
+        return None, prefilter_m  # seen-twice filter invalid here
+    size = est_input_bytes
+    if size is None:
+        try:
+            import os as _os
+
+            size = sum(_os.path.getsize(f) for f in ds.input_files())
+        except Exception:
+            size = 0
+    if size < _PREFILTER_AUTO_BYTES or not est_distinct_grams:
+        return None, prefilter_m
+    need = 1 << int(np.ceil(np.log2(4 * est_distinct_grams)))
+    if need > _PREFILTER_MAX_M:
+        return None, prefilter_m  # would saturate; shard-by-range instead
+    return "count_sketch", max(prefilter_m, need)
+
+
 def substring_duplicate_coverage(
     ds: rd.Dataset,
     *,
@@ -1231,8 +1281,10 @@ def substring_duplicate_coverage(
     n: int = 8,
     min_docs: int = 2,
     num_partitions: int = 32,
-    prefilter: str | None = None,
+    prefilter: str | None = "auto",
     prefilter_m: int = 1 << 22,
+    est_input_bytes: int | None = None,
+    est_distinct_grams: int | None = None,
 ) -> rd.Dataset:
     """Per-doc duplicated-substring coverage: of the doc's n-word
     windows, how many occur verbatim in >= ``min_docs`` DISTINCT docs.
@@ -1264,6 +1316,10 @@ def substring_duplicate_coverage(
     only candidate occurrences shuffle.
     """
     from raylog.functions.agg import grouped_aggregate_ds, partitioned_group_apply
+
+    prefilter, prefilter_m = _resolve_prefilter(
+        ds, prefilter, min_docs, est_input_bytes, est_distinct_grams,
+        prefilter_m)
 
     def occurrences(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col].combine_chunks(), dtype=np.int64)
@@ -1368,8 +1424,10 @@ def duplicate_spans(
     min_docs: int = 2,
     keep: str = "none",
     num_partitions: int = 32,
-    prefilter: str | None = None,
+    prefilter: str | None = "auto",
     prefilter_m: int = 1 << 22,
+    est_input_bytes: int | None = None,
+    est_distinct_grams: int | None = None,
 ) -> rd.Dataset:
     """Maximal duplicated spans per doc (the TRIM form of exact
     substring dedup): every maximal run of word positions covered by
@@ -1393,6 +1451,10 @@ def duplicate_spans(
     if keep not in ("none", "first"):
         raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
     from raylog.functions.agg import partitioned_group_apply
+
+    prefilter, prefilter_m = _resolve_prefilter(
+        ds, prefilter, min_docs, est_input_bytes, est_distinct_grams,
+        prefilter_m)
 
     def occurrences(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col].combine_chunks(), dtype=np.int64)
