@@ -309,6 +309,192 @@ def run_bench() -> dict:
     }
 
 
+# --------------------------------------------------------------------------
+# Single-unit runners (fresh-process measurement quantum for --ab)
+# --------------------------------------------------------------------------
+# Each runs ONE bench unit end to end and prints {"unit", "sec"}. The
+# functions resolve raylog from sys.path, so `--repo <path>` measures the
+# same unit against a pinned checkout — the A/B mode interleaves the two.
+
+def _unit_ctx():
+    import ray
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             logging_level="ERROR")
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    from raylog.sources.reader import read_sequences
+    from raylog.sources.synth import synthesize_sequences
+
+    rows = bench_rows(SF_DIR)
+    files = synthesize_sequences(f"/tmp/raylog_bench/seq_r{rows}_s{SEED}",
+                                 rows, seed=SEED)
+    read_sequences(files).count()  # warm page cache
+    return files
+
+
+def _docs():
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+
+def _u_cc_dedup():
+    from raylog.functions.cc import connected_components, dedup_survivors
+    from raylog.functions.dedup import ngram_jaccard_pairs
+
+    d = _docs()
+    pairs = ngram_jaccard_pairs(d, threshold=0.3)
+    clusters = connected_components(d.select_columns(["doc_id"]), pairs)
+    dedup_survivors(d.select_columns(["doc_id"]), clusters).count()
+
+
+def _u_minhash():
+    from raylog.functions.dedup import minhash_lsh_pairs
+
+    minhash_lsh_pairs(_docs(), threshold=0.3).to_pandas()
+
+
+def _u_text():
+    from raylog.functions.text import fingerprints, lang_id, quality_scores
+
+    _docs().map_batches(quality_scores, batch_format="pyarrow",
+                        batch_size=None) \
+        .map_batches(lang_id, batch_format="pyarrow", batch_size=None) \
+        .map_batches(fingerprints, batch_format="pyarrow",
+                     batch_size=None).count()
+
+
+def _u_substring():
+    from raylog.functions.dedup import substring_duplicate_coverage
+
+    substring_duplicate_coverage(_docs(), n=8, min_docs=2).count()
+
+
+def _seq_units(files):
+    from raylog.sources.reader import read_sequences
+
+    def cms():
+        from raylog.functions.sketch import cms_heavy_hitters
+        from raylog.functions.tokens import bigram_keys_batch
+
+        cms_heavy_hitters(
+            read_sequences(files, columns=["tokens"],
+                           row_groups_per_task=4).map_batches(
+                bigram_keys_batch, batch_format="pyarrow", batch_size=None),
+            "key", k=20)
+
+    def bigrams():
+        from raylog.functions.tokens import bigram_top_terms
+
+        bigram_top_terms(
+            read_sequences(files[: max(1, len(files) // 16)],
+                           columns=["tokens"]), k=50)
+
+    def unigrams():
+        from raylog.functions.tokens import token_top_terms
+
+        token_top_terms(read_sequences(files, columns=["tokens"],
+                                       row_groups_per_task=8), k=50)
+
+    def windows():
+        from raylog.functions.packing import pack_windows
+
+        pack_windows(
+            read_sequences(files[: max(1, len(files) // 2)],
+                           columns=["doc_id", "tokens"],
+                           row_groups_per_task=4),
+            max_tokens=2048, num_shards=64, num_partitions=32).count()
+
+    def headline():
+        from raylog.pipelines.fused import run_fused
+        from raylog.records import build_dim_table
+        from raylog.sources.synth import synth_sources
+
+        dim = build_dim_table(synth_sources())
+        out = f"/tmp/raylog_bench/out_ab_{os.getpid()}"
+        run_fused(files, dim, out, concurrency=fused_pool_size(NCPU))
+        shutil.rmtree(out, ignore_errors=True)
+
+    return {"tokens_bigrams_cms_full": cms, "tokens_bigrams_16th": bigrams,
+            "tokens_unigrams_seq": unigrams,
+            "tokens_pack_windows_half": windows,
+            "full_pipeline_sinks": headline}
+
+
+DOC_UNITS = {
+    "cc_dedup_docs": _u_cc_dedup,
+    "dedup_minhash_docs": _u_minhash,
+    "text_analysis_docs": _u_text,
+    "substring_coverage_docs": _u_substring,
+}
+AB_DEFAULT_UNITS = ("full_pipeline_sinks", "cc_dedup_docs",
+                    "tokens_bigrams_cms_full")
+
+
+def run_unit(name: str) -> dict:
+    import ray
+
+    files = _unit_ctx()
+    units = dict(DOC_UNITS)
+    units.update(_seq_units(files))
+    if name not in units:
+        raise SystemExit(f"unknown unit {name!r}; known: {sorted(units)}")
+    os.sync()
+    t0 = time.monotonic()
+    units[name]()
+    sec = round(time.monotonic() - t0, 3)
+    ray.shutdown()
+    return {"unit": name, "sec": sec, "num_cpus": NCPU}
+
+
+def run_ab(ref: str, units: list[str], trials: int = 2) -> dict:
+    """Interleaved A/B vs a pinned commit — the ONLY publishable perf
+    methodology on this box (VERDICT r3 'do this' #2: its ±35%
+    page-cache band swallows cross-session absolutes; alternating
+    fresh processes on the same box state makes the pair comparable).
+
+    Creates a worktree of ``ref``, then per unit alternates
+    HEAD → ref → HEAD → ref (fresh process each), reporting every pair
+    plus best-of per side and the ratio. The ref side runs HEAD's
+    bench.py with ``--repo`` pointing at the worktree, so the unit
+    definitions stay constant and only the library code differs.
+    """
+    wt = f"/tmp/raylog_ab_{ref[:12]}"
+    if not os.path.isdir(wt):
+        subprocess.run(["git", "worktree", "add", wt, ref], check=True,
+                       cwd=os.path.dirname(os.path.abspath(__file__)),
+                       capture_output=True)
+
+    def run(unit: str, repo: str | None) -> float:
+        cmd = [sys.executable, os.path.abspath(__file__), "--unit", unit]
+        if repo:
+            cmd += ["--repo", repo]
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])["sec"]
+
+    report: dict[str, dict] = {}
+    for unit in units:
+        pairs = []
+        for _ in range(trials):
+            a = run(unit, None)   # HEAD
+            b = run(unit, wt)     # pinned ref
+            pairs.append([a, b])
+        best_a = min(p[0] for p in pairs)
+        best_b = min(p[1] for p in pairs)
+        report[unit] = {
+            "pairs_head_vs_ref": pairs,
+            "best_head": best_a,
+            "best_ref": best_b,
+            "head_over_ref": round(best_a / best_b, 3),
+        }
+    return {"metric": f"interleaved A/B, HEAD vs {ref}",
+            "num_cpus": NCPU, "units": report}
+
+
 def run_scaling() -> dict:
     """Same job, fresh processes, N vs 4N CPUs (default 4 → 16).
 
@@ -367,7 +553,17 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
+    if "--repo" in sys.argv:
+        # measure a pinned checkout with HEAD's unit definitions
+        sys.path.insert(0, sys.argv[sys.argv.index("--repo") + 1])
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--unit" in sys.argv:
+        print(json.dumps(run_unit(sys.argv[sys.argv.index("--unit") + 1])))
+    elif "--ab" in sys.argv:
+        i = sys.argv.index("--ab")
+        ref = sys.argv[i + 1]
+        rest = [a for a in sys.argv[i + 2:] if not a.startswith("-")]
+        print(json.dumps(run_ab(ref, rest or list(AB_DEFAULT_UNITS))))
     else:
         print(json.dumps(run_bench()))
