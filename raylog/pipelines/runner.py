@@ -144,6 +144,7 @@ def run_follow(
     max_ticks: int | None = None,
     stop_after_idle: int | None = None,
     concurrency: int | tuple[int, int] | None = None,
+    max_runs_per_tick: int = 8,
 ) -> pa.Table:
     """Continuous micro-batch mode — the engine's TAIL analog.
 
@@ -169,36 +170,62 @@ def run_follow(
     place is NOT detected — the reference's inode-tracking tail has no
     analog over immutable parquet, and silent reprocessing would
     double-count; drop rewrites under fresh names instead.
+
+    Tiny-file amortization (VERDICT r3 'do this' #5, the tail's
+    ``Rotate_Wait`` regime of thousands of small rotated files,
+    conf/ds/docker-runtime.conf:13-14): a tick's new files batch into
+    ≤ ``max_runs_per_tick`` contiguous groups, each ONE fused run —
+    not one run per file, whose per-run fixed cost (actor pool spin-up,
+    plan build) dominates on small files. Resume stays PER FILE: every
+    file of a completed group gets its own manifest line (all pointing
+    at the group's aggregate, deduped at final-aggregation time), so a
+    restarted follower re-lists exactly the unfinished files; a group
+    interrupted mid-run committed nothing and reruns whole (idempotent
+    writes, stale group dirs of a dead follower are swept at start).
     """
     import glob as _glob
+    import hashlib as _hashlib
 
     os.makedirs(out_root, exist_ok=True)
     manifest = Manifest(os.path.join(out_root, "follow_manifest.jsonl"))
+    # sweep group dirs no completed entry references (dead follower)
+    live = {e.get("group") for e in manifest.entries()}
+    for d in _glob.glob(os.path.join(out_root, "group=*")):
+        if os.path.basename(d)[len("group="):] not in live:
+            shutil.rmtree(d, ignore_errors=True)
     ticks = idle = 0
     while True:
         files = sorted(_glob.glob(os.path.join(input_dir, pattern)))
         new = [f for f in files if not manifest.done(os.path.basename(f))]
-        for f in new:
-            key = os.path.basename(f)
-            shard_dir = os.path.join(out_root, f"file={key}")
+        n_groups = max(1, min(max_runs_per_tick, len(new)))
+        chunk = -(-len(new) // n_groups) if new else 0
+        for gi in range(0, len(new), max(chunk, 1)):
+            group = new[gi: gi + chunk]
+            keys = [os.path.basename(f) for f in group]
+            ghash = _hashlib.md5("\x1f".join(keys).encode()).hexdigest()[:12]
+            shard_dir = os.path.join(out_root, f"group={ghash}")
             if os.path.exists(shard_dir):
                 shutil.rmtree(shard_dir)  # incomplete from a dead follower
             os.makedirs(shard_dir)
             t0 = time.monotonic()
-            agg, stages = run_fused([f], dim, shard_dir,
+            agg, stages = run_fused(group, dim, shard_dir,
                                     concurrency=concurrency,
                                     collect_stats=True)
             pq.write_table(agg, os.path.join(shard_dir,
                                              "sink_counts.parquet"))
             wall = time.monotonic() - t0
             total = sum(r["cnt"] for r in agg.to_pylist())
-            manifest.mark_done(key, {
-                "input_files": [f],
-                "routed_rows": total,
-                "wall_sec": round(wall, 3),
-                "rows_per_sec": round(total / wall, 1) if wall > 0 else None,
-                "stages": stages,
-            })
+            for key, f in zip(keys, group):
+                manifest.mark_done(key, {
+                    "input_files": [f],
+                    "group": ghash,
+                    "group_files": keys,
+                    "routed_rows": total,
+                    "wall_sec": round(wall, 3),
+                    "rows_per_sec": (round(total / wall, 1)
+                                     if wall > 0 else None),
+                    "stages": stages,
+                })
         ticks += 1
         idle = 0 if new else idle + 1
         if max_ticks is not None and ticks >= max_ticks:
@@ -207,11 +234,19 @@ def run_follow(
             break
         time.sleep(poll_sec)
 
-    done_aggs = [
-        os.path.join(out_root, f"file={e['shard_id']}",
-                     "sink_counts.parquet")
-        for e in manifest.entries()
-    ]
+    # one aggregate per GROUP (per-file entries share their group's
+    # partial); pre-batching entries (no "group") keep file= paths
+    seen_groups: set[str] = set()
+    done_aggs = []
+    for e in manifest.entries():
+        g = e.get("group")
+        if g is None:
+            done_aggs.append(os.path.join(
+                out_root, f"file={e['shard_id']}", "sink_counts.parquet"))
+        elif g not in seen_groups:
+            seen_groups.add(g)
+            done_aggs.append(os.path.join(
+                out_root, f"group={g}", "sink_counts.parquet"))
     if not done_aggs:
         return pa.table(
             {"sink": pa.array([], pa.string()),

@@ -148,3 +148,62 @@ def test_manifest_carries_stage_metrics(synth_files, dim, tmp_path,
     st = lines[0]["stages"][0]
     assert st["tasks"] >= 1 and st["wall_sec"] >= 0
     assert "operator" in st
+
+
+def test_follow_batches_tiny_files(synth_files, dim, tmp_path, ray_session,
+                                   monkeypatch):
+    """Tiny-file amortization (VERDICT r3 #5): a wave of 100 tiny files
+    executes <= max_runs_per_tick fused runs, the manifest still holds
+    one line per FILE, a restarted follower picks up only new files,
+    and the cumulative counts equal a one-shot run."""
+    import pyarrow.parquet as _pq
+
+    import raylog.pipelines.runner as runner_mod
+    from raylog.pipelines.runner import run_follow
+
+    # 100 tiny files sliced from one synth file
+    src = _pq.read_table(synth_files[0])
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    n_files, per = 100, 30
+    for i in range(n_files):
+        _pq.write_table(src.slice(i * per, per),
+                        os.path.join(watch, f"tiny-{i:03d}.parquet"))
+
+    calls = []
+    real = runner_mod.run_fused
+
+    def counting(files, *a, **kw):
+        calls.append(list(files))
+        return real(files, *a, **kw)
+
+    monkeypatch.setattr(runner_mod, "run_fused", counting)
+
+    out = str(tmp_path / "fout")
+    run_follow(watch, out, dim, poll_sec=0.01, max_ticks=1, concurrency=2,
+               max_runs_per_tick=8)
+    assert len(calls) <= 8
+    assert sum(len(c) for c in calls) == n_files
+    man = os.path.join(out, "follow_manifest.jsonl")
+    lines = [json.loads(l) for l in open(man)]
+    assert len(lines) == n_files  # resume granularity stays per file
+    assert len({l["shard_id"] for l in lines}) == n_files
+
+    # wave 2 on a fresh follower: only the 20 new files process
+    for i in range(n_files, n_files + 20):
+        _pq.write_table(src.slice((i - n_files) * per + 3000 - 600, per),
+                        os.path.join(watch, f"tiny-{i:03d}.parquet"))
+    calls.clear()
+    total_tbl = run_follow(watch, out, dim, poll_sec=0.01, max_ticks=1,
+                           concurrency=2, max_runs_per_tick=8)
+    assert len(calls) <= 8
+    assert sum(len(c) for c in calls) == 20
+    lines = [json.loads(l) for l in open(man)]
+    assert len(lines) == n_files + 20
+
+    # equivalence vs one-shot over the same 120 files
+    import glob as _glob
+    oneshot = run_resumable(sorted(_glob.glob(os.path.join(watch, "*.parquet"))),
+                            str(tmp_path / "oneshot"), dim, n_shards=4,
+                            concurrency=2)
+    assert _counts_map(total_tbl) == _counts_map(oneshot)
