@@ -145,6 +145,7 @@ def run_follow(
     stop_after_idle: int | None = None,
     concurrency: int | tuple[int, int] | None = None,
     max_runs_per_tick: int = 8,
+    dim_refresh_sec: float = 300.0,
 ) -> pa.Table:
     """Continuous micro-batch mode — the engine's TAIL analog.
 
@@ -182,11 +183,24 @@ def run_follow(
     restarted follower re-lists exactly the unfinished files; a group
     interrupted mid-run committed nothing and reruns whole (idempotent
     writes, stale group dirs of a dead follower are swept at start).
+
+    Dim refresh (VERDICT r3 'do this' #6, the Kube_Meta_Cache_TTL 300
+    analog, conf/ds/fluent-bit.conf:47): pass ``dim`` as a ZERO-ARG
+    CALLABLE to make the enrichment table dynamic — it is re-invoked at
+    tick start once ``dim_refresh_sec`` has elapsed since the last
+    load (epoch swap: each group run broadcasts the table it was given
+    via ``ray.put``, so in-flight work keeps its version and the next
+    tick's records carry the new tags). Every manifest line records
+    ``dim_epoch`` for lineage. A plain ``pa.Table`` keeps the static
+    batch-mode behavior.
     """
     import glob as _glob
     import hashlib as _hashlib
 
     os.makedirs(out_root, exist_ok=True)
+    dim_source = dim if callable(dim) else None
+    cur_dim = dim_source() if dim_source else dim
+    dim_epoch, dim_loaded = 0, time.monotonic()
     manifest = Manifest(os.path.join(out_root, "follow_manifest.jsonl"))
     # sweep group dirs no completed entry references (dead follower)
     live = {e.get("group") for e in manifest.entries()}
@@ -195,6 +209,11 @@ def run_follow(
             shutil.rmtree(d, ignore_errors=True)
     ticks = idle = 0
     while True:
+        if (dim_source is not None
+                and time.monotonic() - dim_loaded >= dim_refresh_sec):
+            cur_dim = dim_source()
+            dim_epoch += 1
+            dim_loaded = time.monotonic()
         files = sorted(_glob.glob(os.path.join(input_dir, pattern)))
         new = [f for f in files if not manifest.done(os.path.basename(f))]
         n_groups = max(1, min(max_runs_per_tick, len(new)))
@@ -208,7 +227,7 @@ def run_follow(
                 shutil.rmtree(shard_dir)  # incomplete from a dead follower
             os.makedirs(shard_dir)
             t0 = time.monotonic()
-            agg, stages = run_fused(group, dim, shard_dir,
+            agg, stages = run_fused(group, cur_dim, shard_dir,
                                     concurrency=concurrency,
                                     collect_stats=True)
             pq.write_table(agg, os.path.join(shard_dir,
@@ -219,6 +238,7 @@ def run_follow(
                 manifest.mark_done(key, {
                     "input_files": [f],
                     "group": ghash,
+                    "dim_epoch": dim_epoch,
                     "group_files": keys,
                     "routed_rows": total,
                     "wall_sec": round(wall, 3),

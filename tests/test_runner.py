@@ -207,3 +207,68 @@ def test_follow_batches_tiny_files(synth_files, dim, tmp_path, ray_session,
                             str(tmp_path / "oneshot"), dim, n_shards=4,
                             concurrency=2)
     assert _counts_map(total_tbl) == _counts_map(oneshot)
+
+
+def test_follow_dim_refresh_mid_stream(synth_files, dim, tmp_path,
+                                       ray_session):
+    """TTL-cache analog (VERDICT r3 #6): with `dim` given as a callable
+    and dim_refresh_sec=0 (reload every tick), a dim row changed between
+    ticks shows up in the NEXT tick's routed records while earlier
+    outputs keep the old tags; manifest lines record the dim epoch."""
+    import glob as _glob
+    import shutil as _sh
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from raylog.pipelines.runner import run_follow
+
+    watch = str(tmp_path / "watch")
+    out = str(tmp_path / "fout")
+    os.makedirs(watch)
+    _sh.copy(synth_files[0], watch)  # wave 1, present from the start
+
+    holder = {"cluster": "cluster-v1"}
+    loads = []
+
+    def dim_source():
+        # load 1 = init, load 2 = tick-1 reload (both v1; wave 1 runs
+        # under epoch 1). After load 2 the "k8s metadata" changes; the
+        # tick-2 reload (load 3) returns v2 and wave 2 arrives in the
+        # same tick, so its records must carry the new tag.
+        loads.append(1)
+        t = dim.to_pandas()
+        t["cluster_name"] = holder["cluster"]
+        tbl = pa.Table.from_pandas(t, preserve_index=False)
+        if len(loads) == 2:
+            holder["cluster"] = "cluster-v2"
+        if len(loads) == 3:
+            _sh.copy(synth_files[1], watch)
+        return tbl
+
+    run_follow(watch, out, dim_source, poll_sec=0.01, max_ticks=3,
+               concurrency=2, dim_refresh_sec=0.0)
+
+    man = os.path.join(out, "follow_manifest.jsonl")
+    lines = [json.loads(l) for l in open(man)]
+    assert len(lines) == 2
+    by_key = {l["shard_id"]: l for l in lines}
+    k1 = os.path.basename(synth_files[0])
+    k2 = os.path.basename(synth_files[1])
+    assert by_key[k1]["dim_epoch"] == 1
+    assert by_key[k2]["dim_epoch"] == 2
+
+    def tags_of(group):
+        # sink files carry the typed tags map<string,string>
+        vals = set()
+        for p in _glob.glob(os.path.join(out, f"group={group}",
+                                         "container", "*.parquet")):
+            col = _pq.read_table(p, columns=["tags"])["tags"]
+            for row in col.to_pylist():
+                for k, v in (row or []):
+                    if k == "cluster_name":
+                        vals.add(v)
+        return vals
+
+    assert tags_of(by_key[k1]["group"]) == {"cluster-v1"}
+    assert tags_of(by_key[k2]["group"]) == {"cluster-v2"}
