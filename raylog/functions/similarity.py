@@ -269,8 +269,34 @@ def ann_ivf_topk(
     import pyarrow.parquet as pq
     import ray
 
-    if index_dir is None:
+    owned_tmp = index_dir is None
+    if owned_tmp:
+        # one-shot call with no reusable index location: the temp index
+        # is removed before returning (r3 hygiene finding — 47 leaked
+        # /tmp/raylog_ivf_* dirs); pass index_dir to keep/reuse it
         index_dir = tempfile.mkdtemp(prefix="raylog_ivf_")
+    try:
+        return _ann_ivf_topk_impl(
+            ds, query_ids, index_dir=index_dir, id_col=id_col,
+            vec_col=vec_col, k=k, n_clusters=n_clusters, nprobe=nprobe,
+            train_sample=train_sample, return_stats=return_stats)
+    finally:
+        if owned_tmp:
+            import shutil as _shutil
+
+            _shutil.rmtree(index_dir, ignore_errors=True)
+
+
+def _ann_ivf_topk_impl(
+    ds, query_ids, *, index_dir, id_col, vec_col, k, n_clusters,
+    nprobe, train_sample, return_stats,
+):
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
     cents = build_ivf_index(
         ds, index_dir, id_col=id_col, vec_col=vec_col,
         n_clusters=n_clusters, train_sample=train_sample,
