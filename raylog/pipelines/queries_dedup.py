@@ -1,0 +1,993 @@
+"""Deduplication families, similarity search, multimodal.
+
+Domain module of the driver-facing query registry — registration
+happens on import via :func:`raylog.pipelines.qbase.query`; the public
+surface stays ``raylog.pipelines.queries.QUERIES/ORACLES``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from raylog import records as R
+from raylog.pipelines.qbase import (
+    ORACLES,
+    QUERIES,
+    _ECI_TAGS,
+    _P,
+    _src_tag,
+    _tmp_name,
+    query,
+)
+from raylog.stages import route
+
+# Training-data ops: deduplication
+# --------------------------------------------------------------------------
+
+@query(
+    "dedup_incremental",
+    """
+SELECT b.doc_id FROM documents b
+WHERE b.doc_id % 3 <> 0 AND NOT EXISTS (
+  SELECT 1 FROM documents a
+  WHERE a.doc_id % 3 = 0
+    AND substr(a.text, 1, 40) = substr(b.text, 1, 40))""",
+)
+def dedup_incremental(sf_dir: str):
+    """Incremental (cross-corpus) dedup: drop incoming docs whose
+    content key already exists in a reference corpus — the "dedup new
+    crawl against what we already trained on" operation. Reference =
+    ``doc_id % 3 == 0``, incoming = the rest; key = 128-bit xxhash of
+    the 40-char content prefix (prefix collisions exist in the fixture,
+    so the path is genuinely exercised).
+
+    Scale shape — a symmetric bloom-join: (1) a Bloom filter over the
+    reference keys is built DISTRIBUTED (one m/8-byte bitmap partial
+    per block, OR-merged — exchange volume independent of corpus size)
+    and broadcast via ``ray.put``; incoming batches probe it
+    vectorized, and bloom-NEGATIVE rows (definitely new) stream
+    straight to the output. (2) The positive sliver is verified
+    exactly: a second bloom built over the candidates prunes the
+    reference side to possibly-matching keys, then both tiny sides
+    co-group inside hash partitions (``partitioned_group_apply`` —
+    complete key groups per partition, one vectorized membership pass;
+    no acero join, which mis-handles empty shuffle partitions). The
+    verify exchange is bounded by candidate volume + the FP slivers,
+    never by either corpus. Exactness is restored by the verify, so
+    the oracle is the exact NOT EXISTS.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import partitioned_group_apply
+    from raylog.functions.dedup import add_content_h128
+    from raylog.functions.sketch import bloom_build, bloom_probe
+
+    M_BITS, K = 1 << 20, 4
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        pref = pc.utf8_slice_codeunits(b["text"].combine_chunks(), 0, 40)
+        t = pa.table({"doc_id": b["doc_id"], "prefix": pref})
+        return add_content_h128(t, "prefix").select(
+            ["doc_id", "content_h1", "content_h2"])
+
+    def side(b: pa.Table, ref_side: bool) -> pa.Table:
+        ids = np.asarray(b["doc_id"].combine_chunks(), dtype=np.int64)
+        m = (ids % 3 == 0) if ref_side else (ids % 3 != 0)
+        return b.filter(pa.array(m))
+
+    keys = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    ref = keys.map_batches(lambda b: side(b, True),
+                           batch_format="pyarrow", batch_size=None)
+    inc = keys.map_batches(lambda b: side(b, False),
+                           batch_format="pyarrow", batch_size=None)
+
+    bloom = bloom_build(ref, m_bits=M_BITS, k=K)
+    bloom_ref = ray.put(bloom) if ray.is_initialized() else bloom
+
+    def probe(b: pa.Table) -> pa.Table:
+        bl = (ray.get(bloom_ref) if ray.is_initialized() else bloom_ref)
+        h1 = np.asarray(b["content_h1"].combine_chunks()).astype(np.uint64)
+        h2 = np.asarray(b["content_h2"].combine_chunks()).astype(np.uint64)
+        return b.append_column(
+            "maybe", pa.array(bloom_probe(h1, h2, bl, M_BITS, K)))
+
+    flagged = inc.map_batches(probe, batch_format="pyarrow", batch_size=None)
+    negatives = flagged.map_batches(
+        lambda b: b.filter(pc.invert(b["maybe"])).select(["doc_id"]),
+        batch_format="pyarrow", batch_size=None)
+    candidates = flagged.map_batches(
+        lambda b: b.filter(b["maybe"]).select(
+            ["doc_id", "content_h1", "content_h2"]),
+        batch_format="pyarrow", batch_size=None)
+
+    # symmetric reduction: prune the reference side to keys that might
+    # match a candidate, via a bloom over the candidates themselves
+    cand_bloom = bloom_build(candidates, m_bits=M_BITS, k=K)
+    cb_ref = ray.put(cand_bloom) if ray.is_initialized() else cand_bloom
+
+    def ref_prune(b: pa.Table) -> pa.Table:
+        bl = (ray.get(cb_ref) if ray.is_initialized() else cb_ref)
+        h1 = np.asarray(b["content_h1"].combine_chunks()).astype(np.uint64)
+        h2 = np.asarray(b["content_h2"].combine_chunks()).astype(np.uint64)
+        keep = bloom_probe(h1, h2, bl, M_BITS, K)
+        return pa.table({
+            "doc_id": pa.nulls(int(keep.sum()), pa.int64()),
+            "content_h1": b["content_h1"].combine_chunks().filter(pa.array(keep)),
+            "content_h2": b["content_h2"].combine_chunks().filter(pa.array(keep)),
+            "is_ref": pa.nulls(int(keep.sum()), pa.int8()).fill_null(1),
+        })
+
+    ref_pruned = ref.map_batches(ref_prune, batch_format="pyarrow",
+                                 batch_size=None)
+    cand_m = candidates.map_batches(
+        lambda b: b.append_column(
+            "is_ref", pa.nulls(b.num_rows, pa.int8()).fill_null(0)),
+        batch_format="pyarrow", batch_size=None)
+
+    def verify(part: pa.Table) -> pa.Table:
+        h1 = np.asarray(part["content_h1"].combine_chunks()).astype(np.uint64)
+        h2 = np.asarray(part["content_h2"].combine_chunks()).astype(np.uint64)
+        is_ref = np.asarray(part["is_ref"].combine_chunks(), dtype=np.int8)
+        key = np.empty(len(h1), dtype=[("a", np.uint64), ("b", np.uint64)])
+        key["a"], key["b"] = h1, h2
+        _, inv = np.unique(key, return_inverse=True)
+        in_ref = np.bincount(inv, weights=is_ref) > 0
+        keep = (is_ref == 0) & ~in_ref[inv]
+        return part.filter(pa.array(keep)).select(["doc_id"])
+
+    verified = partitioned_group_apply(
+        cand_m.union(ref_pruned), ["content_h1", "content_h2"], verify,
+        num_partitions=8)
+    return negatives.union(verified)
+
+
+@query(
+    "dedup_substring_coverage",
+    """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+wins AS (
+  SELECT doc_id,
+         array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS gram
+  FROM words, LATERAL (
+    SELECT unnest(generate_series(1, len(w) - 7)) AS i
+  ) g
+),
+gd AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY 1)
+SELECT w.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN gd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_windows
+FROM wins w JOIN gd USING (gram)
+GROUP BY 1""",
+)
+def dedup_substring_coverage(sf_dir: str):
+    """Exact substring dedup signal (Lee et al. 2022): per doc, how many
+    of its 8-word windows occur verbatim in >= 2 distinct docs — the
+    coverage a curation pass thresholds to drop or trim
+    boilerplate-heavy documents. One hash exchange end to end: rolling
+    window hashes partition by gram, distinct-doc counts + per-doc
+    partials compute inside each partition, partials combine in the
+    hash-partitioned aggregate."""
+    import ray.data as rd
+
+    from raylog.functions.dedup import substring_duplicate_coverage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return substring_duplicate_coverage(ds, n=8, min_docs=2)
+
+
+@query(
+    "dedup_duplicate_spans",
+    """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+wins AS (
+  SELECT doc_id, i,
+         array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS gram
+  FROM words, LATERAL (
+    SELECT unnest(generate_series(1, len(w) - 7)) AS i
+  ) g
+),
+gd AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY 1),
+dup AS (SELECT doc_id, i FROM wins JOIN gd USING (gram) WHERE nd >= 2),
+isl AS (
+  SELECT doc_id, i,
+         CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i) <= 8
+              THEN 0 ELSE 1 END AS brk
+  FROM dup
+),
+grp AS (
+  SELECT doc_id, i,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) AS isl_id
+  FROM isl
+)
+SELECT doc_id,
+       CAST(MIN(i) - 1 AS BIGINT) AS span_start,
+       CAST(MAX(i) + 8 - MIN(i) AS BIGINT) AS span_len
+FROM grp GROUP BY doc_id, isl_id""",
+)
+def dedup_duplicate_spans(sf_dir: str):
+    """Exact substring dedup, TRIM form (Lee et al. 2022 §4): the
+    maximal word ranges of each doc covered by 8-word windows that
+    occur verbatim in >= 2 distinct docs — the ranges a curation pass
+    cuts out instead of dropping the doc. Islands-and-gaps over
+    duplicated window starts, all three passes hash-partitioned."""
+    import ray.data as rd
+
+    from raylog.functions.dedup import duplicate_spans
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return duplicate_spans(ds, n=8, min_docs=2)
+
+
+@query(
+    "dedup_trim_spans",
+    """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+wins AS (
+  SELECT doc_id, i,
+         array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS gram
+  FROM words, LATERAL (
+    SELECT unnest(generate_series(1, len(w) - 7)) AS i
+  ) g
+),
+gd AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY 1),
+dup AS (SELECT doc_id, i FROM wins JOIN gd USING (gram) WHERE nd >= 2),
+pos AS (
+  SELECT doc_id, j, w[CAST(j AS INT)] AS word
+  FROM words, LATERAL (
+    SELECT unnest(generate_series(1, len(w))) AS j
+  ) g
+),
+kept AS (
+  SELECT p.doc_id, p.j, p.word
+  FROM pos p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dup d
+    WHERE d.doc_id = p.doc_id AND p.j >= d.i AND p.j < d.i + 8
+  )
+)
+SELECT d.doc_id,
+       coalesce(k.text_trimmed, '') AS text_trimmed,
+       CAST(len(string_split(d.text, ' ')) - coalesce(k.n_kept, 0)
+            AS BIGINT) AS n_removed
+FROM documents d LEFT JOIN (
+  SELECT doc_id, array_to_string(array_agg(word ORDER BY j), ' ')
+           AS text_trimmed,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)""",
+)
+def dedup_trim_spans(sf_dir: str):
+    """APPLY the exact-substring trim: the corpus with every
+    cross-doc-duplicated 8-word range removed (the keep-one-remove-rest
+    output of Lee et al. 2022 at span granularity — here all duplicated
+    occurrences are cut; a keep-one policy is one extra min-doc rank).
+    Word surgery is vectorized: interval removals scatter into a diff
+    array, the kept words re-offset through one ListArray +
+    binary_join."""
+    import ray.data as rd
+
+    from raylog.functions.dedup import trim_duplicate_spans
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return trim_duplicate_spans(ds, n=8, min_docs=2)
+
+
+@query(
+    "dedup_trim_keep_one",
+    """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+wins AS (
+  SELECT doc_id, i,
+         array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS gram
+  FROM words, LATERAL (
+    SELECT unnest(generate_series(1, len(w) - 7)) AS i
+  ) g
+),
+gstat AS (
+  SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY 1
+),
+ranked AS (
+  SELECT w.doc_id, w.i, g.nd,
+         ROW_NUMBER() OVER (PARTITION BY w.gram
+                            ORDER BY w.doc_id, w.i) AS occ_rank
+  FROM wins w JOIN gstat g USING (gram)
+),
+dup AS (
+  SELECT doc_id, i FROM ranked WHERE nd >= 2 AND occ_rank > 1
+),
+pos AS (
+  SELECT doc_id, j, w[CAST(j AS INT)] AS word
+  FROM words, LATERAL (
+    SELECT unnest(generate_series(1, len(w))) AS j
+  ) g
+),
+kept AS (
+  SELECT p.doc_id, p.j, p.word
+  FROM pos p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dup d
+    WHERE d.doc_id = p.doc_id AND p.j >= d.i AND p.j < d.i + 8
+  )
+)
+SELECT d.doc_id,
+       coalesce(k.text_trimmed, '') AS text_trimmed,
+       CAST(len(string_split(d.text, ' ')) - coalesce(k.n_kept, 0)
+            AS BIGINT) AS n_removed
+FROM documents d LEFT JOIN (
+  SELECT doc_id, array_to_string(array_agg(word ORDER BY j), ' ')
+           AS text_trimmed,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)""",
+)
+def dedup_trim_keep_one(sf_dir: str):
+    """keep-one-remove-rest span trim (the literal Lee et al. 2022
+    policy): the globally first occurrence of each duplicated 8-word
+    passage (min doc_id, then min position) survives; every other
+    occurrence is cut. The exemption is computed inside the gram's hash
+    partition — a gram's occurrences are co-located by construction."""
+    import ray.data as rd
+
+    from raylog.functions.dedup import trim_duplicate_spans
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return trim_duplicate_spans(ds, n=8, min_docs=2, keep="first")
+
+
+@query(
+    "curation_trim_repack",
+    """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+wins AS (
+  SELECT doc_id, i,
+         array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS gram
+  FROM words, LATERAL (
+    SELECT unnest(generate_series(1, len(w) - 7)) AS i
+  ) g
+),
+gd AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY 1),
+dup AS (SELECT doc_id, i FROM wins JOIN gd USING (gram) WHERE nd >= 2),
+pos AS (
+  SELECT doc_id, j
+  FROM words, LATERAL (
+    SELECT unnest(generate_series(1, len(w))) AS j
+  ) g
+),
+keptc AS (
+  SELECT p.doc_id, COUNT(*) AS n_kept
+  FROM pos p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dup d
+    WHERE d.doc_id = p.doc_id AND p.j >= d.i AND p.j < d.i + 8
+  )
+  GROUP BY p.doc_id
+),
+t2 AS (
+  SELECT d.doc_id, d.doc_id % 8 AS shard,
+         CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_tok2
+  FROM documents d LEFT JOIN keptc k USING (doc_id)
+),
+c AS (
+  SELECT shard, doc_id, n_tok2,
+         SUM(n_tok2) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t2
+)
+SELECT shard, doc_id, n_tok2,
+       CAST((cum - n_tok2) // 512 AS BIGINT) AS first_pack,
+       CAST(CASE WHEN n_tok2 > 0 THEN (cum - 1) // 512
+            ELSE (cum - n_tok2) // 512 END AS BIGINT) AS last_pack
+FROM c""",
+)
+def curation_trim_repack(sf_dir: str):
+    """Composite curation chain over the round-3 operators: exact
+    substring TRIM (all duplicated 8-word ranges removed) → re-count
+    tokens on the trimmed text → REPACK into 512-token windows — the
+    point being that dedup changes token counts, so window assignments
+    must be recomputed downstream of it. Each stage keeps its
+    distributed shape (trim's two hash exchanges, packing's per-shard
+    closed form); the oracle replays the whole chain in one SQL
+    statement."""
+    import numpy as np
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.dedup import trim_duplicate_spans
+    from raylog.functions.packing import pack_chunks
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    trimmed = trim_duplicate_spans(ds, n=8, min_docs=2)
+
+    def recount(b: pa.Table) -> pa.Table:
+        txt = b["text_trimmed"].combine_chunks()
+        n2 = np.asarray(pc.list_value_length(
+            pc.split_pattern(txt, pattern=" ")), dtype=np.int64)
+        empty = np.asarray(pc.equal(txt, ""), dtype=bool)
+        n2 = np.where(empty, 0, n2)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tok2": pa.array(n2),
+        })
+
+    counted = trimmed.map_batches(recount, batch_format="pyarrow",
+                                  batch_size=None)
+    packed = pack_chunks(counted, id_col="doc_id", len_col="n_tok2",
+                         max_tokens=512, num_shards=8, num_partitions=8,
+                         keep_len=True)
+    return packed.map_batches(
+        lambda b: b.drop_columns(["first_offset"]),
+        batch_format="pyarrow", batch_size=None)
+
+
+@query(
+    "corpus_snapshot_diff",
+    """
+WITH b AS (
+  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                      ELSE text END AS text
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'new ' || text AS text
+  FROM documents WHERE doc_id % 13 = 0
+)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.text = b.text THEN 'same'
+            ELSE 'changed' END AS status
+FROM documents a FULL OUTER JOIN b USING (doc_id)""",
+)
+def corpus_snapshot_diff(sf_dir: str):
+    """Snapshot diff: per doc id, added / removed / changed / same
+    between corpus v1 (the documents table) and a deterministic v2
+    (docs %11 dropped, %7 text-edited, %13 re-added under new ids) —
+    the primitive an incremental curation run uses to process only the
+    delta. Hash-only exchange (~24 B/doc), content never moves."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.dedup import snapshot_diff
+
+    a = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+
+    def to_v2(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].combine_chunks(), dtype=np.int64)
+        txt = batch["text"].combine_chunks()
+        keep = ids % 11 != 0
+        edited = pc.if_else(
+            pa.array(ids % 7 == 0),
+            pc.binary_join_element_wise(txt, pa.scalar(" v2"), ""),
+            txt)
+        kept = pa.table({"doc_id": pa.array(ids),
+                         "text": edited}).filter(pa.array(keep))
+        newm = ids % 13 == 0
+        new = pa.table({
+            "doc_id": pa.array(ids[newm] + 1_000_000),
+            "text": pc.binary_join_element_wise(
+                pa.scalar("new "), txt.filter(pa.array(newm)), ""),
+        })
+        return pa.concat_tables([kept, new])
+
+    b = a.map_batches(to_v2, batch_format="pyarrow", batch_size=None)
+    return snapshot_diff(a, b)
+
+
+@query(
+    "dedup_token_substring",
+    _P() + """
+, wins AS (
+  SELECT doc_id,
+         array_to_string(tokens[CAST(i AS INT):CAST(i + 7 AS INT)], ',')
+           AS gram
+  FROM recs2, LATERAL (
+    SELECT unnest(generate_series(1, len(tokens) - 7)) AS i
+  ) g
+),
+gd AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY 1)
+SELECT w.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN gd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_windows
+FROM wins w JOIN gd USING (gram)
+GROUP BY 1""",
+)
+def dedup_token_substring(sf_dir: str):
+    """Exact substring dedup on the PRE-TOKENIZED payload: duplicated
+    8-TOKEN windows of the sequences table's `tokens` arrays (the
+    input_hint column), no word hashing at all — windows slide over the
+    raw int32 ids. Same one-exchange shape as the text form
+    (`dedup_substring_coverage` with token_col)."""
+    from raylog.functions.dedup import substring_duplicate_coverage
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["doc_id", "tokens"])
+    return substring_duplicate_coverage(ds, token_col="tokens", n=8,
+                                        min_docs=2)
+
+
+@query(
+    "dedup_exact_sequences",
+    _P() + """
+SELECT MIN(doc_id) AS doc_id FROM recs2 GROUP BY tokens""",
+)
+def dedup_exact_sequences(sf_dir: str):
+    """Exact dedup of identical TOKEN SEQUENCES — the payload-axis
+    form of keep-first dedup: the oracle groups by the list itself,
+    the engine exchanges two vectorized 64-bit polynomial sequence
+    hashes per row (never the arrays) and keep-firsts through the
+    hash-partitioned aggregate."""
+    from raylog.functions.tokens import dedup_sequences
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["doc_id", "tokens"])
+    return dedup_sequences(ds)
+
+
+@query(
+    "dedup_exact",
+    "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+)
+def dedup_exact(sf_dir: str):
+    """Exact dedup survivors: hash-partitioned keep-first (min doc_id)."""
+    import ray.data as rd
+
+    from raylog.functions.dedup import exact_dedup_survivors
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup_survivors(ds)
+
+
+@query(
+    "dedup_ngram_pairs",
+    """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              list_extract(w, i) || ' ' || list_extract(w, i+1) || ' ' || list_extract(w, i+2) AS g
+       FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+       WHERE len(w) >= 3),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(FLOOR(1000 * (c * 1.0 / (x.n + y.n - c))) AS BIGINT) AS jacc_milli
+FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE c * 1.0 / (x.n + y.n - c) >= 0.3""",
+)
+def dedup_ngram_pairs(sf_dir: str):
+    """Exact n-gram Jaccard near-dup pairs (J >= 0.3, word 3-grams) via a
+    distributed inverted shingle index."""
+    import ray.data as rd
+
+    from raylog.functions.dedup import ngram_jaccard_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold=0.3)
+
+
+_NGRAM_PAIRS_CTE = """
+docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              list_extract(w, i) || ' ' || list_extract(w, i+1) || ' ' || list_extract(w, i+2) AS g
+       FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+       WHERE len(w) >= 3),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+np AS (SELECT doc_a, doc_b FROM inter
+       JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+       WHERE c * 1.0 / (x.n + y.n - c) >= 0.3),
+edges AS (SELECT doc_a AS ea, doc_b AS eb FROM np
+          UNION SELECT doc_b, doc_a FROM np),
+reach(ra, rb) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.ra, e.eb FROM reach r JOIN edges e ON r.rb = e.ea
+),
+cc AS (SELECT ra AS doc_id, MIN(rb) AS cluster_id FROM reach GROUP BY ra)"""
+
+
+@query(
+    "dedup_cc_clusters",
+    "WITH RECURSIVE " + _NGRAM_PAIRS_CTE + """
+SELECT doc_id, cluster_id FROM cc""",
+)
+def dedup_cc_clusters(sf_dir: str):
+    """Dedup cluster resolution: distributed connected components
+    (iterative min-label propagation — join + min-aggregate per round)
+    over the exact n-gram near-dup pair graph. cluster_id = min doc_id
+    in the component; singletons label themselves."""
+    import ray.data as rd
+
+    from raylog.functions.cc import connected_components
+    from raylog.functions.dedup import ngram_jaccard_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3)
+    return connected_components(docs.select_columns(["doc_id"]), pairs)
+
+
+@query(
+    "dedup_cc_corpus",
+    "WITH RECURSIVE " + _NGRAM_PAIRS_CTE + """
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN cc ON d.doc_id = cc.doc_id
+WHERE cc.doc_id = cc.cluster_id""",
+)
+def dedup_cc_corpus(sf_dir: str):
+    """Curated corpus after near-dup clustering: keep the min-doc_id
+    representative of every cluster (hash join back to the doc table)."""
+    import ray.data as rd
+
+    from raylog.functions.cc import connected_components, dedup_survivors
+    from raylog.functions.dedup import ngram_jaccard_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "source", "n_chars"])
+    pairs = ngram_jaccard_pairs(
+        docs.select_columns(["doc_id", "text"]), threshold=0.3)
+    clusters = connected_components(docs.select_columns(["doc_id"]), pairs)
+    out = dedup_survivors(
+        docs.select_columns(["doc_id", "source", "n_chars"]), clusters)
+    return out.select_columns(["doc_id", "source", "n_chars"])
+
+
+@query("dedup_minhash_pairs", None)  # rows-only: probabilistic banding
+def dedup_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup pairs (64 hashes, 16 bands), Jaccard-verified.
+    Non-SQL (seeded permutations); recall vs the exact baseline asserted
+    in pytest."""
+    import ray.data as rd
+
+    from raylog.functions.dedup import minhash_lsh_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.3)
+
+
+@query("dedup_simhash_pairs", None)  # rows-only: probabilistic banding
+def dedup_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (64-bit, 4x16 banding, Hamming <= 4).
+
+    Banding guarantees recall only for distance <= 3 (pigeonhole over 4
+    bands); beyond that candidates are probabilistic. The synthetic docs
+    share a 30-word vocabulary, so distances are compressed vs natural
+    corpora — the tight threshold keeps the pair set meaningful."""
+    import ray.data as rd
+
+    from raylog.functions.dedup import simhash_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=4)
+
+
+@query(
+    "dedup_embed_pairs",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(ROUND(1000 * list_cosine_similarity(a.v, b.v)) AS BIGINT) AS cos_milli
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4""",
+)
+def dedup_embed_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs (cos >= 0.4, float64 matmul vs a
+    broadcast normalized corpus)."""
+    import numpy as np
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    from raylog.functions.dedup import embedding_near_dup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # parquet metadata row count: no extra ds.count() pass for the
+    # broadcast-vs-bucketed path choice
+    n_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    tbl = embedding_near_dup_pairs(ds, threshold=0.4, n_rows=n_rows)
+    return tbl
+
+
+@query(
+    "corpus_curation",
+    """
+WITH q AS (
+  SELECT doc_id, source, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(len(list_filter(string_split(text, ' '),
+                              w -> w IN ('the', 'a'))) AS BIGINT) AS stop_hits
+  FROM documents
+), scored AS (
+  SELECT doc_id, source,
+         CAST(FLOOR(1000 * (0.5 * LEAST(n_words / 40.0, 1.0)
+                            + 0.5 * (1.0 - stop_hits * 1.0 / n_words))) AS BIGINT)
+           AS score_milli
+  FROM q
+), survivors AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+)
+SELECT s.doc_id, s.source, s.score_milli
+FROM scored s JOIN survivors v USING (doc_id)
+WHERE s.score_milli >= 900""",
+)
+def corpus_curation(sf_dir: str):
+    """Composite curation pipeline (the training-data flagship): quality
+    scoring (vectorized) → threshold filter → exact-dedup SEMI-JOIN
+    (keep-first survivors via the hash-partitioned aggregate, joined
+    back without any driver-side id set). The shape a 100 TB curation
+    run uses: every stage streams, the only exchanges are the dedup key
+    shuffle and the survivor hash join."""
+    import ray.data as rd
+
+    from raylog.functions.dedup import exact_dedup_survivors
+    from raylog.functions.text import quality_scores
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "text"])
+    scored = ds.map_batches(quality_scores, batch_format="pyarrow",
+                            batch_size=None)
+
+    def keep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.greater_equal(b["score_milli"], pa.scalar(900, pa.int64()))
+        return b.filter(m).select(["doc_id", "source", "score_milli"])
+
+    scored = scored.map_batches(keep, batch_format="pyarrow", batch_size=None)
+    survivors = exact_dedup_survivors(ds.select_columns(["doc_id", "text"]))
+    return scored.join(survivors, join_type="inner", num_partitions=8,
+                       on=("doc_id",))
+
+
+@query("dedup_embed_pairs_bucketed", None)  # rows-only: approximate scale path
+def dedup_embed_pairs_bucketed(sf_dir: str):
+    """Embedding near-dup SCALE path forced on (centroid buckets,
+    exact-within-bucket, top-2 multi-assignment) — pairs are a subset of
+    the brute-force result with identical cosines; recall asserted in
+    pytest."""
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    from raylog.functions.dedup import embedding_near_dup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    n_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    return embedding_near_dup_pairs(ds, threshold=0.4, max_broadcast_rows=10,
+                                    n_clusters=8, assign_top=2, n_rows=n_rows)
+
+
+# --------------------------------------------------------------------------
+# Training-data ops: similarity search + multimodal
+# --------------------------------------------------------------------------
+
+@query(
+    "ann_cosine_topk",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 5),
+s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.v, e.v) AS cos
+      FROM q JOIN e ON e.vec_id <> q.vec_id),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, rank, neighbor_id,
+       CAST(ROUND(1000000 * cos) AS BIGINT) AS cos_micro
+FROM r WHERE rank <= 10""",
+)
+def ann_cosine_topk(sf_dir: str):
+    """Exact cosine top-10 for query vectors (vec_id < 5): per-batch
+    partial top-k against a broadcast query matrix, merged globally."""
+    import ray.data as rd
+
+    from raylog.functions.similarity import ann_brute_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann_brute_topk(ds, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+@query(
+    "ann_filtered_topk",
+    """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 5),
+s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.v, e.v) AS cos
+      FROM q JOIN e ON e.vec_id <> q.vec_id AND e.label = 1),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, rank, neighbor_id,
+       CAST(ROUND(1000000 * cos) AS BIGINT) AS cos_micro
+FROM r WHERE rank <= 10""",
+)
+def ann_filtered_topk(sf_dir: str):
+    """Metadata-filtered vector search: exact cosine top-10 restricted
+    to label=1 neighbors — the attribute predicate is pushed into the
+    corpus scan (filter before matmul), queries come from the unfiltered
+    table."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.similarity import ann_brute_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    corpus = ds.map_batches(
+        lambda b: b.filter(pc.equal(b["label"], 1)).select(
+            ["vec_id", "embedding"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return ann_brute_topk(ds, query_ids=[0, 1, 2, 3, 4], k=10,
+                          corpus_ds=corpus)
+
+
+@query("ann_ivf_topk", None)  # rows-only: approximate (recall vs brute in pytest)
+def ann_ivf_topk(sf_dir: str):
+    """IVF approximate top-10 (16 lists, nprobe=4) — the 10^9-vector
+    path: corpus physically partitioned by coarse-quantizer list (cached
+    on disk), probes read only their list directories."""
+    import ray.data as rd
+
+    from raylog.functions.similarity import ann_ivf_topk as ivf
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf(ds, query_ids=[0, 1, 2, 3, 4], k=10,
+               index_dir=f"/tmp/raylog_ivf/{_src_tag(sf_dir, 'embeddings')}_c16")
+
+
+@query("ann_pq_topk", None)  # rows-only: iterative codebook training
+def ann_pq_topk(sf_dir: str):
+    """PQ + ADC approximate top-10 (Jégou et al. 2011): vectors
+    compress to m uint8 codes and every query scores the corpus from
+    an [m, ks] inner-product table — the memory-bound scale path (m
+    bytes per vector in the scan instead of d floats). ADC-exactness
+    and recall-vs-brute asserted in pytest."""
+    import ray.data as rd
+
+    from raylog.functions.similarity import ann_pq_topk as pq
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return pq(ds, query_ids=[0, 1, 2, 3, 4], k=10, m=32, ks=64)
+
+
+@query("ann_ivfpq_topk", None)  # rows-only: iterative training
+def ann_ivfpq_topk(sf_dir: str):
+    """IVF × PQ probe (FAISS-IVFPQ shape): coarse lists partition the
+    corpus on disk AND store only m uint8 residual codes per vector, so
+    a probe's IO is (nprobe/n_clusters) × (m/8d) of the raw volume —
+    the billion-vector production index. Recall + code-only-storage
+    asserted in pytest."""
+    import ray.data as rd
+
+    from raylog.functions.similarity import ann_ivfpq_topk as ivfpq
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return ivfpq(
+        ds, query_ids=[0, 1, 2, 3, 4], k=10, n_clusters=8, m=32, ks=64,
+        nprobe=4,
+        index_dir=f"/tmp/raylog_ivfpq/{_src_tag(sf_dir, 'embeddings')}_c8")
+
+
+@query("embed_kmeans", None)  # rows-only: iterative algorithm, no SQL analog
+def embed_kmeans(sf_dir: str):
+    """Distributed k-means cluster assignment over the embedding column
+    — the coarse partitioner behind SemDeDup-style semantic curation
+    (cluster → curate within cluster) and the IVF index.
+
+    Seeded centroids are fitted on a bounded sample (driver-side matmul
+    over ≤2048 rows), broadcast once via ``ray.put``; the corpus
+    streams through one vectorized assign pass per batch (matmul +
+    argmax — no per-row Python, no shuffle). Deterministic: same seed →
+    same assignment (asserted in pytest, with cluster balance)."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.similarity import _kmeans, _to_matrix
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    sample = pa.concat_tables(list(
+        ds.limit(2048).map_batches(
+            lambda b: b.select(["vec_id", "embedding"]),
+            batch_format="pyarrow", batch_size=None,
+        ).iter_batches(batch_format="pyarrow", batch_size=None)))
+    # block arrival order is nondeterministic — canonicalize by id so the
+    # seeded centroid init (row-index based) is run-stable
+    sample = sample.sort_by("vec_id")
+    cents = _kmeans(_to_matrix(sample, "embedding"), n_clusters=8)
+    cents_ref = ray.put(cents) if ray.is_initialized() else cents
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = (ray.get(cents_ref) if ray.is_initialized() else cents_ref)
+        m = _to_matrix(b, "embedding")
+        sims = m @ c.T
+        cl = sims.argmax(axis=1).astype(np.int32)
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "cluster": pa.array(cl),
+            "cos_to_centroid_milli": pa.array(
+                np.round(1000 * sims.max(axis=1)).astype(np.int64)),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+@query("mm_media_features", None)  # rows-only: binary plumbing, no SQL analog
+def mm_media_features(sf_dir: str):
+    """Multimodal plumbing: binary payload -> actor-pool decode (fake
+    kernel) -> fixed-dim feature vector; returns typed metadata + feature
+    checksum per row."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.multimodal import media_pipeline
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = media_pipeline(ds)
+
+    def proj(b: pa.Table) -> pa.Table:
+        feats = b["features"].to_pylist()
+        fsum = pa.array(
+            [int(np.round(1000 * sum(f))) for f in feats], pa.int64()
+        )
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "mime": b["mime"],
+            "n_bytes": b["n_bytes"],
+            "height": b["height"],
+            "width": b["width"],
+            "feat_milli_sum": fsum,
+        })
+
+    return out.map_batches(proj, batch_format="pyarrow", batch_size=None)
+
+
+@query("mm_frame_sample", None)  # rows-only: binary plumbing, no SQL analog
+def mm_frame_sample(sf_dir: str):
+    """Multimodal video plumbing: payload → per-frame exploded rows
+    (doc_id, frame_idx, frame bytes) via an actor-pool sampler with
+    small-batch sizing (fake frame kernel; ffmpeg swap point)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.multimodal import frame_sample_pipeline
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = frame_sample_pipeline(ds, n_frames=4)
+
+    def proj(b: pa.Table) -> pa.Table:
+        fr = b["frame"]
+        fr = fr.combine_chunks() if isinstance(fr, pa.ChunkedArray) else fr
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "frame_idx": b["frame_idx"],
+            "frame_bytes": pc.cast(pc.binary_length(fr), pa.int64()),
+        })
+
+    return out.map_batches(proj, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------------------------------

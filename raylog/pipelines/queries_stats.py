@@ -1,0 +1,1786 @@
+"""Statistical audits and reports over events/orders/docs.
+
+Domain module of the driver-facing query registry — registration
+happens on import via :func:`raylog.pipelines.qbase.query`; the public
+surface stays ``raylog.pipelines.queries.QUERIES/ORACLES``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from raylog import records as R
+from raylog.pipelines.qbase import (
+    ORACLES,
+    QUERIES,
+    _ECI_TAGS,
+    _P,
+    _src_tag,
+    _tmp_name,
+    query,
+)
+from raylog.pipelines.queries_dedup import _NGRAM_PAIRS_CTE  # noqa: E501
+from raylog.stages import route
+
+@query(
+    "events_burstiness",
+    """
+WITH c AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT event_type, day, n,
+         LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS prev
+  FROM c
+), s AS (
+  SELECT event_type,
+         COUNT(*) AS k, AVG(CAST(n AS DOUBLE)) AS mu,
+         VAR_SAMP(CAST(n AS DOUBLE)) AS v,
+         CORR(CAST(n AS DOUBLE), CAST(prev AS DOUBLE)) AS ac1
+  FROM p GROUP BY 1
+)
+SELECT event_type, CAST(k AS BIGINT) AS n_days,
+       CAST(FLOOR(1000 * v / mu) AS BIGINT) AS fano_milli,
+       CAST(FLOOR(1000 * ac1) AS BIGINT) AS autocorr_milli
+FROM s""",
+)
+def events_burstiness(sf_dir: str):
+    """Traffic burstiness + persistence per event type: Fano factor
+    (variance/mean of daily counts — 1.0 = Poisson, higher = bursty)
+    and lag-1 day-over-day autocorrelation (does a hot day predict the
+    next). The only corpus pass is the (type, day) count aggregate;
+    both statistics evaluate on that cells-bounded series driver-side,
+    matching the SQL window restatement exactly (pairwise-complete
+    CORR over consecutive days)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def day(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+        })
+
+    c = grouped_aggregate(
+        ds.map_batches(day, batch_format="pyarrow", batch_size=None),
+        ["event_type", "day"], [("*", "count", "n")]).to_pandas()
+    rows = []
+    for et, g in c.groupby("event_type"):
+        g = g.sort_values("day")
+        n = g["n"].to_numpy().astype(np.float64)
+        k = len(n)
+        mu = n.mean()
+        v = n.var(ddof=1) if k > 1 else float("nan")
+        cur, prev = n[1:], n[:-1]
+        if len(cur) > 1 and cur.std(ddof=0) > 0 and prev.std(ddof=0) > 0:
+            ac1 = float(np.corrcoef(cur, prev)[0, 1])
+        else:
+            ac1 = float("nan")
+        rows.append((et, k, int(np.floor(1000 * v / mu)),
+                     int(np.floor(1000 * ac1))))
+    rows.sort()
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n_days": pa.array([r[1] for r in rows], pa.int64()),
+        "fano_milli": pa.array([r[2] for r in rows], pa.int64()),
+        "autocorr_milli": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+@query(
+    "events_markov_transitions",
+    """
+WITH o AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), t AS (
+  SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+  FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
+), m AS (
+  SELECT from_type, SUM(n) AS tot FROM t GROUP BY 1
+)
+SELECT t.from_type, t.to_type, t.n,
+       CAST(FLOOR(1000.0 * t.n / m.tot) AS BIGINT) AS p_milli
+FROM t JOIN m USING (from_type)""",
+)
+def events_markov_transitions(sf_dir: str):
+    """First-order Markov transition matrix of user behavior (the
+    next-event model behind session prediction / anomaly scoring):
+    consecutive event-type pairs per user (arrival order), transition
+    counts and row-normalized probabilities.
+
+    One segmented-shift pass per complete-user partition produces the
+    pair stream already types²-compressed per batch; the global
+    combine and row normalization run on the types²-bounded matrix."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, partitioned_group_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts",
+                                  "event_type"])
+
+    def pairs(part: pa.Table) -> pa.Table:
+        def col(name):
+            c = part[name]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        uid = np.asarray(col("user_id"), dtype=np.int64)
+        eid = np.asarray(col("event_id"), dtype=np.int64)
+        t = np.asarray(col("ts")).astype("datetime64[us]").astype(np.int64)
+        et = col("event_type").dictionary_encode()
+        codes = np.asarray(et.indices, dtype=np.int64)
+        n = len(uid)
+        if n == 0:
+            return pa.table({"from_type": pa.array([], pa.string()),
+                             "to_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        order = np.lexsort((eid, t, uid))
+        u_s, c_s = uid[order], codes[order]
+        same = u_s[1:] == u_s[:-1]
+        nv = len(et.dictionary)
+        key = c_s[:-1][same] * nv + c_s[1:][same]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "from_type": et.dictionary.take(pa.array(uk // nv)),
+            "to_type": et.dictionary.take(pa.array(uk % nv)),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    pr = partitioned_group_apply(ds, ["user_id"], pairs)
+    mat = grouped_aggregate(pr, ["from_type", "to_type"],
+                            [("n", "sum", "n")]).to_pandas()
+    tot = mat.groupby("from_type")["n"].transform("sum").to_numpy()
+    nn = mat["n"].to_numpy().astype(np.float64)
+    return pa.table({
+        "from_type": pa.array(mat["from_type"], pa.string()),
+        "to_type": pa.array(mat["to_type"], pa.string()),
+        "n": pa.array(mat["n"].to_numpy().astype(np.int64)),
+        "p_milli": pa.array(np.floor(1000.0 * nn / tot).astype(np.int64)),
+    })
+
+
+@query(
+    "basket_pair_lift",
+    """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nn AS (SELECT COUNT(DISTINCT l_orderkey) AS orders FROM lineitem),
+ic AS (SELECT l_partkey, COUNT(*) AS c FROM li GROUP BY 1),
+pc AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n
+       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2),
+l AS (SELECT pc.p1, pc.p2, pc.n,
+             pc.n * nn.orders * 1.0 / (x.c * y.c) AS lift
+      FROM pc JOIN ic x ON pc.p1 = x.l_partkey
+              JOIN ic y ON pc.p2 = y.l_partkey
+      CROSS JOIN nn WHERE pc.n >= 2)
+SELECT p1, p2, n, CAST(FLOOR(1000 * lift) AS BIGINT) AS lift_milli
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, p1, p2) AS rn
+      FROM l)
+WHERE rn <= 20""",
+)
+def basket_pair_lift(sf_dir: str):
+    """Association-rule mining (market-basket co-occurrence): top-20
+    part pairs by lift = P(a,b)·N / (count(a)·count(b)) across orders,
+    pair support ≥ 2 — the Apriori first pass.
+
+    Baskets are tiny (≤ ~12 items), so pair expansion is quadratic
+    only within a basket: complete-order partitions emit each basket's
+    sorted-distinct pairs via repeat/arange arithmetic (no Python
+    per-order loop); pair counts and item supports each flow through
+    the hash-partitioned aggregate; lift evaluates on the
+    support-filtered pair table and selection is partial top-k."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import (grouped_aggregate,
+                                      grouped_aggregate_ds,
+                                      partitioned_group_apply)
+    from raylog.functions.topk import topk
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+
+    def pairs(part: pa.Table) -> pa.Table:
+        ok = np.asarray(part["l_orderkey"].combine_chunks(), dtype=np.int64)
+        pk = np.asarray(part["l_partkey"].combine_chunks(), dtype=np.int64)
+        if len(ok) == 0:
+            return pa.table({"p1": pa.array([], pa.int64()),
+                             "p2": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        uniq = np.unique(np.stack([ok, pk], axis=1), axis=0)
+        o_s, p_s = uniq[:, 0], uniq[:, 1]  # sorted by (order, part)
+        starts = np.ones(len(o_s), dtype=bool)
+        starts[1:] = o_s[1:] != o_s[:-1]
+        m = np.diff(np.concatenate([np.flatnonzero(starts), [len(o_s)]]))
+        base = np.concatenate([[0], np.cumsum(m)[:-1]])
+        npairs = m * (m - 1) // 2
+        tot = int(npairs.sum())
+        if tot == 0:
+            return pa.table({"p1": pa.array([], pa.int64()),
+                             "p2": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        # enumerate (i, j) i<j within each basket via triangular index
+        grp = np.repeat(np.arange(len(m)), npairs)
+        local = np.arange(tot) - np.repeat(
+            np.concatenate([[0], np.cumsum(npairs)[:-1]]), npairs)
+        mm = m[grp].astype(np.float64)
+        i = (np.floor((2 * mm - 1 - np.sqrt((2 * mm - 1) ** 2
+                                            - 8 * local)) / 2)
+             ).astype(np.int64)
+        j = (local - (i * (2 * m[grp] - i - 1)) // 2 + i + 1).astype(
+            np.int64)
+        a = p_s[base[grp] + i]
+        b = p_s[base[grp] + j]
+        key = np.stack([a, b], axis=1)
+        uk, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table({"p1": pa.array(uk[:, 0]),
+                         "p2": pa.array(uk[:, 1]),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    pr = partitioned_group_apply(ds, ["l_orderkey"], pairs)
+    pair_counts = grouped_aggregate_ds(pr, ["p1", "p2"],
+                                       [("n", "sum", "n")])
+
+    def order_items(b: pa.Table) -> pa.Table:
+        ok = np.asarray(b["l_orderkey"].combine_chunks(), dtype=np.int64)
+        pk = np.asarray(b["l_partkey"].combine_chunks(), dtype=np.int64)
+        uniq = np.unique(np.stack([ok, pk], axis=1), axis=0)
+        return pa.table({"l_orderkey": pa.array(uniq[:, 0]),
+                         "l_partkey": pa.array(uniq[:, 1])})
+
+    li = grouped_aggregate_ds(
+        ds.map_batches(order_items, batch_format="pyarrow",
+                       batch_size=None),
+        ["l_orderkey", "l_partkey"], [("*", "count", "_c")])
+    ic = grouped_aggregate(li, ["l_partkey"],
+                           [("*", "count", "c")]).to_pandas()
+    n_orders = float(grouped_aggregate(
+        li, ["l_orderkey"], [("*", "count", "_c")]).num_rows)
+    supp = dict(zip(ic["l_partkey"].astype(int), ic["c"].astype(float)))
+    ref = ray.put(supp) if ray.is_initialized() else supp
+
+    def lift(b: pa.Table) -> pa.Table:
+        s = ray.get(ref) if ray.is_initialized() else ref
+        n = np.asarray(b["n"].combine_chunks(), dtype=np.float64)
+        keep = n >= 2
+        b2 = b.filter(pa.array(keep))
+        if b2.num_rows == 0:
+            return pa.table({"p1": pa.array([], pa.int64()),
+                             "p2": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "lift": pa.array([], pa.float64())})
+        p1 = b2["p1"].to_pylist()
+        p2 = b2["p2"].to_pylist()
+        ca = np.array([s[x] for x in p1])
+        cb = np.array([s[x] for x in p2])
+        lv = n[keep] * n_orders / (ca * cb)
+        return pa.table({"p1": b2["p1"], "p2": b2["p2"],
+                         "n": pc.cast(b2["n"], pa.int64()),
+                         "lift": pa.array(lv, pa.float64())})
+
+    scored = pair_counts.map_batches(lift, batch_format="pyarrow",
+                                     batch_size=None)
+    best = topk(scored, sort_cols=["lift", "p1", "p2"],
+                descending=[True, False, False], k=20)
+    return pa.table({
+        "p1": best["p1"], "p2": best["p2"], "n": best["n"],
+        "lift_milli": pc.cast(pc.floor(pc.multiply(best["lift"],
+                                                   pa.scalar(1000.0))),
+                              pa.int64()),
+    })
+
+
+@query(
+    "events_time_weighted_avg",
+    """
+WITH o AS (
+  SELECT user_id, value, epoch_us(ts) AS t,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+  FROM events
+), w AS (
+  SELECT user_id, value, (nxt - t) AS dur FROM o WHERE nxt IS NOT NULL
+)
+SELECT user_id,
+       CAST(FLOOR(1e6 * SUM(value * dur) / SUM(dur)) AS BIGINT)
+         AS twa_micro,
+       CAST(SUM(dur) AS BIGINT) AS span_us
+FROM w GROUP BY 1""",
+)
+def events_time_weighted_avg(sf_dir: str):
+    """Time-weighted average of a metric per entity (the TWAP /
+    duration-weighted gauge every telemetry backend provides — a value
+    holds until the next observation): segment-aware LEAD durations
+    from one sorted pass per complete-user partition, then a plain
+    weighted-sum aggregate. Exchange = per-user partials only."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import partitioned_group_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts", "value"])
+
+    def twa(part: pa.Table) -> pa.Table:
+        def col(name):
+            c = part[name]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        uid = np.asarray(col("user_id"), dtype=np.int64)
+        eid = np.asarray(col("event_id"), dtype=np.int64)
+        t = np.asarray(col("ts")).astype("datetime64[us]").astype(np.int64)
+        v = np.asarray(col("value"), dtype=np.float64)
+        n = len(uid)
+        if n == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "twa_micro": pa.array([], pa.int64()),
+                             "span_us": pa.array([], pa.int64())})
+        order = np.lexsort((eid, t, uid))
+        u_s, t_s, v_s = uid[order], t[order], v[order]
+        same = np.zeros(n, dtype=bool)
+        same[:-1] = u_s[1:] == u_s[:-1]
+        dur = np.zeros(n, dtype=np.int64)
+        dur[:-1] = t_s[1:] - t_s[:-1]
+        dur[~same] = 0
+        wsum = np.zeros(n, dtype=np.float64)
+        np.multiply(v_s, dur, out=wsum)
+        starts = np.ones(n, dtype=bool)
+        starts[1:] = u_s[1:] != u_s[:-1]
+        sid = np.cumsum(starts) - 1
+        k = int(starts.sum())
+        tot_w = np.bincount(sid, weights=wsum, minlength=k)
+        tot_d = np.bincount(sid, weights=dur, minlength=k)
+        users = u_s[np.flatnonzero(starts)]
+        keep = tot_d > 0
+        return pa.table({
+            "user_id": pa.array(users[keep]),
+            "twa_micro": pa.array(np.floor(
+                1e6 * tot_w[keep] / tot_d[keep]).astype(np.int64)),
+            "span_us": pa.array(tot_d[keep].astype(np.int64)),
+        })
+
+    return partitioned_group_apply(ds, ["user_id"], twa)
+
+
+@query(
+    "events_null_audit",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_user_id,
+       CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_event_type,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_value,
+       CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_props
+FROM events""",
+)
+def events_null_audit(sf_dir: str):
+    """Data-quality null audit (the schema-health report an ingestion
+    pipeline publishes per batch): per-column null counts in one
+    streaming pass of constant-size partials — Arrow null bitmaps make
+    each column's count a popcount, no value scan."""
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    COLS = ["user_id", "event_type", "value", "props"]
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=COLS)
+
+    def partial(b: pa.Table) -> pa.Table:
+        out = {"n_rows": pa.array([b.num_rows], pa.int64())}
+        for c in COLS:
+            out[f"null_{c}"] = pa.array([b[c].null_count], pa.int64())
+        out["_k"] = pa.array([0], pa.int64())
+        return pa.table(out)
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["_k"],
+        [("n_rows", "sum", "n_rows")]
+        + [(f"null_{c}", "sum", f"null_{c}") for c in COLS])
+    return agg.drop_columns(["_k"])
+
+
+@query(
+    "ri_audit",
+    """
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_orderkey = l.l_orderkey))
+    AS orphan_lineitems,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                     WHERE c.c_custkey = o.o_custkey))
+    AS orphan_orders,
+  (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders)
+    AS active_customers,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS customers""",
+)
+def ri_audit(sf_dir: str):
+    """Referential-integrity audit across the star schema (the
+    ingestion health check: orphan facts, dangling foreign keys, dim
+    coverage). Each orphan count is a Bloom-prefiltered anti-join —
+    distinct keys of the small side broadcast as a sorted array, facts
+    stream one searchsorted membership pass; counts are the only
+    exchange."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    def keys_of(table: str, col: str) -> np.ndarray:
+        ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[col])
+        parts = [np.unique(np.asarray(b[col].combine_chunks(),
+                                      dtype=np.int64))
+                 for b in ds.iter_batches(batch_format="pyarrow",
+                                          batch_size=None)]
+        return np.unique(np.concatenate(parts)) if parts else \
+            np.array([], dtype=np.int64)
+
+    def orphan_count(table: str, col: str, ref_keys: np.ndarray) -> int:
+        ref = ray.put(ref_keys) if ray.is_initialized() else ref_keys
+        ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[col])
+
+        def miss(b: pa.Table) -> pa.Table:
+            ks = ray.get(ref) if ray.is_initialized() else ref
+            x = np.asarray(b[col].combine_chunks(), dtype=np.int64)
+            pos = np.clip(np.searchsorted(ks, x), 0, max(len(ks) - 1, 0))
+            n_miss = int((ks[pos] != x).sum()) if len(ks) else len(x)
+            return pa.table({"m": pa.array([n_miss], pa.int64())})
+
+        return int(ds.map_batches(miss, batch_format="pyarrow",
+                                  batch_size=None).sum("m"))
+
+    okeys = keys_of("orders", "o_orderkey")
+    ckeys = keys_of("customer", "c_custkey")
+    ocust = keys_of("orders", "o_custkey")
+    n_cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey"]).count()
+    return pa.table({
+        "orphan_lineitems": pa.array(
+            [orphan_count("lineitem", "l_orderkey", okeys)], pa.int64()),
+        "orphan_orders": pa.array(
+            [orphan_count("orders", "o_custkey", ckeys)], pa.int64()),
+        "active_customers": pa.array([len(ocust)], pa.int64()),
+        "customers": pa.array([n_cust], pa.int64()),
+    })
+
+
+@query(
+    "events_ewma_daily",
+    """
+WITH c AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM c
+), e AS (
+  SELECT a.event_type, a.day, a.n,
+         SUM(b.n * CASE WHEN b.i = 1 THEN POWER(0.5, a.i - 1)
+                        ELSE 0.5 * POWER(0.5, a.i - b.i) END) AS ew
+  FROM r a JOIN r b ON a.event_type = b.event_type AND b.i <= a.i
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, day, n, CAST(FLOOR(1000 * ew) AS BIGINT) AS ewma_milli
+FROM e""",
+)
+def events_ewma_daily(sf_dir: str):
+    """EWMA-smoothed daily volume per type (the smoothed trend line
+    behind every ops dashboard and its alert baseline). The corpus pass
+    is the (type, day) count aggregate; the recursive smoothing runs on
+    the cells-bounded series — inherently sequential per series, and
+    the series is days-long, not data-long, so that is the right place
+    for it. alpha = 0.5 deliberately: every EWMA value is then an exact
+    binary fraction, so the recursion here and the POWER-sum window
+    restatement in DuckDB agree bit-for-bit (a decimal alpha lands
+    float noise exactly on FLOOR boundaries — measured)."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def day(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+        })
+
+    c = grouped_aggregate(
+        ds.map_batches(day, batch_format="pyarrow", batch_size=None),
+        ["event_type", "day"], [("*", "count", "n")]).to_pandas()
+    out = []
+    for et, g in c.groupby("event_type"):
+        g = g.sort_values("day")
+        x = g["n"].to_numpy().astype(np.float64)
+        e = np.empty(len(x))
+        e[0] = x[0]
+        for i in range(1, len(x)):
+            e[i] = 0.5 * x[i] + 0.5 * e[i - 1]
+        for d, n, ew in zip(g["day"], g["n"], e):
+            out.append((et, d, int(n), int(np.floor(1000 * ew))))
+    out.sort()
+    return pa.table({
+        "event_type": pa.array([r[0] for r in out], pa.string()),
+        "day": pa.array([r[1] for r in out], pa.string()),
+        "n": pa.array([r[2] for r in out], pa.int64()),
+        "ewma_milli": pa.array([r[3] for r in out], pa.int64()),
+    })
+
+
+@query(
+    "orders_benford_audit",
+    """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+), c AS (
+  SELECT digit, COUNT(*) AS n FROM d GROUP BY 1
+), t AS (SELECT SUM(n) AS tot FROM c)
+SELECT c.digit, c.n,
+       CAST(FLOOR(1e6 * c.n / t.tot) AS BIGINT) AS observed_micro,
+       CAST(FLOOR(1e6 * ln(1.0 + 1.0 / c.digit) / ln(10.0)) AS BIGINT)
+         AS benford_micro
+FROM c CROSS JOIN t""",
+)
+def orders_benford_audit(sf_dir: str):
+    """Benford's-law leading-digit audit of order totals (the synthetic
+    / fabricated-data forensic: natural multiplicative quantities
+    follow P(d) = log10(1 + 1/d); uniform generators do not).
+    Leading digit extracted vectorized from the integer part's decimal
+    magnitude, digit counts are a 9-row aggregate, expectations join
+    driver-side. One streaming pass."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_totalprice"])
+
+    def digit(b: pa.Table) -> pa.Table:
+        x = np.asarray(b["o_totalprice"].combine_chunks(),
+                       dtype=np.float64)
+        xi = x.astype(np.int64)
+        lead = xi[xi >= 1]
+        # exact integer strip (≤19 passes) — float log10 is off-by-one
+        # ulp on exact powers of ten
+        while (lead >= 10).any():
+            big = lead >= 10
+            lead[big] //= 10
+        return pa.table({"digit": pa.array(lead.astype(np.int64))})
+
+    c = grouped_aggregate(
+        ds.map_batches(digit, batch_format="pyarrow", batch_size=None),
+        ["digit"], [("*", "count", "n")]).to_pandas().sort_values("digit")
+    tot = float(c["n"].sum())
+    d = c["digit"].to_numpy().astype(np.float64)
+    return pa.table({
+        "digit": pa.array(c["digit"].to_numpy().astype(np.int64)),
+        "n": pa.array(c["n"].to_numpy().astype(np.int64)),
+        "observed_micro": pa.array(
+            np.floor(1e6 * c["n"].to_numpy() / tot).astype(np.int64)),
+        "benford_micro": pa.array(
+            np.floor(1e6 * np.log(1.0 + 1.0 / d) / np.log(10.0))
+            .astype(np.int64)),
+    })
+
+
+@query(
+    "docs_ks_by_source",
+    """
+WITH c AS (SELECT source, n_chars AS v, COUNT(*) AS n
+           FROM documents GROUP BY 1, 2),
+vals AS (SELECT DISTINCT n_chars AS v FROM documents),
+srcs AS (SELECT DISTINCT source FROM documents),
+grid AS (SELECT s.source, va.v, COALESCE(c.n, 0) AS n
+         FROM srcs s CROSS JOIN vals va
+         LEFT JOIN c ON c.source = s.source AND c.v = va.v),
+cum AS (SELECT source, v,
+               SUM(n) OVER (PARTITION BY source ORDER BY v) AS cs,
+               SUM(n) OVER (PARTITION BY source) AS ns
+        FROM grid),
+tot AS (SELECT v, SUM(n) OVER (ORDER BY v) AS ct, SUM(n) OVER () AS nt
+        FROM (SELECT v, SUM(n) AS n FROM grid GROUP BY 1)),
+d AS (SELECT cum.source,
+             abs(cum.cs * 1.0 / cum.ns
+                 - (tot.ct - cum.cs) * 1.0 / (tot.nt - cum.ns)) AS dv
+      FROM cum JOIN tot USING (v))
+SELECT source, CAST(FLOOR(1000 * MAX(dv)) AS BIGINT) AS ks_milli
+FROM d GROUP BY 1""",
+)
+def docs_ks_by_source(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov statistic per source (each
+    source's length distribution vs the rest of the corpus — the
+    distribution-shift audit behind "is this source sampled from the
+    same population?"). The only corpus pass is the (source, value)
+    count aggregate (sources × distinct-lengths bounded); empirical
+    CDFs and the sup-norm evaluate on that grid with the SAME float
+    expression as the SQL restatement (exact integer operands → the
+    doubles agree bit-for-bit)."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "n_chars"])
+    c = grouped_aggregate(ds, ["source", "n_chars"],
+                          [("*", "count", "n")]).to_pandas()
+    piv = c.pivot_table(index="n_chars", columns="source", values="n",
+                        fill_value=0, aggfunc="sum").sort_index()
+    mat = piv.to_numpy().astype(np.int64)           # values × sources
+    cs = np.cumsum(mat, axis=0).astype(np.float64)  # per-source cum
+    ns = mat.sum(axis=0).astype(np.float64)
+    ct = cs.sum(axis=1)                             # global cum (exact)
+    nt = float(ns.sum())
+    dv = np.abs(cs * 1.0 / ns - (ct[:, None] - cs) * 1.0 / (nt - ns))
+    ks = dv.max(axis=0)
+    return pa.table({
+        "source": pa.array(list(piv.columns), pa.string()),
+        "ks_milli": pa.array(np.floor(1000 * ks).astype(np.int64)),
+    })
+
+
+@query(
+    "dedup_cluster_sizes",
+    "WITH RECURSIVE " + _NGRAM_PAIRS_CTE + """
+, sizes AS (
+  SELECT cluster_id, COUNT(*) AS sz FROM cc GROUP BY 1
+)
+SELECT sz, COUNT(*) AS n_clusters FROM sizes GROUP BY 1""",
+)
+def dedup_cluster_sizes(sf_dir: str):
+    """Duplication profile: near-dup cluster size histogram (how much
+    of the corpus is duplicated, and in how large families — the
+    summary a dedup report leads with). Cluster labels come from the
+    distributed connected-components pass; sizes are a per-label count
+    (high-cardinality-safe), the histogram is a count-of-counts — the
+    same two-level shape as the Gini query."""
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+    from raylog.functions.cc import connected_components
+    from raylog.functions.dedup import ngram_jaccard_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3)
+    cc = connected_components(docs.select_columns(["doc_id"]), pairs)
+    sizes = grouped_aggregate_ds(cc, ["cluster_id"],
+                                 [("*", "count", "sz")])
+    return grouped_aggregate(sizes, ["sz"], [("*", "count", "n_clusters")])
+
+
+@query(
+    "text_zipf_exponent",
+    """
+WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+wc AS (SELECT w, COUNT(*) AS c FROM words GROUP BY 1),
+r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rank FROM wc),
+f AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+      FROM r WHERE rank <= 1000)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+       CAST(FLOOR(1e6 * REGR_SLOPE(y, x)) AS BIGINT) AS zipf_slope_micro,
+       CAST(FLOOR(1e6 * REGR_R2(y, x)) AS BIGINT) AS r2_micro
+FROM f""",
+)
+def text_zipf_exponent(sf_dir: str):
+    """Zipf-law fit of the word frequency distribution (the canonical
+    corpus-health statistic: natural language has rank-frequency slope
+    ≈ -1; templated/synthetic text deviates): log-log least-squares
+    over the top-1000 ranks, slope + R².
+
+    Word counts flow through the hash-partitioned aggregate; ranking
+    the top-1000 is a partial top-k; the regression is closed-form on
+    1000 points driver-side. Same five-moment arithmetic as
+    `events_user_trend`, restated exactly in SQL REGR_* form."""
+    import numpy as np
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    from raylog.functions.agg import grouped_aggregate_ds
+    from raylog.functions.topk import topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def wcounts(b: pa.Table) -> pa.Table:
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        flat = split.flatten().dictionary_encode()
+        codes = np.asarray(flat.indices, dtype=np.int64)
+        uc, cnt = np.unique(codes, return_counts=True)
+        return pa.table({"w": flat.dictionary.take(pa.array(uc)),
+                         "c": pa.array(cnt, pa.int64())})
+
+    wc = grouped_aggregate_ds(
+        ds.map_batches(wcounts, batch_format="pyarrow", batch_size=None),
+        ["w"], [("c", "sum", "c")])
+    top = topk(wc, sort_cols=["c", "w"], descending=[True, False], k=1000)
+    c = np.asarray(top["c"], dtype=np.float64)
+    rank = np.arange(1, len(c) + 1, dtype=np.float64)
+    x, y = np.log(rank), np.log(c)
+    n = float(len(x))
+    sx, sy, sxy, sxx, syy = x.sum(), y.sum(), (x * y).sum(), \
+        (x * x).sum(), (y * y).sum()
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    r2 = ((sxy - sx * sy / n) ** 2
+          / ((sxx - sx * sx / n) * (syy - sy * sy / n)))
+    return pa.table({
+        "n_ranks": pa.array([int(n)], pa.int64()),
+        "zipf_slope_micro": pa.array([int(np.floor(1e6 * slope))],
+                                     pa.int64()),
+        "r2_micro": pa.array([int(np.floor(1e6 * r2))], pa.int64()),
+    })
+
+
+@query(
+    "events_entropy_rate",
+    """
+WITH o AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), t AS (
+  SELECT prev AS a, event_type AS b, COUNT(*) AS n
+  FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
+), m AS (SELECT a, SUM(n) AS na FROM t GROUP BY 1),
+tot AS (SELECT SUM(n) AS nn FROM t)
+SELECT CAST(tot.nn AS BIGINT) AS n_transitions,
+       CAST(FLOOR(1e6 * SUM((t.n * 1.0 / tot.nn)
+            * -ln(t.n * 1.0 / m.na) / ln(2.0))) AS BIGINT)
+         AS h_cond_micro
+FROM t JOIN m USING (a) CROSS JOIN tot
+GROUP BY tot.nn""",
+)
+def events_entropy_rate(sf_dir: str):
+    """Behavioral predictability: the first-order entropy rate
+    H(next | prev) in bits over the event-type Markov chain (low =
+    deterministic habits, high = noise — the sessionization QA metric).
+    Reuses the transition-pair machinery (segmented shift per
+    complete-user partition, types²-bounded matrix); the entropy sum
+    evaluates on that tiny matrix driver-side."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, partitioned_group_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts",
+                                  "event_type"])
+
+    def pairs(part: pa.Table) -> pa.Table:
+        def col(name):
+            c = part[name]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        uid = np.asarray(col("user_id"), dtype=np.int64)
+        eid = np.asarray(col("event_id"), dtype=np.int64)
+        t = np.asarray(col("ts")).astype("datetime64[us]").astype(np.int64)
+        et = col("event_type").dictionary_encode()
+        codes = np.asarray(et.indices, dtype=np.int64)
+        n = len(uid)
+        if n == 0:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        order = np.lexsort((eid, t, uid))
+        u_s, c_s = uid[order], codes[order]
+        same = u_s[1:] == u_s[:-1]
+        nv = len(et.dictionary)
+        key = c_s[:-1][same] * nv + c_s[1:][same]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "a": et.dictionary.take(pa.array(uk // nv)),
+            "b": et.dictionary.take(pa.array(uk % nv)),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    pr = partitioned_group_apply(ds, ["user_id"], pairs)
+    mat = grouped_aggregate(pr, ["a", "b"], [("n", "sum", "n")]).to_pandas()
+    na = mat.groupby("a")["n"].transform("sum").to_numpy().astype(np.float64)
+    nn = float(mat["n"].sum())
+    p = mat["n"].to_numpy().astype(np.float64)
+    h = ((p / nn) * -np.log(p / na) / np.log(2.0)).sum()
+    return pa.table({
+        "n_transitions": pa.array([int(nn)], pa.int64()),
+        "h_cond_micro": pa.array([int(np.floor(1e6 * h))], pa.int64()),
+    })
+
+
+@query(
+    "log_slo_report",
+    _P() + """
+SELECT source,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN upper(level) = 'ERROR' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_errors,
+       CAST(FLOOR(1e6 * SUM(CASE WHEN upper(level) = 'ERROR' THEN 1
+                                 ELSE 0 END) * 1.0 / COUNT(*)) AS BIGINT)
+         AS err_rate_micro,
+       SUM(CASE WHEN upper(level) = 'ERROR' THEN 1 ELSE 0 END) * 1.0
+         / COUNT(*) > 0.01 AS slo_violated
+FROM recs2 GROUP BY source""",
+)
+def log_slo_report(sf_dir: str):
+    """Per-source error-rate SLO report (the availability dashboard a
+    log pipeline feeds: error fraction vs a 1% budget, violation
+    flag). Level comes from the engine's own parse chain; counts are
+    sources-bounded partial+tree aggregates — one streaming pass over
+    the parsed stream."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+    from raylog.pipelines import log_pipeline as LP
+    from raylog.stages import parse
+
+    ds = LP.parsed_ds(LP.records_ds(sf_dir))
+    ds = ds.map_batches(lambda b: parse.erda_info(b, key="log"),
+                        batch_format="pyarrow")
+
+    def flags(b: pa.Table) -> pa.Table:
+        lvl = b["level"].combine_chunks()
+        is_err = pc.equal(pc.utf8_upper(pc.fill_null(lvl, "")),
+                          pa.scalar("ERROR"))
+        return pa.table({
+            "source": b["source"],
+            "e": pc.cast(is_err, pa.int64()),
+        })
+
+    agg = grouped_aggregate(
+        ds.map_batches(flags, batch_format="pyarrow", batch_size=None),
+        ["source"], [("*", "count", "n_lines"), ("e", "sum", "n_errors")])
+    n = np.asarray(agg["n_lines"], dtype=np.float64)
+    e = np.asarray(agg["n_errors"], dtype=np.float64)
+    return pa.table({
+        "source": agg["source"],
+        "n_lines": agg["n_lines"],
+        "n_errors": agg["n_errors"],
+        "err_rate_micro": pa.array(np.floor(1e6 * e / n).astype(np.int64)),
+        "slo_violated": pa.array(e / n > 0.01),
+    })
+
+
+@query(
+    "events_anomaly_robust",
+    """
+WITH c AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type, quantile_disc(n, 0.5) AS med FROM c GROUP BY 1
+), a AS (
+  SELECT c.event_type, c.day, c.n, m.med, abs(c.n - m.med) AS adev
+  FROM c JOIN m USING (event_type)
+), md AS (
+  SELECT event_type, quantile_disc(adev, 0.5) AS mad FROM a GROUP BY 1
+)
+SELECT a.event_type, a.day, a.n,
+       a.n - a.med > 3 * md.mad AS is_spike
+FROM a JOIN md USING (event_type) WHERE md.mad > 0""",
+)
+def events_anomaly_robust(sf_dir: str):
+    """Robust (median/MAD) daily-volume spike detection — the
+    outlier-resistant twin of `events_anomaly`: a single extreme day
+    inflates mean/std and hides itself, but not the median/MAD fences
+    (spike = count > median + 3·MAD, all integer-exact arithmetic).
+    The corpus pass is the (type, day) count aggregate; medians come
+    from the cells-bounded series."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def day(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+        })
+
+    c = grouped_aggregate(
+        ds.map_batches(day, batch_format="pyarrow", batch_size=None),
+        ["event_type", "day"], [("*", "count", "n")]).to_pandas()
+    out = []
+    for et, g in c.groupby("event_type"):
+        n = np.sort(g["n"].to_numpy().astype(np.int64))
+        med = int(n[(len(n) - 1) // 2])  # quantile_disc(0.5) rank rule
+        adev = np.sort(np.abs(g["n"].to_numpy().astype(np.int64) - med))
+        mad = int(adev[(len(adev) - 1) // 2])
+        if mad <= 0:
+            continue
+        for d, cnt in zip(g["day"], g["n"]):
+            out.append((et, d, int(cnt), int(cnt) - med > 3 * mad))
+    out.sort()
+    return pa.table({
+        "event_type": pa.array([r[0] for r in out], pa.string()),
+        "day": pa.array([r[1] for r in out], pa.string()),
+        "n": pa.array([r[2] for r in out], pa.int64()),
+        "is_spike": pa.array([r[3] for r in out], pa.bool_()),
+    })
+
+
+@query(
+    "docs_histogram_by_source",
+    """
+WITH s AS (
+  SELECT source, CAST(MIN(n_chars) AS DOUBLE) AS lo,
+         CAST(MAX(n_chars) AS DOUBLE) AS hi
+  FROM documents GROUP BY 1
+)
+SELECT d.source,
+       LEAST(CAST(FLOOR((d.n_chars - s.lo) * 16.0 / (s.hi - s.lo + 1.0))
+                  AS BIGINT), 15) AS bin,
+       COUNT(*) AS n
+FROM documents d JOIN s USING (source)
+GROUP BY 1, 2""",
+)
+def docs_histogram_by_source(sf_dir: str):
+    """Per-group fixed-bin histogram (the faceted distribution panel of
+    a data-quality dashboard): each source gets 16 bins over its own
+    [min, max]. Pass 1 is a sources-bounded min/max aggregate
+    (broadcast); pass 2 emits (source, bin) count partials — exchange
+    bounded by sources × 16, independent of rows (the grouped form of
+    `docs_histogram`)."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    NBINS = 16
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "n_chars"])
+    mm = grouped_aggregate(ds, ["source"],
+                           [("n_chars", "min", "lo"),
+                            ("n_chars", "max", "hi")]).to_pandas()
+    lut = {r.source: (float(r.lo), float(r.hi)) for r in mm.itertuples()}
+    ref = ray.put(lut) if ray.is_initialized() else lut
+
+    def bins(b: pa.Table) -> pa.Table:
+        m = ray.get(ref) if ray.is_initialized() else ref
+        src = b["source"].to_pylist()
+        x = np.asarray(b["n_chars"].combine_chunks(), dtype=np.float64)
+        lo = np.array([m[s][0] for s in src])
+        hi = np.array([m[s][1] for s in src])
+        bn = np.minimum(np.floor((x - lo) * NBINS / (hi - lo + 1.0))
+                        .astype(np.int64), NBINS - 1)
+        return pa.table({"source": b["source"], "bin": pa.array(bn)})
+
+    return grouped_aggregate(
+        ds.map_batches(bins, batch_format="pyarrow", batch_size=None),
+        ["source", "bin"], [("*", "count", "n")])
+
+
+@query(
+    "events_dod_returning",
+    """
+WITH a AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d
+  FROM events
+)
+SELECT b.d AS day_epoch, COUNT(*) AS returning_users
+FROM a b JOIN a p ON p.user_id = b.user_id AND p.d = b.d - 1
+GROUP BY 1""",
+)
+def events_dod_returning(sf_dir: str):
+    """Day-over-day returning users (the stickiness/churn series): for
+    each day, how many active users were also active the previous day.
+
+    No self-join: users hash-partition complete, each partition sorts
+    its (user, day) pairs once and a segmented diff==1 test emits
+    (day, 1) partials — the exchange is days-bounded counts. The same
+    consecutive-pair trick as the Markov/watermark kernels."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, partitioned_group_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def pairs(part: pa.Table) -> pa.Table:
+        def col(name):
+            c = part[name]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        uid = np.asarray(col("user_id"), dtype=np.int64)
+        t = np.asarray(col("ts")).astype("datetime64[us]").astype(np.int64)
+        d = np.floor(t / 1e6 / 86400).astype(np.int64)
+        if len(uid) == 0:
+            return pa.table({"day_epoch": pa.array([], pa.int64())})
+        uniq = np.unique(np.stack([uid, d], axis=1), axis=0)
+        u_s, d_s = uniq[:, 0], uniq[:, 1]
+        consec = (u_s[1:] == u_s[:-1]) & (d_s[1:] - d_s[:-1] == 1)
+        return pa.table({"day_epoch": pa.array(d_s[1:][consec])})
+
+    pr = partitioned_group_apply(ds, ["user_id"], pairs)
+    return grouped_aggregate(pr, ["day_epoch"],
+                             [("*", "count", "returning_users")])
+
+
+@query(
+    "events_changepoint",
+    """
+WITH c AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, day, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY day) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS tot,
+         COUNT(*) OVER (PARTITION BY event_type) AS k,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM c
+), d AS (
+  SELECT event_type, day,
+         abs(cum - i * (tot * 1.0 / k)) AS cusum
+  FROM s WHERE i < k
+)
+SELECT event_type, day AS change_day,
+       CAST(FLOOR(1000 * cusum) AS BIGINT) AS cusum_milli
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY cusum DESC, day) AS rn
+      FROM d)
+WHERE rn = 1""",
+)
+def events_changepoint(sf_dir: str):
+    """Changepoint detection per event type (the at-most-one-change
+    CUSUM scan statistic: the day where the centered cumulative sum of
+    daily counts peaks marks the most likely level shift). One
+    (type, day) count pass; the scan statistic evaluates on the
+    cells-bounded series with the identical float expression as the
+    SQL window restatement."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def day(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+        })
+
+    c = grouped_aggregate(
+        ds.map_batches(day, batch_format="pyarrow", batch_size=None),
+        ["event_type", "day"], [("*", "count", "n")]).to_pandas()
+    out = []
+    for et, g in c.groupby("event_type"):
+        g = g.sort_values("day")
+        n = g["n"].to_numpy().astype(np.int64)
+        k = len(n)
+        if k < 2:
+            continue
+        cum = np.cumsum(n).astype(np.float64)
+        i = np.arange(1, k + 1, dtype=np.float64)
+        tot = float(n.sum())
+        cusum = np.abs(cum - i * (tot * 1.0 / k))
+        cusum = cusum[:-1]  # i < k (the last point is always 0)
+        best = int(np.argmax(cusum))  # first max = earliest day tie-break
+        out.append((et, g["day"].iloc[best],
+                    int(np.floor(1000 * cusum[best]))))
+    out.sort()
+    return pa.table({
+        "event_type": pa.array([r[0] for r in out], pa.string()),
+        "change_day": pa.array([r[1] for r in out], pa.string()),
+        "cusum_milli": pa.array([r[2] for r in out], pa.int64()),
+    })
+
+
+@query(
+    "events_pareto_users",
+    """
+WITH c AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1
+), r AS (
+  SELECT user_id, n,
+         SUM(n) OVER (ORDER BY n DESC, user_id) AS cum,
+         SUM(n) OVER () AS tot,
+         ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS i,
+         COUNT(*) OVER () AS k
+  FROM c
+)
+SELECT CAST(MIN(i) AS BIGINT) AS users_for_80pct,
+       CAST(MAX(k) AS BIGINT) AS n_users,
+       CAST(FLOOR(1000.0 * MIN(i) / MAX(k)) AS BIGINT) AS frac_milli
+FROM r WHERE cum * 1.0 / tot >= 0.8""",
+)
+def events_pareto_users(sf_dir: str):
+    """Pareto 80/20 concentration: the smallest number of top users
+    that account for 80% of all events (the "how head-heavy is this
+    corpus" capacity-planning figure). Per-user counts hash-partition;
+    only the count-of-counts histogram reaches the driver, and the
+    cumulative-coverage threshold resolves on it exactly (heaviest
+    users first = walking the histogram from the top; within a tie
+    block the cumulative crosses 80% a computable number of users in)."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    per_user = grouped_aggregate_ds(ds, ["user_id"],
+                                    [("*", "count", "n")])
+    hist = grouped_aggregate(per_user, ["n"],
+                             [("*", "count", "m")]).to_pandas()
+    hist = hist.sort_values("n", ascending=False)
+    n = hist["n"].to_numpy().astype(np.float64)
+    m = hist["m"].to_numpy().astype(np.int64)
+    tot = float((n * m).sum())
+    k = int(m.sum())
+    users = 0
+    cum = 0.0
+    need = None
+    for ni, mi in zip(n, m):
+        # smallest j in this tie block with (cum + ni*j)/tot >= 0.8 —
+        # closed form, but validated with the same float comparison the
+        # SQL uses so boundary behavior is identical
+        j = int(np.ceil((0.8 * tot - cum) / ni))
+        j = max(j, 1)
+        while j <= mi and not ((cum + ni * j) * 1.0 / tot >= 0.8):
+            j += 1
+        if j <= mi and (cum + ni * j) * 1.0 / tot >= 0.8:
+            need = users + j
+            break
+        cum += ni * mi
+        users += mi
+    return pa.table({
+        "users_for_80pct": pa.array([need], pa.int64()),
+        "n_users": pa.array([k], pa.int64()),
+        "frac_milli": pa.array([int(np.floor(1000.0 * need / k))],
+                               pa.int64()),
+    })
+
+
+@query(
+    "orders_rfm_segments",
+    """
+WITH base AS (
+  SELECT o_custkey,
+         CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS od,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), g AS (
+  SELECT o_custkey, MAX(od) AS last_od, COUNT(*) AS f,
+         CAST(SUM(cents) AS BIGINT) AS m_cents
+  FROM base GROUP BY 1
+), mx AS (SELECT MAX(od) AS d FROM base),
+rfm AS (
+  SELECT o_custkey, mx.d - last_od AS r, f, m_cents
+  FROM g CROSS JOIN mx
+), q AS (
+  SELECT quantile_disc(r, 0.25) AS r1, quantile_disc(r, 0.5) AS r2,
+         quantile_disc(r, 0.75) AS r3,
+         quantile_disc(f, 0.25) AS f1, quantile_disc(f, 0.5) AS f2,
+         quantile_disc(f, 0.75) AS f3,
+         quantile_disc(m_cents, 0.25) AS m1,
+         quantile_disc(m_cents, 0.5) AS m2,
+         quantile_disc(m_cents, 0.75) AS m3
+  FROM rfm
+)
+SELECT o_custkey, r, f, m_cents,
+       1 + CASE WHEN r > q.r1 THEN 1 ELSE 0 END
+         + CASE WHEN r > q.r2 THEN 1 ELSE 0 END
+         + CASE WHEN r > q.r3 THEN 1 ELSE 0 END AS r_score,
+       1 + CASE WHEN f > q.f1 THEN 1 ELSE 0 END
+         + CASE WHEN f > q.f2 THEN 1 ELSE 0 END
+         + CASE WHEN f > q.f3 THEN 1 ELSE 0 END AS f_score,
+       1 + CASE WHEN m_cents > q.m1 THEN 1 ELSE 0 END
+         + CASE WHEN m_cents > q.m2 THEN 1 ELSE 0 END
+         + CASE WHEN m_cents > q.m3 THEN 1 ELSE 0 END AS m_score
+FROM rfm CROSS JOIN q""",
+)
+def orders_rfm_segments(sf_dir: str):
+    """RFM customer segmentation (recency / frequency / monetary
+    quartile scores — the marketing-analytics classic): per-customer
+    aggregates through the hash-partitioned combine (money as exact
+    integer cents — per-row round-half-up BEFORE summing, so both
+    engines sum identical integers), quartile thresholds from the
+    exact distributed-quantile kernel, scores = strictly-greater
+    threshold counts (integer-exact). At petabyte scale the monetary
+    thresholds would come from a coarser-unit bounded histogram; the
+    rest is cardinality-bounded as-is."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate_ds
+    from raylog.functions.quantile import grouped_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def base(b: pa.Table) -> pa.Table:
+        od = (np.asarray(b["o_orderdate"].combine_chunks())
+              .astype("datetime64[us]").astype(np.int64))
+        od = np.floor(od / 1e6 / 86400).astype(np.int64)
+        cents = np.floor(np.asarray(b["o_totalprice"].combine_chunks(),
+                                    dtype=np.float64) * 100 + 0.5
+                         ).astype(np.int64)
+        return pa.table({"o_custkey": b["o_custkey"],
+                         "od": pa.array(od),
+                         "cents": pa.array(cents)})
+
+    bs = ds.map_batches(base, batch_format="pyarrow", batch_size=None)
+    g = grouped_aggregate_ds(bs, ["o_custkey"],
+                             [("od", "max", "last_od"),
+                              ("*", "count", "f"),
+                              ("cents", "sum", "m_cents")])
+    d_max = int(bs.max("od"))
+
+    def mk_rfm(b: pa.Table) -> pa.Table:
+        last = np.asarray(b["last_od"].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "o_custkey": b["o_custkey"],
+            "r": pa.array(d_max - last),
+            "f": pa.array(np.asarray(b["f"].combine_chunks(),
+                                     dtype=np.int64)),
+            "m_cents": pa.array(np.asarray(b["m_cents"].combine_chunks(),
+                                           dtype=np.int64)),
+        })
+
+    rfm = g.map_batches(mk_rfm, batch_format="pyarrow", batch_size=None)
+
+    def one_key(b: pa.Table) -> pa.Table:
+        return b.append_column("_k", pa.array([0] * b.num_rows,
+                                              pa.int64()))
+
+    keyed = rfm.map_batches(one_key, batch_format="pyarrow",
+                            batch_size=None)
+    qs = {}
+    for colname in ["r", "f", "m_cents"]:
+        qt = grouped_quantiles(keyed, key="_k", value=colname,
+                               ps=[0.25, 0.5, 0.75],
+                               out_names=["q1", "q2", "q3"]).to_pandas()
+        qs[colname] = (int(qt["q1"][0]), int(qt["q2"][0]),
+                       int(qt["q3"][0]))
+    ref = ray.put(qs) if ray.is_initialized() else qs
+
+    def score(b: pa.Table) -> pa.Table:
+        q = ray.get(ref) if ray.is_initialized() else ref
+
+        def sc(col):
+            v = np.asarray(b[col].combine_chunks(), dtype=np.int64)
+            t1, t2, t3 = q[col]
+            return 1 + (v > t1).astype(np.int64) + (v > t2) + (v > t3)
+
+        return pa.table({
+            "o_custkey": b["o_custkey"], "r": b["r"], "f": b["f"],
+            "m_cents": b["m_cents"],
+            "r_score": pa.array(sc("r")),
+            "f_score": pa.array(sc("f")),
+            "m_score": pa.array(sc("m_cents")),
+        })
+
+    return rfm.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+@query(
+    "events_bounce_rate",
+    """
+WITH e AS (
+  SELECT user_id, event_id, epoch(ts) AS t FROM events
+), d AS (
+  SELECT *, CASE WHEN t - LAG(t) OVER (PARTITION BY user_id
+                                       ORDER BY t, event_id) > 1800
+                   OR LAG(t) OVER (PARTITION BY user_id
+                                   ORDER BY t, event_id) IS NULL
+            THEN 1 ELSE 0 END AS new_session
+  FROM e
+), s AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM d
+), g AS (
+  SELECT user_id, session_no, COUNT(*) AS n_events
+  FROM s GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST(FLOOR(1000.0 * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+            / COUNT(*)) AS BIGINT) AS bounce_milli
+FROM g""",
+)
+def events_bounce_rate(sf_dir: str):
+    """Bounce rate (share of single-event sessions under the 30-min
+    gap rule — the engagement KPI distilled from sessionization): the
+    proven session-window kernel produces per-session event counts;
+    the rate reduces over constant-size per-block partials — sessions
+    never materialize on the driver."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    sessions = QUERIES["events_sessionize"](sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ne = t["n_events"].combine_chunks()
+        nb = pc.sum(pc.cast(pc.equal(ne, pa.scalar(1)), pa.int64())).as_py()
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "b": pa.array([int(nb or 0)], pa.int64()),
+        })
+
+    parts = sessions.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=None)
+    n = int(parts.sum("n"))
+    b = int(parts.sum("b"))
+    return pa.table({
+        "n_sessions": pa.array([n], pa.int64()),
+        "n_bounces": pa.array([b], pa.int64()),
+        "bounce_milli": pa.array([int(np.floor(1000.0 * b / n))],
+                                 pa.int64()),
+    })
+
+
+@query(
+    "events_rolling_7d",
+    """
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type, a.d AS day_epoch, a.n,
+       CAST(SUM(b.n) AS BIGINT) AS sum_7d
+FROM c a JOIN c b ON a.event_type = b.event_type
+                 AND b.d BETWEEN a.d - 6 AND a.d
+GROUP BY 1, 2, 3""",
+)
+def events_rolling_7d(sf_dir: str):
+    """Rolling 7-day window sum per type (the RANGE-frame windowed
+    aggregate — trailing weekly volume behind every rate dashboard):
+    one (type, day) count pass; the rolling sum evaluates on the
+    cells-bounded series via a vectorized two-pointer pass over the
+    sorted day axis (exact gaps respected — a missing day contributes
+    nothing, matching the RANGE frame, not a ROWS frame)."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def day(b: pa.Table) -> pa.Table:
+        t = (np.asarray(b["ts"].combine_chunks())
+             .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "event_type": b["event_type"],
+            "d": pa.array(np.floor(t / 1e6 / 86400).astype(np.int64)),
+        })
+
+    c = grouped_aggregate(
+        ds.map_batches(day, batch_format="pyarrow", batch_size=None),
+        ["event_type", "d"], [("*", "count", "n")]).to_pandas()
+    out = []
+    for et, g in c.groupby("event_type"):
+        g = g.sort_values("d")
+        d = g["d"].to_numpy().astype(np.int64)
+        n = g["n"].to_numpy().astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(n)])
+        lo = np.searchsorted(d, d - 6, side="left")
+        s7 = cum[np.arange(1, len(d) + 1)] - cum[lo]
+        for di, ni, si in zip(d, n, s7):
+            out.append((et, int(di), int(ni), int(si)))
+    out.sort()
+    return pa.table({
+        "event_type": pa.array([r[0] for r in out], pa.string()),
+        "day_epoch": pa.array([r[1] for r in out], pa.int64()),
+        "n": pa.array([r[2] for r in out], pa.int64()),
+        "sum_7d": pa.array([r[3] for r in out], pa.int64()),
+    })
+
+
+@query(
+    "events_weekday_ratio",
+    """
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, ((d + 4) % 7) IN (5, 6) AS is_weekend, n FROM c
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN is_weekend THEN 0 ELSE n END) AS BIGINT)
+         AS weekday_events,
+       CAST(SUM(CASE WHEN is_weekend THEN n ELSE 0 END) AS BIGINT)
+         AS weekend_events,
+       CAST(COUNT(CASE WHEN NOT is_weekend THEN 1 END) AS BIGINT)
+         AS weekdays,
+       CAST(COUNT(CASE WHEN is_weekend THEN 1 END) AS BIGINT) AS weekends,
+       CAST(FLOOR(1000.0
+            * (SUM(CASE WHEN is_weekend THEN 0 ELSE n END) * 1.0
+               / COUNT(CASE WHEN NOT is_weekend THEN 1 END))
+            / (SUM(CASE WHEN is_weekend THEN n ELSE 0 END) * 1.0
+               / COUNT(CASE WHEN is_weekend THEN 1 END))) AS BIGINT)
+         AS ratio_milli
+FROM t GROUP BY 1""",
+)
+def events_weekday_ratio(sf_dir: str):
+    """Weekday/weekend seasonality per type (mean weekday daily volume
+    over mean weekend daily volume — the traffic-shape fingerprint
+    separating business tools from consumer apps). Epoch day 0 =
+    Thursday, so ``(d+4) % 7 ∈ {5,6}`` marks Sat/Sun. One cells-bounded
+    count pass; ratios on the tiny table."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def day(b: pa.Table) -> pa.Table:
+        t = (np.asarray(b["ts"].combine_chunks())
+             .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "event_type": b["event_type"],
+            "d": pa.array(np.floor(t / 1e6 / 86400).astype(np.int64)),
+        })
+
+    c = grouped_aggregate(
+        ds.map_batches(day, batch_format="pyarrow", batch_size=None),
+        ["event_type", "d"], [("*", "count", "n")]).to_pandas()
+    c["is_we"] = ((c["d"] + 4) % 7).isin([5, 6])
+    rows = []
+    for et, g in c.groupby("event_type"):
+        wd = g[~g["is_we"]]
+        we = g[g["is_we"]]
+        if len(wd) == 0 or len(we) == 0 or we["n"].sum() == 0:
+            continue
+        r = ((wd["n"].sum() * 1.0 / len(wd))
+             / (we["n"].sum() * 1.0 / len(we)))
+        rows.append((et, int(wd["n"].sum()), int(we["n"].sum()),
+                     len(wd), len(we), int(np.floor(1000.0 * r))))
+    rows.sort()
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "weekday_events": pa.array([r[1] for r in rows], pa.int64()),
+        "weekend_events": pa.array([r[2] for r in rows], pa.int64()),
+        "weekdays": pa.array([r[3] for r in rows], pa.int64()),
+        "weekends": pa.array([r[4] for r in rows], pa.int64()),
+        "ratio_milli": pa.array([r[5] for r in rows], pa.int64()),
+    })
+
+
+@query(
+    "events_type_comovement",
+    """
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), days AS (SELECT DISTINCT d FROM c),
+types AS (SELECT DISTINCT event_type FROM c),
+grid AS (
+  SELECT t.event_type, dy.d, COALESCE(c.n, 0) AS n
+  FROM types t CROSS JOIN days dy
+  LEFT JOIN c ON c.event_type = t.event_type AND c.d = dy.d
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(FLOOR(1e6 * CORR(CAST(a.n AS DOUBLE), CAST(b.n AS DOUBLE)))
+            AS BIGINT) AS corr_micro
+FROM grid a JOIN grid b ON a.d = b.d AND a.event_type < b.event_type
+GROUP BY 1, 2""",
+)
+def events_type_comovement(sf_dir: str):
+    """Cross-series co-movement: pairwise Pearson correlation of the
+    types' daily-volume series (which traffic streams rise and fall
+    together — the dependency map behind incident blast-radius
+    analysis). Zero-filled day grid (missing day = 0 volume), types² / 2
+    pairs evaluated from the one cells-bounded count pass."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def day(b: pa.Table) -> pa.Table:
+        t = (np.asarray(b["ts"].combine_chunks())
+             .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "event_type": b["event_type"],
+            "d": pa.array(np.floor(t / 1e6 / 86400).astype(np.int64)),
+        })
+
+    c = grouped_aggregate(
+        ds.map_batches(day, batch_format="pyarrow", batch_size=None),
+        ["event_type", "d"], [("*", "count", "n")]).to_pandas()
+    piv = c.pivot_table(index="d", columns="event_type", values="n",
+                        fill_value=0, aggfunc="sum").sort_index()
+    types = list(piv.columns)
+    mat = piv.to_numpy().astype(np.float64)
+    rows = []
+    for i, ta in enumerate(types):
+        for j, tb in enumerate(types):
+            if ta < tb:
+                r = float(np.corrcoef(mat[:, i], mat[:, j])[0, 1])
+                rows.append((ta, tb, int(np.floor(1e6 * r))))
+    rows.sort()
+    return pa.table({
+        "type_a": pa.array([r[0] for r in rows], pa.string()),
+        "type_b": pa.array([r[1] for r in rows], pa.string()),
+        "corr_micro": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+@query(
+    "text_good_turing",
+    """
+WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+wc AS (SELECT w, COUNT(*) AS c FROM words GROUP BY 1),
+f AS (SELECT c, COUNT(*) AS m FROM wc GROUP BY 1),
+t AS (SELECT SUM(c * m) AS n_tokens, SUM(m) AS vocab FROM f),
+h AS (SELECT COALESCE(MAX(CASE WHEN c = 1 THEN m END), 0) AS n1 FROM f)
+SELECT CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(t.vocab AS BIGINT) AS vocab,
+       CAST(h.n1 AS BIGINT) AS hapax,
+       CAST(FLOOR(1e6 * h.n1 * 1.0 / t.vocab) AS BIGINT)
+         AS hapax_rate_micro,
+       CAST(FLOOR(1e6 * h.n1 * 1.0 / t.n_tokens) AS BIGINT)
+         AS gt_unseen_micro
+FROM t CROSS JOIN h""",
+)
+def text_good_turing(sf_dir: str):
+    """Vocabulary saturation diagnostics: hapax-legomena rate (share of
+    words seen exactly once) and the Good-Turing estimate of unseen
+    mass (n1/N — the probability the next token is a brand-new word;
+    high = the corpus hasn't covered its domain yet). Word counts via
+    the hash-partitioned aggregate; only the count-of-counts frequency
+    spectrum reaches the driver."""
+    import numpy as np
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def wcounts(b: pa.Table) -> pa.Table:
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        flat = split.flatten().dictionary_encode()
+        codes = np.asarray(flat.indices, dtype=np.int64)
+        uc, cnt = np.unique(codes, return_counts=True)
+        return pa.table({"w": flat.dictionary.take(pa.array(uc)),
+                         "c": pa.array(cnt, pa.int64())})
+
+    wc = grouped_aggregate_ds(
+        ds.map_batches(wcounts, batch_format="pyarrow", batch_size=None),
+        ["w"], [("c", "sum", "c")])
+    spec = grouped_aggregate(wc, ["c"], [("*", "count", "m")]).to_pandas()
+    c = spec["c"].to_numpy().astype(np.int64)
+    m = spec["m"].to_numpy().astype(np.int64)
+    n_tokens = int((c * m).sum())
+    vocab = int(m.sum())
+    n1 = int(m[c == 1].sum()) if (c == 1).any() else 0
+    return pa.table({
+        "n_tokens": pa.array([n_tokens], pa.int64()),
+        "vocab": pa.array([vocab], pa.int64()),
+        "hapax": pa.array([n1], pa.int64()),
+        "hapax_rate_micro": pa.array(
+            [int(np.floor(1e6 * n1 * 1.0 / vocab))], pa.int64()),
+        "gt_unseen_micro": pa.array(
+            [int(np.floor(1e6 * n1 * 1.0 / n_tokens))], pa.int64()),
+    })
+
+
+@query(
+    "orders_repeat_cadence",
+    """
+WITH o AS (
+  SELECT o_custkey, CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS d,
+         o_orderkey
+  FROM orders
+), g AS (
+  SELECT o_custkey, d,
+         LAG(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+           AS prev
+  FROM o
+), gaps AS (
+  SELECT d - prev AS gap_days FROM g WHERE prev IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       quantile_disc(gap_days, 0.25) AS p25,
+       quantile_disc(gap_days, 0.5) AS p50,
+       quantile_disc(gap_days, 0.75) AS p75
+FROM gaps""",
+)
+def orders_repeat_cadence(sf_dir: str):
+    """Repeat-purchase cadence (days between a customer's consecutive
+    orders, quartiles — the reorder-cycle number inventory planning
+    runs on): per-customer gaps from one segmented diff per
+    complete-customer partition (order ties broken by orderkey, same
+    rule both engines), day-granularity integers through the exact
+    distributed-quantile kernel."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import partitioned_group_apply
+    from raylog.functions.quantile import grouped_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def gaps(part: pa.Table) -> pa.Table:
+        def col(name):
+            c = part[name]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        ck = np.asarray(col("o_custkey"), dtype=np.int64)
+        ok = np.asarray(col("o_orderkey"), dtype=np.int64)
+        t = (np.asarray(col("o_orderdate"))
+             .astype("datetime64[us]").astype(np.int64))
+        d = np.floor(t / 1e6 / 86400).astype(np.int64)
+        if len(ck) == 0:
+            return pa.table({"gap_days": pa.array([], pa.int64()),
+                             "_k": pa.array([], pa.int64())})
+        order = np.lexsort((ok, d, ck))
+        c_s, d_s = ck[order], d[order]
+        same = c_s[1:] == c_s[:-1]
+        gap = (d_s[1:] - d_s[:-1])[same]
+        return pa.table({"gap_days": pa.array(gap),
+                         "_k": pa.array(np.zeros(len(gap), np.int64))})
+
+    gds = partitioned_group_apply(ds, ["o_custkey"], gaps)
+    n_gaps = int(gds.count())
+    q = grouped_quantiles(gds, key="_k", value="gap_days",
+                          ps=[0.25, 0.5, 0.75],
+                          out_names=["p25", "p50", "p75"]).to_pandas()
+    return pa.table({
+        "n_gaps": pa.array([n_gaps], pa.int64()),
+        "p25": pa.array([int(q["p25"][0])], pa.int64()),
+        "p50": pa.array([int(q["p50"][0])], pa.int64()),
+        "p75": pa.array([int(q["p75"][0])], pa.int64()),
+    })
+
+
+@query(
+    "dedup_savings_report",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,
+       CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
+       CAST(FLOOR(1000.0 * (COUNT(*) - COUNT(DISTINCT text))
+            / COUNT(*)) AS BIGINT) AS dup_rate_milli
+FROM documents""",
+)
+def dedup_savings_report(sf_dir: str):
+    """Dedup savings headline (the one-line summary a curation run
+    reports: corpus size, distinct contents, duplication rate): row and
+    byte counts are streaming sums; the distinct count comes from the
+    hash-partitioned exact-dedup survivor Dataset — counted, never
+    collected."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.dedup import exact_dedup_survivors
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def sizes(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n": pa.array([b.num_rows], pa.int64()),
+            "bytes": pa.array(
+                [int(pc.sum(pc.utf8_length(b["text"].combine_chunks()))
+                     .as_py() or 0)], pa.int64()),
+        })
+
+    parts = ds.map_batches(sizes, batch_format="pyarrow", batch_size=None)
+    n_docs = int(parts.sum("n"))
+    total_bytes = int(parts.sum("bytes"))
+    n_distinct = int(exact_dedup_survivors(ds).count())
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "n_distinct": pa.array([n_distinct], pa.int64()),
+        "total_bytes": pa.array([total_bytes], pa.int64()),
+        "dup_rate_milli": pa.array(
+            [int(np.floor(1000.0 * (n_docs - n_distinct) / n_docs))],
+            pa.int64()),
+    })
+
+
+@query(
+    "lineitem_discount_revenue",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem
+WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+)
+def lineitem_discount_revenue(sf_dir: str):
+    """TPC-H Q6-shape forecast-revenue query (discount-band × quantity
+    filter, one global sum): per-row products are quantized to exact
+    1e-4 fixed-point integers BEFORE summing (identical double→int op
+    on both engines), so the distributed integer sum is bit-exact in
+    any order — no float-accumulation-order hazard. Predicates are
+    vectorized Arrow filters; partials are one row per block."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice", "l_discount",
+                                  "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        disc = np.asarray(b["l_discount"].combine_chunks(),
+                          dtype=np.float64)
+        qty = np.asarray(b["l_quantity"].combine_chunks(),
+                         dtype=np.float64)
+        price = np.asarray(b["l_extendedprice"].combine_chunks(),
+                           dtype=np.float64)
+        keep = (disc >= 0.05) & (disc <= 0.07) & (qty < 24)
+        rev = np.floor(price[keep] * disc[keep] * 10000 + 0.5
+                       ).astype(np.int64)
+        return pa.table({
+            "n": pa.array([int(keep.sum())], pa.int64()),
+            "r": pa.array([int(rev.sum())], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+    return pa.table({
+        "n_items": pa.array([int(parts.sum("n"))], pa.int64()),
+        "revenue_e4": pa.array([int(parts.sum("r"))], pa.int64()),
+    })

@@ -1,0 +1,1538 @@
+"""Text analysis + token-payload statistics, packing, curation.
+
+Domain module of the driver-facing query registry — registration
+happens on import via :func:`raylog.pipelines.qbase.query`; the public
+surface stays ``raylog.pipelines.queries.QUERIES/ORACLES``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from raylog import records as R
+from raylog.pipelines.qbase import (
+    ORACLES,
+    QUERIES,
+    _ECI_TAGS,
+    _P,
+    _src_tag,
+    _tmp_name,
+    query,
+)
+from raylog.stages import route
+
+# Training-data ops: text analysis
+# --------------------------------------------------------------------------
+
+@query(
+    "text_token_counts",
+    r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents""",
+)
+def text_token_counts(sf_dir: str):
+    """Token counting: whitespace + BPE-ish regex, vectorized Arrow."""
+    import ray.data as rd
+
+    from raylog.functions.text import token_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(token_counts, batch_format="pyarrow", batch_size=None)
+    return ds.select_columns(["doc_id", "n_ws_tokens", "n_bpe_tokens"])
+
+
+@query(
+    "text_quality",
+    """
+WITH q AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars_calc,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS BIGINT) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_chars_calc, n_words, stop_hits,
+       CAST(FLOOR(1000 * (0.5 * LEAST(n_words / 40.0, 1.0)
+                          + 0.5 * (1.0 - stop_hits * 1.0 / n_words))) AS BIGINT)
+         AS score_milli
+FROM q""",
+)
+def text_quality(sf_dir: str):
+    """Quality scoring: length + stopword-ratio components, 0-1000 score."""
+    import ray.data as rd
+
+    from raylog.functions.text import quality_scores
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(quality_scores, batch_format="pyarrow", batch_size=None)
+    return ds.select_columns(
+        ["doc_id", "n_chars_calc", "n_words", "stop_hits", "score_milli"]
+    )
+
+
+@query(
+    "text_langid",
+    """
+WITH h AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und'))) AS BIGINT) AS h_de,
+    CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS BIGINT) AS h_en,
+    CAST(len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','y'))) AS BIGINT) AS h_es,
+    CAST(len(list_filter(string_split(text,' '), w -> w IN ('le','la','de','et'))) AS BIGINT) AS h_fr
+  FROM documents
+), g AS (
+  SELECT *, GREATEST(h_de, h_en, h_es, h_fr) AS mx,
+         (CASE WHEN h_de = GREATEST(h_de,h_en,h_es,h_fr) THEN 1 ELSE 0 END
+        + CASE WHEN h_en = GREATEST(h_de,h_en,h_es,h_fr) THEN 1 ELSE 0 END
+        + CASE WHEN h_es = GREATEST(h_de,h_en,h_es,h_fr) THEN 1 ELSE 0 END
+        + CASE WHEN h_fr = GREATEST(h_de,h_en,h_es,h_fr) THEN 1 ELSE 0 END) AS ties
+  FROM h
+)
+SELECT doc_id,
+       CASE WHEN mx = 0 OR ties > 1 THEN 'und'
+            WHEN h_de = mx THEN 'de'
+            WHEN h_en = mx THEN 'en'
+            WHEN h_es = mx THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM g""",
+)
+def text_langid(sf_dir: str):
+    """Language ID: stopword-marker argmax heuristic (tie/zero → 'und')."""
+    import ray.data as rd
+
+    from raylog.functions.text import lang_id
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(lang_id, batch_format="pyarrow", batch_size=None)
+    return ds.select_columns(["doc_id", "lang_pred"])
+
+
+@query(
+    "langid_confusion",
+    """
+WITH h AS (
+  SELECT doc_id, lang,
+    CAST(len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und'))) AS BIGINT) AS h_de,
+    CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS BIGINT) AS h_en,
+    CAST(len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','y'))) AS BIGINT) AS h_es,
+    CAST(len(list_filter(string_split(text,' '), w -> w IN ('le','la','de','et'))) AS BIGINT) AS h_fr
+  FROM documents
+), g AS (
+  SELECT *, GREATEST(h_de, h_en, h_es, h_fr) AS mx,
+         (CASE WHEN h_de = GREATEST(h_de,h_en,h_es,h_fr) THEN 1 ELSE 0 END
+        + CASE WHEN h_en = GREATEST(h_de,h_en,h_es,h_fr) THEN 1 ELSE 0 END
+        + CASE WHEN h_es = GREATEST(h_de,h_en,h_es,h_fr) THEN 1 ELSE 0 END
+        + CASE WHEN h_fr = GREATEST(h_de,h_en,h_es,h_fr) THEN 1 ELSE 0 END) AS ties
+  FROM h
+)
+SELECT lang,
+       CASE WHEN mx = 0 OR ties > 1 THEN 'und'
+            WHEN h_de = mx THEN 'de'
+            WHEN h_en = mx THEN 'en'
+            WHEN h_es = mx THEN 'es'
+            ELSE 'fr' END AS lang_pred,
+       COUNT(*) AS n
+FROM g GROUP BY 1, 2""",
+)
+def langid_confusion(sf_dir: str):
+    """Language-ID quality audit: confusion matrix of the declared
+    ``lang`` label vs the heuristic prediction — the "how much of each
+    declared language bucket is actually mislabeled" check run before
+    trusting either column for mixture design. Prediction is the same
+    vectorized kernel as ``text_langid``; the matrix is a
+    langs²-bounded partial+tree aggregate (no shuffle of rows)."""
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+    from raylog.functions.text import lang_id
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    pred = ds.map_batches(lang_id, batch_format="pyarrow", batch_size=None)
+    return grouped_aggregate(pred, ["lang", "lang_pred"],
+                             [("*", "count", "n")])
+
+
+@query(
+    "corpus_profile",
+    """
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY source""",
+)
+def corpus_profile(sf_dir: str):
+    """Per-source corpus profile (the data-quality dashboard row):
+    doc count, exact distinct languages, and char-volume extremes.
+
+    Count/sum/min/max ride the partial+tree aggregate; the exact
+    distinct-lang count goes through the hash-partitioned distinct on
+    (source, lang) — a langs×sources-bounded exchange — then a tiny
+    per-source count. No row shuffle anywhere."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "lang", "n_chars"])
+    base = grouped_aggregate(ds, ["source"], [
+        ("*", "count", "n_docs"), ("n_chars", "sum", "sum_chars"),
+        ("n_chars", "min", "min_chars"), ("n_chars", "max", "max_chars"),
+    ]).to_pandas()
+    sl = grouped_aggregate(
+        grouped_aggregate_ds(ds, ["source", "lang"], []),
+        ["source"], [("*", "count", "n_langs")],
+    ).to_pandas()
+    out = base.merge(sl, on="source")
+    return pa.table({
+        "source": pa.array(out["source"], pa.string()),
+        "n_docs": pa.array(out["n_docs"], pa.int64()),
+        "n_langs": pa.array(out["n_langs"], pa.int64()),
+        "sum_chars": pa.array(out["sum_chars"], pa.int64()),
+        "min_chars": pa.array(out["min_chars"], pa.int64()),
+        "max_chars": pa.array(out["max_chars"], pa.int64()),
+    })
+
+
+@query("text_fingerprint", "SELECT doc_id, md5(text) AS fp_md5 FROM documents")
+def text_fingerprint(sf_dir: str):
+    """Document fingerprinting (md5 content hash; rolling hash in pytest)."""
+    import ray.data as rd
+
+    from raylog.functions.text import fingerprints
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(fingerprints, batch_format="pyarrow", batch_size=None)
+    return ds.select_columns(["doc_id", "fp_md5"])
+
+
+# --------------------------------------------------------------------------
+# Token-payload statistics (vocab heavy hitters, bigram LM counts)
+# --------------------------------------------------------------------------
+
+@query(
+    "tokens_top_terms",
+    _P() + """
+SELECT token, cnt, rank FROM (
+  SELECT token, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rank
+  FROM (SELECT CAST(unnest(tokens) AS BIGINT) AS token FROM recs2)
+  GROUP BY token
+) WHERE rank <= 50""",
+)
+def tokens_top_terms(sf_dir: str):
+    """Vocabulary heavy hitters over the tokens payload.
+
+    np.unique partial counts per batch → hash-partitioned combine →
+    partial top-k; no token-cardinality table on the driver.
+    """
+    from raylog.functions.tokens import token_top_terms
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["tokens"])
+    return token_top_terms(ds, k=50)
+
+
+@query(
+    "tokens_bigrams",
+    _P() + """
+SELECT t1, t2, cnt, rank FROM (
+  SELECT t1, t2, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t1, t2) AS rank
+  FROM (
+    SELECT CAST(tokens[CAST(i AS INT)] AS BIGINT) AS t1,
+           CAST(tokens[CAST(i AS INT) + 1] AS BIGINT) AS t2
+    FROM recs2, LATERAL (
+      SELECT unnest(generate_series(1, CAST(n_tok AS INT) - 1)) AS i
+    ) g
+  ) GROUP BY t1, t2
+) WHERE rank <= 50""",
+)
+def tokens_bigrams(sf_dir: str):
+    """Next-token (bigram) counts over the tokens payload, top-50.
+
+    Consecutive pairs packed into one uint64 key per batch, boundaries
+    masked vectorized; same partial-count + distributed-combine shape as
+    unigrams.
+    """
+    from raylog.functions.tokens import bigram_top_terms
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["tokens"])
+    return bigram_top_terms(ds, k=50)
+
+
+@query(
+    "tokens_bigrams_sketch",
+    _P() + """
+SELECT t1, t2, cnt FROM (
+  SELECT t1, t2, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t1, t2) AS rnk
+  FROM (
+    SELECT CAST(tokens[CAST(i AS INT)] AS BIGINT) AS t1,
+           CAST(tokens[CAST(i AS INT) + 1] AS BIGINT) AS t2
+    FROM recs2, LATERAL (
+      SELECT unnest(generate_series(1, CAST(n_tok AS INT) - 1)) AS i
+    ) g
+  ) GROUP BY t1, t2
+) WHERE rnk <= 20""",
+)
+def tokens_bigrams_sketch(sf_dir: str):
+    """Bigram heavy hitters via count-min sketch + exact candidate
+    verification — the shuffle-free scale path for unbounded pair keys
+    (exchange = blocks × sketch size, not one row per distinct pair).
+
+    The verified counts are EXACT whenever every true heavy hitter
+    reaches some block's local top-m candidate pool; this corpus's
+    bigram key space (word-length pairs, ≪ m=128 distinct) satisfies
+    that, so the result is oracle-checkable here. On adversarially flat
+    distributions recall is the (documented) approximation.
+    """
+    import numpy as np
+
+    from raylog.functions.sketch import cms_heavy_hitters
+    from raylog.functions.tokens import bigram_keys_batch
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["tokens"])
+    keys = ds.map_batches(bigram_keys_batch, batch_format="pyarrow",
+                          batch_size=None)
+    hh = cms_heavy_hitters(keys, "key", k=20, top_m=128)
+    key = np.asarray(hh["key"], dtype=np.int64).view(np.uint64)
+    t1 = (key >> np.uint64(32)).astype(np.uint32).view(np.int32).astype(np.int64)
+    t2 = (key & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32).astype(np.int64)
+    return pa.table({"t1": pa.array(t1), "t2": pa.array(t2),
+                     "cnt": hh["cnt"]})
+
+
+@query(
+    "tokens_remap_filter",
+    _P() + """
+SELECT doc_id,
+       CAST(len(list_filter(list_transform(tokens, t -> t % 7), t -> t >= 2))
+            AS BIGINT) AS n_tok2,
+       CAST(coalesce(list_aggregate(
+              list_filter(list_transform(tokens, t -> t % 7), t -> t >= 2),
+              'sum'), 0) AS BIGINT) AS tok_sum2
+FROM recs2""",
+)
+def tokens_remap_filter(sf_dir: str):
+    """Vocabulary surgery on the tokens payload: remap every token
+    (t → t % 7, the shape of an id-remap lookup) then drop a stop-set
+    (t < 2), REBUILDING the list column — flatten, vectorized
+    mask/remap, new offsets from a masked cumsum; zero Python per row.
+    The remap is arithmetic here so the oracle can restate it; swapping
+    in a broadcast ``np.take`` lookup table is the same kernel."""
+    import numpy as np
+
+    from raylog.pipelines import log_pipeline as LP
+
+    def surgery(b: pa.Table) -> pa.Table:
+        col = b["tokens"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        vals = np.asarray(col.flatten(), dtype=np.int64)
+        lengths = np.asarray(pa.compute.list_value_length(col), dtype=np.int64)
+        remapped = vals % 7
+        keep = remapped >= 2
+        kept = remapped[keep]
+        # new per-row lengths: count of kept tokens per original row
+        row_id = np.repeat(np.arange(len(lengths)), lengths)
+        n2 = np.bincount(row_id[keep], minlength=len(lengths)).astype(np.int64)
+        offsets = np.concatenate([[0], np.cumsum(n2)])
+        new_col = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(kept, pa.int64()))
+        csum = np.concatenate([[0], np.cumsum(kept)])
+        tok_sum2 = csum[offsets[1:]] - csum[offsets[:-1]]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tok2": pa.array(n2),
+            "tok_sum2": pa.array(tok_sum2),
+            "tokens2": new_col,
+        })
+
+    ds = LP.records_ds(sf_dir).select_columns(["doc_id", "tokens"])
+    out = ds.map_batches(surgery, batch_format="pyarrow", batch_size=None)
+    return out.select_columns(["doc_id", "n_tok2", "tok_sum2"])
+
+
+@query(
+    "embed_centroids",
+    """
+SELECT label, CAST(i AS BIGINT) AS dim,
+       avg(embedding[CAST(i AS INT)]) AS v
+FROM embeddings, LATERAL (
+  SELECT unnest(generate_series(1, len(embedding))) AS i
+) g
+GROUP BY 1, 2""",
+)
+def embed_centroids(sf_dir: str):
+    """Per-label embedding centroids: per-batch dim-wise sums (one numpy
+    matrix reduction per label per block — never one row per (vector,
+    dim)), merged on the tiny labels×dims grid."""
+    import numpy as np
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["embedding"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        dim = len(col[0]) if len(col) else 0
+        mat = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, dim)
+        labels = np.asarray(b["label"].combine_chunks(), dtype=np.int64)
+        uk = np.unique(labels)
+        rows = []
+        for lb in uk:  # labels are few; the reduction per label is vector
+            sub = mat[labels == lb]
+            rows.append((lb, sub.sum(axis=0), len(sub)))
+        return pa.table({
+            "label": pa.array([r[0] for r in rows], pa.int64()),
+            "sums": pa.array([r[1].tolist() for r in rows],
+                             pa.list_(pa.float64())),
+            "n": pa.array([r[2] for r in rows], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    acc: dict[int, tuple[np.ndarray, int]] = {}
+    for t in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        for lb, s, n in zip(t["label"].to_pylist(), t["sums"].to_pylist(),
+                            t["n"].to_pylist()):
+            s = np.asarray(s)
+            if lb in acc:
+                acc[lb] = (acc[lb][0] + s, acc[lb][1] + n)
+            else:
+                acc[lb] = (s, n)
+    labels_out, dims_out, vals_out = [], [], []
+    for lb in sorted(acc):
+        s, n = acc[lb]
+        for i, v in enumerate(s / n):
+            labels_out.append(lb)
+            dims_out.append(i + 1)
+            vals_out.append(v)
+    return pa.table({
+        "label": pa.array(labels_out, pa.int64()),
+        "dim": pa.array(dims_out, pa.int64()),
+        "v": pa.array(vals_out, pa.float64()),
+    })
+
+
+@query(
+    "tokens_percentile_curation",
+    _P() + """
+, q AS (
+  SELECT source,
+         quantile_disc(n_tok, 0.10) AS lo,
+         quantile_disc(n_tok, 0.90) AS hi
+  FROM recs2 GROUP BY source
+)
+SELECT r.source, CAST(COUNT(*) AS BIGINT) AS kept,
+       CAST(SUM(r.n_tok) AS BIGINT) AS kept_tokens
+FROM recs2 r JOIN q ON r.source = q.source
+WHERE r.n_tok >= q.lo AND r.n_tok <= q.hi
+GROUP BY r.source""",
+)
+def tokens_percentile_curation(sf_dir: str):
+    """Percentile-threshold curation: per-source p10/p90 length bounds
+    from the histogram quantile op, broadcast as a plain dict (quantile
+    output is key-cardinality-bounded), then a shuffle-free filter +
+    count pass — the 'trim the length-distribution tails per domain'
+    recipe."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from raylog.functions.agg import grouped_aggregate
+    from raylog.functions.quantile import grouped_quantiles
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["source", "n_tok"]).map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("n_tok"), "n_tok",
+            pc.cast(b["n_tok"], pa.int64())),
+        batch_format="pyarrow", batch_size=None,
+    )
+    q = grouped_quantiles(ds, key="source", value="n_tok", ps=[0.10, 0.90],
+                          out_names=["lo", "hi"], num_partitions=8).to_pandas()
+    # tiny (source → lo/hi) dim arrays; per-batch lookup is a single
+    # vectorized pc.index_in + numpy gather, no per-row Python
+    keys = pa.array(q["source"].tolist(), pa.string())
+    lo_arr = np.asarray(q["lo"], dtype=np.float64)
+    hi_arr = np.asarray(q["hi"], dtype=np.float64)
+
+    def keep(b: pa.Table) -> pa.Table:
+        idx = np.asarray(pc.index_in(b["source"], value_set=keys)
+                         .combine_chunks(), dtype=np.int64)
+        n = np.asarray(b["n_tok"].combine_chunks(), dtype=np.int64)
+        lo = lo_arr[idx]
+        hi = hi_arr[idx]
+        return b.filter(pa.array((n >= lo) & (n <= hi)))
+
+    kept = ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+    return grouped_aggregate(kept, ["source"], [
+        ("*", "count", "kept"), ("n_tok", "sum", "kept_tokens"),
+    ])
+
+
+@query(
+    "orders_rollup",
+    """
+SELECT coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+       coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
+)
+def orders_rollup(sf_dir: str):
+    """ROLLUP aggregation (priority → priority×status → grand total) as
+    a union of three key-compressed partial aggregates — each level is
+    its own tiny exchange, no re-scan (the finest level feeds the
+    coarser ones)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderpriority", "o_orderstatus"])
+    fine = grouped_aggregate(
+        ds, ["o_orderpriority", "o_orderstatus"], [("*", "count", "n")],
+    ).to_pandas()
+    mid = fine.groupby("o_orderpriority", as_index=False)["n"].sum()
+    mid["o_orderstatus"] = "(all)"
+    total = pd.DataFrame({
+        "o_orderpriority": ["(all)"], "o_orderstatus": ["(all)"],
+        "n": [fine["n"].sum()],
+    })
+    out = pd.concat([fine, mid, total], ignore_index=True)[
+        ["o_orderpriority", "o_orderstatus", "n"]]
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+@query(
+    "tokens_pack_chunks",
+    _P() + """
+, r AS (SELECT doc_id, doc_id % 8 AS shard, n_tok FROM recs2),
+c AS (
+  SELECT shard, doc_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM r
+)
+SELECT shard, doc_id,
+       CAST((cum - n_tok) // 512 AS BIGINT) AS first_pack,
+       CAST(CASE WHEN n_tok > 0 THEN (cum - 1) // 512
+            ELSE (cum - n_tok) // 512 END AS BIGINT) AS last_pack,
+       CAST((cum - n_tok) % 512 AS BIGINT) AS first_offset
+FROM c""",
+)
+def tokens_pack_chunks(sf_dir: str):
+    """Sequence packing (concat-and-chunk): per-shard token streams cut
+    into fixed 512-token context windows; each doc's window span and
+    offset computed closed-form from a per-shard running sum — one
+    vectorized pass per hash partition."""
+    from raylog.functions.packing import pack_chunks
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["doc_id", "n_tok"])
+    out = pack_chunks(ds, max_tokens=512, num_shards=8, num_partitions=8)
+    return out
+
+
+@query(
+    "tokens_pack_windows",
+    _P() + """
+, r AS (SELECT doc_id, doc_id % 8 AS shard, tokens FROM recs2),
+flat AS (
+  SELECT shard, doc_id, i, tokens[CAST(i AS INT)] AS t
+  FROM r, LATERAL (
+    SELECT unnest(generate_series(1, len(tokens))) AS i
+  ) g
+),
+seq AS (
+  SELECT shard, t,
+         CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id, i)
+              - 1 AS BIGINT) AS pos
+  FROM flat
+)
+SELECT shard, CAST(pos // 512 AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_fill,
+       CAST(SUM((pos % 512 + 1) * t) AS BIGINT) AS tok_chk
+FROM seq GROUP BY shard, pos // 512""",
+)
+def tokens_pack_windows(sf_dir: str):
+    """MATERIALIZED context windows: the actual fixed 512-token
+    sequences a trainer reads (concat-and-chunk per shard in doc
+    order), built as a real list<int32> column with zero per-window
+    Python. The oracle form reduces each window to a position-weighted
+    checksum — order- and value-exact — because the raw list column is
+    the deliverable but a scalar is the robust hash-compare form."""
+    import numpy as np
+
+    from raylog.functions.packing import pack_windows
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["doc_id", "tokens"])
+    wins = pack_windows(ds, max_tokens=512, num_shards=8, num_partitions=8)
+
+    def checksum(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        toks = (toks.combine_chunks() if isinstance(toks, pa.ChunkedArray)
+                else toks)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        vals = np.asarray(toks.values, dtype=np.int64)[off[0]:off[-1]]
+        off = off - off[0]
+        pos = (np.arange(len(vals), dtype=np.int64)
+               - np.repeat(off[:-1], np.diff(off)) + 1)
+        csum = np.concatenate([[0], np.cumsum(vals * pos)])
+        chk = csum[off[1:]] - csum[off[:-1]]
+        return pa.table({
+            "shard": b["shard"],
+            "pack_id": b["pack_id"],
+            "n_fill": b["n_fill"],
+            "tok_chk": pa.array(chk),
+        })
+
+    return wins.map_batches(checksum, batch_format="pyarrow",
+                            batch_size=None)
+
+
+@query(
+    "tokens_quantile_sketch",
+    _P() + """
+, t AS (SELECT source, n_tok FROM recs2 WHERE n_tok > 0),
+b AS (
+  SELECT source,
+         CAST(CEIL(LN(CAST(n_tok AS DOUBLE)) / LN(1.01 / 0.99)) AS BIGINT)
+           AS bucket
+  FROM t
+),
+h AS (SELECT source, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+r AS (
+  SELECT source, bucket,
+         SUM(cnt) OVER (PARTITION BY source ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY source) AS tot
+  FROM h
+)
+SELECT source, q.q_milli, CAST(MIN(bucket) AS BIGINT) AS bucket
+FROM r, (VALUES (500), (950), (990)) AS q(q_milli)
+WHERE cum >= GREATEST(1, CEIL(q.q_milli / 1000.0 * tot))
+GROUP BY 1, 2""",
+)
+def tokens_quantile_sketch(sf_dir: str):
+    """DDSketch per-source token-length quantiles (p50/p95/p99) — the
+    MERGEABLE sketch path for unbounded value domains that
+    quantile.py's exact histogram path points to: log-width buckets
+    bound every estimate's relative error at alpha=1%, and partials are
+    key-compressed (group, bucket) counts, so the merge is the ordinary
+    hash-partitioned grouped count. Output carries the bucket INDEX
+    (integer — exact oracle compare); dd_value(bucket, alpha) is the
+    value estimate. The oracle replays ceil(ln(x)/ln(gamma)) in SQL —
+    numpy and DuckDB share libm doubles on one host, so indices match
+    exactly; a cross-platform oracle would compare dd_value within
+    alpha instead of indices."""
+    from raylog.functions.quantile import grouped_quantile_sketch
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["source", "n_tok"])
+    return grouped_quantile_sketch(
+        ds, group_cols=["source"], value_col="n_tok",
+        qs=[0.5, 0.95, 0.99], alpha=0.01)
+
+
+@query(
+    "tokens_pack_segments",
+    _P() + """
+, r AS (SELECT doc_id, doc_id % 8 AS shard, n_tok FROM recs2),
+c AS (
+  SELECT shard, doc_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM r
+),
+e AS (
+  SELECT shard, doc_id, n_tok, cum, cum - n_tok AS strt,
+         CAST((cum - n_tok) // 512 AS BIGINT) AS first_pack,
+         CAST(CASE WHEN n_tok > 0 THEN (cum - 1) // 512
+              ELSE (cum - n_tok) // 512 END AS BIGINT) AS last_pack
+  FROM c
+),
+x AS (
+  SELECT shard, doc_id, w,
+         LEAST(cum, (w + 1) * 512) - GREATEST(strt, w * 512) AS overlap
+  FROM e, LATERAL (
+    SELECT unnest(generate_series(first_pack, last_pack)) AS w
+  ) g
+  WHERE n_tok > 0
+),
+rk AS (
+  SELECT shard, w, overlap,
+         CAST(ROW_NUMBER() OVER (PARTITION BY shard, w ORDER BY doc_id)
+              AS BIGINT) AS rnk
+  FROM x
+)
+SELECT shard, CAST(w AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(rnk * overlap) AS BIGINT) AS seg_chk
+FROM rk GROUP BY 1, 2""",
+)
+def tokens_pack_segments(sf_dir: str):
+    """Per-window SEGMENT bookkeeping for packed sequences: how many
+    docs each 512-token context window spans and an order-weighted
+    checksum over their in-window token counts — the metadata a trainer
+    turns into block-diagonal attention masks. Closed form from the
+    per-shard running sum; the per-window aggregate completes inside
+    the shard's partition (no second exchange)."""
+    from raylog.functions.packing import pack_segments
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["doc_id", "n_tok"])
+    return pack_segments(ds, max_tokens=512, num_shards=8,
+                         num_partitions=8)
+
+
+@query(
+    "tokens_pack_windows_eos",
+    _P() + """
+, r AS (SELECT doc_id, doc_id % 8 AS shard,
+               list_append(tokens, 99999) AS tokens
+        FROM recs2),
+flat AS (
+  SELECT shard, doc_id, i, tokens[CAST(i AS INT)] AS t
+  FROM r, LATERAL (
+    SELECT unnest(generate_series(1, len(tokens))) AS i
+  ) g
+),
+seq AS (
+  SELECT shard, t,
+         CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id, i)
+              - 1 AS BIGINT) AS pos
+  FROM flat
+)
+SELECT shard, CAST(pos // 512 AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_fill,
+       CAST(SUM((pos % 512 + 1) * t) AS BIGINT) AS tok_chk
+FROM seq GROUP BY shard, pos // 512""",
+)
+def tokens_pack_windows_eos(sf_dir: str):
+    """Context windows with a document separator (EOS id 99999)
+    inserted after every doc before chunking — the standard trainer
+    layout so models learn document boundaries inside packed windows.
+    Same checksum oracle form as `tokens_pack_windows`."""
+    import numpy as np
+
+    from raylog.functions.packing import pack_windows
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["doc_id", "tokens"])
+    wins = pack_windows(ds, max_tokens=512, num_shards=8,
+                        num_partitions=8, sep_token=99999)
+
+    def checksum(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        toks = (toks.combine_chunks() if isinstance(toks, pa.ChunkedArray)
+                else toks)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        vals = np.asarray(toks.values, dtype=np.int64)[off[0]:off[-1]]
+        off = off - off[0]
+        pos = (np.arange(len(vals), dtype=np.int64)
+               - np.repeat(off[:-1], np.diff(off)) + 1)
+        csum = np.concatenate([[0], np.cumsum(vals * pos)])
+        chk = csum[off[1:]] - csum[off[:-1]]
+        return pa.table({
+            "shard": b["shard"],
+            "pack_id": b["pack_id"],
+            "n_fill": b["n_fill"],
+            "tok_chk": pa.array(chk),
+        })
+
+    return wins.map_batches(checksum, batch_format="pyarrow",
+                            batch_size=None)
+
+
+@query(
+    "tokens_span_corruption",
+    _P() + """
+, pos AS (
+  SELECT doc_id, n_tok, i - 1 AS p, tokens[CAST(i AS INT)] AS t
+  FROM recs2, LATERAL (
+    SELECT unnest(generate_series(1, len(tokens))) AS i
+  ) g
+),
+m AS (
+  SELECT *,
+         ((p + doc_id * 7) % 10 = 0
+          OR (p >= 1 AND (p - 1 + doc_id * 7) % 10 = 0)
+          OR (p >= 2 AND (p - 2 + doc_id * 7) % 10 = 0)) AS masked
+  FROM pos
+),
+r AS (
+  SELECT doc_id, masked, t,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id, masked
+                                 ORDER BY p) AS BIGINT) AS rnk
+  FROM m
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       CAST(COALESCE(SUM(CASE WHEN masked THEN rnk * t END), 0)
+            AS BIGINT) AS target_chk,
+       CAST(COALESCE(SUM(CASE WHEN NOT masked THEN rnk * t END), 0)
+            AS BIGINT) AS input_chk
+FROM r GROUP BY doc_id""",
+)
+def tokens_span_corruption(sf_dir: str):
+    """Denoising-objective (T5/UL2 span corruption) data prep, counted
+    and checksummed: a deterministic rule starts a 3-token mask span at
+    every position p with (p + 7·doc_id) % 10 == 0 (≈30% corruption
+    after overlap), splitting each doc into the model INPUT (kept
+    tokens) and the denoising TARGET (masked tokens). Output per doc:
+    n_masked plus position-weighted checksums of both streams — exact
+    content+order witnesses without emitting the streams themselves.
+    Map-only and fully vectorized (the mask is three shifted modular
+    tests; stream checksums are segmented cumsums)."""
+    import numpy as np
+
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["doc_id", "tokens"])
+
+    def corrupt(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        toks = (toks.combine_chunks() if isinstance(toks, pa.ChunkedArray)
+                else toks)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        vals = np.asarray(toks.values, dtype=np.int64)[off[0]:off[-1]]
+        off = off - off[0]
+        ids = np.asarray(b["doc_id"].combine_chunks(), dtype=np.int64)
+        lens = np.diff(off)
+        row = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+        p = np.arange(len(vals), dtype=np.int64) - np.repeat(off[:-1], lens)
+        phase = (p + ids[row] * 7) % 10
+        masked = (phase == 0)
+        masked |= (p >= 1) & ((phase - 1) % 10 == 0)
+        masked |= (p >= 2) & ((phase - 2) % 10 == 0)
+        # rank within (doc, masked-stream): running count per stream
+        def stream_chk(sel: np.ndarray) -> np.ndarray:
+            r = row[sel]
+            ones = np.ones(sel.sum(), dtype=np.int64)
+            # rank = position within its doc segment of the stream
+            seg_start = np.concatenate(
+                [[True], r[1:] != r[:-1]]) if len(r) else np.array([], bool)
+            csum = np.cumsum(ones)
+            base = np.repeat(csum[np.flatnonzero(seg_start)] - 1,
+                             np.diff(np.append(np.flatnonzero(seg_start),
+                                               len(r))))
+            rnk = csum - base
+            prod = np.cumsum(vals[sel] * rnk)
+            prodc = np.concatenate([[0], prod])
+            starts = np.flatnonzero(seg_start)
+            ends = np.append(starts[1:], len(r))
+            out = np.zeros(len(ids), dtype=np.int64)
+            out[r[starts]] = prodc[ends] - prodc[starts]
+            return out
+
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_masked": pa.array(np.bincount(
+                row[masked], minlength=len(ids)).astype(np.int64)),
+            "target_chk": pa.array(stream_chk(masked)),
+            "input_chk": pa.array(stream_chk(~masked)),
+        })
+
+    return ds.map_batches(corrupt, batch_format="pyarrow", batch_size=None)
+
+
+@query(
+    "tokens_batch_padding",
+    _P() + """
+, t AS (
+  SELECT doc_id, n_tok,
+         CAST(((n_tok + 31) // 32) * 32 AS BIGINT) AS lbucket
+  FROM recs2
+),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lbucket ORDER BY doc_id)
+                 - 1 AS BIGINT) AS rn
+  FROM t
+)
+SELECT lbucket, CAST(rn // 16 AS BIGINT) AS batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS real_tok,
+       CAST(MAX(n_tok) * COUNT(*) AS BIGINT) AS padded_tok
+FROM r GROUP BY 1, 2""",
+)
+def tokens_batch_padding(sf_dir: str):
+    """Length-bucketed dynamic batching with padding accounting: docs
+    round up to 32-token length buckets, rank within their bucket (the
+    skew-proof bucketed running count — no per-bucket giant task), form
+    16-doc batches in rank order, and each batch reports real vs padded
+    tokens (padded = batch max × batch size — the dynamic-padding cost
+    a dataloader pays). The real/padded ratio is the padding-efficiency
+    curve that picks bucket widths."""
+    from raylog.functions.agg import grouped_aggregate_ds
+    from raylog.pipelines import log_pipeline as LP
+    from raylog.stages.ordered import running_count
+
+    ds = LP.records_ds(sf_dir).select_columns(["doc_id", "n_tok"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        nt = np.asarray(b["n_tok"].combine_chunks(), dtype=np.int64)
+        return b.append_column("lbucket", pa.array(((nt + 31) // 32) * 32))
+
+    ranked = running_count(
+        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None),
+        part_col="lbucket", order_col="doc_id", out_col="rank",
+    )
+
+    def add_batch(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        rk = np.asarray(b["rank"].combine_chunks(), dtype=np.int64)
+        return b.append_column("batch_id", pa.array((rk - 1) // 16))
+
+    # (lbucket, batch_id) cardinality GROWS with corpus size (~n/16
+    # rows) — hash-partitioned combine, never a driver merge
+    agg = grouped_aggregate_ds(
+        ranked.map_batches(add_batch, batch_format="pyarrow",
+                           batch_size=None),
+        ["lbucket", "batch_id"],
+        [("*", "count", "n_docs"), ("n_tok", "sum", "real_tok"),
+         ("n_tok", "max", "max_tok")],
+        num_partitions=8,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return (b.append_column(
+            "padded_tok", pc.multiply(b["max_tok"], b["n_docs"]))
+            .drop_columns(["max_tok"]))
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+@query(
+    "tokens_pack_greedy",
+    # first-fit is a sequential recurrence — expressible as a DuckDB
+    # recursive CTE stepping one doc per shard per iteration (the
+    # dedup_cluster_sizes technique; VERDICT r2 next-round #7)
+    _P().replace("WITH ", "WITH RECURSIVE ", 1) + """
+, r AS (SELECT doc_id, doc_id % 8 AS shard, n_tok FROM recs2),
+seq AS (
+  SELECT shard, doc_id, n_tok,
+         CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id)
+              AS BIGINT) AS rn,
+         CAST(SUM(LEAST(n_tok, 512)) OVER (PARTITION BY shard
+              ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM r
+),
+g AS (
+  SELECT shard, doc_id, n_tok, rn, cum,
+         CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS base
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.shard, s.doc_id, s.n_tok, s.rn, s.cum,
+         CASE WHEN s.cum <= g.base + 512 THEN g.pack_id
+              ELSE g.pack_id + 1 END,
+         CASE WHEN s.cum <= g.base + 512 THEN g.base ELSE g.cum END
+  FROM g JOIN seq s ON s.shard = g.shard AND s.rn = g.rn + 1
+)
+SELECT shard, doc_id, pack_id, n_tok > 512 AS overflow FROM g""",
+)
+def tokens_pack_greedy(sf_dir: str):
+    """Sequence packing (whole-doc first-fit): greedy window assignment
+    per shard; sequential boundary recurrence as per-pack searchsorted
+    steps on the partition cumsum. Packing invariants additionally
+    asserted in tests/test_packing.py."""
+    from raylog.functions.packing import pack_greedy
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["doc_id", "n_tok"])
+    return pack_greedy(ds, max_tokens=512, num_shards=8, num_partitions=8)
+
+
+@query(
+    "export_sorted_by_toklen",
+    _P() + """
+SELECT doc_id, n_tok FROM recs2""",
+)
+def export_sorted_by_toklen(sf_dir: str):
+    """Globally-sorted range-partitioned export: records written as
+    range-disjoint parquet files sorted by n_tok (sample-based range
+    cuts, per-range sort, idempotent file names); the gate checks the
+    round-tripped content, pytest checks the global order contract."""
+    import glob
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from raylog.functions.sortexport import range_sorted_export
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["doc_id", "n_tok"]).map_batches(
+        lambda b: b.set_column(b.column_names.index("n_tok"), "n_tok",
+                               pc.cast(b["n_tok"], pa.int64())),
+        batch_format="pyarrow", batch_size=None,
+    )
+    out_dir = f"/tmp/raylog_cache/sorted_{os.path.basename(sf_dir.rstrip('/'))}"
+    range_sorted_export(ds, out_dir, key="n_tok", num_ranges=8)
+    files = sorted(glob.glob(f"{out_dir}/range_*.parquet"))
+    return pa.concat_tables([_pq.read_table(f) for f in files])
+
+
+@query(
+    "tokens_quantiles_by_source",
+    _P() + """
+SELECT source,
+       quantile_disc(n_tok, 0.5) AS p50,
+       quantile_disc(n_tok, 0.9) AS p90,
+       quantile_disc(n_tok, 0.99) AS p99
+FROM recs2 GROUP BY source""",
+)
+def tokens_quantiles_by_source(sf_dir: str):
+    """Exact per-source sequence-length quantiles via a (source, n_tok)
+    count histogram — grouped counts are the only shuffle; no sort of
+    the data."""
+    import pyarrow.compute as pc
+
+    from raylog.functions.quantile import grouped_quantiles
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["source", "n_tok"]).map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("n_tok"), "n_tok",
+            pc.cast(b["n_tok"], pa.int64())),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return grouped_quantiles(ds, key="source", value="n_tok",
+                             ps=[0.5, 0.9, 0.99], num_partitions=8)
+
+
+@query(
+    "text_tfidf_top_terms",
+    """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, tf * ln(n * 1.0 / df) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN nd
+),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
+      FROM scored)
+SELECT doc_id, term, tf, score, rank FROM r WHERE rank <= 3""",
+)
+def text_tfidf_top_terms(sf_dir: str):
+    """Per-document top-3 TF-IDF terms: batch-local tf, distributed df,
+    hash join on term, per-doc head inside whole-doc hash partitions."""
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from raylog.functions.tfidf import tfidf_top_terms
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    out = tfidf_top_terms(ds, n_docs=n_docs, k=3, num_partitions=8)
+    return out.select_columns(["doc_id", "term", "tf", "score", "rank"])
+
+
+@query(
+    "text_chunks",
+    """
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       substr(text, CAST(i * 80 + 1 AS INT), 120) AS chunk,
+       CAST(length(substr(text, CAST(i * 80 + 1 AS INT), 120)) AS BIGINT)
+         AS chunk_len
+FROM documents, LATERAL (
+  SELECT unnest(generate_series(0, (length(text) - 1) // 80)) AS i
+) g
+WHERE length(text) > 0""",
+)
+def text_chunks(sf_dir: str):
+    """Overlapping character chunking (size 120, stride 80) — the
+    RAG/pretraining doc-splitting step, one numpy byte-gather per batch
+    (no per-row or per-chunk Python)."""
+    import ray.data as rd
+
+    from raylog.functions.text import chunk_texts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: chunk_texts(b, size=120, stride=80),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+@query(
+    "text_pii_redact",
+    f"""
+WITH w AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@ex' || (doc_id % 7)
+              || '.com tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS clean,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) +
+            len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_pii
+FROM w""",
+)
+def text_pii_redact(sf_dir: str):
+    """PII scrubbing: vectorized RE2 redaction of emails + phone numbers
+    (deterministically injected so the oracle can restate the input).
+    Single-pass Arrow kernels — compiled once, no Python per row."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    def scrub(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.asarray(b["doc_id"].combine_chunks(), dtype=np.int64)
+        did = pc.cast(b["doc_id"], pa.string())
+        mod7 = pa.array((ids % 7).astype("U1"))
+        mod1e4 = pc.utf8_lpad(pa.array((ids % 10000).astype("U4")), 4, "0")
+        n = b.num_rows
+
+        def lit(s):
+            return pa.array([s] * n, pa.string())
+
+        t = pc.binary_join_element_wise(
+            b["text"], lit(" contact user"), did, lit("@ex"), mod7,
+            lit(".com tel 555-"), mod1e4, "",
+        )
+        n_pii = pc.add(
+            pc.count_substring_regex(t, _EMAIL_RE),
+            pc.count_substring_regex(t, _PHONE_RE),
+        )
+        clean = pc.replace_substring_regex(t, _EMAIL_RE, "<EMAIL>")
+        clean = pc.replace_substring_regex(clean, _PHONE_RE, "<PHONE>")
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "clean": clean,
+            "n_pii": pc.cast(n_pii, pa.int64()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(scrub, batch_format="pyarrow", batch_size=None)
+
+
+@query(
+    "text_tokenize",
+    """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+words AS (SELECT doc_id, unnest(ws) AS wd,
+                 generate_subscripts(ws, 1) AS pos FROM w),
+vocab AS (SELECT wd, ROW_NUMBER() OVER (ORDER BY wd) - 1 AS tok
+          FROM (SELECT DISTINCT wd FROM words))
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, CAST(tok AS BIGINT) AS tok
+FROM words JOIN vocab USING (wd)""",
+)
+def text_tokenize(sf_dir: str):
+    """Corpus tokenization — vocabulary build + encode, the bridge from
+    raw documents to the engine's tokenized-sequences input shape.
+
+    Pass 1 builds the vocabulary DISTRIBUTED: each batch emits its
+    batch-distinct words (batch-distinct-bounded, never one row per
+    token), the hash-partitioned aggregate dedups them, and the sorted
+    vocab — token id = lexicographic rank, the deterministic analog of
+    a trained BPE merge table — is broadcast once via ``ray.put``.
+    Pass 2 encodes every batch vectorized: split → flatten →
+    ``np.searchsorted`` → exploded (doc_id, pos, tok) rows. At real
+    scale the vocab is capped top-K + UNK id (standard practice);
+    output would stay ``list<int32>`` per doc rather than exploded —
+    exploded here because the driver compare needs scalar rows.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def batch_vocab(b: pa.Table) -> pa.Table:
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        return pa.table({"wd": pc.unique(split.flatten())})
+
+    vc = grouped_aggregate_ds(
+        ds.map_batches(batch_vocab, batch_format="pyarrow",
+                       batch_size=None), ["wd"], [],
+    ).to_pandas()
+    vocab = np.sort(np.array(vc["wd"], dtype="U"))
+    vocab_ref = ray.put(vocab) if ray.is_initialized() else vocab
+
+    def encode(b: pa.Table) -> pa.Table:
+        v = ray.get(vocab_ref) if ray.is_initialized() else vocab_ref
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        lens = np.asarray(pc.list_value_length(split), dtype=np.int64)
+        flat = split.flatten().dictionary_encode()
+        codes = np.asarray(flat.indices, dtype=np.int64)
+        dict_tok = np.searchsorted(v, np.asarray(flat.dictionary, dtype="U"))
+        ids = np.asarray(b["doc_id"].combine_chunks(), dtype=np.int64)
+        pos = (np.arange(lens.sum(), dtype=np.int64)
+               - np.repeat(np.cumsum(lens) - lens, lens) + 1)  # 1-based
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, lens)),
+            "pos": pa.array(pos),
+            "tok": pa.array(dict_tok[codes].astype(np.int64)),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow", batch_size=None)
+
+
+@query(
+    "corpus_source_overlap",
+    """
+WITH sw AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+sizes AS (SELECT source, COUNT(*) AS n FROM sw GROUP BY source),
+inter AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+          FROM sw a JOIN sw b USING (w)
+          WHERE a.source < b.source GROUP BY 1, 2)
+SELECT src_a, src_b, n_inter,
+       sa.n + sb.n - n_inter AS n_union,
+       CAST(ROUND(1000.0 * n_inter / (sa.n + sb.n - n_inter)) AS BIGINT)
+         AS jacc_milli
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b""",
+)
+def corpus_source_overlap(sf_dir: str):
+    """Inter-corpus overlap diagnostics: vocabulary Jaccard for every
+    source pair — the "how much do my data sources duplicate each
+    other" matrix that drives mixture design before training.
+
+    Shape: distinct (source, word) pairs via the hash-partitioned
+    aggregate (vocab×sources-bounded exchange, never one row per
+    token); per-word source-pair expansion inside complete-postings
+    hash partitions (the inverted-index pair kernel shared with n-gram
+    dedup — a word shared by m sources costs m²/2, bounded by the
+    source count, not the corpus); the pair matrix itself is
+    sources²-bounded, so the final join with sizes is driver-trivial.
+    """
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import (grouped_aggregate,
+                                      grouped_aggregate_ds,
+                                      partitioned_group_apply)
+    from raylog.functions.dedup import _intra_bucket_pairs
+
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        lens = np.asarray(pc.list_value_length(split), dtype=np.int64)
+        flat = split.flatten().dictionary_encode()
+        codes = np.asarray(flat.indices, dtype=np.int64)
+        src = b["source"].combine_chunks().dictionary_encode()
+        sidx = np.repeat(np.asarray(src.indices, dtype=np.int64), lens)
+        vocab = len(flat.dictionary)
+        u = np.unique(sidx * vocab + codes)
+        return pa.table({
+            "source": src.dictionary.take(pa.array(u // vocab)),
+            "w": flat.dictionary.take(pa.array(u % vocab)),
+        })
+
+    sw = grouped_aggregate_ds(
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=None),
+        ["source", "w"], [],
+    )
+    sizes = grouped_aggregate(sw, ["source"], [("*", "count", "n")])
+    src_names = np.array(sorted(sizes["source"].to_pylist()), dtype=object)
+    n_by = dict(zip(sizes["source"].to_pylist(), sizes["n"].to_pylist()))
+    sid = {s: i for i, s in enumerate(src_names)}
+
+    name_arr = pa.array(list(src_names), pa.string())
+
+    def to_sid(b: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            pc.index_in(b["source"], value_set=name_arr).combine_chunks(),
+            dtype=np.int64)
+        return pa.table({"w": b["w"], "sid": pa.array(ids)})
+
+    inter = grouped_aggregate(
+        partitioned_group_apply(
+            sw.map_batches(to_sid, batch_format="pyarrow", batch_size=None),
+            ["w"],
+            lambda part: _intra_bucket_pairs(part, ["w"], id_col="sid"),
+        ),
+        ["doc_a", "doc_b"], [("*", "count", "n_inter")],
+    )
+    a = inter["doc_a"].to_numpy()
+    b_ = inter["doc_b"].to_numpy()
+    ni = inter["n_inter"].to_numpy()
+    na = np.array([n_by[src_names[i]] for i in a], dtype=np.int64)
+    nb = np.array([n_by[src_names[i]] for i in b_], dtype=np.int64)
+    nu = na + nb - ni
+    return pa.table({
+        "src_a": pa.array(src_names[a], pa.string()),
+        "src_b": pa.array(src_names[b_], pa.string()),
+        "n_inter": pa.array(ni, pa.int64()),
+        "n_union": pa.array(nu, pa.int64()),
+        "jacc_milli": pa.array(np.round(1000.0 * ni / nu).astype(np.int64)),
+    })
+
+
+@query(
+    "text_decontaminate",
+    """
+WITH snips AS (
+  SELECT DISTINCT substr(text, 1, 40) AS snip
+  FROM documents WHERE doc_id % 97 = 0 AND len(text) >= 40
+)
+SELECT d.doc_id,
+       EXISTS(SELECT 1 FROM snips s WHERE contains(d.text, s.snip))
+         AS contaminated
+FROM documents d""",
+)
+def text_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag training docs containing a
+    verbatim snippet from the held-out eval set (here: the 40-char
+    prefix of every ``doc_id % 97 == 0`` doc — a deterministic stand-in
+    for a benchmark blocklist).
+
+    Scale shape: the snippet set is TINY relative to the corpus (an
+    eval suite, not a second corpus), so it is collected once, compiled
+    into ONE RE2 alternation (RE2 builds a DFA — matching is a single
+    vectorized pass per batch regardless of snippet count), and
+    broadcast via ``ray.put``; the corpus streams through
+    ``map_batches`` with no shuffle. For snippet sets beyond regex-DFA
+    size, swap the kernel for an Aho-Corasick automaton at the marked
+    point — the plumbing is unchanged.
+    """
+    import re
+
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def eval_snips(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.asarray(b["doc_id"].combine_chunks(), dtype=np.int64)
+        lens = np.asarray(pc.utf8_length(b["text"].combine_chunks()),
+                          dtype=np.int64)
+        m = pa.array((ids % 97 == 0) & (lens >= 40))
+        return pa.table(
+            {"snip": pc.utf8_slice_codeunits(b.filter(m)["text"], 0, 40)})
+
+    snip_tbls = list(
+        ds.map_batches(eval_snips, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    snips = sorted({s for t in snip_tbls for s in t["snip"].to_pylist()})
+    # ONE combined alternation — swap point for Aho-Corasick at larger sets
+    pattern = "|".join(re.escape(s) for s in snips) if snips else None
+    pat_ref = ray.put(pattern) if ray.is_initialized() else pattern
+
+    def flag(b: pa.Table) -> pa.Table:
+        pat = ray.get(pat_ref) if ray.is_initialized() else pat_ref
+        if pat is None:
+            hit = pa.array([False] * b.num_rows, pa.bool_())
+        else:
+            hit = pc.match_substring_regex(b["text"], pat)
+        return pa.table({"doc_id": b["doc_id"], "contaminated": hit})
+
+    return ds.map_batches(flag, batch_format="pyarrow", batch_size=None)
+
+
+@query(
+    "text_repetition",
+    """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+words AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+counts AS (SELECT doc_id, wd, COUNT(*) AS c FROM words GROUP BY doc_id, wd),
+s AS (SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct,
+             MAX(c) AS top_word_n
+      FROM counts GROUP BY doc_id),
+bg AS (SELECT doc_id,
+              unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]) AS b
+       FROM w),
+bgc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+bs AS (SELECT doc_id, MAX(c) AS top_bigram_n FROM bgc GROUP BY doc_id)
+SELECT s.doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST(top_word_n AS BIGINT) AS top_word_n,
+       CAST(COALESCE(bs.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+       CAST(n_words - n_distinct AS DOUBLE) / n_words AS dup_word_frac
+FROM s LEFT JOIN bs USING (doc_id)""",
+)
+def text_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals, fully vectorized:
+    per-doc word count, distinct-word count, modal-word count,
+    modal-BIGRAM count and duplicate-word fraction.
+
+    Per-doc statistics need only doc-local data, so every batch is
+    independent (zero shuffle). The kernel dictionary-encodes the
+    flattened word array once, then does all counting in numpy integer
+    space: (doc, word) pair codes → ``np.unique`` with counts →
+    ``bincount``/``maximum.at`` per doc; bigrams pair adjacent word
+    codes with document boundaries masked. No Python-per-row anywhere.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    def rep(b: pa.Table) -> pa.Table:
+        n_docs = b.num_rows
+        if n_docs == 0:
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "n_words": pa.array([], pa.int64()),
+                "n_distinct": pa.array([], pa.int64()),
+                "top_word_n": pa.array([], pa.int64()),
+                "top_bigram_n": pa.array([], pa.int64()),
+                "dup_word_frac": pa.array([], pa.float64()),
+            })
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        lens = np.asarray(pc.list_value_length(split), dtype=np.int64)
+        flat = split.flatten().dictionary_encode()
+        codes = np.asarray(flat.indices, dtype=np.int64)
+        vocab = len(flat.dictionary)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+
+        up, cnt = np.unique(doc_idx * vocab + codes, return_counts=True)
+        pair_doc = up // vocab
+        n_words = np.bincount(doc_idx, minlength=n_docs)
+        n_distinct = np.bincount(pair_doc, minlength=n_docs)
+        top_word = np.zeros(n_docs, dtype=np.int64)
+        np.maximum.at(top_word, pair_doc, cnt)
+
+        same = doc_idx[:-1] == doc_idx[1:]  # mask document boundaries
+        bg_doc = doc_idx[:-1][same]
+        bg_code = (codes[:-1] * vocab + codes[1:])[same]
+        ub, inv = np.unique(bg_code, return_inverse=True)
+        nb = max(len(ub), 1)
+        up2, cnt2 = np.unique(bg_doc * nb + inv, return_counts=True)
+        top_bigram = np.zeros(n_docs, dtype=np.int64)
+        np.maximum.at(top_bigram, up2 // nb, cnt2)
+
+        dup_frac = (n_words - n_distinct).astype(np.float64) / n_words
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_words": pa.array(n_words),
+            "n_distinct": pa.array(n_distinct),
+            "top_word_n": pa.array(top_word),
+            "top_bigram_n": pa.array(top_bigram),
+            "dup_word_frac": pa.array(dup_frac),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(rep, batch_format="pyarrow", batch_size=None)
+
+
+@query(
+    "text_lm_score",
+    """
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+vc AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+tot AS (SELECT SUM(c) AS n FROM vc)
+SELECT doc_id, COUNT(*) AS n_words,
+       CAST(ROUND(-1e6 * AVG(ln(vc.c / tot.n))) AS BIGINT) AS nll_micro
+FROM words JOIN vc USING (w) CROSS JOIN tot
+GROUP BY doc_id""",
+)
+def text_lm_score(sf_dir: str):
+    """Corpus-LM quality scoring (CCNet-style perplexity filtering):
+    per-doc mean negative log-likelihood under a unigram LM trained on
+    the corpus itself.
+
+    Two passes, both shuffle-light: (1) global word counts via the
+    hash-partitioned distributed aggregate (vocab-cardinality exchange,
+    not corpus-size); the fitted table — vocab + log-probs, the "model"
+    — is broadcast once via ``ray.put``. (2) every batch scores its own
+    docs: dictionary-encode, one ``np.searchsorted`` vocab lookup, one
+    ``bincount`` segment-sum per doc. At real scale the vocab table is
+    capped top-K + UNK mass (standard LM practice); here the synthetic
+    vocab is tiny so the exact table ships whole.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def words(b: pa.Table) -> pa.Table:
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        flat = split.flatten().dictionary_encode()
+        codes = np.asarray(flat.indices, dtype=np.int64)
+        uc, cnt = np.unique(codes, return_counts=True)
+        return pa.table({
+            "w": flat.dictionary.take(pa.array(uc)),
+            "c": pa.array(cnt, pa.int64()),
+        })
+
+    vc = grouped_aggregate_ds(
+        ds.map_batches(words, batch_format="pyarrow", batch_size=None),
+        ["w"], [("c", "sum", "c")],
+    ).to_pandas()
+    vocab = np.array(vc["w"], dtype=object)
+    order = np.argsort(vocab)
+    vocab = vocab[order]
+    counts = vc["c"].to_numpy()[order].astype(np.float64)
+    logp = np.log(counts / counts.sum())
+    model = (vocab.astype("U"), logp)
+    model_ref = ray.put(model) if ray.is_initialized() else model
+
+    def score(b: pa.Table) -> pa.Table:
+        vocab_, logp_ = (ray.get(model_ref)
+                         if ray.is_initialized() else model_ref)
+        n_docs = b.num_rows
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        lens = np.asarray(pc.list_value_length(split), dtype=np.int64)
+        flat = split.flatten().dictionary_encode()
+        codes = np.asarray(flat.indices, dtype=np.int64)
+        dict_words = np.asarray(flat.dictionary, dtype="U")
+        dict_logp = logp_[np.searchsorted(vocab_, dict_words)]
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        ll = np.bincount(doc_idx, weights=dict_logp[codes],
+                         minlength=n_docs)
+        nll = -ll / np.maximum(lens, 1)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_words": pa.array(lens),
+            "nll_micro": pa.array(np.round(1e6 * nll).astype(np.int64)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------------------------------
