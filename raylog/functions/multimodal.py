@@ -152,7 +152,9 @@ class MediaDecode:
                 "present in this container; install PIL/ffmpeg in the "
                 "cluster image"
             )
-        d = hashlib.blake2b(payload, digest_size=6).digest()
+        # md5 (not blake2b): DuckDB has md5(), so the external oracle
+        # can recompute the fake-kernel outputs bit-for-bit
+        d = hashlib.md5(payload).digest()
         h = 16 + d[0] % 240
         w = 16 + d[1] % 240
         mean = int.from_bytes(d[2:6], "big") / 2**32
@@ -184,8 +186,11 @@ class MediaFeatures:
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = []
         for p in batch["payload"].to_pylist():
-            d = hashlib.blake2b(p, digest_size=self.dim).digest()
-            v = np.frombuffer(d, dtype=np.uint8).astype(np.float32) / 255.0
+            # md5 digest, /256: DuckDB-recomputable, and a power-of-two
+            # denominator keeps every float32 feature value EXACT, so
+            # integer-domain checksums over the features are stable
+            d = hashlib.md5(p).digest()[: self.dim]
+            v = np.frombuffer(d, dtype=np.uint8).astype(np.float32) / 256.0
             feats.append(v.tolist())
         return batch.append_column(
             "features", pa.array(feats, pa.list_(pa.float32()))

@@ -934,13 +934,40 @@ def embed_kmeans(sf_dir: str):
     return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
 
 
-@query("mm_media_features", None)  # rows-only: binary plumbing, no SQL analog
+@query(
+    "mm_media_features",
+    """
+WITH h AS (
+  SELECT doc_id, md5(text) AS m,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+)
+SELECT doc_id,
+       'application/octet-stream' AS mime,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(16 + CAST('0x' || substr(m, 1, 2) AS INT) % 240 AS INTEGER)
+         AS height,
+       CAST(16 + CAST('0x' || substr(m, 3, 2) AS INT) % 240 AS INTEGER)
+         AS width,
+       CAST((1000 * (CAST('0x' || substr(m, 1, 2) AS BIGINT)
+                   + CAST('0x' || substr(m, 3, 2) AS BIGINT)
+                   + CAST('0x' || substr(m, 5, 2) AS BIGINT)
+                   + CAST('0x' || substr(m, 7, 2) AS BIGINT)
+                   + CAST('0x' || substr(m, 9, 2) AS BIGINT)
+                   + CAST('0x' || substr(m, 11, 2) AS BIGINT)
+                   + CAST('0x' || substr(m, 13, 2) AS BIGINT)
+                   + CAST('0x' || substr(m, 15, 2) AS BIGINT)))
+            // 256 AS BIGINT) AS feat_milli_sum
+FROM h""",
+)
 def mm_media_features(sf_dir: str):
     """Multimodal plumbing: binary payload -> actor-pool decode (fake
-    kernel) -> fixed-dim feature vector; returns typed metadata + feature
-    checksum per row."""
+    kernel) -> fixed-dim feature vector; returns typed metadata + a
+    feature checksum per row. SQL-oracled (VERDICT r3 #9): the fake
+    kernels digest with md5 (DuckDB-recomputable) and features are
+    digest bytes / 256 — exact in float32 — so floor(1000·Σfeatures)
+    is pure integer arithmetic on both sides."""
     import numpy as np
-    import pyarrow.compute as pc
     import ray.data as rd
 
     from raylog.functions.multimodal import media_pipeline
@@ -950,8 +977,10 @@ def mm_media_features(sf_dir: str):
 
     def proj(b: pa.Table) -> pa.Table:
         feats = b["features"].to_pylist()
+        # each feature is k/256 (exact in f32/f64), so 1000·Σ is an
+        # exact f64 rational and floor matches SQL // exactly
         fsum = pa.array(
-            [int(np.round(1000 * sum(f))) for f in feats], pa.int64()
+            [int(np.floor(1000 * sum(f))) for f in feats], pa.int64()
         )
         return pa.table({
             "doc_id": b["doc_id"],
@@ -965,7 +994,24 @@ def mm_media_features(sf_dir: str):
     return out.map_batches(proj, batch_format="pyarrow", batch_size=None)
 
 
-@query("mm_frame_sample", None)  # rows-only: binary plumbing, no SQL analog
+@query(
+    "mm_frame_sample",
+    """
+WITH d AS (
+  SELECT doc_id, octet_length(encode(text)) AS L FROM documents
+), s AS (
+  SELECT doc_id, L, GREATEST(1, L // 4) AS step FROM d
+), f AS (
+  SELECT doc_id, L, step, i AS frame_idx
+  FROM s, UNNEST(generate_series(0, 3)) AS t(i)
+)
+SELECT doc_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(CASE WHEN L - frame_idx * step <= 0 THEN 1
+                 ELSE LEAST(step, L - frame_idx * step) END AS BIGINT)
+         AS frame_bytes
+FROM f""",
+)
 def mm_frame_sample(sf_dir: str):
     """Multimodal video plumbing: payload → per-frame exploded rows
     (doc_id, frame_idx, frame bytes) via an actor-pool sampler with

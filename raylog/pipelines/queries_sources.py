@@ -24,21 +24,88 @@ from raylog.stages import route
 # ECI sidecar pipeline variant + raw log-file sources
 # --------------------------------------------------------------------------
 
-@query("mm_real_decode", None)  # binary payloads: no SQL restatement
+@query(
+    "mm_real_decode",
+    """
+WITH img AS (
+  SELECT doc_id, 8 + doc_id % 25 AS h, 8 + doc_id % 31 AS w
+  FROM documents
+), px AS (
+  SELECT i.doc_id, i.h, i.w,
+         SUM( (x.x * 8 + i.doc_id) % 256
+            + (y.y * 8 + i.doc_id // 2) % 256
+            + (x.x + y.y + i.doc_id) % 256 ) AS s
+  FROM img i,
+       LATERAL (SELECT unnest(generate_series(0, i.h - 1)) AS y) y,
+       LATERAL (SELECT unnest(generate_series(0, i.w - 1)) AS x) x
+  GROUP BY 1, 2, 3
+), wav AS (
+  SELECT doc_id, 256 + doc_id % 512 AS n FROM documents
+), amp AS (
+  SELECT w.doc_id, w.n,
+         SUM(ABS(((t.t * (2654435761 + w.doc_id)) // 128) % 65536
+                 - 32768)) AS s
+  FROM wav w,
+       LATERAL (SELECT unnest(generate_series(0, w.n - 1)) AS t) t
+  GROUP BY 1, 2
+)
+SELECT doc_id, 'image/x-portable-pixmap' AS mime,
+       CAST(h AS INTEGER) AS height, CAST(w AS INTEGER) AS width,
+       CAST((1000 * s) // (255 * h * w * 3) AS BIGINT) AS mean_milli
+FROM px
+UNION ALL
+SELECT doc_id, 'audio/wav', CAST(1 AS INTEGER), CAST(n AS INTEGER),
+       CAST((1000 * s) // (32768 * n) AS BIGINT)
+FROM amp""",
+)
 def mm_real_decode(sf_dir: str):
     """REAL multimodal decode path: deterministic P6 images + PCM16 WAV
     payloads decoded with pure numpy/stdlib codecs (no PIL/ffmpeg) —
-    true dimensions, pixel means, nearest-neighbor resize. Exact decode
-    values asserted in tests/test_codecs.py."""
+    true dimensions, pixel/amplitude means, nearest-neighbor resize.
+    SQL-oracled (VERDICT r3 #9): the synthesized pixels/samples are
+    integer functions of doc_id, so the oracle regenerates them with
+    generate_series and compares an integer mean (floor of 1000× the
+    exact rational; the decoded float mean recovers its integer
+    numerator exactly — sums ≪ 2^53). Exact float decode values are
+    additionally asserted in tests/test_codecs.py."""
+    import numpy as np
     import ray.data as rd
 
     from raylog.functions.multimodal import media_pipeline_real
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id"])
+
+    def proj(kind):
+        def f(b: pa.Table) -> pa.Table:
+            h = np.asarray(b["height"].combine_chunks(),
+                           dtype=np.int64)
+            w = np.asarray(b["width"].combine_chunks(), dtype=np.int64)
+            mean = np.asarray(b["mean_px"].combine_chunks(),
+                              dtype=np.float64)
+            if kind == "image":
+                denom = 255 * h * w * 3
+                num = np.round(mean * denom).astype(np.int64)
+            else:
+                denom = 32768 * w  # width = n_samples, height = 1
+                num = np.round(mean * denom).astype(np.int64)
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "mime": b["mime"],
+                "height": b["height"],
+                "width": b["width"],
+                "mean_milli": pa.array(1000 * num // denom),
+            })
+
+        return f
+
     cols = ["doc_id", "mime", "height", "width", "mean_px"]
-    img = media_pipeline_real(docs, kind="image").select_columns(cols)
-    wav = media_pipeline_real(docs, kind="audio").select_columns(cols)
+    img = media_pipeline_real(docs, kind="image").select_columns(
+        cols).map_batches(proj("image"), batch_format="pyarrow",
+                          batch_size=None)
+    wav = media_pipeline_real(docs, kind="audio").select_columns(
+        cols).map_batches(proj("audio"), batch_format="pyarrow",
+                          batch_size=None)
     return img.union(wav)
 
 
