@@ -1001,6 +1001,72 @@ class TestPQ:
         assert set(t.column_names) == {"vec_id", "codes", "list_id"}
         assert len(t["codes"][0].as_py()) == 32  # m bytes per vector
 
+    @staticmethod
+    def _clustered_embeddings(n_clusters=12, per=200, dim=64, seed=5):
+        """Mixture-of-Gaussians fixture — the regime PQ is built for
+        (real embedding spaces are clustered; the random-vector fixture
+        above is PQ's worst case and its 0.5-0.8 recall is documented
+        there)."""
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        centers = rng.normal(0, 1, (n_clusters, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        mat = np.repeat(centers, per, axis=0) + rng.normal(
+            0, 0.08, (n_clusters * per, dim))
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        return pa.table({
+            "vec_id": pa.array(range(len(mat)), pa.int64()),
+            "embedding": pa.array(mat.tolist(), pa.list_(pa.float64())),
+        })
+
+    def test_pq_recall_on_clustered_vectors(self, ray_session):
+        """VERDICT r3 #10: on clustered embeddings (where PQ is meant
+        to operate) recall@10 vs brute must reach >=0.9. Raw ADC with
+        m=32/ks=64 measures 0.62 here (within-cluster neighbors differ
+        by less than the quantization error), m=64/ks=256 reaches 0.88;
+        the tuned configuration is ADC + exact re-rank of the top-50
+        shortlist (rerank=50) — the standard FAISS second stage."""
+        from raylog.functions.similarity import ann_brute_topk, ann_pq_topk
+
+        tbl = self._clustered_embeddings()
+        ds = rd.from_arrow(tbl)
+        qids = [0, 250, 500, 750, 1000]
+        brute = ann_brute_topk(ds, query_ids=qids, k=10).to_pandas()
+        pq = ann_pq_topk(ds, query_ids=qids, k=10, m=32, ks=64,
+                         rerank=50).to_pandas()
+        recalls = []
+        for q in qids:
+            b = set(brute[brute.query_id == q].neighbor_id)
+            p = set(pq[pq.query_id == q].neighbor_id)
+            recalls.append(len(b & p) / len(b))
+        assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+    def test_ivfpq_recall_on_clustered_vectors(self, ray_session,
+                                               tmp_path):
+        """Same fixture through the full IVFPQ path (coarse quantizer +
+        residual codes): recall@10 >= 0.9 with nprobe=4 of 8 lists.
+        Raw residual-ADC measures 0.70 (m=32/ks=64) to 0.88 (m=64/
+        ks=256) here — quantization-limited, not probe-limited — so the
+        tuned configuration adds the exact top-50 re-rank stage."""
+        from raylog.functions.similarity import (ann_brute_topk,
+                                                 ann_ivfpq_topk)
+
+        tbl = self._clustered_embeddings()
+        ds = rd.from_arrow(tbl)
+        qids = [0, 250, 500, 750, 1000]
+        brute = ann_brute_topk(ds, query_ids=qids, k=10).to_pandas()
+        got = ann_ivfpq_topk(ds, query_ids=qids, k=10,
+                             index_dir=str(tmp_path / "ivfpq_c"),
+                             n_clusters=8, m=32, ks=64,
+                             nprobe=4, rerank=50).to_pandas()
+        recalls = []
+        for q in qids:
+            b = set(brute[brute.query_id == q].neighbor_id)
+            g = set(got[got.query_id == q].neighbor_id)
+            recalls.append(len(b & g) / len(b))
+        assert sum(recalls) / len(recalls) >= 0.9, recalls
+
 
 class TestAdviceR3:
     """Regression coverage for the round-3 ADVICE findings."""
