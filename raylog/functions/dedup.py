@@ -1717,3 +1717,99 @@ def snapshot_diff(
 
     return partitioned_group_apply(both, [id_col], resolve,
                                    num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+# algorithm): from each doc's k-gram hash sequence, select the RIGHTMOST
+# MINIMUM of every w-gram window. Guarantees any shared run of w+k-1
+# tokens yields at least one shared fingerprint, with expected density
+# 2/(w+1) — the standard sub-sampled fingerprint set for plagiarism /
+# near-dup detection at scale. Variant here: windows CLIPPED at the doc
+# start (every gram position ends a window), mirrored exactly by the
+# SQL oracle. Map-only: grams never leave their batch; output is one
+# row per document.
+# ---------------------------------------------------------------------------
+
+WINNOW_B = np.int64(1_000_003)
+WINNOW_P = np.int64(2_147_483_647)  # 2^31-1: Horner steps stay in int64
+
+
+def winnow_batch(batch: pa.Table, id_col: str = "doc_id",
+                 token_col: str = "tokens", k: int = 3,
+                 w: int = 4) -> pa.Table:
+    """(doc_id, n_grams, n_fp, fp_sum) per doc with ≥ k tokens.
+
+    Gram hash = Horner polynomial of k token ids mod 2^31−1 (the same
+    integer arithmetic an ANSI-SQL oracle can evaluate); selection is
+    fully vectorized — w−1 shifted ``np.minimum`` passes give every
+    window's min, a cascade of w equality tests picks the rightmost
+    argmin, and a flat unique over selected gram indices dedups across
+    overlapping windows. fp_sum = Σ h·(pos+1) over the selected set
+    (order- and value-sensitive checksum).
+    """
+    ids = np.asarray(batch[id_col].combine_chunks(), dtype=np.int64)
+    toks = batch[token_col]
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    off = np.asarray(toks.offsets, dtype=np.int64)
+    flat = np.asarray(toks.values, dtype=np.int64)[off[0]: off[-1]]
+    off = off - off[0]
+    lens = np.diff(off)
+    n_docs = len(lens)
+    total = int(off[-1]) if len(off) else 0
+
+    # Horner gram hash over k shifts of the flat token stream
+    g = np.zeros(total, dtype=np.int64)
+    for j in range(k):
+        shifted = np.empty(total, dtype=np.int64)
+        shifted[: total - j] = flat[j:]
+        shifted[total - j:] = 0
+        g = (g * WINNOW_B + shifted) % WINNOW_P
+    pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(off[:-1], lens)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    n_grams = np.maximum(lens - k + 1, 0)
+    valid = pos_in_doc < np.repeat(n_grams, lens)
+
+    h = g[valid]
+    gpos = pos_in_doc[valid]            # gram index within its doc
+    gdoc = doc_idx[valid]
+    n = len(h)
+    if n == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "n_grams": pa.array([], pa.int64()),
+                         "n_fp": pa.array([], pa.int64()),
+                         "fp_sum": pa.array([], pa.int64())})
+
+    # window min over up to w grams ending at each position (clipped at
+    # the doc start; grams are contiguous per doc in flat order, so a
+    # shift by o stays inside the doc exactly when gpos >= o)
+    mn = h.copy()
+    shifts = []
+    for o in range(1, w):
+        sh = np.full(n, WINNOW_P, dtype=np.int64)
+        sh[o:] = h[:-o]
+        sh[gpos < o] = WINNOW_P      # crossing a doc boundary
+        shifts.append(sh)
+        np.minimum(mn, sh, out=mn)
+    # rightmost argmin: smallest offset o whose value equals the min
+    chosen = np.full(n, w, dtype=np.int64)
+    cand = h == mn
+    chosen[cand] = 0
+    for o in range(1, w):
+        cand = (chosen == w) & (shifts[o - 1] == mn)
+        chosen[cand] = o
+    sel_idx = np.unique(np.arange(n, dtype=np.int64) - chosen)
+    sel_h = h[sel_idx]
+    sel_pos = gpos[sel_idx]
+    sel_doc = gdoc[sel_idx]
+
+    n_fp = np.bincount(sel_doc, minlength=n_docs)
+    fp_sum = np.bincount(sel_doc, weights=(sel_h * (sel_pos + 1)).astype(
+        np.float64), minlength=n_docs).astype(np.int64)
+    keep = n_grams > 0
+    return pa.table({
+        id_col: pa.array(ids[keep]),
+        "n_grams": pa.array(n_grams[keep]),
+        "n_fp": pa.array(n_fp[keep]),
+        "fp_sum": pa.array(fp_sum[keep]),
+    })

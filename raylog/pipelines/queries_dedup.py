@@ -522,6 +522,67 @@ def dedup_token_substring(sf_dir: str):
 
 
 @query(
+    "dedup_winnow_fingerprints",
+    _P() + """
+, g0 AS (
+  SELECT doc_id, i AS pos,
+         CAST(tokens[CAST(i AS INT) + 1] AS BIGINT) AS t0,
+         CAST(tokens[CAST(i AS INT) + 2] AS BIGINT) AS t1,
+         CAST(tokens[CAST(i AS INT) + 3] AS BIGINT) AS t2
+  FROM recs2, LATERAL (
+    SELECT unnest(generate_series(0, len(tokens) - 3)) AS i
+  ) s
+  WHERE len(tokens) >= 3
+), grams AS (
+  SELECT doc_id, pos,
+         ((t0 * 1000003 + t1) % 2147483647 * 1000003 + t2)
+           % 2147483647 AS h
+  FROM g0
+), wins AS (
+  SELECT doc_id, pos AS e,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mn
+  FROM grams
+), picked AS (
+  SELECT w.doc_id, w.e, MAX(g.pos) AS spos
+  FROM wins w
+  JOIN grams g
+    ON g.doc_id = w.doc_id
+   AND g.pos BETWEEN w.e - 3 AND w.e
+   AND g.h = w.mn
+  GROUP BY 1, 2
+), sel AS (
+  SELECT DISTINCT p.doc_id, p.spos, g.h
+  FROM picked p JOIN grams g
+    ON g.doc_id = p.doc_id AND g.pos = p.spos
+), ng AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1
+)
+SELECT s.doc_id,
+       CAST(ng.n_grams AS BIGINT) AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_fp,
+       CAST(SUM(s.h * (s.spos + 1)) AS BIGINT) AS fp_sum
+FROM sel s JOIN ng USING (doc_id)
+GROUP BY 1, 2""",
+)
+def dedup_winnow_fingerprints(sf_dir: str):
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    MOSS plagiarism-detection scheme): select the rightmost minimum of
+    every 4-window of token-3-gram Horner hashes (mod 2^31−1, exactly
+    SQL-evaluable), clipped at the doc start. The selected set is the
+    standard density-2/(w+1) sub-sampled fingerprint family for
+    near-dup detection at scale; this query materializes per-doc
+    fingerprint counts + a position-weighted checksum. Map-only: grams
+    never leave their batch, zero exchange, one output row per doc."""
+    from raylog.functions.dedup import winnow_batch
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["doc_id", "tokens"])
+    return ds.map_batches(winnow_batch, batch_format="pyarrow",
+                          batch_size=None)
+
+
+@query(
     "dedup_exact_sequences",
     _P() + """
 SELECT MIN(doc_id) AS doc_id FROM recs2 GROUP BY tokens""",

