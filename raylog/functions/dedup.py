@@ -1735,18 +1735,15 @@ WINNOW_B = np.int64(1_000_003)
 WINNOW_P = np.int64(2_147_483_647)  # 2^31-1: Horner steps stay in int64
 
 
-def winnow_batch(batch: pa.Table, id_col: str = "doc_id",
-                 token_col: str = "tokens", k: int = 3,
-                 w: int = 4) -> pa.Table:
-    """(doc_id, n_grams, n_fp, fp_sum) per doc with ≥ k tokens.
-
-    Gram hash = Horner polynomial of k token ids mod 2^31−1 (the same
-    integer arithmetic an ANSI-SQL oracle can evaluate); selection is
-    fully vectorized — w−1 shifted ``np.minimum`` passes give every
-    window's min, a cascade of w equality tests picks the rightmost
-    argmin, and a flat unique over selected gram indices dedups across
-    overlapping windows. fp_sum = Σ h·(pos+1) over the selected set
-    (order- and value-sensitive checksum).
+def _winnow_select(batch: pa.Table, id_col: str, token_col: str,
+                   k: int, w: int):
+    """Shared winnowing core → (ids, n_grams, sel_doc, sel_pos,
+    sel_h): the selected fingerprint set per doc, fully vectorized —
+    w−1 shifted ``np.minimum`` passes give every clipped window's min,
+    a cascade of w equality tests picks the rightmost argmin, and a
+    flat unique over selected gram indices dedups across overlapping
+    windows. Gram hash = Horner polynomial of k token ids mod 2^31−1
+    (the same integer arithmetic an ANSI-SQL oracle can evaluate).
     """
     ids = np.asarray(batch[id_col].combine_chunks(), dtype=np.int64)
     toks = batch[token_col]
@@ -1774,11 +1771,9 @@ def winnow_batch(batch: pa.Table, id_col: str = "doc_id",
     gpos = pos_in_doc[valid]            # gram index within its doc
     gdoc = doc_idx[valid]
     n = len(h)
+    z = np.zeros(0, dtype=np.int64)
     if n == 0:
-        return pa.table({id_col: pa.array([], pa.int64()),
-                         "n_grams": pa.array([], pa.int64()),
-                         "n_fp": pa.array([], pa.int64()),
-                         "fp_sum": pa.array([], pa.int64())})
+        return ids, n_grams, z, z, z
 
     # window min over up to w grams ending at each position (clipped at
     # the doc start; grams are contiguous per doc in flat order, so a
@@ -1799,10 +1794,19 @@ def winnow_batch(batch: pa.Table, id_col: str = "doc_id",
         cand = (chosen == w) & (shifts[o - 1] == mn)
         chosen[cand] = o
     sel_idx = np.unique(np.arange(n, dtype=np.int64) - chosen)
-    sel_h = h[sel_idx]
-    sel_pos = gpos[sel_idx]
-    sel_doc = gdoc[sel_idx]
+    return ids, n_grams, gdoc[sel_idx], gpos[sel_idx], h[sel_idx]
 
+
+def winnow_batch(batch: pa.Table, id_col: str = "doc_id",
+                 token_col: str = "tokens", k: int = 3,
+                 w: int = 4) -> pa.Table:
+    """(doc_id, n_grams, n_fp, fp_sum) per doc with ≥ k tokens —
+    the per-document fingerprint-summary form of :func:`_winnow_select`.
+    fp_sum = Σ h·(pos+1) over the selected set (order- and
+    value-sensitive checksum)."""
+    ids, n_grams, sel_doc, sel_pos, sel_h = _winnow_select(
+        batch, id_col, token_col, k, w)
+    n_docs = len(ids)
     n_fp = np.bincount(sel_doc, minlength=n_docs)
     fp_sum = np.bincount(sel_doc, weights=(sel_h * (sel_pos + 1)).astype(
         np.float64), minlength=n_docs).astype(np.int64)
@@ -1813,3 +1817,95 @@ def winnow_batch(batch: pa.Table, id_col: str = "doc_id",
         "n_fp": pa.array(n_fp[keep]),
         "fp_sum": pa.array(fp_sum[keep]),
     })
+
+
+def winnow_fingerprint_rows(batch: pa.Table, id_col: str = "doc_id",
+                            token_col: str = "tokens", k: int = 3,
+                            w: int = 4) -> pa.Table:
+    """(fp, doc_id, dlen) rows — each doc's DISTINCT selected
+    fingerprint hashes plus its distinct-fp count, the inverted-index
+    feed for :func:`winnow_pairs` (a doc can select the same hash at
+    two positions; the pair count needs set semantics)."""
+    ids, _, sel_doc, _, sel_h = _winnow_select(batch, id_col, token_col,
+                                               k, w)
+    if len(sel_doc):
+        order = np.lexsort((sel_h, sel_doc))
+        d_s, h_s = sel_doc[order], sel_h[order]
+        keep = np.empty(len(d_s), dtype=bool)
+        keep[0] = True
+        keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        d_s, h_s = d_s[keep], h_s[keep]
+    else:
+        d_s = h_s = sel_doc
+    dlen = np.bincount(d_s, minlength=len(ids)) if len(d_s) else \
+        np.zeros(len(ids), dtype=np.int64)
+    return pa.table({
+        "fp": pa.array(h_s),
+        "doc_id": pa.array(ids[d_s]),
+        "dlen": pa.array(dlen[d_s]),
+    })
+
+
+def winnow_pairs(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    token_col: str = "tokens",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    min_jacc_milli: int = 0,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Near-dup candidate pairs from SHARED WINNOWED FINGERPRINTS —
+    the MOSS pairing step, and the cheap exact-arithmetic complement to
+    :func:`minhash_lsh_pairs`: the inverted index is built over the
+    density-2/(w+1) winnowed subset instead of every shingle, so the
+    exchange is ~2/(w+1) of :func:`ngram_jaccard_pairs`' posting volume
+    while the winnowing guarantee still surfaces every pair sharing a
+    run of w+k−1 tokens.
+
+    Same count-based finish as the exact path: per-doc distinct-fp
+    sizes ride the posting rows, |A∩B| over fp SETS is the grouped
+    count of the intra-bucket pair enumeration, and the winnowed-set
+    Jaccard finishes map-only: jacc_milli = 1000·c // (|A|+|B|−c).
+    Output: (doc_a, doc_b, shared, jacc_milli) with shared ≥
+    ``min_shared``. Deterministic integer arithmetic end to end — the
+    DuckDB oracle reproduces it exactly.
+    """
+    from raylog.functions.agg import (grouped_aggregate_ds,
+                                      partitioned_group_apply)
+
+    rows = ds.map_batches(
+        winnow_fingerprint_rows,
+        fn_kwargs=dict(id_col=id_col, token_col=token_col, k=k, w=w),
+        batch_format="pyarrow", batch_size=None,
+    )
+    pair_rows = partitioned_group_apply(
+        rows, ["fp"],
+        lambda part: _intra_bucket_pairs(part, ["fp"], payload_col="dlen"),
+        num_partitions=num_partitions,
+    )
+    counted = grouped_aggregate_ds(
+        pair_rows, ["doc_a", "doc_b", "len_a", "len_b"],
+        [("doc_a", "count", "shared")], num_partitions=num_partitions,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        c = np.asarray(b["shared"].combine_chunks(), dtype=np.int64)
+        la = np.asarray(b["len_a"].combine_chunks(), dtype=np.int64)
+        lb = np.asarray(b["len_b"].combine_chunks(), dtype=np.int64)
+        denom = la + lb - c
+        jm = (1000 * c) // denom
+        keep = (c >= min_shared) & (jm >= min_jacc_milli)
+        da = np.asarray(b["doc_a"].combine_chunks(), dtype=np.int64)
+        db = np.asarray(b["doc_b"].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "doc_a": pa.array(da[keep]),
+            "doc_b": pa.array(db[keep]),
+            "shared": pa.array(c[keep]),
+            "jacc_milli": pa.array(jm[keep]),
+        })
+
+    return counted.map_batches(finalize, batch_format="pyarrow",
+                               batch_size=None)

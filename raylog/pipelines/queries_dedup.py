@@ -583,6 +583,71 @@ def dedup_winnow_fingerprints(sf_dir: str):
 
 
 @query(
+    "dedup_winnow_pairs",
+    _P() + """
+, g0 AS (
+  SELECT doc_id, i AS pos,
+         CAST(tokens[CAST(i AS INT) + 1] AS BIGINT) AS t0,
+         CAST(tokens[CAST(i AS INT) + 2] AS BIGINT) AS t1,
+         CAST(tokens[CAST(i AS INT) + 3] AS BIGINT) AS t2
+  FROM recs2, LATERAL (
+    SELECT unnest(generate_series(0, len(tokens) - 3)) AS i
+  ) s
+  WHERE len(tokens) >= 3
+), grams AS (
+  SELECT doc_id, pos,
+         ((t0 * 1000003 + t1) % 2147483647 * 1000003 + t2)
+           % 2147483647 AS h
+  FROM g0
+), wins AS (
+  SELECT doc_id, pos AS e,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mn
+  FROM grams
+), picked AS (
+  SELECT w.doc_id, w.e, MAX(g.pos) AS spos
+  FROM wins w
+  JOIN grams g
+    ON g.doc_id = w.doc_id
+   AND g.pos BETWEEN w.e - 3 AND w.e
+   AND g.h = w.mn
+  GROUP BY 1, 2
+), sel AS (
+  SELECT DISTINCT p.doc_id, g.h
+  FROM picked p JOIN grams g
+    ON g.doc_id = p.doc_id AND g.pos = p.spos
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dlen FROM sel GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, CAST(p.shared AS BIGINT) AS shared,
+       CAST((1000 * p.shared) // (da.dlen + db.dlen - p.shared)
+            AS BIGINT) AS jacc_milli
+FROM pairs p
+JOIN dl da ON da.doc_id = p.doc_a
+JOIN dl db ON db.doc_id = p.doc_b
+WHERE p.shared >= 2
+  AND (1000 * p.shared) // (da.dlen + db.dlen - p.shared) >= 300""",
+)
+def dedup_winnow_pairs(sf_dir: str):
+    """Near-dup candidate pairs from shared winnowed fingerprints (the
+    MOSS pairing step): docs sharing ≥ 2 selected fingerprint hashes,
+    with the winnowed-set Jaccard. The inverted index holds only the
+    density-2/(w+1) winnowed subset — ~2/(w+1) of the exact ngram-pair
+    path's posting exchange — while the winnowing guarantee still
+    surfaces every pair sharing a w+k−1-token run. Integer arithmetic
+    end to end; the oracle replays selection + pairing in SQL."""
+    from raylog.functions.dedup import winnow_pairs
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["doc_id", "tokens"])
+    return winnow_pairs(ds, min_shared=2, min_jacc_milli=300)
+
+
+@query(
     "dedup_exact_sequences",
     _P() + """
 SELECT MIN(doc_id) AS doc_id FROM recs2 GROUP BY tokens""",

@@ -1331,3 +1331,59 @@ class TestWinnowing:
                         "tokens": pa.array([a, b], pa.list_(pa.int32()))})
         out = winnow_batch(tbl)
         assert out.num_rows == 2
+
+    def test_winnow_pairs_matches_bruteforce(self, ray_session):
+        """winnow_pairs == a literal python pairing of the scalar
+        reference's fingerprint sets (near-dup docs share spans)."""
+        import itertools
+
+        import numpy as np
+
+        from raylog.functions.dedup import (WINNOW_B, WINNOW_P,
+                                            winnow_pairs)
+
+        rng = np.random.default_rng(13)
+        tokens = []
+        for _ in range(40):
+            base = rng.integers(0, 30, 25).tolist()
+            tokens.append(base)
+            mut = list(base)
+            mut[5] = int(rng.integers(0, 30))
+            tokens.append(mut)
+        tbl = pa.table({
+            "doc_id": pa.array(range(len(tokens)), pa.int64()),
+            "tokens": pa.array(tokens, pa.list_(pa.int32())),
+        })
+        got = winnow_pairs(rd.from_arrow(tbl), min_shared=2,
+                           min_jacc_milli=300,
+                           num_partitions=4).to_pandas()
+        got_rows = {(r.doc_a, r.doc_b): (r.shared, r.jacc_milli)
+                    for r in got.itertuples()}
+
+        B, P = int(WINNOW_B), int(WINNOW_P)
+
+        def fps(toks):
+            hs = []
+            for i in range(len(toks) - 2):
+                h = 0
+                for t in toks[i:i + 3]:
+                    h = (h * B + int(t)) % P
+                hs.append(h)
+            sel = set()
+            for e in range(len(hs)):
+                s = max(0, e - 3)
+                m = min(hs[s:e + 1])
+                sel.add(max(q for q in range(s, e + 1) if hs[q] == m))
+            return {hs[p] for p in sel}
+
+        sets = [fps(t) for t in tokens]
+        want = {}
+        for a, b in itertools.combinations(range(len(tokens)), 2):
+            c = len(sets[a] & sets[b])
+            if c < 2:
+                continue
+            jm = 1000 * c // (len(sets[a]) + len(sets[b]) - c)
+            if jm >= 300:
+                want[(a, b)] = (c, jm)
+        assert got_rows == want
+        assert len(want) > 20  # the mutated copies actually pair up
