@@ -279,3 +279,57 @@ def dedup_sequences(ds: rd.Dataset, *, id_col: str = "doc_id",
         num_partitions=num_partitions)
     return kept.map_batches(lambda b: b.select([id_col]),
                             batch_format="pyarrow", batch_size=None)
+
+
+def repetition_fraction_batch(batch: pa.Table, id_col: str = "doc_id",
+                              list_col: str = "tokens", n: int = 3,
+                              base: int = 1 << 21) -> pa.Table:
+    """Within-document repeated-n-gram fraction — the Gopher-style
+    degenerate-text filter signal (Rae et al. 2021 §A2: drop docs whose
+    duplicate n-gram share is high). Per doc: n_grams, n_distinct, and
+    rep_milli = 1000·(n_grams − n_distinct) // n_grams.
+
+    Gram identity is EXACT (not hashed): n token ids pack into one
+    int64 positionally (token < 2^21, n ≤ 3 ⇒ key < 2^63), so the SQL
+    oracle reproduces distinct counts with zero collision risk.
+    Map-only, zero exchange, one output row per doc with ≥ n tokens.
+    """
+    ids = np.asarray(batch[id_col].combine_chunks(), dtype=np.int64)
+    toks = batch[list_col]
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    off = np.asarray(toks.offsets, dtype=np.int64)
+    flat = np.asarray(toks.values, dtype=np.int64)[off[0]: off[-1]]
+    off = off - off[0]
+    lens = np.diff(off)
+    total = int(off[-1]) if len(off) else 0
+    n_docs = len(lens)
+
+    key = np.zeros(total, dtype=np.int64)
+    for j in range(n):
+        shifted = np.empty(total, dtype=np.int64)
+        shifted[: total - j] = flat[j:]
+        shifted[total - j:] = 0
+        key = key * base + shifted
+    pos = np.arange(total, dtype=np.int64) - np.repeat(off[:-1], lens)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    n_grams = np.maximum(lens - n + 1, 0)
+    valid = pos < np.repeat(n_grams, lens)
+    g_doc, g_key = doc_idx[valid], key[valid]
+
+    order = np.lexsort((g_key, g_doc))
+    d_s, k_s = g_doc[order], g_key[order]
+    first = np.empty(len(d_s), dtype=bool)
+    if len(d_s):
+        first[0] = True
+        first[1:] = (d_s[1:] != d_s[:-1]) | (k_s[1:] != k_s[:-1])
+    n_distinct = np.bincount(d_s[first], minlength=n_docs) if len(d_s) \
+        else np.zeros(n_docs, dtype=np.int64)
+    keep = n_grams > 0
+    ng = n_grams[keep]
+    nd = n_distinct[keep]
+    return pa.table({
+        id_col: pa.array(ids[keep]),
+        "n_grams": pa.array(ng),
+        "n_distinct": pa.array(nd),
+        "rep_milli": pa.array(1000 * (ng - nd) // ng),
+    })

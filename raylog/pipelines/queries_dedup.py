@@ -583,6 +583,41 @@ def dedup_winnow_fingerprints(sf_dir: str):
 
 
 @query(
+    "tokens_repetition_fraction",
+    _P() + """
+, g AS (
+  SELECT doc_id,
+         CAST(tokens[CAST(i AS INT) + 1] AS BIGINT) * 4398046511104
+         + CAST(tokens[CAST(i AS INT) + 2] AS BIGINT) * 2097152
+         + CAST(tokens[CAST(i AS INT) + 3] AS BIGINT) AS key
+  FROM recs2, LATERAL (
+    SELECT unnest(generate_series(0, len(tokens) - 3)) AS i
+  ) s
+  WHERE len(tokens) >= 3
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(DISTINCT key) AS BIGINT) AS n_distinct,
+       CAST((1000 * (COUNT(*) - COUNT(DISTINCT key))) // COUNT(*)
+            AS BIGINT) AS rep_milli
+FROM g GROUP BY 1""",
+)
+def tokens_repetition_fraction(sf_dir: str):
+    """Within-document repeated-trigram fraction over the token payload
+    — the Gopher-style degenerate-text filter (Rae et al. 2021 §A2).
+    Gram identity is exact positional packing (token < 2^21 into one
+    int64, 2^21·2^21 = 4398046511104/2097152 multipliers), so the
+    DuckDB DISTINCT oracle matches with zero collision risk. Map-only:
+    zero exchange, one row per doc."""
+    from raylog.functions.tokens import repetition_fraction_batch
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["doc_id", "tokens"])
+    return ds.map_batches(repetition_fraction_batch,
+                          batch_format="pyarrow", batch_size=None)
+
+
+@query(
     "dedup_winnow_pairs",
     _P() + """
 , g0 AS (

@@ -138,3 +138,34 @@ class TestSequenceDedup:
         h = sequence_hash_columns(tbl)
         pairs = list(zip(h["seq_h1"].to_pylist(), h["seq_h2"].to_pylist()))
         assert len(set(pairs)) == len(pairs)  # all distinct
+
+
+def test_repetition_fraction_scalar_reference():
+    """Vectorized repeated-trigram fraction == literal per-doc python,
+    including all-repeat, no-repeat, and too-short edges."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raylog.functions.tokens import repetition_fraction_batch
+
+    rng = np.random.default_rng(9)
+    tokens = [rng.integers(0, 5, rng.integers(1, 30)).tolist()
+              for _ in range(200)]
+    tokens += [[7] * 20, list(range(20)), [1, 2]]  # edges
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(tokens)), pa.int64()),
+        "tokens": pa.array(tokens, pa.list_(pa.int32())),
+    })
+    out = repetition_fraction_batch(tbl)
+    got = {r["doc_id"]: (r["n_grams"], r["n_distinct"], r["rep_milli"])
+           for r in out.to_pylist()}
+    for i, toks in enumerate(tokens):
+        grams = [tuple(toks[j:j + 3]) for j in range(len(toks) - 2)]
+        if not grams:
+            assert i not in got
+            continue
+        nd = len(set(grams))
+        assert got[i] == (len(grams), nd,
+                          1000 * (len(grams) - nd) // len(grams))
+    assert got[len(tokens) - 3][2] == 1000 * (18 - 1) // 18  # all-repeat
+    assert got[len(tokens) - 2][2] == 0                      # no repeats
