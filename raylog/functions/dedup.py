@@ -1855,6 +1855,7 @@ def winnow_pairs(
     w: int = 4,
     min_shared: int = 2,
     min_jacc_milli: int = 0,
+    max_postings: int | None = None,
     num_partitions: int = 8,
 ) -> rd.Dataset:
     """Near-dup candidate pairs from SHARED WINNOWED FINGERPRINTS —
@@ -1881,9 +1882,15 @@ def winnow_pairs(
         fn_kwargs=dict(id_col=id_col, token_col=token_col, k=k, w=w),
         batch_format="pyarrow", batch_size=None,
     )
+    # hot-fingerprint guard for the candidate-generator regime: a
+    # boilerplate fingerprint shared by m docs costs m²/2 pairs, so at
+    # corpus scale cap bucket size (capped buckets lose their tally
+    # contribution → shared counts become a lower bound; candidate
+    # semantics, exactness not claimed with the cap on)
     pair_rows = partitioned_group_apply(
         rows, ["fp"],
-        lambda part: _intra_bucket_pairs(part, ["fp"], payload_col="dlen"),
+        lambda part: _intra_bucket_pairs(part, ["fp"], payload_col="dlen",
+                                         max_bucket=max_postings),
         num_partitions=num_partitions,
     )
     counted = grouped_aggregate_ds(
