@@ -398,3 +398,90 @@ def test_pack_chunks_closed_form_matches_accumulator():
             cursor += ln
             checked += 1
     assert checked == n
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.sets(st.integers(min_value=0, max_value=40),
+                        min_size=0, max_size=6),
+                min_size=130, max_size=160),
+       st.sets(st.integers(min_value=0, max_value=10_000),
+               min_size=200, max_size=400))
+def test_segmented_intersect_width_bucketing(small_sets, big):
+    """Force the round-4 power-of-two width-class split (n > 64 and one
+    pair far wider than the rest → padded area > 4× data) and check the
+    result still matches the set model on every row."""
+    import numpy as np
+
+    from raylog.functions.dedup import _segmented_intersect_counts
+
+    sets = [sorted(s) for s in small_sets]
+    big_sorted = sorted(big)
+    half = len(sets) // 2
+    a = sets[:half] + [big_sorted]
+    b = sets[half:2 * half] + [big_sorted[: len(big_sorted) // 2]]
+    a, b = a[: len(b)], b[: len(a)]
+    fa = np.array([x for s in a for x in s], dtype=np.uint64)
+    fb = np.array([x for s in b for x in s], dtype=np.uint64)
+    la = np.array([len(s) for s in a], dtype=np.int64)
+    lb = np.array([len(s) for s in b], dtype=np.int64)
+    got = _segmented_intersect_counts(fa, la, fb, lb)
+    want = [len(set(x) & set(y)) for x, y in zip(a, b)]
+    assert got.tolist() == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.lists(st.integers(min_value=0, max_value=4),
+                         min_size=0, max_size=25),
+                min_size=1, max_size=25))
+def test_winnow_matches_scalar_model(token_lists):
+    """Vectorized winnowing == the literal clipped-window rightmost-min
+    model on tie-heavy tiny-vocab docs (hash ties are the hard part)."""
+    from raylog.functions.dedup import WINNOW_B, WINNOW_P, winnow_batch
+
+    B, P, k, w = int(WINNOW_B), int(WINNOW_P), 3, 4
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(token_lists)), pa.int64()),
+        "tokens": pa.array(token_lists, pa.list_(pa.int32())),
+    })
+    got = {r["doc_id"]: (r["n_grams"], r["n_fp"], r["fp_sum"])
+           for r in winnow_batch(tbl).to_pylist()}
+    for i, toks in enumerate(token_lists):
+        if len(toks) < k:
+            assert i not in got
+            continue
+        hs = []
+        for j in range(len(toks) - k + 1):
+            h = 0
+            for t in toks[j:j + k]:
+                h = (h * B + t) % P
+            hs.append(h)
+        sel = set()
+        for e in range(len(hs)):
+            s0 = max(0, e - w + 1)
+            m = min(hs[s0:e + 1])
+            sel.add(max(q for q in range(s0, e + 1) if hs[q] == m))
+        assert got[i] == (len(hs), len(sel),
+                          sum(hs[p] * (p + 1) for p in sel)), (i, toks)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.lists(st.integers(min_value=0, max_value=3),
+                         min_size=0, max_size=20),
+                min_size=1, max_size=20))
+def test_repetition_fraction_matches_model(token_lists):
+    from raylog.functions.tokens import repetition_fraction_batch
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(token_lists)), pa.int64()),
+        "tokens": pa.array(token_lists, pa.list_(pa.int32())),
+    })
+    got = {r["doc_id"]: (r["n_grams"], r["n_distinct"], r["rep_milli"])
+           for r in repetition_fraction_batch(tbl).to_pylist()}
+    for i, toks in enumerate(token_lists):
+        grams = [tuple(toks[j:j + 3]) for j in range(len(toks) - 2)]
+        if not grams:
+            assert i not in got
+            continue
+        nd = len(set(grams))
+        assert got[i] == (len(grams), nd,
+                          1000 * (len(grams) - nd) // len(grams))
