@@ -318,7 +318,9 @@ class TestMultimodalExtra:
             assert max(a, bb) <= 64
             # aspect preserved within rounding
             if max(c, d) > 64:
-                assert abs(a / bb - c / d) < 0.25
+                # relative tolerance: at extreme aspect ratios (e.g.
+                # 226:30) one rounded pixel moves the ratio by ~6%
+                assert abs(a / bb - c / d) < 0.1 * (c / d) + 0.05
             else:
                 assert (a, bb) == (c, d)  # no upscaling
         with pytest.raises(NotImplementedError):
