@@ -583,6 +583,52 @@ def dedup_winnow_fingerprints(sf_dir: str):
 
 
 @query(
+    "tokens_vocab_coverage",
+    _P() + """
+, f AS (SELECT CAST(unnest(tokens) AS BIGINT) AS token FROM recs2),
+c AS (SELECT token, COUNT(*) AS cnt FROM f GROUP BY 1),
+r AS (
+  SELECT cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rnk,
+         CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM c
+), t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+SELECT CAST(k.k AS BIGINT) AS top_k,
+       CAST((1000 * COALESCE(
+          (SELECT MAX(cum) FROM r WHERE rnk <= k.k), 0)) // t.total
+          AS BIGINT) AS coverage_milli
+FROM (VALUES (100), (1000), (5000), (10000), (20000), (50000)) k(k), t""",
+)
+def tokens_vocab_coverage(sf_dir: str):
+    """Vocabulary coverage curve: the fraction of all corpus tokens
+    covered by the top-k most frequent token ids, for a ladder of k —
+    the standard tokenizer-sizing / OOV-budget diagnostic. Counts come
+    from the vocab-bounded mergeable partials (`token_frequencies`, no
+    shuffle); the curve itself is a vocab-sized driver cumsum. Integer
+    milli units, deterministic (cnt DESC, token ASC) rank order."""
+    import numpy as np
+
+    from raylog.functions.tokens import token_frequencies
+    from raylog.pipelines import log_pipeline as LP
+
+    freqs = token_frequencies(
+        LP.records_ds(sf_dir).select_columns(["tokens"])).to_pandas()
+    freqs = freqs.sort_values(["cnt", "token"],
+                              ascending=[False, True], kind="mergesort")
+    cnt = freqs["cnt"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(cnt)
+    total = int(cum[-1]) if len(cum) else 0
+    ks = [100, 1000, 5000, 10000, 20000, 50000]
+    cov = [int(1000 * int(cum[min(k, len(cum)) - 1]) // total)
+           if len(cum) and total else 0 for k in ks]
+    return pa.table({
+        "top_k": pa.array(ks, pa.int64()),
+        "coverage_milli": pa.array(cov, pa.int64()),
+    })
+
+
+@query(
     "tokens_repetition_fraction",
     _P() + """
 , g AS (
