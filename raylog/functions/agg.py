@@ -173,6 +173,7 @@ def partitioned_group_apply(
     *,
     num_partitions: int = 32,
     batch_size: int = 65_536,
+    materialize_input: bool = False,
 ) -> rd.Dataset:
     """Apply ``fn(pa.Table) -> pa.Table`` to hash partitions that contain
     COMPLETE key groups (same key → same partition).
@@ -187,7 +188,20 @@ def partitioned_group_apply(
     ``groupby(__p)`` path. ``batch_size`` also coalesces fragmented
     upstream blocks before the shuffle (64 tiny SplitBlocks blocks made
     the sort 8× slower, see BASELINE.md notes).
+
+    ``materialize_input=True`` pins the input blocks before the
+    ``groupby(__p)`` barrier. Use when the PRODUCER chain is expensive
+    (shingling, fingerprint selection): Ray's sort-based shuffle runs
+    measurably worse fused with a heavy producer (interleaved
+    in-process A/B on the 19M-row winnow posting set: fused
+    57.0/57.4 s vs materialized 21.4/38.6 s at 32 CPUs). The shuffle is
+    a barrier that buffers the rows anyway, so peak memory is
+    comparable; leave False when the producer is cheap (an extra pinned
+    copy buys nothing).
     """
+    if materialize_input:
+        ds = ds.materialize()
+
     def addp(b: pa.Table) -> pa.Table:
         return b.append_column("__p", partition_ids(b, keys, num_partitions))
 
