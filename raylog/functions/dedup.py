@@ -616,7 +616,7 @@ def ngram_jaccard_pairs(
         shingles, ["shingle"],
         lambda part: _intra_bucket_pairs(part, ["shingle"],
                                          max_bucket=max_postings),
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, materialize_input=True,
     )
     # distinct candidate pairs, hash-partitioned (never a driver set)
     cand = grouped_aggregate_ds(pair_rows, ["doc_a", "doc_b"], [],
@@ -732,7 +732,7 @@ def minhash_lsh_pairs(
         buckets, ["band", "band_hash"],
         lambda part: _intra_bucket_pairs(part, ["band", "band_hash"],
                                          max_bucket=max_bucket),
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, materialize_input=True,
     )
     cand = grouped_aggregate_ds(cand_dup, ["doc_a", "doc_b"], [],
                                 num_partitions=num_partitions)
@@ -878,7 +878,8 @@ def simhash_pairs(
 
     cand = partitioned_group_apply(sigs, ["band", "key"],
                                    bucket_hamming_pairs,
-                                   num_partitions=num_partitions)
+                                   num_partitions=num_partitions,
+                                   materialize_input=True)
     # a pair found in several bands carries the same exact hamming value;
     # min() is just the dedup reduce
     return grouped_aggregate_ds(cand, ["doc_a", "doc_b"],
@@ -1129,7 +1130,7 @@ def _embedding_near_dup_bucketed(
     cand = partitioned_group_apply(
         cells, ["list_id", "ci", "cj"],
         lambda part: _embed_cell_pairs(part, threshold),
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, materialize_input=True,
     )
     return grouped_aggregate_ds(cand, ["vec_a", "vec_b"],
                                 [("cos_milli", "min", "cos_milli")])
@@ -1397,6 +1398,7 @@ def substring_duplicate_coverage(
 
     partials = partitioned_group_apply(
         occ, ["gram"], per_partition, num_partitions=num_partitions,
+        materialize_input=True,
     )
     if prefiltered:
         def totals(batch: pa.Table) -> pa.Table:
@@ -1521,6 +1523,7 @@ def duplicate_spans(
 
     dup_pos = partitioned_group_apply(
         occ, ["gram"], flag_dups, num_partitions=num_partitions,
+        materialize_input=True,
     )
 
     def islands(part: pa.Table) -> pa.Table:
