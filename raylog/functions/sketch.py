@@ -52,7 +52,14 @@ def tree_fold_partials(partials: rd.Dataset, merge_batch,
     commutative (register max, matrix sum, bitmap OR — all are).
     At deeper scale stack another coalesce level — the tree is
     logarithmic; the exchange rows are sketch-sized, never data-sized.
+
+    The partials PIN before the repartition: fused with the full-stream
+    producer the exchange ran ~20% slower (interleaved warm pairs on
+    the CMS bigram unit: 16.4/11.9/15.9 s fused vs 11.1/10.9/13.3 s
+    pinned — the producer-fused-shuffle effect, SCALE.md), and the
+    pinned rows are sketch-sized so the copy is free.
     """
+    partials = partials.materialize()
     combined = partials.repartition(combine_blocks).map_batches(
         merge_batch, batch_format="pyarrow", batch_size=None,
     )
