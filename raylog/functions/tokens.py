@@ -333,3 +333,57 @@ def repetition_fraction_batch(batch: pa.Table, id_col: str = "doc_id",
         "n_distinct": pa.array(nd),
         "rep_milli": pa.array(1000 * (ng - nd) // ng),
     })
+
+
+FIM_PRE, FIM_SUF, FIM_MID = 50021, 50022, 50023
+
+
+def fim_transform_batch(batch: pa.Table, id_col: str = "doc_id",
+                        list_col: str = "tokens") -> pa.Table:
+    """Fill-in-the-middle (PSM) reordering stats — Bavarian et al. 2022:
+    half the docs (deterministic integer coin, the SQL-parity form used
+    by the mixture sampler) reorder to
+    ``[PRE] prefix [SUF] suffix [MID] middle`` with split points drawn
+    from the same coin. Output per doc: fim flag, transformed length,
+    and the position-weighted checksum Σ pos·token over the TRANSFORMED
+    sequence (sentinels included) — order- and value-sensitive, exactly
+    restatable in SQL, and computed here WITHOUT materializing the
+    reordered array (each segment's contribution is a weighted range
+    sum over the original flat stream).
+    """
+    ids = np.asarray(batch[id_col].combine_chunks(), dtype=np.int64)
+    toks = batch[list_col]
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    off = np.asarray(toks.offsets, dtype=np.int64)
+    flat = np.asarray(toks.values, dtype=np.int64)[off[0]: off[-1]]
+    off = off - off[0]
+    n = np.diff(off)
+    n_docs = len(n)
+
+    # SQL-parity coin and split counts: s1 = prefix len, s2 = prefix+middle len
+    coin = ((ids.astype(np.uint64) * np.uint64(2654435761))
+            & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    fim = coin % 2 == 0
+    s1 = (coin // 2) % (n + 1)
+    s2 = s1 + (coin // 1024) % (n - s1 + 1)
+
+    # per-token new position in the PSM layout (1-based)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n)
+    i1 = np.arange(len(flat), dtype=np.int64) - np.repeat(off[:-1], n) + 1
+    s1r, s2r, nr = s1[doc_idx], s2[doc_idx], n[doc_idx]
+    np_pos = np.where(
+        i1 <= s1r, i1 + 1,
+        np.where(i1 > s2r, s1r + 2 + (i1 - s2r),
+                 s1r + (nr - s2r) + 3 + (i1 - s1r)))
+    np_pos = np.where(fim[doc_idx], np_pos, i1)
+    csum = np.bincount(doc_idx, weights=(np_pos * flat).astype(np.float64),
+                       minlength=n_docs).astype(np.int64)
+    sentinels = (1 * FIM_PRE + (s1 + 2) * FIM_SUF
+                 + (s1 + n - s2 + 3) * FIM_MID)
+    csum = csum + np.where(fim, sentinels, 0)
+    return pa.table({
+        id_col: pa.array(ids),
+        "fim": pa.array(fim),
+        "n_out": pa.array(np.where(fim, n + 3, n)),
+        "fim_checksum": pa.array(csum),
+    })

@@ -583,6 +583,59 @@ def dedup_winnow_fingerprints(sf_dir: str):
 
 
 @query(
+    "tokens_fim_transform",
+    _P() + """
+, base AS (
+  SELECT doc_id, tokens, len(tokens) AS n,
+         (doc_id * 2654435761) % 4294967296 AS coin
+  FROM recs2
+), sp AS (
+  SELECT doc_id, tokens, n, coin,
+         coin % 2 = 0 AS fim,
+         (coin // 2) % (n + 1) AS s1
+  FROM base
+), sp2 AS (
+  SELECT *, s1 + (coin // 1024) % (n - s1 + 1) AS s2 FROM sp
+), tok AS (
+  SELECT doc_id, fim, s1, s2, n, g.i,
+         CAST(tokens[CAST(g.i AS INT)] AS BIGINT) AS t,
+         CASE WHEN NOT fim THEN g.i
+              WHEN g.i <= s1 THEN g.i + 1
+              WHEN g.i > s2 THEN s1 + 2 + (g.i - s2)
+              ELSE s1 + (n - s2) + 3 + (g.i - s1) END AS np
+  FROM sp2, LATERAL (
+    SELECT unnest(generate_series(1, n)) AS i
+  ) g
+), per AS (
+  SELECT doc_id, CAST(COALESCE(SUM(np * t), 0) AS BIGINT) AS tok_sum
+  FROM tok GROUP BY 1
+)
+SELECT s.doc_id, s.fim,
+       CAST(CASE WHEN s.fim THEN s.n + 3 ELSE s.n END AS BIGINT) AS n_out,
+       CAST(COALESCE(p.tok_sum, 0)
+            + CASE WHEN s.fim
+                   THEN 50021 + (s.s1 + 2) * 50022
+                        + (s.s1 + s.n - s.s2 + 3) * 50023
+                   ELSE 0 END AS BIGINT) AS fim_checksum
+FROM sp2 s LEFT JOIN per p USING (doc_id)""",
+)
+def tokens_fim_transform(sf_dir: str):
+    """Fill-in-the-middle (PSM) training-data transform (Bavarian et
+    al. 2022): a deterministic coin selects half the docs to reorder as
+    [PRE] prefix [SUF] suffix [MID] middle with coin-derived split
+    points. The per-doc checksum is the position-weighted sum over the
+    transformed sequence incl. sentinel ids — computed map-only with no
+    materialized reorder (weighted range sums over the flat stream),
+    and exactly restated by the oracle's CASE-mapped positions."""
+    from raylog.functions.tokens import fim_transform_batch
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["doc_id", "tokens"])
+    return ds.map_batches(fim_transform_batch, batch_format="pyarrow",
+                          batch_size=None)
+
+
+@query(
     "tokens_vocab_coverage",
     _P() + """
 , f AS (SELECT CAST(unnest(tokens) AS BIGINT) AS token FROM recs2),

@@ -169,3 +169,41 @@ def test_repetition_fraction_scalar_reference():
                           1000 * (len(grams) - nd) // len(grams))
     assert got[len(tokens) - 3][2] == 1000 * (18 - 1) // 18  # all-repeat
     assert got[len(tokens) - 2][2] == 0                      # no repeats
+
+
+def test_fim_transform_checksum_matches_materialized():
+    """The no-materialize weighted-sum checksum must equal a literal
+    python PSM reorder ([PRE] pre [SUF] suf [MID] mid), incl. empty and
+    tiny docs and both coin branches."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raylog.functions.tokens import (FIM_MID, FIM_PRE, FIM_SUF,
+                                         fim_transform_batch)
+
+    rng = np.random.default_rng(21)
+    tokens = [rng.integers(0, 50_000, rng.integers(0, 30)).tolist()
+              for _ in range(300)]
+    ids = list(range(300)) + [3_500_000_000, 2**62]  # large-id coins too
+    tokens += [[1, 2, 3], [7]]
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "tokens": pa.array(tokens, pa.list_(pa.int32())),
+    })
+    out = {r["doc_id"]: r for r in fim_transform_batch(tbl).to_pylist()}
+    for d, toks in zip(ids, tokens):
+        coin = (d * 2654435761) % (1 << 32)
+        n = len(toks)
+        fim = coin % 2 == 0
+        if fim:
+            s1 = (coin // 2) % (n + 1)
+            s2 = s1 + (coin // 1024) % (n - s1 + 1)
+            seq = ([FIM_PRE] + toks[:s1] + [FIM_SUF] + toks[s2:]
+                   + [FIM_MID] + toks[s1:s2])
+        else:
+            seq = toks
+        want = sum((i + 1) * t for i, t in enumerate(seq))
+        r = out[d]
+        assert r["fim"] == fim
+        assert r["n_out"] == len(seq)
+        assert r["fim_checksum"] == want, (d, toks)
