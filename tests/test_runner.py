@@ -272,3 +272,44 @@ def test_follow_dim_refresh_mid_stream(synth_files, dim, tmp_path,
 
     assert tags_of(by_key[k1]["group"]) == {"cluster-v1"}
     assert tags_of(by_key[k2]["group"]) == {"cluster-v2"}
+
+
+def test_follow_sweeps_stale_group_dirs(synth_files, dim, tmp_path,
+                                        ray_session):
+    """A follower that died mid-group leaves an output dir with no
+    manifest entry; a fresh follower must sweep it and reprocess the
+    group's files exactly once (no double-count, no stale parts)."""
+    import glob as _glob
+    import shutil as _sh
+
+    import pyarrow.parquet as _pq
+
+    from raylog.pipelines.runner import run_follow
+
+    watch = str(tmp_path / "watch")
+    out = str(tmp_path / "fout")
+    os.makedirs(watch)
+    os.makedirs(out)
+    for f in synth_files[:2]:
+        _sh.copy(f, watch)
+
+    # simulate the dead follower: a half-written group dir (stale sink
+    # part + no manifest line)
+    stale_dir = os.path.join(out, "group=deadbeef0000")
+    os.makedirs(os.path.join(stale_dir, "container"))
+    _pq.write_table(_pq.read_table(synth_files[0]).slice(0, 5),
+                    os.path.join(stale_dir, "container",
+                                 "part-stale.parquet"))
+
+    total = run_follow(watch, out, dim, poll_sec=0.01, max_ticks=1,
+                       concurrency=2)
+    assert not os.path.exists(stale_dir)  # swept at start
+    man = os.path.join(out, "follow_manifest.jsonl")
+    lines = [json.loads(l) for l in open(man)]
+    assert len(lines) == 2
+
+    # every routed row is counted exactly once vs a one-shot run
+    oneshot = run_resumable(sorted(
+        os.path.join(watch, os.path.basename(f)) for f in synth_files[:2]),
+        str(tmp_path / "oneshot"), dim, n_shards=2, concurrency=2)
+    assert _counts_map(total) == _counts_map(oneshot)
