@@ -42,7 +42,8 @@ def _hash64(col: pa.Array) -> np.ndarray:
 
 
 def tree_fold_partials(partials: rd.Dataset, merge_batch,
-                       *, combine_blocks: int = 8) -> list[pa.Table]:
+                       *, combine_blocks: int = 8,
+                       levels: int = 1) -> list[pa.Table]:
     """Coalesce per-block sketch partials through a
     ``repartition → map_batches`` combine level so the driver folds
     O(combine_blocks) merged partials instead of O(all blocks)
@@ -50,8 +51,12 @@ def tree_fold_partials(partials: rd.Dataset, merge_batch,
     pattern). ``merge_batch`` takes one pa.Table of partial rows and
     returns ONE merged partial row; partials must be associative and
     commutative (register max, matrix sum, bitmap OR — all are).
-    At deeper scale stack another coalesce level — the tree is
-    logarithmic; the exchange rows are sketch-sized, never data-sized.
+    ``levels`` stacks coalesce levels for deeper scale: level j
+    repartitions to ``combine_blocks**(levels−j)`` blocks and merges,
+    so with 10^5 input blocks and combine_blocks=8, levels=2 gives
+    64 → 8 → driver — each task folds a bounded fan-in and the driver
+    still sees ≤ combine_blocks partials. The tree is logarithmic; the
+    exchange rows are sketch-sized, never data-sized.
 
     The partials PIN before the repartition: fused with the full-stream
     producer the exchange ran ~20% slower (interleaved warm pairs on
@@ -59,10 +64,12 @@ def tree_fold_partials(partials: rd.Dataset, merge_batch,
     pinned — the producer-fused-shuffle effect, SCALE.md), and the
     pinned rows are sketch-sized so the copy is free.
     """
-    partials = partials.materialize()
-    combined = partials.repartition(combine_blocks).map_batches(
-        merge_batch, batch_format="pyarrow", batch_size=None,
-    )
+    combined = partials.materialize()
+    for j in range(levels):
+        combined = combined.repartition(
+            combine_blocks ** (levels - j)).map_batches(
+            merge_batch, batch_format="pyarrow", batch_size=None,
+        )
     return [t for t in combined.iter_batches(batch_format="pyarrow",
                                              batch_size=None)
             if t.num_rows]

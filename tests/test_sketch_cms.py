@@ -146,3 +146,32 @@ class TestKMV:
                             k=256)["est_distinct"].to_pylist()[0]
         assert one == many
         assert abs(one - n) / n < 5 / (256 - 2) ** 0.5, one
+
+
+def test_tree_fold_levels_equivalent(ray_session):
+    """Stacked coalesce levels are a pure reorganization: the folded
+    result is identical at levels=1 and levels=2, and the driver still
+    sees <= combine_blocks partials."""
+    import numpy as np
+
+    from raylog.functions.sketch import tree_fold_partials
+
+    def partial(b):
+        return pa.table({"s": pa.array([int(pa.compute.sum(b["x"]).as_py())],
+                                       pa.int64())})
+
+    def merge(t):
+        return pa.table({"s": pa.array([int(pa.compute.sum(t["s"]).as_py())],
+                                       pa.int64())})
+
+    tbl = pa.table({"x": pa.array(range(10_000), pa.int64())})
+    parts = rd.from_arrow(tbl).repartition(64).map_batches(
+        partial, batch_format="pyarrow", batch_size=None)
+
+    def total(folded):
+        return sum(v for t in folded for v in t["s"].to_pylist())
+
+    f1 = tree_fold_partials(parts, merge, combine_blocks=4, levels=1)
+    f2 = tree_fold_partials(parts, merge, combine_blocks=4, levels=2)
+    assert total(f1) == total(f2) == sum(range(10_000))
+    assert len(f1) <= 4 and len(f2) <= 4
