@@ -1929,3 +1929,100 @@ def winnow_pairs(
 
     return counted.map_batches(finalize, batch_format="pyarrow",
                                batch_size=None)
+
+
+def cross_source_dup_matrix(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    key_prefix: int | None = None,
+    num_partitions: int = 16,
+) -> pa.Table:
+    """Cross-source duplication matrix: for every source pair
+    (source_a < source_b), how many DISTINCT (content, source) pairs of
+    a's corpus appear verbatim in b (``key_prefix`` keys on the first N
+    chars instead of full content — the near-dup-ish prefix form) — the attribution report a curation
+    team reads to decide which feed to dedup against which (e.g. a
+    mirror crawl). One row per unordered source pair.
+
+    Scale shape: content keys are the vectorized 128-bit hashes
+    (collision regime as exact dedup); (hash, source) rows dedup and
+    hash-partition by content key (complete key groups per partition),
+    each partition emits its keys' source-pair combinations (sources
+    per content ≤ source cardinality, tiny), and the final count is a
+    driver-side aggregate over a source²-bounded table.
+    """
+    from raylog.functions.agg import (grouped_aggregate,
+                                      partitioned_group_apply)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        if key_prefix is not None:
+            import pyarrow.compute as _pc
+
+            b = b.set_column(
+                b.column_names.index(text_col), text_col,
+                _pc.utf8_slice_codeunits(b[text_col].combine_chunks(),
+                                         0, key_prefix))
+        t = add_content_h128(b, text_col)
+        return t.select(["content_h1", "content_h2", source_col])
+
+    keys = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+
+    def pairs(part: pa.Table) -> pa.Table:
+        h1 = np.asarray(part["content_h1"].combine_chunks()).astype(np.uint64)
+        h2 = np.asarray(part["content_h2"].combine_chunks()).astype(np.uint64)
+        # np.unique codes are LEXICOGRAPHIC, so min/max on codes gives
+        # the same canonical (source_a < source_b) order as the SQL
+        voc, src = np.unique(np.asarray(
+            part[source_col].combine_chunks().to_pylist(), dtype=object),
+            return_inverse=True)
+        vocab = voc.tolist()
+        order = np.lexsort((src, h2, h1))
+        h1s, h2s, ss = h1[order], h2[order], src[order]
+        n = len(h1s)
+        if n == 0:
+            return pa.table({"source_a": pa.array([], pa.string()),
+                             "source_b": pa.array([], pa.string()),
+                             "dup_docs": pa.array([], pa.int64())})
+        # distinct (content, source) rows
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = ((h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+                     | (ss[1:] != ss[:-1]))
+        h1s, h2s, ss = h1s[first], h2s[first], ss[first]
+        # per-content segments → all source pairs (a < b) inside
+        seg = np.empty(len(h1s), dtype=bool)
+        seg[0] = True
+        seg[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        starts = np.flatnonzero(seg)
+        ends = np.append(starts[1:], len(h1s))
+        out_a, out_b = [], []
+        for m in np.unique(ends - starts):
+            if m < 2:
+                continue
+            a, b = np.triu_indices(int(m), 1)
+            s_m = starts[(ends - starts) == m]
+            out_a.append(ss[(s_m[:, None] + a[None, :]).ravel()])
+            out_b.append(ss[(s_m[:, None] + b[None, :]).ravel()])
+        if not out_a:
+            return pa.table({"source_a": pa.array([], pa.string()),
+                             "source_b": pa.array([], pa.string()),
+                             "dup_docs": pa.array([], pa.int64())})
+        sa = np.concatenate(out_a)
+        sb = np.concatenate(out_b)
+        lo = np.minimum(sa, sb)
+        hi = np.maximum(sa, sb)
+        voc = np.asarray(vocab, dtype=object)
+        return pa.table({
+            "source_a": pa.array(voc[lo], pa.string()),
+            "source_b": pa.array(voc[hi], pa.string()),
+            "dup_docs": pa.array(np.ones(len(lo), dtype=np.int64)),
+        })
+
+    pair_rows = partitioned_group_apply(
+        keys, ["content_h1", "content_h2"], pairs,
+        num_partitions=num_partitions)
+    return grouped_aggregate(pair_rows, ["source_a", "source_b"],
+                             [("dup_docs", "sum", "dup_docs")])

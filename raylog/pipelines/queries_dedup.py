@@ -583,6 +583,35 @@ def dedup_winnow_fingerprints(sf_dir: str):
 
 
 @query(
+    "dedup_cross_source_matrix",
+    """
+WITH h AS (SELECT DISTINCT source, substr(text, 1, 40) AS k
+           FROM documents)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS dup_docs
+FROM h a JOIN h b ON a.k = b.k AND a.source < b.source
+GROUP BY 1, 2""",
+)
+def dedup_cross_source_matrix(sf_dir: str):
+    """Cross-source duplication matrix: distinct (content, source)
+    pairs shared between each unordered source pair, keyed on the
+    40-char content prefix (the fixture carries prefix collisions, the
+    same key dedup_incremental exercises; full-content keys are the
+    key_prefix=None form) — the attribution report for deciding which
+    feed to dedup against which. Content keys are the 128-bit
+    vectorized hashes (exact-dedup collision regime); source-pair
+    combos emit inside hash partitions and the final aggregate is
+    source²-bounded."""
+    import ray.data as rd
+
+    from raylog.functions.dedup import cross_source_dup_matrix
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    return cross_source_dup_matrix(ds, key_prefix=40)
+
+
+@query(
     "tokens_fim_transform",
     _P() + """
 , base AS (
