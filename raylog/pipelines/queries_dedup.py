@@ -665,6 +665,87 @@ def tokens_fim_transform(sf_dir: str):
 
 
 @query(
+    "tokens_oov_by_source",
+    _P() + """
+, f AS (
+  SELECT source, CAST(unnest(tokens) AS BIGINT) AS token FROM recs2
+), c AS (SELECT token, COUNT(*) AS cnt FROM f GROUP BY 1),
+v AS (
+  SELECT token FROM (
+    SELECT token, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rnk
+    FROM c
+  ) WHERE rnk <= 10000
+)
+SELECT f.source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST((1000 * SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS oov_milli
+FROM f LEFT JOIN v USING (token)
+GROUP BY 1""",
+)
+def tokens_oov_by_source(sf_dir: str):
+    """Per-source out-of-vocabulary rate against the GLOBAL top-10k
+    token vocabulary — the per-feed OOV budget a tokenizer-freeze
+    decision reads. Two passes: the vocab-bounded global counts pick
+    the top-k (deterministic cnt DESC, token ASC rank), the id set
+    broadcasts via ray.put, and a map-only second pass aggregates
+    per-source membership counts (source-cardinality-bounded)."""
+    import numpy as np
+    import ray
+
+    from raylog.functions.agg import grouped_aggregate
+    from raylog.functions.tokens import token_frequencies
+    from raylog.pipelines import log_pipeline as LP
+
+    recs = LP.records_ds(sf_dir).select_columns(["source", "tokens"])
+    freqs = token_frequencies(recs.select_columns(["tokens"])).to_pandas()
+    freqs = freqs.sort_values(["cnt", "token"],
+                              ascending=[False, True], kind="mergesort")
+    top = np.sort(freqs["token"].to_numpy(dtype=np.int64)[:10000])
+    top_ref = ray.put(top) if ray.is_initialized() else top
+
+    def partial(b: pa.Table) -> pa.Table:
+        vocab = (ray.get(top_ref) if not isinstance(top_ref, np.ndarray)
+                 else top_ref)
+        toks = b["tokens"]
+        toks = (toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray) else toks)
+        off = pa.compute.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        vals = np.asarray(toks.values, dtype=np.int64)
+        o = np.asarray(toks.offsets, dtype=np.int64)
+        vals = vals[o[0]: o[-1]]
+        oov = ~np.isin(vals, vocab)
+        src_idx = np.repeat(np.arange(len(off), dtype=np.int64), off)
+        srcs = np.asarray(b["source"].combine_chunks().to_pylist(),
+                          dtype=object)
+        n_tok = np.bincount(src_idx, minlength=len(off)).astype(np.int64)
+        n_oov = np.bincount(src_idx, weights=oov.astype(np.float64),
+                            minlength=len(off)).astype(np.int64)
+        return pa.table({
+            "source": pa.array(srcs, pa.string()),
+            "n_tokens": pa.array(n_tok),
+            "n_oov": pa.array(n_oov),
+        })
+
+    agg = grouped_aggregate(
+        recs.map_batches(partial, batch_format="pyarrow",
+                         batch_size=None),
+        ["source"], [("n_tokens", "sum", "n_tokens"),
+                     ("n_oov", "sum", "n_oov")])
+    return pa.table({
+        "source": agg["source"],
+        "n_tokens": agg["n_tokens"],
+        "n_oov": agg["n_oov"],
+        "oov_milli": pa.array(
+            1000 * np.asarray(agg["n_oov"], dtype=np.int64)
+            // np.asarray(agg["n_tokens"], dtype=np.int64)),
+    })
+
+
+@query(
     "tokens_vocab_coverage",
     _P() + """
 , f AS (SELECT CAST(unnest(tokens) AS BIGINT) AS token FROM recs2),
