@@ -469,21 +469,31 @@ def _segment_bounds(sorted_keys: list[np.ndarray]) -> tuple[np.ndarray, np.ndarr
 def _intra_bucket_pairs(part: pa.Table, key_cols: list[str],
                         id_col: str = "doc_id",
                         max_bucket: int | None = None,
-                        payload_col: str | None = None) -> pa.Table:
+                        payload_col: str | None = None,
+                        counters=None) -> pa.Table:
     """All intra-bucket (doc_a < doc_b) pairs of a partition holding
     complete buckets — one vectorized pass (lexsort + segment scan), no
     per-group pandas calls. Oversized buckets (> max_bucket members) are
     skipped when the cap is set (stop-gram / boilerplate-cluster guard,
-    off by default). When ``payload_col`` is set, that int64 column rides
-    along: the output gains ``len_a``/``len_b`` holding each side's
-    payload value (used by the count-based exact Jaccard path to carry
-    per-doc set sizes)."""
+    off by default); when ``counters`` (a ``state.metrics.CounterActor``
+    handle) is also set, each trim fires ``capped_buckets`` /
+    ``dropped_postings`` increments so a corpus-scale run can SEE that
+    its ``shared`` counts became a lower bound — fire-and-forget, only
+    on the rare capped path, zero cost otherwise. When ``payload_col``
+    is set, that int64 column rides along: the output gains
+    ``len_a``/``len_b`` holding each side's payload value (used by the
+    count-based exact Jaccard path to carry per-doc set sizes)."""
     keys = [np.asarray(part[c].combine_chunks()
                        if isinstance(part[c], pa.ChunkedArray) else part[c])
             for c in key_cols]
-    ids = np.asarray(part[id_col].combine_chunks()
-                     if isinstance(part[id_col], pa.ChunkedArray)
-                     else part[id_col], dtype=np.int64)
+    ids_arrow = (part[id_col].combine_chunks()
+                 if isinstance(part[id_col], pa.ChunkedArray)
+                 else part[id_col])
+    # string ids (the input_hint's doc_id:string) sort/gather as numpy
+    # object arrays; integer ids stay the fast int64 path
+    ids = (np.asarray(ids_arrow, dtype=np.int64)
+           if pa.types.is_integer(ids_arrow.type)
+           else ids_arrow.to_numpy(zero_copy_only=False))
     pay = None
     if payload_col is not None:
         pay = np.asarray(part[payload_col].combine_chunks()
@@ -497,7 +507,11 @@ def _intra_bucket_pairs(part: pa.Table, key_cols: list[str],
     sizes = ends - starts
     keep = sizes >= 2
     if max_bucket:
-        keep &= sizes <= max_bucket
+        over = sizes > max_bucket
+        if counters is not None and over.any():
+            counters.add.remote("capped_buckets", int(over.sum()))
+            counters.add.remote("dropped_postings", int(sizes[over].sum()))
+        keep &= ~over
     sz = sizes[keep]
     st = starts[keep]
     out_a: list[np.ndarray] = []
@@ -520,14 +534,14 @@ def _intra_bucket_pairs(part: pa.Table, key_cols: list[str],
             out_pa.append(pay_s[ia])
             out_pb.append(pay_s[ib])
     if not out_a:
-        cols = {"doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64())}
+        cols = {"doc_a": pa.array([], ids_arrow.type),
+                "doc_b": pa.array([], ids_arrow.type)}
         if pay is not None:
             cols["len_a"] = pa.array([], pa.int64())
             cols["len_b"] = pa.array([], pa.int64())
         return pa.table(cols)
-    cols = {"doc_a": pa.array(np.concatenate(out_a)),
-            "doc_b": pa.array(np.concatenate(out_b))}
+    cols = {"doc_a": pa.array(np.concatenate(out_a), ids_arrow.type),
+            "doc_b": pa.array(np.concatenate(out_b), ids_arrow.type)}
     if pay_s is not None:
         cols["len_a"] = pa.array(np.concatenate(out_pa))
         cols["len_b"] = pa.array(np.concatenate(out_pb))
@@ -1748,6 +1762,13 @@ WINNOW_B = np.int64(1_000_003)
 WINNOW_P = np.int64(2_147_483_647)  # 2^31-1: Horner steps stay in int64
 
 
+def _take_ids(ids: pa.Array, idx: np.ndarray) -> pa.Array:
+    """Gather on an id column preserving its Arrow type — int64 ids
+    keep their SQL-parity oracles, string ids (the input_hint's
+    ``doc_id: string``) ride through untouched."""
+    return ids.take(pa.array(idx, pa.int64()))
+
+
 def _winnow_select(batch: pa.Table, id_col: str, token_col: str,
                    k: int, w: int):
     """Shared winnowing core → (ids, n_grams, sel_doc, sel_pos,
@@ -1757,8 +1778,12 @@ def _winnow_select(batch: pa.Table, id_col: str, token_col: str,
     flat unique over selected gram indices dedups across overlapping
     windows. Gram hash = Horner polynomial of k token ids mod 2^31−1
     (the same integer arithmetic an ANSI-SQL oracle can evaluate).
+    ``ids`` is returned as the untouched Arrow column (any type —
+    ints keep oracle parity, strings work too); everything positional
+    is int64 numpy.
     """
-    ids = np.asarray(batch[id_col].combine_chunks(), dtype=np.int64)
+    ids = (batch[id_col].combine_chunks()
+           if isinstance(batch[id_col], pa.ChunkedArray) else batch[id_col])
     toks = batch[token_col]
     toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
     off = np.asarray(toks.offsets, dtype=np.int64)
@@ -1815,17 +1840,29 @@ def winnow_batch(batch: pa.Table, id_col: str = "doc_id",
                  w: int = 4) -> pa.Table:
     """(doc_id, n_grams, n_fp, fp_sum) per doc with ≥ k tokens —
     the per-document fingerprint-summary form of :func:`_winnow_select`.
-    fp_sum = Σ h·(pos+1) over the selected set (order- and
-    value-sensitive checksum)."""
+    fp_sum = Σ (h·(pos+1) mod P) over the selected set (order- and
+    value-sensitive checksum).
+
+    Exactness: each term is reduced mod P = 2^31−1 BEFORE the sum and
+    the sum is accumulated on an int64 array (``np.add.at``), never
+    float64 — terms < 2^31 summed over < 2^32 fingerprints stay exact
+    in int64 for ANY document length, and the per-term mod keeps the
+    checksum BIGINT-representable so the SQL oracle's CAST never
+    overflows either. (The earlier unmodded float64-weighted bincount
+    silently rounded past 2^53 — a ≳10^5-fingerprint doc; and an
+    unmodded integer sum itself exceeds BIGINT for ≳10^5-fp docs, so
+    the mod is the checksum definition that actually survives corpus
+    scale.)"""
     ids, n_grams, sel_doc, sel_pos, sel_h = _winnow_select(
         batch, id_col, token_col, k, w)
-    n_docs = len(ids)
+    n_docs = len(n_grams)
     n_fp = np.bincount(sel_doc, minlength=n_docs)
-    fp_sum = np.bincount(sel_doc, weights=(sel_h * (sel_pos + 1)).astype(
-        np.float64), minlength=n_docs).astype(np.int64)
+    terms = (sel_h * (sel_pos + 1)) % WINNOW_P  # h<2^31, pos+1<2^32: exact
+    fp_sum = np.zeros(n_docs, dtype=np.int64)
+    np.add.at(fp_sum, sel_doc, terms)
     keep = n_grams > 0
     return pa.table({
-        id_col: pa.array(ids[keep]),
+        id_col: _take_ids(ids, np.flatnonzero(keep)),
         "n_grams": pa.array(n_grams[keep]),
         "n_fp": pa.array(n_fp[keep]),
         "fp_sum": pa.array(fp_sum[keep]),
@@ -1854,7 +1891,7 @@ def winnow_fingerprint_rows(batch: pa.Table, id_col: str = "doc_id",
         np.zeros(len(ids), dtype=np.int64)
     return pa.table({
         "fp": pa.array(h_s),
-        "doc_id": pa.array(ids[d_s]),
+        "doc_id": _take_ids(ids, d_s),
         "dlen": pa.array(dlen[d_s]),
     })
 
@@ -1870,6 +1907,7 @@ def winnow_pairs(
     min_jacc_milli: int = 0,
     max_postings: int | None = None,
     num_partitions: int = 8,
+    counters=None,
 ) -> rd.Dataset:
     """Near-dup candidate pairs from SHARED WINNOWED FINGERPRINTS —
     the MOSS pairing step, and the cheap exact-arithmetic complement to
@@ -1903,7 +1941,8 @@ def winnow_pairs(
     pair_rows = partitioned_group_apply(
         rows, ["fp"],
         lambda part: _intra_bucket_pairs(part, ["fp"], payload_col="dlen",
-                                         max_bucket=max_postings),
+                                         max_bucket=max_postings,
+                                         counters=counters),
         num_partitions=num_partitions, materialize_input=True,
     )
     counted = grouped_aggregate_ds(
@@ -1918,11 +1957,10 @@ def winnow_pairs(
         denom = la + lb - c
         jm = (1000 * c) // denom
         keep = (c >= min_shared) & (jm >= min_jacc_milli)
-        da = np.asarray(b["doc_a"].combine_chunks(), dtype=np.int64)
-        db = np.asarray(b["doc_b"].combine_chunks(), dtype=np.int64)
+        kept = b.filter(pa.array(keep))  # id columns keep their type
         return pa.table({
-            "doc_a": pa.array(da[keep]),
-            "doc_b": pa.array(db[keep]),
+            "doc_a": kept["doc_a"],
+            "doc_b": kept["doc_b"],
             "shared": pa.array(c[keep]),
             "jacc_milli": pa.array(jm[keep]),
         })

@@ -239,24 +239,28 @@ def sequence_hash_columns(batch: pa.Table, tok_col: str = "tokens",
     # the classic left-to-right Horner result)
     pos_from_end = (np.repeat(off[1:], lens)
                     - np.arange(len(vals), dtype=np.int64) - 1)
-    for name, mult in ((h1_col, 0x9E3779B97F4A7C15),
-                      (h2_col, 0xC2B2AE3D27D4EB4F)):
-        p = np.uint64(mult)
-        max_len = int(lens.max()) if n else 0
-        ladder = np.empty(max_len, dtype=np.uint64)
-        if max_len:
-            ladder[0] = np.uint64(1)
-            for i in range(1, max_len):
-                ladder[i] = ladder[i - 1] * p
-        terms = (vals.astype(np.uint64) + np.uint64(1)) * ladder[
-            pos_from_end] if len(vals) else np.array([], np.uint64)
-        csum = np.concatenate([[np.uint64(0)],
-                               np.cumsum(terms, dtype=np.uint64)])
-        h = csum[off[1:]] - csum[off[:-1]]
-        # mix the length so [0] and [0,0] (both summing to ladder
-        # values that could alias) stay distinct
-        h = (h + np.uint64(0x9E37) * lens.astype(np.uint64)) * p
-        out[name] = h
+    # the whole hash is mod-2^64 polynomial arithmetic: uint64 wraparound
+    # is the point, so scope the overflow warning off here and keep it
+    # visible everywhere else
+    with np.errstate(over="ignore"):
+        for name, mult in ((h1_col, 0x9E3779B97F4A7C15),
+                          (h2_col, 0xC2B2AE3D27D4EB4F)):
+            p = np.uint64(mult)
+            max_len = int(lens.max()) if n else 0
+            ladder = np.empty(max_len, dtype=np.uint64)
+            if max_len:
+                ladder[0] = np.uint64(1)
+                for i in range(1, max_len):
+                    ladder[i] = ladder[i - 1] * p
+            terms = (vals.astype(np.uint64) + np.uint64(1)) * ladder[
+                pos_from_end] if len(vals) else np.array([], np.uint64)
+            csum = np.concatenate([[np.uint64(0)],
+                                   np.cumsum(terms, dtype=np.uint64)])
+            h = csum[off[1:]] - csum[off[:-1]]
+            # mix the length so [0] and [0,0] (both summing to ladder
+            # values that could alias) stay distinct
+            h = (h + np.uint64(0x9E37) * lens.astype(np.uint64)) * p
+            out[name] = h
     return (batch.append_column(h1_col, pa.array(out[h1_col].view(np.int64)))
             .append_column(h2_col, pa.array(out[h2_col].view(np.int64))))
 
@@ -294,7 +298,8 @@ def repetition_fraction_batch(batch: pa.Table, id_col: str = "doc_id",
     oracle reproduces distinct counts with zero collision risk.
     Map-only, zero exchange, one output row per doc with ≥ n tokens.
     """
-    ids = np.asarray(batch[id_col].combine_chunks(), dtype=np.int64)
+    ids = (batch[id_col].combine_chunks()
+           if isinstance(batch[id_col], pa.ChunkedArray) else batch[id_col])
     toks = batch[list_col]
     toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
     off = np.asarray(toks.offsets, dtype=np.int64)
@@ -328,7 +333,7 @@ def repetition_fraction_batch(batch: pa.Table, id_col: str = "doc_id",
     ng = n_grams[keep]
     nd = n_distinct[keep]
     return pa.table({
-        id_col: pa.array(ids[keep]),
+        id_col: ids.take(pa.array(np.flatnonzero(keep), pa.int64())),
         "n_grams": pa.array(ng),
         "n_distinct": pa.array(nd),
         "rep_milli": pa.array(1000 * (ng - nd) // ng),
@@ -351,7 +356,10 @@ def fim_transform_batch(batch: pa.Table, id_col: str = "doc_id",
     reordered array (each segment's contribution is a weighted range
     sum over the original flat stream).
     """
-    ids = np.asarray(batch[id_col].combine_chunks(), dtype=np.int64)
+    from raylog.functions.mixture import _coins_col
+
+    ids = (batch[id_col].combine_chunks()
+           if isinstance(batch[id_col], pa.ChunkedArray) else batch[id_col])
     toks = batch[list_col]
     toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
     off = np.asarray(toks.offsets, dtype=np.int64)
@@ -360,9 +368,11 @@ def fim_transform_batch(batch: pa.Table, id_col: str = "doc_id",
     n = np.diff(off)
     n_docs = len(n)
 
-    # SQL-parity coin and split counts: s1 = prefix len, s2 = prefix+middle len
-    coin = ((ids.astype(np.uint64) * np.uint64(2654435761))
-            & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    # SQL-parity coin and split counts: s1 = prefix len, s2 = prefix+middle
+    # len. String ids (the input_hint's doc_id:string) take the seeded-
+    # xxhash branch of the shared coin helper — same determinism, no SQL
+    # form (the integer-id path keeps the exact oracle).
+    coin = _coins_col(ids)
     fim = coin % 2 == 0
     s1 = (coin // 2) % (n + 1)
     s2 = s1 + (coin // 1024) % (n - s1 + 1)
@@ -376,13 +386,16 @@ def fim_transform_batch(batch: pa.Table, id_col: str = "doc_id",
         np.where(i1 > s2r, s1r + 2 + (i1 - s2r),
                  s1r + (nr - s2r) + 3 + (i1 - s1r)))
     np_pos = np.where(fim[doc_idx], np_pos, i1)
-    csum = np.bincount(doc_idx, weights=(np_pos * flat).astype(np.float64),
-                       minlength=n_docs).astype(np.int64)
+    # int64 segment sum, never float64 weights: pos·token terms past
+    # 2^53 would silently round in a weighted bincount while the SQL
+    # oracle sums exact integers
+    csum = np.zeros(n_docs, dtype=np.int64)
+    np.add.at(csum, doc_idx, np_pos * flat)
     sentinels = (1 * FIM_PRE + (s1 + 2) * FIM_SUF
                  + (s1 + n - s2 + 3) * FIM_MID)
     csum = csum + np.where(fim, sentinels, 0)
     return pa.table({
-        id_col: pa.array(ids),
+        id_col: ids,
         "fim": pa.array(fim),
         "n_out": pa.array(np.where(fim, n + 3, n)),
         "fim_checksum": pa.array(csum),

@@ -561,7 +561,7 @@ def dedup_token_substring(sf_dir: str):
 SELECT s.doc_id,
        CAST(ng.n_grams AS BIGINT) AS n_grams,
        CAST(COUNT(*) AS BIGINT) AS n_fp,
-       CAST(SUM(s.h * (s.spos + 1)) AS BIGINT) AS fp_sum
+       CAST(SUM((s.h * (s.spos + 1)) % 2147483647) AS BIGINT) AS fp_sum
 FROM sel s JOIN ng USING (doc_id)
 GROUP BY 1, 2""",
 )
@@ -572,8 +572,11 @@ def dedup_winnow_fingerprints(sf_dir: str):
     SQL-evaluable), clipped at the doc start. The selected set is the
     standard density-2/(w+1) sub-sampled fingerprint family for
     near-dup detection at scale; this query materializes per-doc
-    fingerprint counts + a position-weighted checksum. Map-only: grams
-    never leave their batch, zero exchange, one output row per doc."""
+    fingerprint counts + a position-weighted checksum (each h·(pos+1)
+    term reduced mod 2^31−1 before an exact int64 segment sum, so the
+    checksum stays BIGINT-representable at any document length).
+    Map-only: grams never leave their batch, zero exchange, one output
+    row per doc."""
     from raylog.functions.dedup import winnow_batch
     from raylog.pipelines import log_pipeline as LP
 

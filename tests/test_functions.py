@@ -1268,7 +1268,7 @@ class TestWinnowing:
                 spos = max(q for q in range(s, e + 1) if hs[q] == m)
                 sel.add(spos)
             out.append((len(hs), len(sel),
-                        sum(hs[p] * (p + 1) for p in sel)))
+                        sum(hs[p] * (p + 1) % P for p in sel)))
         return out
 
     def test_vectorized_matches_scalar_with_ties(self):
