@@ -26,21 +26,24 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from raylog.functions.agg import partition_ids
+from raylog.state import fsio
 
 __all__ = ["write_bucketed", "read_bucket_for", "read_bucketed"]
 
 
 def write_bucketed(ds: rd.Dataset, out_dir: str, key: str,
-                   num_buckets: int = 16) -> None:
+                   num_buckets: int = 16, filesystem=None) -> None:
     """Write ``ds`` as ``out_dir/bucket=NNNN/part-*.parquet``.
 
     Streaming: each task tags its batch (vectorized hash), splits it by
     bucket, and appends one deterministically-named file per (block,
     bucket) — no shuffle; a bucket's rows may span files (readers glob
-    the directory). Retries overwrite via tmp+rename."""
-    os.makedirs(out_dir, exist_ok=True)
+    the directory). Retries overwrite via the per-FS finalize contract
+    (``state/fsio.py``); ``filesystem`` injects shared multi-node
+    storage, default local."""
+    fs, out_dir = fsio.resolve_fs(out_dir, filesystem)
     for b in range(num_buckets):
-        os.makedirs(f"{out_dir}/bucket={b:04d}", exist_ok=True)
+        fsio.ensure_dir(fs, f"{out_dir}/bucket={b:04d}")
 
     def write(batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -66,11 +69,10 @@ def write_bucketed(ds: rd.Dataset, out_dir: str, key: str,
         n = 0
         for b in np.unique(parr):
             part = batch.filter(pa.array(parr == b))
-            path = f"{out_dir}/bucket={int(b):04d}/part-{tag}.parquet"
-            tmp = f"{path}.tmp{os.getpid()}"
-            pq.write_table(part, tmp, compression="zstd",
-                           compression_level=1)
-            os.replace(tmp, path)
+            fsio.write_parquet_atomic(
+                fs, part,
+                f"{out_dir}/bucket={int(b):04d}/part-{tag}.parquet",
+                tmp_token=f"p{os.getpid()}")
             n += part.num_rows
         return pa.table({"written": pa.array([n], pa.int64())})
 
@@ -79,57 +81,81 @@ def write_bucketed(ds: rd.Dataset, out_dir: str, key: str,
                    batch_size=None).sum("written")
 
 
-def read_bucketed(out_dir: str, columns: list[str] | None = None
-                  ) -> rd.Dataset:
-    """Read the whole bucketed table (all buckets)."""
-    import glob
+def _bucket_files(out_dir: str, bucket: int | None,
+                  filesystem=None) -> tuple[list[str], object]:
+    """COMMITTED part files of one bucket (or all), through the fs
+    layer — on marker-strategy filesystems an in-flight writer's data
+    object is invisible until its ``.ok`` lands."""
+    fs, out_dir = fsio.resolve_fs(out_dir, filesystem)
+    if bucket is not None:
+        return fsio.list_committed(fs, f"{out_dir}/bucket={bucket:04d}"), fs
+    dirs = sorted(
+        i.path for i in fs.get_file_info(
+            fsio.pafs.FileSelector(out_dir, allow_not_found=True))
+        if i.type == fsio.pafs.FileType.Directory
+        and i.base_name.startswith("bucket="))
+    files: list[str] = []
+    for d in dirs:
+        files.extend(fsio.list_committed(fs, d))
+    return sorted(files), fs
 
-    files = sorted(glob.glob(f"{out_dir}/bucket=*/part-*.parquet"))
+
+def read_bucketed(out_dir: str, columns: list[str] | None = None,
+                  filesystem=None) -> rd.Dataset:
+    """Read the whole bucketed table (all buckets)."""
     from raylog.sources.reader import read_sequences
 
-    return read_sequences(files, columns=columns)
+    files, fs = _bucket_files(out_dir, None, filesystem)
+    return read_sequences(files, columns=columns,
+                          filesystem=fs if filesystem is not None else None)
 
 
 def read_bucket_for(out_dir: str, key: str, value,
                     num_buckets: int = 16,
-                    columns: list[str] | None = None) -> rd.Dataset:
+                    columns: list[str] | None = None,
+                    filesystem=None) -> rd.Dataset:
     """Read ONLY the bucket that can contain ``key == value`` — the 1/n
     point-lookup path. Uses the same seeded hash as the writer."""
-    import glob
+    from raylog.sources.reader import read_sequences
 
     probe = pa.table({key: pa.array([value])})
     b = int(partition_ids(probe, [key], num_buckets)[0].as_py())
-    files = sorted(glob.glob(f"{out_dir}/bucket={b:04d}/part-*.parquet"))
-    from raylog.sources.reader import read_sequences
-
-    return read_sequences(files, columns=columns)
+    files, fs = _bucket_files(out_dir, b, filesystem)
+    return read_sequences(files, columns=columns,
+                          filesystem=fs if filesystem is not None else None)
 
 
 def bucketed_join(left_dir: str, right_dir: str, key: str,
                   num_buckets: int = 16,
                   left_columns: list[str] | None = None,
-                  right_columns: list[str] | None = None) -> rd.Dataset:
+                  right_columns: list[str] | None = None,
+                  filesystem=None) -> rd.Dataset:
     """Shuffle-free join of two tables bucketed on the SAME key with the
     same ``num_buckets``: bucket b of the left can only match bucket b
     of the right, so each task reads one bucket pair and hash-joins it
     locally — the network moves each row zero times (vs twice for a
     shuffle join). This is the reuse dividend of picking one
     partitioning key and writing it into the layout."""
-    import glob
-
     items = [{"b": b} for b in range(num_buckets)]
+    lfs, left_dir = fsio.resolve_fs(left_dir, filesystem)
+    rfs, right_dir = fsio.resolve_fs(right_dir, filesystem)
 
     def join_bucket(batch: pa.Table):
         for b in batch["b"].to_pylist():
-            lf = sorted(glob.glob(f"{left_dir}/bucket={b:04d}/part-*.parquet"))
-            rf = sorted(glob.glob(f"{right_dir}/bucket={b:04d}/part-*.parquet"))
+            lf = fsio.list_committed(lfs, f"{left_dir}/bucket={b:04d}")
+            rf = fsio.list_committed(rfs, f"{right_dir}/bucket={b:04d}")
             if not lf or not rf:
                 continue
-            lt = pa.concat_tables([pq.read_table(f, columns=left_columns)
-                                   for f in lf])
-            rt = pa.concat_tables([pq.read_table(f, columns=right_columns)
-                                   for f in rf])
-            yield lt.join(rt, keys=[key], join_type="inner")
+            lt = pa.concat_tables([
+                pq.read_table(f, columns=left_columns, filesystem=lfs)
+                for f in lf])
+            rt = pa.concat_tables([
+                pq.read_table(f, columns=right_columns, filesystem=rfs)
+                for f in rf])
+            # suffixes apply ONLY to colliding non-key names (pyarrow
+            # semantics) — self-joins work, disjoint schemas unchanged
+            yield lt.join(rt, keys=[key], join_type="inner",
+                          right_suffix="_r")
 
     return rd.from_items(items).map_batches(
         join_bucket, batch_format="pyarrow", batch_size=1)

@@ -31,6 +31,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from raylog.functions.agg import partitioned_group_apply
+from raylog.state import fsio
 
 
 def range_sorted_export(
@@ -40,6 +41,7 @@ def range_sorted_export(
     key: str,
     num_ranges: int = 16,
     sample_stride: int = 64,
+    filesystem=None,
 ) -> pa.Table:
     """Write ``ds`` as ``num_ranges`` sorted, range-disjoint parquet
     files under ``out_dir``; returns a manifest (range_id, rows,
@@ -50,11 +52,11 @@ def range_sorted_export(
     order, and stale higher-numbered files from an earlier, larger run
     would silently corrupt it.
     """
-    os.makedirs(out_dir, exist_ok=True)
-    import glob as _glob
-
-    for stale in _glob.glob(os.path.join(out_dir, "range_*.parquet")):
-        os.remove(stale)
+    fs, out_dir = fsio.resolve_fs(out_dir, filesystem)
+    fsio.ensure_dir(fs, out_dir)
+    for stale in fsio.list_files(fs, out_dir):
+        if os.path.basename(stale).startswith("range_"):
+            fsio.delete_file(fs, stale)
 
     def sample(b: pa.Table) -> pa.Table:
         v = np.sort(np.asarray(b[key].combine_chunks(), dtype=np.int64))
@@ -93,10 +95,10 @@ def range_sorted_export(
         for s, e in zip(bounds[:-1], bounds[1:]):
             rid = int(rng[s])
             t = part.slice(s, e - s).drop_columns(["__range"])
-            final = os.path.join(out_dir, f"range_{rid:05d}.parquet")
-            tmp = final + ".tmp"
-            pq.write_table(t, tmp)
-            os.replace(tmp, final)  # idempotent: retry replaces
+            # idempotent: retry replaces (per-FS finalize, state/fsio.py)
+            fsio.write_parquet_atomic(
+                fs, t, fsio.join(out_dir, f"range_{rid:05d}.parquet"),
+                compression="snappy", compression_level=None)
             rows.append((rid, e - s, int(kv[s]), int(kv[e - 1])))
         return pa.table({
             "range_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -117,6 +119,7 @@ def compact_parquet_dir(
     out_dir: str,
     *,
     target_rows: int = 1_000_000,
+    filesystem=None,
 ) -> pa.Table:
     """Compact a directory of small parquet files into ~target_rows
     files — the maintenance pass a resumable pipeline needs after many
@@ -130,31 +133,32 @@ def compact_parquet_dir(
     output (tmp+rename — rerun-idempotent). Returns a manifest
     (out_file, n_files, rows).
     """
-    import glob as _glob
-
     import ray.data as _rd
 
-    files = sorted(_glob.glob(os.path.join(in_dir, "*.parquet")))
+    in_fs, in_dir = fsio.resolve_fs(in_dir, filesystem)
+    out_fs, out_dir = fsio.resolve_fs(out_dir, filesystem)
+    files = fsio.list_committed(in_fs, in_dir)
     bins: list[dict] = []
     cur: dict | None = None
     for f in files:
-        rows = pq.read_metadata(f).num_rows
+        rows = pq.read_metadata(f, filesystem=in_fs).num_rows
         if cur is None or (cur["rows"] + rows > target_rows and cur["files"]):
             cur = {"files": [], "rows": 0}
             bins.append(cur)
         cur["files"].append(f)
         cur["rows"] += rows
-    os.makedirs(out_dir, exist_ok=True)
+    fsio.ensure_dir(out_fs, out_dir)
 
     def write_bin(batch: pa.Table):
         for idx, fl in zip(batch["idx"].to_pylist(),
                            batch["files"].to_pylist()):
-            t = pa.concat_tables([pq.read_table(f) for f in fl],
-                                 promote_options="default")
-            final = os.path.join(out_dir, f"part_{idx:05d}.parquet")
-            tmp = final + ".tmp"
-            pq.write_table(t, tmp)
-            os.replace(tmp, final)
+            t = pa.concat_tables(
+                [pq.read_table(f, filesystem=in_fs) for f in fl],
+                promote_options="default")
+            final = fsio.join(out_dir, f"part_{idx:05d}.parquet")
+            fsio.write_parquet_atomic(out_fs, t, final,
+                                      compression="snappy",
+                                      compression_level=None)
             yield pa.table({
                 "out_file": pa.array([final]),
                 "n_files": pa.array([len(fl)], pa.int64()),

@@ -20,11 +20,9 @@ by key cardinality.
 
 from __future__ import annotations
 
-import os
 import uuid
 
 import pyarrow as pa
-import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
@@ -32,6 +30,7 @@ from raylog.pipelines import log_pipeline as LP
 from raylog.sources.reader import _list_row_groups
 from raylog.stages import parse, route
 from raylog.stages.enrich import BroadcastEnricher
+from raylog.state import fsio
 
 
 class FusedSinkTask:
@@ -44,25 +43,30 @@ class FusedSinkTask:
         cap: int = parse.TRUNCATE_CAP,
         compression: str = "zstd",
         columns: list[str] | None = None,
+        filesystem=None,
+        input_filesystem=None,
     ):
         self.enricher = BroadcastEnricher(dim, key="source")
-        self.out_dir = out_dir
         self.cap = cap
         self.compression = compression
         self.columns = columns
+        self.input_fs = input_filesystem
         self.uid = uuid.uuid4().hex[:12]  # tmp-file disambiguator only
+        self.fs = self.out_dir = None
         if out_dir:
+            self.fs, self.out_dir = fsio.resolve_fs(out_dir, filesystem)
             for sink in route.SINKS:
-                os.makedirs(os.path.join(out_dir, sink), exist_ok=True)
+                fsio.ensure_dir(self.fs, fsio.join(self.out_dir, sink))
 
     def _atomic_write(self, out: pa.Table, path: str) -> None:
-        # deterministic name + tmp/rename: a Ray-retried task REPLACES its
-        # output instead of duplicating it (sink rows hit disk exactly once
-        # per work item, not per attempt)
-        tmp = f"{path}.{self.uid}.tmp"
-        pq.write_table(out, tmp, compression=self.compression,
-                       compression_level=1)
-        os.replace(tmp, path)
+        # deterministic name + per-FS finalize (state/fsio.py: tmp+rename
+        # where rename is atomic, commit marker on object stores): a
+        # Ray-retried task REPLACES its output instead of duplicating it
+        # (sink rows hit storage exactly once per work item, not per
+        # attempt)
+        fsio.write_parquet_atomic(self.fs, out, path,
+                                  compression=self.compression,
+                                  tmp_token=self.uid)
 
     def _process(self, tbl: pa.Table) -> pa.Table:
         tbl = parse.cri_parse(tbl, key="raw")
@@ -85,17 +89,20 @@ class FusedSinkTask:
             mask = pc.equal(urls, url)
             part = out.filter(mask)
             slug = hashlib.md5(url.encode()).hexdigest()[:10]
-            d = os.path.join(self.out_dir, "export", f"collector={slug}")
-            os.makedirs(d, exist_ok=True)
-            self._atomic_write(part, os.path.join(d, f"part-{item_id}.parquet"))
+            d = fsio.join(self.out_dir, "export", f"collector={slug}")
+            fsio.ensure_dir(self.fs, d)
+            self._atomic_write(part, fsio.join(d, f"part-{item_id}.parquet"))
 
     def __call__(self, batch: pa.Table):
         import hashlib
 
+        from raylog.sources.reader import _open_parquet
+
         paths = batch["path"].to_pylist()
         rgs = batch["row_group"].to_pylist()
         for path, rg in zip(paths, rgs):
-            tbl = pq.ParquetFile(path).read_row_group(rg, columns=self.columns)
+            tbl = _open_parquet(path, self.input_fs).read_row_group(
+                rg, columns=self.columns)
             routed = self._process(tbl)
             if self.out_dir:
                 # sink file names derive from the WORK ITEM identity
@@ -115,8 +122,8 @@ class FusedSinkTask:
                         continue
                     self._atomic_write(
                         out,
-                        os.path.join(self.out_dir, sink,
-                                     f"part-{item_id}.parquet"),
+                        fsio.join(self.out_dir, sink,
+                                  f"part-{item_id}.parquet"),
                     )
             yield LP.sink_counts_batch(routed)
 
@@ -128,6 +135,8 @@ def run_fused(
     *,
     concurrency: int | tuple[int, int] | None = None,
     collect_stats: bool = False,
+    filesystem=None,
+    input_filesystem=None,
 ) -> pa.Table | tuple[pa.Table, list[dict]]:
     """Execute the fused pipeline; returns the final sink counts table.
 
@@ -135,15 +144,22 @@ def run_fused(
     every logical CPU blocks the downstream combine tasks until the idle
     pool is torn down (measured ~19 s of dead time), so headroom for the
     task stages is mandatory, not a tuning nicety.
+
+    ``filesystem`` / ``input_filesystem`` inject ``pyarrow.fs``
+    filesystems for the sink writes and the row-group reads
+    respectively (separate knobs: on a SubTree view the two sides'
+    paths resolve against different roots); both default to local.
     """
-    items = _list_row_groups(files)
+    items = _list_row_groups(files, filesystem=input_filesystem)
     if concurrency is None:
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         concurrency = max(1, ncpu - 2)
     dim_ref = ray.put(dim) if ray.is_initialized() else dim
     partials = rd.from_items(items).map_batches(
         FusedSinkTask,
-        fn_constructor_kwargs={"dim": dim_ref, "out_dir": out_dir},
+        fn_constructor_kwargs={"dim": dim_ref, "out_dir": out_dir,
+                               "filesystem": filesystem,
+                               "input_filesystem": input_filesystem},
         concurrency=concurrency,
         batch_size=1,
         batch_format="pyarrow",

@@ -24,13 +24,13 @@ At cluster scale each shard is itself executed with full parallelism
 from __future__ import annotations
 
 import os
-import shutil
 import time
 
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 from raylog.pipelines.fused import run_fused
+from raylog.state import fsio
 from raylog.state.manifest import Manifest
 
 
@@ -52,6 +52,7 @@ def run_resumable(
     enrich_concurrency: int | tuple[int, int] | None = None,  # unused (fused)
     batch_size: int = 32_768,  # unused (fused path reads whole row groups)
     max_shards_this_run: int | None = None,
+    filesystem=None,
 ) -> pa.Table:
     """Run (or resume) the full pipeline; returns final sink counts.
 
@@ -63,9 +64,16 @@ def run_resumable(
     single-pass path (one actor pool; measured ~7× faster than the staged
     writer chain in BENCH_r01), which sizes itself off the cluster CPUs
     when ``concurrency`` is None.
+
+    ``filesystem`` routes ALL output — shard sink dirs, per-shard
+    aggregates, the manifest, the final counts — through an injected
+    ``pyarrow.fs.FileSystem`` (the multi-node shared-storage path);
+    default is the local filesystem, byte-identical to before.
     """
-    os.makedirs(out_root, exist_ok=True)
-    manifest = Manifest(os.path.join(out_root, "manifest.jsonl"))
+    fs, out_root = fsio.resolve_fs(out_root, filesystem)
+    fsio.ensure_dir(fs, out_root)
+    manifest = Manifest(fsio.join(out_root, "manifest.jsonl"),
+                        filesystem=filesystem)
     shards = _shards(input_files, n_shards)
     processed = 0
     for shard_id, files in enumerate(shards):
@@ -83,15 +91,17 @@ def run_resumable(
             continue
         if max_shards_this_run is not None and processed >= max_shards_this_run:
             break
-        shard_dir = os.path.join(out_root, f"shard={shard_id:05d}")
-        if os.path.exists(shard_dir):
-            shutil.rmtree(shard_dir)  # incomplete from a previous run
-        os.makedirs(shard_dir)
+        shard_dir = fsio.join(out_root, f"shard={shard_id:05d}")
+        fsio.delete_dir(fs, shard_dir)  # incomplete from a previous run
+        fsio.ensure_dir(fs, shard_dir)
         t0 = time.monotonic()
         agg, stages = run_fused(
-            files, dim, shard_dir, concurrency=concurrency, collect_stats=True
+            files, dim, shard_dir, concurrency=concurrency,
+            collect_stats=True, filesystem=filesystem,
         )
-        pq.write_table(agg, os.path.join(shard_dir, "sink_counts.parquet"))
+        fsio.write_parquet_atomic(
+            fs, agg, fsio.join(shard_dir, "sink_counts.parquet"),
+            compression="snappy", compression_level=None)
         wall = time.monotonic() - t0
         sink_rows = {}
         for b in agg.to_pylist():
@@ -112,7 +122,7 @@ def run_resumable(
 
     # final aggregate strictly from durable per-shard partials
     done_aggs = [
-        os.path.join(out_root, f"shard={e['shard_id']:05d}", "sink_counts.parquet")
+        fsio.join(out_root, f"shard={e['shard_id']:05d}", "sink_counts.parquet")
         for e in manifest.entries()
     ]
     if not done_aggs:
@@ -122,7 +132,8 @@ def run_resumable(
         )
     import pandas as pd
 
-    df = pd.concat([pq.read_table(p).to_pandas() for p in done_aggs])
+    df = pd.concat([pq.read_table(p, filesystem=fs).to_pandas()
+                    for p in done_aggs])
     out = (
         df.groupby(["sink", "source", "level"], dropna=False)["cnt"]
         .sum()
@@ -130,7 +141,9 @@ def run_resumable(
     )
     out["level"] = out["level"].where(out["level"].notna(), None)
     final = pa.Table.from_pandas(out, preserve_index=False)
-    pq.write_table(final, os.path.join(out_root, "sink_counts.parquet"))
+    fsio.write_parquet_atomic(fs, final,
+                              fsio.join(out_root, "sink_counts.parquet"),
+                              compression="snappy", compression_level=None)
     return final
 
 
@@ -146,8 +159,16 @@ def run_follow(
     concurrency: int | tuple[int, int] | None = None,
     max_runs_per_tick: int = 8,
     dim_refresh_sec: float = 300.0,
+    filesystem=None,
 ) -> pa.Table:
     """Continuous micro-batch mode — the engine's TAIL analog.
+
+    ``filesystem`` routes all OUTPUT (group dirs, manifest, final
+    counts) through an injected ``pyarrow.fs.FileSystem``; the tailed
+    ``input_dir`` stays a local listing by the documented
+    immutable-shard convention (the reference's tail is a node-local
+    agent too — shared-storage INPUT goes through the batch
+    :func:`run_resumable` path instead).
 
     The reference is a resident agent: tail picks up log files as they
     appear and the offset DB survives restarts. The batch-engine analog
@@ -197,16 +218,23 @@ def run_follow(
     import glob as _glob
     import hashlib as _hashlib
 
-    os.makedirs(out_root, exist_ok=True)
+    fs, out_root = fsio.resolve_fs(out_root, filesystem)
+    fsio.ensure_dir(fs, out_root)
     dim_source = dim if callable(dim) else None
     cur_dim = dim_source() if dim_source else dim
     dim_epoch, dim_loaded = 0, time.monotonic()
-    manifest = Manifest(os.path.join(out_root, "follow_manifest.jsonl"))
+    manifest = Manifest(fsio.join(out_root, "follow_manifest.jsonl"),
+                        filesystem=filesystem)
     # sweep group dirs no completed entry references (dead follower)
     live = {e.get("group") for e in manifest.entries()}
-    for d in _glob.glob(os.path.join(out_root, "group=*")):
-        if os.path.basename(d)[len("group="):] not in live:
-            shutil.rmtree(d, ignore_errors=True)
+    from pyarrow import fs as _pafs
+
+    for info in fs.get_file_info(
+            _pafs.FileSelector(out_root, allow_not_found=True)):
+        if (info.type == _pafs.FileType.Directory
+                and info.base_name.startswith("group=")
+                and info.base_name[len("group="):] not in live):
+            fsio.delete_dir(fs, info.path)
     ticks = idle = 0
     while True:
         if (dim_source is not None
@@ -222,16 +250,17 @@ def run_follow(
             group = new[gi: gi + chunk]
             keys = [os.path.basename(f) for f in group]
             ghash = _hashlib.md5("\x1f".join(keys).encode()).hexdigest()[:12]
-            shard_dir = os.path.join(out_root, f"group={ghash}")
-            if os.path.exists(shard_dir):
-                shutil.rmtree(shard_dir)  # incomplete from a dead follower
-            os.makedirs(shard_dir)
+            shard_dir = fsio.join(out_root, f"group={ghash}")
+            fsio.delete_dir(fs, shard_dir)  # incomplete from a dead follower
+            fsio.ensure_dir(fs, shard_dir)
             t0 = time.monotonic()
             agg, stages = run_fused(group, cur_dim, shard_dir,
                                     concurrency=concurrency,
-                                    collect_stats=True)
-            pq.write_table(agg, os.path.join(shard_dir,
-                                             "sink_counts.parquet"))
+                                    collect_stats=True,
+                                    filesystem=filesystem)
+            fsio.write_parquet_atomic(
+                fs, agg, fsio.join(shard_dir, "sink_counts.parquet"),
+                compression="snappy", compression_level=None)
             wall = time.monotonic() - t0
             total = sum(r["cnt"] for r in agg.to_pylist())
             for key, f in zip(keys, group):
@@ -261,11 +290,11 @@ def run_follow(
     for e in manifest.entries():
         g = e.get("group")
         if g is None:
-            done_aggs.append(os.path.join(
+            done_aggs.append(fsio.join(
                 out_root, f"file={e['shard_id']}", "sink_counts.parquet"))
         elif g not in seen_groups:
             seen_groups.add(g)
-            done_aggs.append(os.path.join(
+            done_aggs.append(fsio.join(
                 out_root, f"group={g}", "sink_counts.parquet"))
     if not done_aggs:
         return pa.table(
@@ -276,7 +305,8 @@ def run_follow(
         )
     import pandas as pd
 
-    df = pd.concat([pq.read_table(p).to_pandas() for p in done_aggs])
+    df = pd.concat([pq.read_table(p, filesystem=fs).to_pandas()
+                    for p in done_aggs])
     out = (
         df.groupby(["sink", "source", "level"], dropna=False)["cnt"]
         .sum()
@@ -284,5 +314,7 @@ def run_follow(
     )
     out["level"] = out["level"].where(out["level"].notna(), None)
     final = pa.Table.from_pandas(out, preserve_index=False)
-    pq.write_table(final, os.path.join(out_root, "sink_counts.parquet"))
+    fsio.write_parquet_atomic(fs, final,
+                              fsio.join(out_root, "sink_counts.parquet"),
+                              compression="snappy", compression_level=None)
     return final

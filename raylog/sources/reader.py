@@ -18,11 +18,20 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 
-def _list_row_groups(files: list[str], on_error: str = "raise") -> list[dict]:
+def _open_parquet(path: str, filesystem=None) -> pq.ParquetFile:
+    """Open a parquet file locally or through an injected
+    ``pyarrow.fs.FileSystem`` (multi-node shared storage)."""
+    if filesystem is None:
+        return pq.ParquetFile(path)
+    return pq.ParquetFile(filesystem.open_input_file(path))
+
+
+def _list_row_groups(files: list[str], on_error: str = "raise",
+                     filesystem=None) -> list[dict]:
     items = []
     for path in sorted(files):
         try:
-            md = pq.ParquetFile(path).metadata
+            md = _open_parquet(path, filesystem).metadata
         except Exception:
             if on_error == "skip":
                 import logging
@@ -41,6 +50,7 @@ def read_sequences(
     columns: list[str] | None = None,
     row_groups_per_task: int = 1,
     on_error: str = "raise",
+    filesystem=None,
 ) -> rd.Dataset:
     """Dataset over (file, row_group) read tasks, column-pruned.
 
@@ -59,7 +69,8 @@ def read_sequences(
     losing one row group beats losing the job). Default stays strict.
     """
     packed, cur = [], None
-    for it in _list_row_groups(files, on_error=on_error):
+    for it in _list_row_groups(files, on_error=on_error,
+                               filesystem=filesystem):
         if (cur is None or it["path"] != cur["path"]
                 or len(cur["rgs"]) >= row_groups_per_task):
             cur = {"path": it["path"], "rgs": []}
@@ -70,7 +81,7 @@ def read_sequences(
         for path, rgs in zip(batch["path"].to_pylist(),
                              batch["rgs"].to_pylist()):
             try:
-                f = pq.ParquetFile(path)
+                f = _open_parquet(path, filesystem)
                 tbl = f.read_row_groups(list(rgs), columns=columns)
             except Exception:
                 if on_error == "skip":

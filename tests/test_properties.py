@@ -460,8 +460,10 @@ def test_winnow_matches_scalar_model(token_lists):
             s0 = max(0, e - w + 1)
             m = min(hs[s0:e + 1])
             sel.add(max(q for q in range(s0, e + 1) if hs[q] == m))
+        # fp_sum is Σ ((h·(pos+1)) mod P) — per-term-modded so the
+        # oracle's BIGINT never overflows on long docs (round 5 item #3)
         assert got[i] == (len(hs), len(sel),
-                          sum(hs[p] * (p + 1) for p in sel)), (i, toks)
+                          sum(hs[p] * (p + 1) % P for p in sel)), (i, toks)
 
 
 @settings(max_examples=100, deadline=None)
