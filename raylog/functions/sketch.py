@@ -194,6 +194,7 @@ def distinct_kmv(ds: rd.Dataset, col: str, *, k: int = 256) -> pa.Table:
 # practice and is bounded by the CMS εN guarantee.
 
 _CMS_P = (1 << 61) - 1  # Mersenne prime for the 2-universal hash family
+_CMS_CHUNK = 1 << 18  # cache-block length (2 MB of uint64) for partials
 
 
 def _cms_params(depth: int) -> tuple[np.ndarray, np.ndarray]:
@@ -252,14 +253,34 @@ def cms_heavy_hitters(
              if weight_col else None)
         # bincount is a sort-free scatter-sum — O(n) per depth row, no
         # np.unique (a 12M-key sort per block dominated the first cut);
-        # the unweighted int path skips the float accumulate entirely
-        cms = np.empty((depth, width), dtype=np.int64)
-        for i in range(depth):
-            r = _cms_row(keys, width, i, params)
-            if w is None:
-                cms[i] = np.bincount(r, minlength=width)
-            else:
-                cms[i] = np.bincount(r, weights=w, minlength=width)
+        # the unweighted int path skips the float accumulate entirely.
+        # CACHE-BLOCKED (round 5): the full-array per-depth loop streams
+        # ~10× the key volume through memory (hash temp + fold temp per
+        # depth); at 32 concurrent workers the pass is bandwidth-bound,
+        # so hash+fold+bincount run per 2 MB chunk with reused scratch —
+        # temps stay cache-resident, traffic drops to ~keys + counts
+        # (measured 1.4× single-thread, bit-identical counts)
+        cms = np.zeros((depth, width), dtype=np.int64)
+        a, b = params
+        x_all = keys.view(np.uint64)
+        h = np.empty(_CMS_CHUNK, dtype=np.uint64)
+        t = np.empty(_CMS_CHUNK, dtype=np.uint64)
+        for s in range(0, len(keys), _CMS_CHUNK):
+            x = x_all[s: s + _CMS_CHUNK]
+            hh, tt = h[: len(x)], t[: len(x)]
+            for i in range(depth):
+                np.multiply(x, a[i], out=hh)
+                hh += b[i]
+                np.right_shift(hh, np.uint64(33), out=tt)
+                hh ^= tt
+                hh &= np.uint64(width - 1)
+                r = hh.view(np.int64)
+                if w is None:
+                    cms[i] += np.bincount(r, minlength=width)
+                else:
+                    cms[i] += np.bincount(
+                        r, weights=w[s: s + _CMS_CHUNK],
+                        minlength=width).astype(np.int64)
         # block-local candidates WITHOUT a full-block np.unique (a 12M-key
         # sort per block dominated the first cut): a bounded sample of
         # positions — heaviest-weight positions for pre-aggregated feeds,
@@ -324,12 +345,22 @@ def cms_heavy_hitters(
     def exact_partial(batch: pa.Table) -> pa.Table:
         keys = np.asarray(batch[col].combine_chunks(), dtype=np.int64)
         w = (np.asarray(batch[weight_col].combine_chunks(), dtype=np.int64)
-             if weight_col else np.ones(len(keys), dtype=np.int64))
-        pos = np.searchsorted(cand_sorted, keys)
-        pos = np.clip(pos, 0, len(cand_sorted) - 1)
-        hit = cand_sorted[pos] == keys
-        cnt = np.bincount(pos[hit], weights=w[hit],
-                          minlength=len(cand_sorted)).astype(np.int64)
+             if weight_col else None)
+        # cache-blocked like the CMS partial: searchsorted/clip/gather
+        # temps stay in cache instead of streaming 4× the key volume
+        cnt = np.zeros(len(cand_sorted), dtype=np.int64)
+        for s in range(0, len(keys), _CMS_CHUNK):
+            kc = keys[s: s + _CMS_CHUNK]
+            pos = np.searchsorted(cand_sorted, kc)
+            np.clip(pos, 0, len(cand_sorted) - 1, out=pos)
+            hit = cand_sorted[pos] == kc
+            ph = pos[hit]
+            if w is None:
+                cnt += np.bincount(ph, minlength=len(cand_sorted))
+            else:
+                cnt += np.bincount(
+                    ph, weights=w[s: s + _CMS_CHUNK][hit],
+                    minlength=len(cand_sorted)).astype(np.int64)
         return pa.table({"cnt": pa.array([cnt.tobytes()], pa.binary())})
 
     def merge_cnt(t: pa.Table) -> pa.Table:
