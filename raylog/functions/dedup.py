@@ -35,6 +35,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
 from raylog.functions.agg import grouped_aggregate_ds
@@ -509,8 +510,14 @@ def _intra_bucket_pairs(part: pa.Table, key_cols: list[str],
     if max_bucket:
         over = sizes > max_bucket
         if counters is not None and over.any():
-            counters.add.remote("capped_buckets", int(over.sum()))
-            counters.add.remote("dropped_postings", int(sizes[over].sum()))
+            # Ack the increments (rare path only): a fire-and-forget
+            # add can still be in the actor's mailbox when the driver
+            # reads the totals after the run completes.
+            ray.get([
+                counters.add.remote("capped_buckets", int(over.sum())),
+                counters.add.remote("dropped_postings",
+                                    int(sizes[over].sum())),
+            ])
         keep &= ~over
     sz = sizes[keep]
     st = starts[keep]

@@ -6,10 +6,12 @@ stage wants to surface — events the physical plan hides, like "how many
 hot-fingerprint buckets did ``max_postings`` trim" (the signal that a
 ``shared`` count degraded from exact to lower-bound on a 100 TB run).
 
-A single zero-CPU actor per counter group: map tasks fire-and-forget
+A single zero-CPU actor per counter group: map tasks call (and ack)
 ``add.remote`` only on the RARE event path (a capped bucket), so the
 hot path stays free of actor round-trips; the driver reads the totals
-once after the run.
+once after the run. Callers must ``ray.get`` the add so the increment
+is processed before the task completes — a fire-and-forget add can
+still be in the actor's mailbox when the driver reads the totals.
 """
 
 from __future__ import annotations
