@@ -420,10 +420,30 @@ def _seq_units(files):
         run_fused(files, dim, out, concurrency=fused_pool_size(NCPU))
         shutil.rmtree(out, ignore_errors=True)
 
+    def staged():
+        from raylog.pipelines import log_pipeline as LP
+        from raylog.records import build_dim_table
+        from raylog.sinks.writer import run_to_sinks
+        from raylog.sources.synth import synth_sources
+
+        # mirrors the full bench's q3 pool split (even enrich/write)
+        enrich_c = max(1, min(14, (NCPU * 4) // 9))
+        write_c = max(1, min(14, (NCPU * 4) // 9))
+        if enrich_c + write_c >= NCPU:
+            enrich_c = max(1, NCPU // 2 - 1)
+            write_c = max(1, NCPU - 2 - enrich_c)
+        dim = build_dim_table(synth_sources())
+        out = f"/tmp/raylog_bench/out_staged_ab_{os.getpid()}"
+        routed = LP.pipeline_from_records(
+            read_sequences(files), dim, concurrency=enrich_c)
+        run_to_sinks(routed, out, concurrency=write_c)
+        shutil.rmtree(out, ignore_errors=True)
+
     return {"tokens_bigrams_cms_full": cms, "tokens_bigrams_16th": bigrams,
             "tokens_unigrams_seq": unigrams,
             "tokens_pack_windows_half": windows,
-            "full_pipeline_sinks": headline}
+            "full_pipeline_sinks": headline,
+            "full_pipeline_sinks_staged": staged}
 
 
 DOC_UNITS = {
