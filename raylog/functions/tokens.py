@@ -217,6 +217,151 @@ def bigram_keys_batch(batch: pa.Table, list_col: str = "tokens") -> pa.Table:
     })
 
 
+def _masked_pair_arrays(
+    vals: np.ndarray, lengths: np.ndarray, d: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(left, right) uint32 token arrays for every distance-``d`` pair
+    that does NOT cross a row (sequence) boundary. Generalizes the d=1
+    bigram mask: a pair starting at flat index i spans [i, i+d], so it
+    is invalid iff some row end e falls in (i, i+d] — marked with a
+    difference array + cumsum (O(rows) regardless of d), not a per-end
+    range write."""
+    u = (vals.view(np.uint32) if vals.dtype == np.int32
+         else vals.astype(np.int32).view(np.uint32))
+    n = len(vals) - d
+    bad = np.zeros(n + 1, dtype=np.int64)
+    ends = np.cumsum(lengths)[:-1]
+    ends = ends[(ends > 0) & (ends < len(vals))]
+    lo = np.maximum(ends - d, 0)
+    hi = np.minimum(ends, n)
+    ok = lo < hi
+    np.add.at(bad, lo[ok], 1)
+    np.add.at(bad, hi[ok], -1)
+    mask = np.cumsum(bad[:n]) == 0
+    return u[:n][mask], u[d:][mask]
+
+
+def skipgram_count_partial(
+    batch: pa.Table, *, window: int = 2, list_col: str = "tokens"
+) -> pa.Table:
+    """One batch → (a, b, cnt) exact partial counts of windowed
+    co-occurrence pairs: for every position i, the ordered
+    (center=tokens[i], context=tokens[i±d]) pairs for d=1..window —
+    the word2vec-style co-occurrence build. Row boundaries never
+    crossed; both directions emitted (the matrix is symmetric in
+    counts: cnt(a,b) == cnt(b,a))."""
+    empty = pa.table({
+        "a": pa.array([], pa.int64()),
+        "b": pa.array([], pa.int64()),
+        "cnt": pa.array([], pa.int64()),
+    })
+    vals, lengths = _flat_values(batch, list_col)
+    keys: list[np.ndarray] = []
+    for d in range(1, window + 1):
+        if len(vals) <= d:
+            break
+        left, right = _masked_pair_arrays(vals, lengths, d)
+        fwd = left.astype(np.uint64)
+        fwd <<= np.uint64(32)
+        fwd |= right
+        rev = right.astype(np.uint64)
+        rev <<= np.uint64(32)
+        rev |= left
+        keys.append(fwd)
+        keys.append(rev)
+    if not keys:
+        return empty
+    uk, cnts = np.unique(np.concatenate(keys), return_counts=True)
+    a = (uk >> np.uint64(32)).astype(np.uint32).view(np.int32).astype(np.int64)
+    b = (uk & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32).astype(np.int64)
+    return pa.table({
+        "a": pa.array(a),
+        "b": pa.array(b),
+        "cnt": pa.array(cnts.astype(np.int64)),
+    })
+
+
+def skipgram_top_cooc(
+    ds: rd.Dataset, *, k: int = 30, window: int = 2,
+    list_col: str = "tokens", num_partitions: int = 32,
+) -> pa.Table:
+    """Top-k windowed co-occurrence pairs (cnt desc, a, b tie-break)
+    with rank. Same exchange shape as the bigram path — per-block
+    partial counts (batch-distinct-bounded), hash-partitioned combine,
+    partial top-k — ×2·window the pair volume."""
+    partials = ds.map_batches(
+        lambda t: skipgram_count_partial(t, window=window, list_col=list_col),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    freqs = agg.grouped_aggregate_ds(
+        partials, ["a", "b"], [("cnt", "sum", "cnt")],
+        num_partitions=num_partitions, batch_size=None,
+    )
+    return tk.topk(
+        freqs, sort_cols=["cnt", "a", "b"], descending=[True, False, False],
+        k=k, add_rank="rank",
+    )
+
+
+def zipf_slope(
+    ds: rd.Dataset, *, k: int = 100, list_col: str = "tokens"
+) -> pa.Table:
+    """Zipf's-law fit over the top-k vocabulary: OLS slope of
+    ln(cnt) ~ ln(rank) (a healthy natural-language corpus sits near
+    −1; flat slopes flag templated/duplicated text). The heavy lifting
+    is the existing vocab-bounded top-k aggregate; the fit is a
+    closed-form two-moment finish on ≤k rows."""
+    top = token_top_terms(ds, k=k, list_col=list_col)
+    x = np.log(np.asarray(top["rank"], dtype=np.float64))
+    y = np.log(np.asarray(top["cnt"], dtype=np.float64))
+    xc = x - x.mean()
+    slope = float((xc * (y - y.mean())).sum() / (xc * xc).sum())
+    return pa.table({
+        "n_terms": pa.array([top.num_rows], pa.int64()),
+        "slope": pa.array([slope], pa.float64()),
+    })
+
+
+def bigram_pmi(
+    ds: rd.Dataset, *, k: int = 20, list_col: str = "tokens",
+    num_partitions: int = 32,
+) -> pa.Table:
+    """Pointwise mutual information of the top-k consecutive pairs:
+    pmi = ln( (c_ab/N2) / ((c_a/N1)·(c_b/N1)) ) with N1 = total
+    tokens, N2 = total bigram slots. Joins two existing aggregates —
+    the vocab-bounded unigram table and the top-k bigram table — plus
+    one tiny scalar partial for N2; no extra corpus shuffle."""
+    top = bigram_top_terms(ds, k=k, list_col=list_col,
+                           num_partitions=num_partitions)
+    uni = token_frequencies(ds, list_col=list_col)
+    n1 = int(pc.sum(uni["cnt"]).as_py() or 0)
+
+    def _n2_partial(batch: pa.Table) -> pa.Table:
+        col = batch[list_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = np.asarray(pc.list_value_length(col), dtype=np.int64)
+        return pa.table({"n2": pa.array(
+            [int(np.maximum(lens - 1, 0).sum())], pa.int64())})
+
+    n2 = sum(
+        int(t["n2"][0].as_py())
+        for t in ds.map_batches(_n2_partial, batch_format="pyarrow",
+                                batch_size=None).iter_batches(
+            batch_format="pyarrow", batch_size=None)
+    )
+    cnt_by_tok = dict(zip(
+        np.asarray(uni["token"]).tolist(), np.asarray(uni["cnt"]).tolist()))
+    t1 = np.asarray(top["t1"])
+    t2 = np.asarray(top["t2"])
+    c1 = np.array([cnt_by_tok[t] for t in t1.tolist()], dtype=np.float64)
+    c2 = np.array([cnt_by_tok[t] for t in t2.tolist()], dtype=np.float64)
+    cab = np.asarray(top["cnt"], dtype=np.float64)
+    pmi = np.log((cab / n2) / ((c1 / n1) * (c2 / n1)))
+    return top.append_column("pmi", pa.array(pmi, pa.float64()))
+
+
 def sequence_hash_columns(batch: pa.Table, tok_col: str = "tokens",
                           h1_col: str = "seq_h1",
                           h2_col: str = "seq_h2") -> pa.Table:

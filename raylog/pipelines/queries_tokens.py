@@ -311,6 +311,100 @@ def tokens_bigrams_sketch(sf_dir: str):
 
 
 @query(
+    "tokens_zipf_slope",
+    _P() + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       REGR_SLOPE(ln(CAST(cnt AS DOUBLE)), ln(CAST(rank AS DOUBLE))) AS slope
+FROM (
+  SELECT COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rank
+  FROM (SELECT CAST(unnest(tokens) AS BIGINT) AS token FROM recs2)
+  GROUP BY token
+) WHERE rank <= 100""",
+)
+def tokens_zipf_slope(sf_dir: str):
+    """Zipf's-law slope over the top-100 vocabulary (corpus-health
+    audit: natural text sits near −1, templated/duplicated text goes
+    flat). The corpus pass is the existing vocab-bounded top-k
+    aggregate; the ln-ln OLS fit is a closed-form finish on ≤100 rows
+    — algebraically identical to the oracle's REGR_SLOPE."""
+    from raylog.functions.tokens import zipf_slope
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["tokens"])
+    return zipf_slope(ds, k=100)
+
+
+@query(
+    "tokens_pmi_bigrams",
+    _P() + """
+, uni AS (SELECT CAST(unnest(tokens) AS BIGINT) AS token FROM recs2),
+ucnt AS (SELECT token, COUNT(*) AS c FROM uni GROUP BY token),
+pairs AS (
+  SELECT CAST(tokens[CAST(i AS INT)] AS BIGINT) AS t1,
+         CAST(tokens[CAST(i AS INT) + 1] AS BIGINT) AS t2
+  FROM recs2, LATERAL (
+    SELECT unnest(generate_series(1, CAST(n_tok AS INT) - 1)) AS i
+  ) g
+),
+big AS (
+  SELECT t1, t2, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t1, t2) AS rank
+  FROM pairs GROUP BY t1, t2
+)
+SELECT b.t1, b.t2, b.cnt, CAST(b.rank AS BIGINT) AS rank,
+       ln((CAST(b.cnt AS DOUBLE) / (SELECT COUNT(*) FROM pairs))
+          / ((CAST(u1.c AS DOUBLE) / (SELECT COUNT(*) FROM uni))
+             * (CAST(u2.c AS DOUBLE) / (SELECT COUNT(*) FROM uni)))) AS pmi
+FROM big b
+JOIN ucnt u1 ON u1.token = b.t1
+JOIN ucnt u2 ON u2.token = b.t2
+WHERE b.rank <= 20""",
+)
+def tokens_pmi_bigrams(sf_dir: str):
+    """Pointwise mutual information of the top-20 consecutive pairs
+    (collocation mining — the association signal behind phrase/merge
+    induction). Joins two aggregates the engine already has — the
+    vocab-bounded unigram table and the top-k bigram table — plus one
+    scalar partial for the bigram total; no additional corpus shuffle.
+    """
+    from raylog.functions.tokens import bigram_pmi
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["tokens"])
+    return bigram_pmi(ds, k=20)
+
+
+@query(
+    "tokens_skipgram_cooc",
+    _P() + """
+SELECT a, b, cnt, rank FROM (
+  SELECT a, b, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, a, b) AS rank
+  FROM (
+    SELECT CAST(tokens[CAST(i AS INT)] AS BIGINT) AS a,
+           CAST(tokens[CAST(j AS INT)] AS BIGINT) AS b
+    FROM recs2,
+         LATERAL (SELECT unnest(generate_series(1, CAST(n_tok AS INT))) AS i) gi,
+         LATERAL (SELECT unnest([i - 2, i - 1, i + 1, i + 2]) AS j) gj
+    WHERE j BETWEEN 1 AND CAST(n_tok AS INT)
+  ) GROUP BY a, b
+) WHERE rank <= 30""",
+)
+def tokens_skipgram_cooc(sf_dir: str):
+    """Windowed (±2) co-occurrence heavy hitters — the word2vec-style
+    skip-gram pair build. Per-block kernel emits distance-1..2 pairs in
+    both directions from the flat token buffer (difference-array
+    boundary mask, no per-row Python), then the same hash-partitioned
+    combine + partial top-k as the bigram path."""
+    from raylog.functions.tokens import skipgram_top_cooc
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["tokens"])
+    return skipgram_top_cooc(ds, k=30, window=2)
+
+
+@query(
     "tokens_remap_filter",
     _P() + """
 SELECT doc_id,

@@ -207,3 +207,95 @@ def test_fim_transform_checksum_matches_materialized():
         assert r["fim"] == fim
         assert r["n_out"] == len(seq)
         assert r["fim_checksum"] == want, (d, toks)
+
+
+class TestSkipgramCooc:
+    def test_partial_counts_match_bruteforce(self):
+        """Windowed co-occurrence partials vs a per-row double loop
+        (both directions, distances 1..w, boundaries never crossed)."""
+        from collections import Counter
+
+        from raylog.functions.tokens import skipgram_count_partial
+
+        tbl, vals, lengths = _synth_lists(n_rows=300, vocab=40, seed=11)
+        for w in (1, 2, 3):
+            out = skipgram_count_partial(tbl, window=w).to_pandas()
+            got = {(a, b): c for a, b, c in zip(out.a, out.b, out.cnt)}
+            want: Counter = Counter()
+            pos = 0
+            for ln in lengths:
+                row = vals[pos:pos + ln]
+                pos += ln
+                for i in range(len(row)):
+                    for d in range(1, w + 1):
+                        if i + d < len(row):
+                            want[(row[i], row[i + d])] += 1
+                            want[(row[i + d], row[i])] += 1
+            assert got == dict(want), f"window={w}"
+
+    def test_counts_symmetric(self):
+        from raylog.functions.tokens import skipgram_count_partial
+
+        tbl, _, _ = _synth_lists(n_rows=200, vocab=25, seed=3)
+        out = skipgram_count_partial(tbl, window=2).to_pandas()
+        got = {(a, b): c for a, b, c in zip(out.a, out.b, out.cnt)}
+        assert all(got[(b, a)] == c for (a, b), c in got.items())
+
+    def test_top_cooc_distributed_matches_single_partial(self, ray_session):
+        from raylog.functions.tokens import (
+            skipgram_count_partial,
+            skipgram_top_cooc,
+        )
+
+        tbl, _, _ = _synth_lists(n_rows=1500, vocab=20, seed=5)
+        got = skipgram_top_cooc(
+            rd.from_arrow(tbl).repartition(6), k=10, window=2
+        ).to_pandas()
+        ref = (skipgram_count_partial(tbl, window=2).to_pandas()
+               .sort_values(["cnt", "a", "b"],
+                            ascending=[False, True, True],
+                            kind="mergesort").head(10).reset_index(drop=True))
+        assert got.a.tolist() == ref.a.tolist()
+        assert got.b.tolist() == ref.b.tolist()
+        assert got.cnt.tolist() == ref.cnt.tolist()
+        assert got["rank"].tolist() == list(range(1, 11))
+
+
+def test_zipf_slope_closed_form_matches_polyfit(ray_session):
+    from raylog.functions.tokens import zipf_slope
+
+    tbl, vals, _ = _synth_lists(n_rows=2000, vocab=50, seed=13)
+    out = zipf_slope(rd.from_arrow(tbl).repartition(4), k=30).to_pandas()
+    tok, cnt = np.unique(vals, return_counts=True)
+    order = np.lexsort((tok, -cnt))[:30]
+    y = np.log(cnt[order].astype(float))
+    x = np.log(np.arange(1, len(order) + 1, dtype=float))
+    want = np.polyfit(x, y, 1)[0]
+    assert out.n_terms[0] == 30
+    assert abs(out.slope[0] - want) < 1e-9
+
+
+def test_bigram_pmi_matches_bruteforce(ray_session):
+    """pmi = ln((c_ab/N2) / ((c_a/N1)(c_b/N1))) against per-pair
+    recomputation from exact numpy counts."""
+    from collections import Counter
+
+    from raylog.functions.tokens import bigram_pmi
+
+    tbl, vals, lengths = _synth_lists(n_rows=800, vocab=15, seed=9)
+    out = bigram_pmi(rd.from_arrow(tbl).repartition(4), k=12).to_pandas()
+    uni = Counter(vals.tolist())
+    n1 = sum(uni.values())
+    pairs: Counter = Counter()
+    pos = 0
+    for ln in lengths:
+        row = vals[pos:pos + ln]
+        pos += ln
+        pairs.update(zip(row[:-1].tolist(), row[1:].tolist()))
+    n2 = sum(pairs.values())
+    assert n2 == sum(max(0, ln - 1) for ln in lengths)
+    for r in out.itertuples():
+        want = np.log((pairs[(r.t1, r.t2)] / n2)
+                      / ((uni[r.t1] / n1) * (uni[r.t2] / n1)))
+        assert abs(r.pmi - want) < 1e-12
+        assert r.cnt == pairs[(r.t1, r.t2)]
