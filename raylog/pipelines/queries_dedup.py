@@ -1410,3 +1410,55 @@ def mm_frame_sample(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Decontamination (standalone n-gram leakage report)
+# --------------------------------------------------------------------------
+
+@query(
+    "decontam_ngram_report",
+    _P() + """
+, g AS (
+  SELECT DISTINCT doc_id, source = 'src0' AS is_eval,
+         CAST(tokens[CAST(i AS INT)] % 128 AS BIGINT)
+       + CAST(tokens[CAST(i AS INT) + 1] % 128 AS BIGINT) * 128
+       + CAST(tokens[CAST(i AS INT) + 2] % 128 AS BIGINT) * 16384
+       + CAST(tokens[CAST(i AS INT) + 3] % 128 AS BIGINT) * 2097152
+       + CAST(tokens[CAST(i AS INT) + 4] % 128 AS BIGINT) * 268435456
+       + CAST(tokens[CAST(i AS INT) + 5] % 128 AS BIGINT) * 34359738368
+       + CAST(tokens[CAST(i AS INT) + 6] % 128 AS BIGINT) * 4398046511104
+       + CAST(tokens[CAST(i AS INT) + 7] % 128 AS BIGINT) * 562949953421312
+         AS gram
+  FROM recs2, LATERAL (
+    SELECT unnest(generate_series(1, CAST(n_tok AS INT) - 7)) AS i
+  ) s
+)
+SELECT e.doc_id, CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_contaminating
+FROM g e JOIN g t ON e.gram = t.gram AND e.is_eval AND NOT t.is_eval
+GROUP BY e.doc_id""",
+)
+def decontam_ngram_report_q(sf_dir: str):
+    """Standalone n-gram decontamination report (the hygiene check the
+    ``pretrain_prep`` composite applies, as an auditable per-doc
+    table): treating source 'src0' as the eval slice, count for every
+    contaminated eval doc how many DISTINCT train docs share at least
+    one 8-token n-gram. Grams compared by VALUE (tokens mod 128 packed
+    8-per-int64 — the oracle restates the pack exactly), so counts are
+    exact, never hash-probabilistic. Exchange = per-doc-distinct gram
+    postings + the distinct contamination edge set; the bipartite
+    enumeration runs inside complete-gram partitions in pure index
+    arithmetic (`functions/decontam.py`)."""
+    import pyarrow.compute as pc
+
+    from raylog.functions.decontam import decontam_ngram_report
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["doc_id", "source", "tokens"])
+
+    def flag(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "is_eval": pc.equal(b["source"], "src0"),
+            "tokens": b["tokens"],
+        })
+
+    flagged = ds.map_batches(flag, batch_format="pyarrow", batch_size=None)
+    return decontam_ngram_report(flagged, n=8)

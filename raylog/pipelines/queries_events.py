@@ -1982,3 +1982,57 @@ def events_gap_quantiles(sf_dir: str):
                              out_names=["p50", "p95", "p99"])
 
 
+
+
+@query(
+    "template_cap_sample",
+    _P() + """
+, t AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(log,
+           '[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}',
+           '<id>', 'g'),
+           '\\b[0-9a-f]{16}\\b', '<hex>', 'g'),
+           '\\b[0-9]+\\b', '<n>', 'g') AS template
+  FROM recs2
+)
+SELECT template, doc_id, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT template, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY template ORDER BY doc_id) AS rn
+  FROM t
+) WHERE rn <= 3""",
+)
+def template_cap_sample(sf_dir: str):
+    """Over-represented-template downsampling (the anti-boilerplate
+    sampling step of a pretraining pipeline): mine the log template of
+    every line (same three chained RE2 masks as `log_templates` —
+    pyarrow and DuckDB share RE2, bit-identical), then keep at most 3
+    docs per template, lowest doc_id first (deterministic). The cap is
+    a grouped partial top-k — every block emits ≤3 rows per template
+    it saw, the merge re-caps — so exchange is templates×blocks
+    bounded, never corpus-sized."""
+    import pyarrow.compute as pc
+
+    from raylog.functions import topk as tk
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.parsed_ds(LP.records_ds(sf_dir))
+
+    def mask(b: pa.Table) -> pa.Table:
+        t = b["log"]
+        t = pc.replace_substring_regex(
+            t,
+            pattern="[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}"
+                    "-[0-9a-f]{12}",
+            replacement="<id>")
+        t = pc.replace_substring_regex(t, pattern=r"\b[0-9a-f]{16}\b",
+                                       replacement="<hex>")
+        t = pc.replace_substring_regex(t, pattern=r"\b[0-9]+\b",
+                                       replacement="<n>")
+        return pa.table({"template": t, "doc_id": b["doc_id"]})
+
+    masked = ds.map_batches(mask, batch_format="pyarrow", batch_size=None)
+    return tk.topk(
+        masked, sort_cols=["doc_id"], descending=[False], k=3,
+        group_cols=["template"], add_rank="rank",
+    )
