@@ -555,6 +555,96 @@ def _intra_bucket_pairs(part: pa.Table, key_cols: list[str],
     return pa.table(cols)
 
 
+def _counted_shingle_pairs(
+    ds: rd.Dataset,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int,
+    num_partitions: int,
+) -> rd.Dataset:
+    """(doc_a, doc_b, len_a, len_b, inter) for every document pair that
+    shares at least one word-k-gram — the shared core of the exact
+    set-overlap family (Jaccard and containment finishes).
+
+    Per-doc shingles are DISTINCT, so pair (a, b) is enumerated exactly
+    once per shared shingle and ``inter = |A∩B|`` falls out of the
+    grouped COUNT of the enumeration; per-doc set sizes ride the posting
+    rows so no second exchange is needed. Exchange per pair row: 4
+    int64s."""
+    from raylog.functions.agg import partitioned_group_apply
+
+    shingles = ds.map_batches(
+        sized_shingle_batch,
+        fn_kwargs=dict(id_col=id_col, text_col=text_col, k=k),
+        batch_format="pyarrow", batch_size=None,
+    )
+    pair_rows = partitioned_group_apply(
+        shingles, ["shingle"],
+        lambda part: _intra_bucket_pairs(part, ["shingle"],
+                                         payload_col="dlen"),
+        num_partitions=num_partitions, materialize_input=True,
+    )
+    # len_a/len_b are functionally dependent on doc_a/doc_b, so
+    # grouping on all four keys is the same partition as the pair
+    return grouped_aggregate_ds(
+        pair_rows, ["doc_a", "doc_b", "len_a", "len_b"],
+        [("doc_a", "count", "inter")], num_partitions=num_partitions,
+    )
+
+
+def ngram_containment_pairs(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.25,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """All pairs with word-k-gram CONTAINMENT ≥ threshold — Broder's
+    asymmetric overlap measure ``|A∩B| / min(|A|, |B|)``.
+
+    Catches subset relationships that symmetric Jaccard misses: a short
+    document fully embedded in a much longer one has containment 1.0 but
+    Jaccard ≈ |A|/|B| → 0 (e.g. a quoted excerpt, a boilerplate header,
+    a doc-plus-appendix reissue). Training-data pipelines use it to
+    catch partial-duplication that near-dup Jaccard thresholds pass.
+
+    Same physical plan as the exact Jaccard path (inverted shingle index
+    → count-based finish, no set materialization): only the final
+    map-only kernel differs. Returns (doc_a, doc_b, cont_milli,
+    jacc_milli) so the asymmetry is visible next to the symmetric score.
+    """
+    counted = _counted_shingle_pairs(
+        ds, id_col=id_col, text_col=text_col, k=k,
+        num_partitions=num_partitions,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        inter = np.asarray(b["inter"].combine_chunks(), dtype=np.int64)
+        la = np.asarray(b["len_a"].combine_chunks(), dtype=np.int64)
+        lb = np.asarray(b["len_b"].combine_chunks(), dtype=np.int64)
+        denom = np.maximum(np.minimum(la, lb), 1)
+        cont = inter / denom
+        keep = cont >= threshold
+        union = np.maximum(la + lb - inter, 1)
+        jacc = inter / union
+        da = np.asarray(b["doc_a"].combine_chunks(), dtype=np.int64)
+        db = np.asarray(b["doc_b"].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "doc_a": pa.array(da[keep]),
+            "doc_b": pa.array(db[keep]),
+            "cont_milli": pa.array(
+                np.floor(1000 * cont[keep]).astype(np.int64)),
+            "jacc_milli": pa.array(
+                np.floor(1000 * jacc[keep]).astype(np.int64)),
+        })
+
+    return counted.map_batches(finalize, batch_format="pyarrow",
+                               batch_size=None)
+
+
 def ngram_jaccard_pairs(
     ds: rd.Dataset,
     *,
@@ -594,21 +684,9 @@ def ngram_jaccard_pairs(
 
     kwargs = dict(id_col=id_col, text_col=text_col, k=k)
     if max_postings is None:
-        shingles = ds.map_batches(
-            sized_shingle_batch, fn_kwargs=kwargs,
-            batch_format="pyarrow", batch_size=None,
-        )
-        pair_rows = partitioned_group_apply(
-            shingles, ["shingle"],
-            lambda part: _intra_bucket_pairs(part, ["shingle"],
-                                             payload_col="dlen"),
-            num_partitions=num_partitions, materialize_input=True,
-        )
-        # len_a/len_b are functionally dependent on doc_a/doc_b, so
-        # grouping on all four keys is the same partition as the pair
-        counted = grouped_aggregate_ds(
-            pair_rows, ["doc_a", "doc_b", "len_a", "len_b"],
-            [("doc_a", "count", "inter")], num_partitions=num_partitions,
+        counted = _counted_shingle_pairs(
+            ds, id_col=id_col, text_col=text_col, k=k,
+            num_partitions=num_partitions,
         )
 
         def finalize(b: pa.Table) -> pa.Table:
@@ -1045,6 +1123,62 @@ def _embed_cell_pairs(part: pa.Table, threshold: float) -> pa.Table:
     return pa.table({"vec_a": pa.array(np.concatenate(out_a)),
                      "vec_b": pa.array(np.concatenate(out_b)),
                      "cos_milli": pa.array(np.concatenate(out_c))})
+
+
+def semantic_dedup_survivors(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
+    threshold: float = 0.4,
+    n_rows: int | None = None,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Semantic (embedding-space) dedup: resolve the cosine-similarity
+    pair graph into connected components and keep one representative per
+    component — the SemDeDup recipe (Abbas et al. 2023) expressed on the
+    engine's existing primitives.
+
+    Physical plan: :func:`embedding_near_dup_pairs` builds the edge set
+    (≤100k vectors: exact broadcast matmul, the oracle-checkable path;
+    above: centroid-bucketed exact-within-bucket — which IS SemDeDup's
+    "k-means cluster, then dedup inside each cluster" shape), then
+    iterative min-label propagation (:func:`raylog.functions.cc.
+    connected_components`) resolves clusters, and the min-id
+    representative joins back to the corpus via a hash join. Output:
+    one row per surviving vector with its component size
+    (``n_members`` — 1 for singletons), so downstream mixture steps can
+    weight by how much duplication each survivor absorbed.
+
+    Deterministic keep rule: min id per component (the same rule every
+    other dedup family here uses) rather than SemDeDup's
+    farthest-from-centroid, so the result is exactly SQL-oracle-able.
+    """
+    import ray.data as rd
+
+    from raylog.functions.cc import connected_components
+
+    pairs = embedding_near_dup_pairs(
+        ds.select_columns([id_col, vec_col]),
+        id_col=id_col, vec_col=vec_col,
+        threshold=threshold, n_rows=n_rows,
+    )
+    pairs_ds = rd.from_arrow(pairs) if isinstance(pairs, pa.Table) else pairs
+    clusters = connected_components(
+        ds.select_columns([id_col]), pairs_ds,
+        id_col=id_col, a_col="vec_a", b_col="vec_b",
+        num_partitions=num_partitions,
+    )
+    sizes = grouped_aggregate_ds(
+        clusters, ["cluster_id"], [("cluster_id", "count", "n_members")],
+        num_partitions=num_partitions,
+    )
+    keep = [id_col] + (keep_cols or [])
+    return ds.select_columns(keep).join(
+        sizes, join_type="inner", num_partitions=num_partitions,
+        on=(id_col,), right_on=("cluster_id",),
+    )
 
 
 def _embedding_near_dup_bucketed(

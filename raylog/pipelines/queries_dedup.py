@@ -1147,6 +1147,75 @@ def dedup_embed_pairs_bucketed(sf_dir: str):
                                     n_clusters=8, assign_top=2, n_rows=n_rows)
 
 
+@query(
+    "dedup_containment_pairs",
+    """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              list_extract(w, i) || ' ' || list_extract(w, i+1) || ' ' || list_extract(w, i+2) AS g
+       FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+       WHERE len(w) >= 3),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(FLOOR(1000 * (c * 1.0 / LEAST(x.n, y.n))) AS BIGINT) AS cont_milli,
+       CAST(FLOOR(1000 * (c * 1.0 / (x.n + y.n - c))) AS BIGINT) AS jacc_milli
+FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE c * 1.0 / LEAST(x.n, y.n) >= 0.25""",
+)
+def dedup_containment_pairs(sf_dir: str):
+    """Asymmetric near-dup pairs by n-gram CONTAINMENT (|A∩B|/min —
+    Broder's resemblance complement): catches a short doc embedded in a
+    long one, which symmetric Jaccard scores near 0. Same inverted-index
+    count-based plan as dedup_ngram_pairs; only the finish differs."""
+    import ray.data as rd
+
+    from raylog.functions.dedup import ngram_containment_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ngram_containment_pairs(ds, threshold=0.25)
+
+
+@query(
+    "dedup_semantic_survivors",
+    """
+WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                     FROM embeddings),
+p AS (SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+edges AS (SELECT va, vb FROM p UNION SELECT vb, va FROM p),
+reach(ra, rb) AS (
+  SELECT vec_id, vec_id FROM e
+  UNION
+  SELECT r.ra, g.vb FROM reach r JOIN edges g ON r.rb = g.va
+),
+cc AS (SELECT ra AS vec_id, MIN(rb) AS cluster_id FROM reach GROUP BY ra),
+sz AS (SELECT cluster_id, COUNT(*) AS n_members FROM cc GROUP BY 1)
+SELECT e.vec_id, e.label, sz.n_members
+FROM e JOIN sz ON e.vec_id = sz.cluster_id""",
+)
+def dedup_semantic_survivors(sf_dir: str):
+    """Semantic dedup (SemDeDup): connected components over the
+    cosine>=0.4 embedding pair graph, keep the min-id representative per
+    component with the component size. Scale path: the centroid-bucketed
+    pair build (= cluster-then-dedup-within-cluster) + min-label
+    propagation CC."""
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    from raylog.functions.dedup import semantic_dedup_survivors
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    n_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    out = semantic_dedup_survivors(ds, keep_cols=["label"], n_rows=n_rows)
+    return out.select_columns(["vec_id", "label", "n_members"])
+
+
 # --------------------------------------------------------------------------
 # Training-data ops: similarity search + multimodal
 # --------------------------------------------------------------------------

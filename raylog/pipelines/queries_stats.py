@@ -171,6 +171,87 @@ def events_markov_transitions(sf_dir: str):
 
 
 @query(
+    "events_top_paths",
+    """
+WITH o AS (
+  SELECT user_id, event_type,
+         LAG(event_type, 1) OVER w AS p1,
+         LAG(event_type, 2) OVER w AS p2
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), t AS (
+  SELECT p2 AS step1, p1 AS step2, event_type AS step3, COUNT(*) AS n
+  FROM o WHERE p2 IS NOT NULL GROUP BY 1, 2, 3
+), m AS (SELECT SUM(n) AS tot FROM t)
+SELECT step1, step2, step3, n,
+       CAST(FLOOR(1000.0 * n / m.tot) AS BIGINT) AS p_milli
+FROM t, m""",
+)
+def events_top_paths(sf_dir: str):
+    """3-step user-journey path mining (the sequential-pattern table
+    behind funnel discovery): every consecutive event-type triple per
+    user in arrival order, with counts and corpus share.
+
+    Same shape as the Markov matrix one order up: a segmented
+    double-shift per complete-user partition emits the triple stream
+    already types³-compressed per batch; the global combine and the
+    share normalization run on the types³-bounded table (exchange is
+    independent of row count)."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, partitioned_group_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts",
+                                  "event_type"])
+
+    def triples(part: pa.Table) -> pa.Table:
+        def col(name):
+            c = part[name]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        uid = np.asarray(col("user_id"), dtype=np.int64)
+        eid = np.asarray(col("event_id"), dtype=np.int64)
+        t = np.asarray(col("ts")).astype("datetime64[us]").astype(np.int64)
+        et = col("event_type").dictionary_encode()
+        codes = np.asarray(et.indices, dtype=np.int64)
+        n = len(uid)
+        empty = pa.table({"step1": pa.array([], pa.string()),
+                          "step2": pa.array([], pa.string()),
+                          "step3": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if n < 3:
+            return empty
+        order = np.lexsort((eid, t, uid))
+        u_s, c_s = uid[order], codes[order]
+        same3 = (u_s[2:] == u_s[1:-1]) & (u_s[1:-1] == u_s[:-2])
+        if not same3.any():
+            return empty
+        nv = len(et.dictionary)
+        key = (c_s[:-2][same3] * nv + c_s[1:-1][same3]) * nv + c_s[2:][same3]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "step1": et.dictionary.take(pa.array(uk // (nv * nv))),
+            "step2": et.dictionary.take(pa.array((uk // nv) % nv)),
+            "step3": et.dictionary.take(pa.array(uk % nv)),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    pr = partitioned_group_apply(ds, ["user_id"], triples)
+    mat = grouped_aggregate(pr, ["step1", "step2", "step3"],
+                            [("n", "sum", "n")]).to_pandas()
+    nn = mat["n"].to_numpy().astype(np.int64)
+    tot = float(nn.sum())
+    return pa.table({
+        "step1": pa.array(mat["step1"], pa.string()),
+        "step2": pa.array(mat["step2"], pa.string()),
+        "step3": pa.array(mat["step3"], pa.string()),
+        "n": pa.array(nn),
+        "p_milli": pa.array(np.floor(1000.0 * nn / tot).astype(np.int64)),
+    })
+
+
+@query(
     "basket_pair_lift",
     """
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
