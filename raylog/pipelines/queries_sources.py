@@ -747,6 +747,61 @@ def top_orders_per_segment(sf_dir: str):
     })
 
 
+@query(
+    "orders_cust_distribution",
+    """
+WITH oc AS (
+  SELECT c.c_custkey, COUNT(o.o_custkey) AS c_count
+  FROM customer c LEFT OUTER JOIN (
+    SELECT o_custkey FROM orders WHERE o_orderpriority <> '1-URGENT'
+  ) o ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+SELECT c_count, COUNT(*) AS custdist FROM oc GROUP BY 1""",
+)
+def orders_cust_distribution(sf_dir: str):
+    """Customer order-count distribution (TPC-H Q13 shape): the LEFT
+    OUTER join — customers with zero qualifying orders must appear in
+    the c_count=0 bucket, which an inner join silently drops.
+
+    Physical plan: filter+pre-aggregate orders per custkey FIRST (the
+    fact side shrinks to ≤|customers| rows before any exchange), then
+    one hash-partitioned left-outer join against the customer keys,
+    null-fill to 0, and a tiny histogram combine. The join exchange is
+    key-bounded on both sides — never rows×orders."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderpriority"])
+
+    def qualifying(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(b["o_orderpriority"], pa.scalar("1-URGENT"))
+        return b.filter(keep).select(["o_custkey"])
+
+    per_cust = grouped_aggregate_ds(
+        orders.map_batches(qualifying, batch_format="pyarrow",
+                           batch_size=None),
+        ["o_custkey"], [("o_custkey", "count", "c_count")],
+        num_partitions=8,
+    )
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    j = cust.join(per_cust, join_type="left_outer", num_partitions=8,
+                  on=("c_custkey",), right_on=("o_custkey",))
+
+    def fill(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_count": pc.fill_null(pc.cast(b["c_count"], pa.int64()), 0),
+        })
+
+    filled = j.map_batches(fill, batch_format="pyarrow", batch_size=None)
+    return grouped_aggregate(filled, ["c_count"],
+                             [("*", "count", "custdist")])
+
+
 # --------------------------------------------------------------------------
 # Reshape (nest/lift/modify), truncate, union
 # --------------------------------------------------------------------------

@@ -54,3 +54,35 @@ def test_salted_join_missing_dim_rows_drop():
                       num_partitions=2).to_pandas()
     keys = tbl["k"].to_numpy()
     assert len(out) == int((keys < 10).sum())
+
+
+def test_left_outer_distribution_keeps_zero_count_rows(tmp_path):
+    """orders_cust_distribution (Q13 shape): customers with no
+    qualifying orders must land in the c_count=0 bucket."""
+    import pyarrow.parquet as pq
+
+    from raylog.pipelines.queries_sources import orders_cust_distribution
+
+    cust = pa.table({
+        "c_custkey": pa.array(np.arange(8, dtype=np.int64)),
+        "c_name": pa.array([f"c{i}" for i in range(8)]),
+        "c_nationkey": pa.array(np.zeros(8, dtype=np.int64)),
+        "c_acctbal": pa.array(np.zeros(8)),
+        "c_mktsegment": pa.array(["A"] * 8),
+    })
+    # customers 0,1 have 2 normal orders each; 2 has only urgent
+    # (filtered out -> zero bucket); 3..7 have none at all
+    orders = pa.table({
+        "o_orderkey": pa.array(np.arange(5, dtype=np.int64)),
+        "o_custkey": pa.array([0, 0, 1, 1, 2], type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 5),
+        "o_totalprice": pa.array(np.ones(5)),
+        "o_orderdate": pa.array(["1996-01-01"] * 5),
+        "o_orderpriority": pa.array(
+            ["2-HIGH", "3-MEDIUM", "2-HIGH", "5-LOW", "1-URGENT"]),
+    })
+    pq.write_table(cust, tmp_path / "customer.parquet")
+    pq.write_table(orders, tmp_path / "orders.parquet")
+    out = orders_cust_distribution(str(tmp_path))
+    got = dict(zip(out["c_count"].to_pylist(), out["custdist"].to_pylist()))
+    assert got == {0: 6, 2: 2}
