@@ -141,6 +141,62 @@ def connected_components(
     return finish(labels)
 
 
+def keep_best_per_cluster(
+    scored: rd.Dataset,
+    clusters: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "score_milli",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Quality-aware dedup keep rule: per cluster keep the HIGHEST-scored
+    member (min id breaks ties), not the min-id one — what production
+    curation actually retains (the best copy of each duplicated doc).
+
+    ``scored`` holds (id_col, score_col); ``clusters`` is the
+    :func:`connected_components` output. One hash join to attach
+    cluster ids, then an argmax-per-group pass inside complete-cluster
+    hash partitions (lexsort + segment-first — no per-group Python).
+    Output: (cluster_id, id_col, score_col, n_members)."""
+    from raylog.functions.agg import partitioned_group_apply
+
+    joined = scored.join(
+        clusters, join_type="inner", num_partitions=num_partitions,
+        on=(id_col,),
+    )
+
+    def pick(part: pa.Table) -> pa.Table:
+        def col(name):
+            c = part[name]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        cid = np.asarray(col("cluster_id"), dtype=np.int64)
+        did = np.asarray(col(id_col), dtype=np.int64)
+        sc = np.asarray(col(score_col), dtype=np.int64)
+        if len(cid) == 0:
+            return pa.table({
+                "cluster_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                score_col: pa.array([], pa.int64()),
+                "n_members": pa.array([], pa.int64()),
+            })
+        order = np.lexsort((did, -sc, cid))
+        cid_s, did_s, sc_s = cid[order], did[order], sc[order]
+        starts = np.ones(len(cid_s), dtype=bool)
+        starts[1:] = cid_s[1:] != cid_s[:-1]
+        first = np.flatnonzero(starts)
+        sizes = np.diff(np.concatenate([first, [len(cid_s)]]))
+        return pa.table({
+            "cluster_id": pa.array(cid_s[first]),
+            id_col: pa.array(did_s[first]),
+            score_col: pa.array(sc_s[first]),
+            "n_members": pa.array(sizes.astype(np.int64)),
+        })
+
+    return partitioned_group_apply(joined, ["cluster_id"], pick,
+                                   num_partitions=num_partitions)
+
+
 def dedup_survivors(
     docs: rd.Dataset,
     clusters: rd.Dataset,

@@ -1021,6 +1021,57 @@ def dedup_cc_corpus(sf_dir: str):
     return out.select_columns(["doc_id", "source", "n_chars"])
 
 
+@query(
+    "dedup_keep_best",
+    "WITH RECURSIVE " + _NGRAM_PAIRS_CTE + """,
+q AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(len(list_filter(string_split(text, ' '),
+                              w -> w IN ('the', 'a'))) AS BIGINT) AS stop_hits
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(FLOOR(1000 * (0.5 * LEAST(n_words / 40.0, 1.0)
+                            + 0.5 * (1.0 - stop_hits * 1.0 / n_words)))
+              AS BIGINT) AS score_milli
+  FROM q
+), r AS (
+  SELECT cc.cluster_id, cc.doc_id, s.score_milli,
+         ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
+                            ORDER BY s.score_milli DESC, cc.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY cc.cluster_id) AS n_members
+  FROM cc JOIN s USING (doc_id)
+)
+SELECT cluster_id, doc_id, score_milli,
+       CAST(n_members AS BIGINT) AS n_members
+FROM r WHERE rn = 1""",
+)
+def dedup_keep_best(sf_dir: str):
+    """Quality-aware dedup: per near-dup cluster keep the HIGHEST
+    quality-scored member (min doc_id on ties) instead of the min-id one
+    — the keep rule production curation uses (retain the best copy).
+    Composition: ngram CC clusters ⋈ vectorized quality scores →
+    argmax-per-group inside complete-cluster hash partitions."""
+    import ray.data as rd
+
+    from raylog.functions.cc import connected_components, keep_best_per_cluster
+    from raylog.functions.dedup import ngram_jaccard_pairs
+    from raylog.functions.text import quality_scores
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3)
+    clusters = connected_components(docs.select_columns(["doc_id"]), pairs)
+    scored = docs.map_batches(
+        quality_scores, batch_format="pyarrow", batch_size=None,
+    ).map_batches(
+        lambda b: b.select(["doc_id", "score_milli"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return keep_best_per_cluster(scored, clusters)
+
+
 @query("dedup_minhash_pairs", None)  # rows-only: probabilistic banding
 def dedup_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup pairs (64 hashes, 16 bands), Jaccard-verified.

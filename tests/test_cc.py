@@ -88,3 +88,21 @@ def test_cc_raises_when_diameter_exceeds_max_iters():
     }))
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(nodes, edges, num_partitions=2, max_iters=3)
+
+
+def test_keep_best_per_cluster_prefers_score_over_min_id():
+    from raylog.functions.cc import keep_best_per_cluster
+
+    clusters = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 7, 9], pa.int64()),
+        "cluster_id": pa.array([1, 1, 1, 7, 7], pa.int64()),
+    }))
+    scored = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 7, 9], pa.int64()),
+        # doc 3 beats the min-id doc 1; cluster 7 ties -> min id 7 wins
+        "score_milli": pa.array([500, 400, 900, 800, 800], pa.int64()),
+    }))
+    out = keep_best_per_cluster(scored, clusters).to_pandas()
+    got = {r.cluster_id: (r.doc_id, r.score_milli, r.n_members)
+           for r in out.itertuples()}
+    assert got == {1: (3, 900, 3), 7: (7, 800, 2)}
