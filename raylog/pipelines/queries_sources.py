@@ -432,6 +432,63 @@ def sample_hash(sf_dir: str):
 
 
 @query(
+    "sample_split_assign",
+    """
+WITH a AS (
+  SELECT source,
+         CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT source,
+               CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS h
+        FROM documents)
+), c AS (
+  SELECT source, split, COUNT(*) AS n_docs FROM a GROUP BY 1, 2
+), t AS (SELECT source, SUM(n_docs) AS tot FROM c GROUP BY 1)
+SELECT c.source, c.split, c.n_docs,
+       CAST(FLOOR(1000.0 * c.n_docs / t.tot) AS BIGINT) AS share_milli
+FROM c JOIN t USING (source)""",
+)
+def sample_split_assign(sf_dir: str):
+    """Deterministic train/val/test split assignment (80/10/10 by
+    content hash — reproducible across engines, runs and re-shards,
+    unlike RNG splits) with the per-source audit table: actual counts
+    and within-source shares, so skewed sources that drift from the
+    nominal ratios are visible before training."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        h = np.fromiter(
+            (int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 100
+             for t in b["text"].to_pylist()),
+            dtype=np.int64, count=b.num_rows)
+        split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+        return pa.table({"source": b["source"],
+                         "split": pa.array(split, pa.string())})
+
+    counts = grouped_aggregate(
+        ds.map_batches(assign, batch_format="pyarrow", batch_size=None),
+        ["source", "split"], [("*", "count", "n_docs")],
+    ).to_pandas()
+    tot = counts.groupby("source")["n_docs"].transform("sum").to_numpy()
+    n = counts["n_docs"].to_numpy().astype(np.int64)
+    return pa.table({
+        "source": pa.array(counts["source"], pa.string()),
+        "split": pa.array(counts["split"], pa.string()),
+        "n_docs": pa.array(n),
+        "share_milli": pa.array(
+            np.floor(1000.0 * n / tot).astype(np.int64)),
+    })
+
+
+@query(
     "sample_stratified",
     """
 SELECT doc_id, source FROM documents
