@@ -1771,4 +1771,116 @@ def events_latest_per_user(sf_dir: str):
                           [True, True], num_partitions=8)
 
 
+@query(
+    "events_user_features",
+    """
+WITH m AS (SELECT MAX(ts) AS mx FROM events),
+u AS (
+  SELECT user_id,
+         COUNT(*) AS n_events,
+         COUNT(DISTINCT event_type) AS n_types,
+         COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+         CAST(FLOOR(SUM(CAST(FLOOR(1000 * value) AS BIGINT))
+                    * 1.0 / COUNT(*)) AS BIGINT) AS mean_value_milli,
+         MAX(ts) AS last_ts
+  FROM events GROUP BY 1
+)
+SELECT user_id, n_events, n_types, n_days, mean_value_milli,
+       CAST(FLOOR(epoch(m.mx - last_ts)) AS BIGINT) AS recency_s
+FROM u, m""",
+)
+def events_user_features(sf_dir: str):
+    """Per-user ML feature matrix (the feature-engineering table a churn
+    / propensity model trains on): event count, distinct-type and
+    active-day cardinalities, mean value, recency vs the corpus
+    high-water mark.
+
+    One complete-user hash partition pass: lexsort + segment reduceat
+    for counts/sums/max, first-occurrence masks over (user, type) and
+    (user, day) sorts for the two distinct counts — no per-user Python,
+    no COUNT DISTINCT shuffle per feature. The corpus max-ts rides out
+    of the same partials (tiny driver-side max of per-partition rows)."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import partitioned_group_apply
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"])
+
+    def feats(part: pa.Table) -> pa.Table:
+        def col(name):
+            c = part[name]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        uid = np.asarray(col("user_id"), dtype=np.int64)
+        n = len(uid)
+        if n == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "n_types": pa.array([], pa.int64()),
+                "n_days": pa.array([], pa.int64()),
+                "mean_value_milli": pa.array([], pa.int64()),
+                "last_ts_us": pa.array([], pa.int64()),
+            })
+        ts = np.asarray(col("ts")).astype("datetime64[us]").astype(np.int64)
+        val = np.asarray(col("value"), dtype=np.float64)
+        et = col("event_type").dictionary_encode()
+        codes = np.asarray(et.indices, dtype=np.int64)
+        day = ts // 86_400_000_000
+
+        order = np.lexsort((ts, uid))
+        uid_s, ts_s = uid[order], ts[order]
+        # per-event milli quantization BEFORE the mean: the integer sum
+        # is order-insensitive, so engine and SQL agree exactly (a
+        # float64 AVG differs in the last milli with summation order)
+        vmilli = np.floor(1000.0 * val[order]).astype(np.int64)
+        starts_mask = np.ones(n, dtype=bool)
+        starts_mask[1:] = uid_s[1:] != uid_s[:-1]
+        starts = np.flatnonzero(starts_mask)
+        ends = np.concatenate([starts[1:], [n]])
+        cnt = ends - starts
+        sums = np.add.reduceat(vmilli, starts)
+        last_ts = ts_s[ends - 1]
+
+        def distinct_per_user(second: np.ndarray) -> np.ndarray:
+            o = np.lexsort((second, uid))
+            u2, s2 = uid[o], second[o]
+            first = np.ones(n, dtype=bool)
+            first[1:] = (u2[1:] != u2[:-1]) | (s2[1:] != s2[:-1])
+            # uid order in this sort matches uid_s's segment order
+            return np.add.reduceat(first.astype(np.int64), starts)
+
+        return pa.table({
+            "user_id": pa.array(uid_s[starts]),
+            "n_events": pa.array(cnt.astype(np.int64)),
+            "n_types": pa.array(distinct_per_user(codes)),
+            "n_days": pa.array(distinct_per_user(day)),
+            "mean_value_milli": pa.array(
+                np.floor(sums / cnt).astype(np.int64)),
+            "last_ts_us": pa.array(last_ts),
+        })
+
+    per_user = partitioned_group_apply(ds, ["user_id"], feats,
+                                       num_partitions=8).materialize()
+    mx = per_user.max("last_ts_us")
+
+    def finish(b: pa.Table) -> pa.Table:
+        last = np.asarray(b["last_ts_us"].combine_chunks(), dtype=np.int64)
+        rec = (mx - last) // 1_000_000
+        return pa.table({
+            "user_id": b["user_id"],
+            "n_events": b["n_events"],
+            "n_types": b["n_types"],
+            "n_days": b["n_days"],
+            "mean_value_milli": b["mean_value_milli"],
+            "recency_s": pa.array(rec),
+        })
+
+    return per_user.map_batches(finish, batch_format="pyarrow",
+                                batch_size=None)
+
+
 # --------------------------------------------------------------------------

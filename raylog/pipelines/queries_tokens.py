@@ -268,6 +268,81 @@ def tokens_bigrams(sf_dir: str):
 
 
 @query(
+    "tokens_cond_entropy",
+    _P() + """
+, bg AS (
+  SELECT CAST(tokens[CAST(i AS INT)] AS BIGINT) AS t1,
+         CAST(tokens[CAST(i AS INT) + 1] AS BIGINT) AS t2
+  FROM recs2, LATERAL (
+    SELECT unnest(generate_series(1, CAST(n_tok AS INT) - 1)) AS i
+  ) g
+), c AS (SELECT t1, t2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+a AS (SELECT t1, SUM(c) AS ca FROM c GROUP BY 1),
+s AS (SELECT (SELECT SUM(ca * log2(ca)) FROM a) AS sa,
+             (SELECT SUM(c * log2(c)) FROM c) AS sc,
+             (SELECT SUM(c) FROM c) AS n)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       CAST(FLOOR(1000 * ((sa - sc) / n)) AS BIGINT) AS h_cond_milli,
+       CAST(FLOOR(1000 * (log2(n) - sa / n)) AS BIGINT) AS h_prev_milli
+FROM s""",
+)
+def tokens_cond_entropy(sf_dir: str):
+    """Bigram conditional entropy H(next|prev) + marginal H(prev) of the
+    token stream, in millibits — the corpus-repetitiveness health metric
+    (low H(next|prev) with normal H(prev) flags templated/looped text
+    that per-doc repetition scores miss).
+
+    Closed form from two scalar partial sums — H(next|prev) =
+    (Σ_a c_a·log2 c_a − Σ_ab c_ab·log2 c_ab) / N — so beyond the one
+    vocab²-bounded bigram combine the finish is a per-block scalar fold:
+    no second corpus pass, no vocab table on the driver."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions import agg
+    from raylog.functions.tokens import bigram_count_partial
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["tokens"])
+    partials = ds.map_batches(
+        lambda b: bigram_count_partial(b, "tokens"),
+        batch_format="pyarrow", batch_size=None,
+    )
+    freqs = agg.grouped_aggregate_ds(
+        partials, ["t1", "t2"], [("cnt", "sum", "cnt")],
+        num_partitions=16, batch_size=None,
+    )
+
+    def fold_pairs(b: pa.Table) -> pa.Table:
+        c = np.asarray(b["cnt"].combine_chunks(), dtype=np.float64)
+        return pa.table({"sc": pa.array([float((c * np.log2(c)).sum())]),
+                         "n": pa.array([int(c.sum())], pa.int64())})
+
+    ca = agg.grouped_aggregate_ds(
+        freqs, ["t1"], [("cnt", "sum", "ca")],
+        num_partitions=16, batch_size=None,
+    )
+
+    def fold_prev(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["ca"].combine_chunks(), dtype=np.float64)
+        return pa.table({"sa": pa.array([float((v * np.log2(v)).sum())])})
+
+    pair_f = freqs.map_batches(fold_pairs, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    prev_f = ca.map_batches(fold_prev, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+    sc, n = float(pair_f["sc"].sum()), int(pair_f["n"].sum())
+    sa = float(prev_f["sa"].sum())
+    return pa.table({
+        "n_pairs": pa.array([n], pa.int64()),
+        "h_cond_milli": pa.array(
+            [int(np.floor(1000.0 * (sa - sc) / n))], pa.int64()),
+        "h_prev_milli": pa.array(
+            [int(np.floor(1000.0 * (np.log2(n) - sa / n)))], pa.int64()),
+    })
+
+
+@query(
     "tokens_bigrams_sketch",
     _P() + """
 SELECT t1, t2, cnt FROM (
