@@ -430,6 +430,85 @@ def dedup_sequences(ds: rd.Dataset, *, id_col: str = "doc_id",
                             batch_format="pyarrow", batch_size=None)
 
 
+def prefix_dedup_survivors(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    tok_col: str = "tokens",
+    len_col: str = "n_tok",
+    k: int = 64,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Truncated-duplicate detection: group docs sharing an IDENTICAL
+    first-``k``-token prefix, keep the longest (min id on ties).
+
+    Catches re-crawls cut at different truncation points — the same
+    document captured at 2k and 8k tokens is invisible to exact
+    sequence dedup (different arrays) and may fall under a Jaccard
+    threshold, but shares its head verbatim. Docs shorter than ``k``
+    are exempt (too little signal to call them the same doc).
+
+    Exchange: two 64-bit prefix hashes + length + id per row (never
+    the arrays); argmax-per-group (n_tok desc, id asc) with group
+    size inside complete-prefix hash partitions. Output:
+    (id, n_tok, n_shared)."""
+    import numpy as np
+
+    from raylog.functions.agg import partitioned_group_apply
+
+    def keys(b: pa.Table) -> pa.Table:
+        toks = b[tok_col]
+        toks = (toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray) else toks)
+        nt = pc.cast(pc.list_value_length(toks), pa.int64())
+        m = pc.greater_equal(nt, pa.scalar(k, pa.int64()))
+        sub = b.filter(m)
+        toks_f = sub[tok_col]
+        toks_f = (toks_f.combine_chunks()
+                  if isinstance(toks_f, pa.ChunkedArray) else toks_f)
+        sliced = pc.list_slice(toks_f, 0, k)
+        hashed = sequence_hash_columns(
+            pa.table({tok_col: sliced}), tok_col=tok_col)
+        return pa.table({
+            "seq_h1": hashed["seq_h1"],
+            "seq_h2": hashed["seq_h2"],
+            id_col: sub[id_col],
+            len_col: pc.cast(sub[len_col], pa.int64()),
+        })
+
+    hashed = ds.map_batches(keys, batch_format="pyarrow", batch_size=None)
+
+    def pick(part: pa.Table) -> pa.Table:
+        def col(name):
+            c = part[name]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        h1 = np.asarray(col("seq_h1")).astype(np.uint64)
+        h2 = np.asarray(col("seq_h2")).astype(np.uint64)
+        did = np.asarray(col(id_col), dtype=np.int64)
+        nt = np.asarray(col(len_col), dtype=np.int64)
+        if len(did) == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                len_col: pa.array([], pa.int64()),
+                "n_shared": pa.array([], pa.int64()),
+            })
+        order = np.lexsort((did, -nt, h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        starts_mask = np.ones(len(did), dtype=bool)
+        starts_mask[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        first = np.flatnonzero(starts_mask)
+        sizes = np.diff(np.concatenate([first, [len(did)]]))
+        return pa.table({
+            id_col: pa.array(did[order][first]),
+            len_col: pa.array(nt[order][first]),
+            "n_shared": pa.array(sizes.astype(np.int64)),
+        })
+
+    return partitioned_group_apply(hashed, ["seq_h1", "seq_h2"], pick,
+                                   num_partitions=num_partitions)
+
+
 def repetition_fraction_batch(batch: pa.Table, id_col: str = "doc_id",
                               list_col: str = "tokens", n: int = 3,
                               base: int = 1 << 21) -> pa.Table:

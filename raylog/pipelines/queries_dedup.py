@@ -913,6 +913,36 @@ def dedup_exact_sequences(sf_dir: str):
 
 
 @query(
+    "dedup_prefix_survivors",
+    _P() + """
+, g AS (
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, tokens[1:64] AS pfx
+  FROM recs2 WHERE n_tok >= 64
+), r AS (
+  SELECT doc_id, n_tok,
+         ROW_NUMBER() OVER (PARTITION BY pfx
+                            ORDER BY n_tok DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY pfx) AS n_shared
+  FROM g
+)
+SELECT doc_id, n_tok, CAST(n_shared AS BIGINT) AS n_shared
+FROM r WHERE rn = 1""",
+)
+def dedup_prefix_survivors(sf_dir: str):
+    """Truncated-duplicate dedup: docs sharing an identical 64-token
+    prefix collapse to the LONGEST capture (re-crawls cut at different
+    truncation points — invisible to exact sequence dedup, possibly
+    under Jaccard thresholds). Hash-only exchange (two 64-bit prefix
+    hashes/row); argmax-per-prefix in complete-group partitions; the
+    oracle groups by the sliced list itself."""
+    from raylog.functions.tokens import prefix_dedup_survivors
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["doc_id", "tokens", "n_tok"])
+    return prefix_dedup_survivors(ds)
+
+
+@query(
     "dedup_exact",
     "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
 )

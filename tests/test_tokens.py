@@ -299,3 +299,26 @@ def test_bigram_pmi_matches_bruteforce(ray_session):
                       / ((uni[r.t1] / n1) * (uni[r.t2] / n1)))
         assert abs(r.pmi - want) < 1e-12
         assert r.cnt == pairs[(r.t1, r.t2)]
+
+
+def test_prefix_dedup_keeps_longest_capture():
+    from raylog.functions.tokens import prefix_dedup_survivors
+
+    rng = np.random.default_rng(3)
+    head = rng.integers(0, 1000, size=64).tolist()
+    other = rng.integers(0, 1000, size=64).tolist()
+    rows = [
+        (1, head + [5] * 100),     # same head, mid length
+        (2, head + [9] * 400),     # same head, LONGEST -> survivor
+        (3, head),                 # exactly the prefix
+        (4, other + [1] * 10),     # different head, alone
+        (5, [1, 2, 3]),            # shorter than k: exempt entirely
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "tokens": pa.array([r[1] for r in rows], pa.list_(pa.int32())),
+        "n_tok": pa.array([len(r[1]) for r in rows], pa.int32()),
+    })
+    out = prefix_dedup_survivors(rd.from_arrow(tbl)).to_pandas()
+    got = {r.doc_id: (r.n_tok, r.n_shared) for r in out.itertuples()}
+    assert got == {2: (464, 3), 4: (74, 1)}
