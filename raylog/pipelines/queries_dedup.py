@@ -1102,6 +1102,80 @@ def dedup_keep_best(sf_dir: str):
     return keep_best_per_cluster(scored, clusters)
 
 
+@query(
+    "corpus_dedup_funnel",
+    """
+WITH RECURSIVE s1 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+d2 AS (SELECT d.doc_id, d.text FROM documents d JOIN s1 USING (doc_id)),
+docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM d2),
+sh AS (SELECT DISTINCT doc_id,
+              list_extract(w, i) || ' ' || list_extract(w, i+1) || ' ' || list_extract(w, i+2) AS g
+       FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+       WHERE len(w) >= 3),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+np AS (SELECT doc_a, doc_b FROM inter
+       JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+       WHERE c * 1.0 / (x.n + y.n - c) >= 0.3),
+edges AS (SELECT doc_a AS ea, doc_b AS eb FROM np
+          UNION SELECT doc_b, doc_a FROM np),
+reach(ra, rb) AS (
+  SELECT doc_id, doc_id FROM d2
+  UNION
+  SELECT r.ra, e.eb FROM reach r JOIN edges e ON r.rb = e.ea
+),
+cc AS (SELECT ra AS doc_id, MIN(rb) AS cluster_id FROM reach GROUP BY ra),
+c0 AS (SELECT COUNT(*) AS n FROM documents),
+c1 AS (SELECT COUNT(*) AS n FROM s1),
+c2 AS (SELECT COUNT(*) AS n FROM cc WHERE doc_id = cluster_id)
+SELECT 'raw' AS stage, (SELECT n FROM c0) AS docs_remaining,
+       CAST(0 AS BIGINT) AS docs_removed
+UNION ALL
+SELECT 'exact', (SELECT n FROM c1),
+       (SELECT n FROM c0) - (SELECT n FROM c1)
+UNION ALL
+SELECT 'near_dup', (SELECT n FROM c2),
+       (SELECT n FROM c1) - (SELECT n FROM c2)""",
+)
+def corpus_dedup_funnel(sf_dir: str):
+    """Staged dedup accounting (the funnel table every curation run
+    publishes): raw → exact survivors → near-dup CC survivors, with
+    docs removed per stage. Each stage's corpus feeds the next (near-dup
+    runs on exact survivors only — the production order, since exact
+    dupes would saturate the shingle index for free). All three counts
+    are distributed aggregates; only the 3-row report exists driver-side."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.cc import connected_components
+    from raylog.functions.dedup import exact_dedup_survivors, ngram_jaccard_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    n_raw = docs.count()
+    sur1 = exact_dedup_survivors(docs)
+    docs2 = docs.join(sur1.map_batches(
+        lambda b: b.select(["doc_id"]),
+        batch_format="pyarrow", batch_size=None,
+    ), join_type="inner", num_partitions=8, on=("doc_id",))
+    n_exact = docs2.count()
+    pairs = ngram_jaccard_pairs(docs2.select_columns(["doc_id", "text"]),
+                                threshold=0.3)
+    clusters = connected_components(docs2.select_columns(["doc_id"]), pairs)
+    n_near = clusters.map_batches(
+        lambda b: b.filter(pc.equal(b["doc_id"], b["cluster_id"])).select(
+            ["doc_id"]),
+        batch_format="pyarrow", batch_size=None,
+    ).count()
+    return pa.table({
+        "stage": pa.array(["raw", "exact", "near_dup"], pa.string()),
+        "docs_remaining": pa.array([n_raw, n_exact, n_near], pa.int64()),
+        "docs_removed": pa.array(
+            [0, n_raw - n_exact, n_exact - n_near], pa.int64()),
+    })
+
+
 @query("dedup_minhash_pairs", None)  # rows-only: probabilistic banding
 def dedup_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup pairs (64 hashes, 16 bands), Jaccard-verified.
