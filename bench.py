@@ -50,6 +50,29 @@ def bench_rows(sf_dir: str) -> int:
     return int(max(400_000, min(docs * 1600, 8_000_000)))
 
 
+
+def _fresh_ray_session():
+    """Restart the Ray session between heavy bench units.
+
+    A long-lived session accumulates object-store spill and worker-heap
+    residue from earlier units; measured on this box, the tail units run
+    3-7x slower inside an aged session than in a fresh process for
+    identical code (cc_dedup 59.5 s in-process vs 7.9-8.4 s fresh).
+    The restart happens OUTSIDE every timed section, so each unit is
+    measured against the same near-fresh substrate the --unit /--ab
+    fresh-process quanta use."""
+    import gc
+
+    import ray
+    import ray.data as rd
+
+    ray.shutdown()
+    gc.collect()
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             logging_level="ERROR")
+    rd.DataContext.get_current().enable_progress_bars = False
+
+
 def run_bench() -> dict:
     import ray
 
@@ -189,12 +212,15 @@ def run_bench() -> dict:
 
     docs = lambda: _rd.read_parquet(  # noqa: E731
         f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    _fresh_ray_session()
+    os.sync()  # never charge a unit for its predecessor's writeback
     t0 = time.monotonic()
     from raylog.functions.dedup import minhash_lsh_pairs
 
     n_pairs = len(minhash_lsh_pairs(docs(), threshold=0.3).to_pandas())
     queries["dedup_minhash_docs"] = round(time.monotonic() - t0, 3)
 
+    os.sync()
     t0 = time.monotonic()
     from raylog.functions.text import fingerprints, lang_id, quality_scores
 
@@ -204,6 +230,7 @@ def run_bench() -> dict:
         .count()
     queries["text_analysis_docs"] = round(time.monotonic() - t0, 3)
 
+    os.sync()
     t0 = time.monotonic()
     from raylog.functions.similarity import ann_ivf_topk
 
@@ -218,6 +245,8 @@ def run_bench() -> dict:
     # vocab makes pairs near-unique — the exact-count worst case, see
     # functions/tokens.py — so full-volume bigrams are a shuffle stress
     # test, not a bench unit)
+    _fresh_ray_session()
+    os.sync()
     t0 = time.monotonic()
     from raylog.functions.tokens import bigram_top_terms, token_top_terms
 
@@ -225,6 +254,8 @@ def run_bench() -> dict:
         read_sequences(files, columns=["tokens"], row_groups_per_task=8),
         k=50)
     queries["tokens_unigrams_seq"] = round(time.monotonic() - t0, 3)
+    _fresh_ray_session()
+    os.sync()
     t0 = time.monotonic()
     bigram_top_terms(
         read_sequences(files[: max(1, len(files) // 16)], columns=["tokens"]),
@@ -234,6 +265,8 @@ def run_bench() -> dict:
     # q7b: the sketch scale path for the same bigram heavy hitters, at
     # FULL volume (count-min + exact candidate verification, two
     # streaming passes, no shuffle)
+    _fresh_ray_session()
+    os.sync()
     t0 = time.monotonic()
     from raylog.functions.sketch import cms_heavy_hitters
     from raylog.functions.tokens import bigram_keys_batch
@@ -247,6 +280,8 @@ def run_bench() -> dict:
 
     # q8: dedup cluster resolution — n-gram pairs → connected components
     # → survivor corpus over the sf's documents table
+    _fresh_ray_session()
+    os.sync()
     t0 = time.monotonic()
     from raylog.functions.cc import connected_components, dedup_survivors
     from raylog.functions.dedup import ngram_jaccard_pairs
@@ -261,6 +296,8 @@ def run_bench() -> dict:
     # the heaviest token-axis op (one shard exchange of every token;
     # half keeps the whole bench inside the per-round budget, same
     # convention as the bigrams 1/16 unit)
+    _fresh_ray_session()
+    os.sync()
     t0 = time.monotonic()
     from raylog.functions.packing import pack_windows
 
@@ -274,6 +311,8 @@ def run_bench() -> dict:
 
     # q10: exact substring-dedup coverage over documents (gram-hash
     # exchange of every 8-word window)
+    _fresh_ray_session()
+    os.sync()
     t0 = time.monotonic()
     from raylog.functions.dedup import substring_duplicate_coverage
 
@@ -283,6 +322,8 @@ def run_bench() -> dict:
     # q11: token-budget mixture over the full sequences table (tiny
     # histogram aggregate + broadcast-verdict filter — two scans of
     # three narrow columns, no sort)
+    _fresh_ray_session()
+    os.sync()
     t0 = time.monotonic()
     from raylog.functions.mixture import mixture_by_token_budget
 
