@@ -171,6 +171,84 @@ def events_markov_transitions(sf_dir: str):
 
 
 @query(
+    "events_forecast_baseline",
+    """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT event_type, n,
+         LAG(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS p7,
+         LAG(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS p1
+  FROM d
+)
+SELECT event_type,
+       CAST(COUNT(*) FILTER (WHERE p7 IS NOT NULL) AS BIGINT) AS n_scored,
+       CAST(FLOOR(1000.0 * SUM(ABS(n - p7)) FILTER (WHERE p7 IS NOT NULL)
+                  / COUNT(*) FILTER (WHERE p7 IS NOT NULL)) AS BIGINT)
+         AS snaive_mae_milli,
+       CAST(FLOOR(1000.0 * SUM(ABS(n - p1)) FILTER (WHERE p1 IS NOT NULL)
+                  / COUNT(*) FILTER (WHERE p1 IS NOT NULL)) AS BIGINT)
+         AS naive_mae_milli
+FROM l GROUP BY 1""",
+)
+def events_forecast_baseline(sf_dir: str):
+    """Forecast-baseline error audit per event type: seasonal-naive
+    (7-rows-back) vs naive-1 MAE over the daily count series — the
+    MASE-style sanity floor every anomaly/forecast system is judged
+    against (a 'model' that can't beat last-week's value is noise).
+    Lag is defined over PRESENT days (row shift, both sides), so gaps
+    don't create NULL comparisons.
+
+    One dates×types-bounded daily-count aggregate (the corpus shuffles
+    zero rows beyond it); the lag/MAE finish runs on that tiny series
+    driver-side."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def day_key(b: pa.Table) -> pa.Table:
+        ts = np.asarray(b["ts"].combine_chunks()
+                        if isinstance(b["ts"], pa.ChunkedArray)
+                        else b["ts"]).astype("datetime64[us]")
+        return pa.table({
+            "event_type": b["event_type"],
+            "day": pa.array(ts.astype("datetime64[D]").astype(np.int64)),
+        })
+
+    daily = grouped_aggregate(
+        ds.map_batches(day_key, batch_format="pyarrow", batch_size=None),
+        ["event_type", "day"], [("*", "count", "n")],
+    ).to_pandas()
+
+    rows = []
+    for et, g in daily.groupby("event_type", sort=True):
+        g = g.sort_values("day")
+        n = g["n"].to_numpy(dtype=np.int64)
+        out = {"event_type": et}
+        for name, lag in (("snaive_mae_milli", 7), ("naive_mae_milli", 1)):
+            if len(n) > lag:
+                err = np.abs(n[lag:] - n[:-lag])
+                out[name] = int(np.floor(1000.0 * err.sum() / len(err)))
+            else:
+                out[name] = None
+        out["n_scored"] = max(0, len(n) - 7)
+        rows.append(out)
+    return pa.table({
+        "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+        "n_scored": pa.array([r["n_scored"] for r in rows], pa.int64()),
+        "snaive_mae_milli": pa.array(
+            [r["snaive_mae_milli"] for r in rows], pa.int64()),
+        "naive_mae_milli": pa.array(
+            [r["naive_mae_milli"] for r in rows], pa.int64()),
+    })
+
+
+@query(
     "events_top_paths",
     """
 WITH o AS (
