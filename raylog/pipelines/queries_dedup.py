@@ -1103,6 +1103,66 @@ def dedup_keep_best(sf_dir: str):
 
 
 @query(
+    "dedup_dup_mass_by_source",
+    """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+wins AS (
+  SELECT doc_id,
+         array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS gram
+  FROM words, LATERAL (
+    SELECT unnest(generate_series(1, len(w) - 7)) AS i
+  ) g
+),
+gd AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY 1),
+cov AS (
+  SELECT w.doc_id, COUNT(*) AS n_windows,
+         SUM(CASE WHEN gd.nd >= 2 THEN 1 ELSE 0 END) AS dup_windows
+  FROM wins w JOIN gd USING (gram) GROUP BY 1
+)
+SELECT d.source,
+       CAST(SUM(cov.n_windows) AS BIGINT) AS total_windows,
+       CAST(SUM(cov.dup_windows) AS BIGINT) AS dup_windows,
+       CAST(FLOOR(1000.0 * SUM(cov.dup_windows) / SUM(cov.n_windows))
+            AS BIGINT) AS dup_mass_milli
+FROM cov JOIN documents d USING (doc_id)
+GROUP BY 1""",
+)
+def dedup_dup_mass_by_source(sf_dir: str):
+    """Corpus duplicate-text MASS per source — the headline statistic of
+    Lee et al. 2021 ("Deduplicating Training Data..."): what fraction of
+    all 8-word window occurrences are verbatim duplicates across docs,
+    broken down by source so the dirtiest feed is visible. Composes the
+    substring-coverage exchange (one gram-hash pass) with a doc_id hash
+    join to the source column and a sources-bounded rollup."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+    from raylog.functions.dedup import substring_duplicate_coverage
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "source"])
+    cov = substring_duplicate_coverage(
+        docs.select_columns(["doc_id", "text"]), n=8, min_docs=2)
+    j = cov.join(docs.select_columns(["doc_id", "source"]),
+                 join_type="inner", num_partitions=8, on=("doc_id",))
+    agg = grouped_aggregate(
+        j, ["source"],
+        [("n_windows", "sum", "total_windows"),
+         ("dup_windows", "sum", "dup_windows")],
+    ).to_pandas()
+    tw = agg["total_windows"].to_numpy(dtype=np.int64)
+    dw = agg["dup_windows"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "source": pa.array(agg["source"], pa.string()),
+        "total_windows": pa.array(tw),
+        "dup_windows": pa.array(dw),
+        "dup_mass_milli": pa.array(
+            np.floor(1000.0 * dw / tw).astype(np.int64)),
+    })
+
+
+@query(
     "corpus_dedup_funnel",
     """
 WITH RECURSIVE s1 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
