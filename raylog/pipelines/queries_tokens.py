@@ -268,6 +268,60 @@ def tokens_bigrams(sf_dir: str):
 
 
 @query(
+    "tokens_length_mass",
+    _P() + """
+, b AS (
+  SELECT CAST(FLOOR(log2(CAST(n_tok AS DOUBLE))) AS BIGINT) AS bucket,
+         CAST(n_tok AS BIGINT) AS n_tok
+  FROM recs2 WHERE n_tok > 0
+), t AS (SELECT SUM(n_tok) AS tot FROM b)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(FLOOR(1000.0 * SUM(n_tok) / t.tot) AS BIGINT) AS token_mass_milli
+FROM b, t GROUP BY bucket, t.tot""",
+)
+def tokens_length_mass(sf_dir: str):
+    """Token mass by power-of-2 document-length bucket: what fraction of
+    TOKENS (not docs) lives at each context-length scale — the planning
+    table for window size / packing efficiency (a doc-count histogram
+    over-weights short docs; training cost follows token mass).
+    Map-only bucket assignment + a ~32-bucket combine."""
+    import numpy as np
+
+    from raylog.functions.agg import grouped_aggregate
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["n_tok"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        nt = np.asarray(b["n_tok"].combine_chunks()
+                        if isinstance(b["n_tok"], pa.ChunkedArray)
+                        else b["n_tok"], dtype=np.int64)
+        nt = nt[nt > 0]
+        return pa.table({
+            "bucket": pa.array(np.floor(np.log2(nt.astype(np.float64)))
+                               .astype(np.int64)),
+            "n_tok": pa.array(nt),
+        })
+
+    agg = grouped_aggregate(
+        ds.map_batches(bucket, batch_format="pyarrow", batch_size=None),
+        ["bucket"],
+        [("*", "count", "n_docs"), ("n_tok", "sum", "n_tokens")],
+    ).to_pandas()
+    nt = agg["n_tokens"].to_numpy(dtype=np.int64)
+    tot = float(nt.sum())
+    return pa.table({
+        "bucket": pa.array(agg["bucket"].to_numpy(dtype=np.int64)),
+        "n_docs": pa.array(agg["n_docs"].to_numpy(dtype=np.int64)),
+        "n_tokens": pa.array(nt),
+        "token_mass_milli": pa.array(
+            np.floor(1000.0 * nt / tot).astype(np.int64)),
+    })
+
+
+@query(
     "tokens_cond_entropy",
     _P() + """
 , bg AS (
