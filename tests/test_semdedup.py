@@ -131,3 +131,67 @@ class TestSemanticSurvivors:
             assert r.label == lbl[r.vec_id]
         # the three tight clusters collapse to one survivor each
         assert (out["n_members"] >= 5).sum() == 3
+
+
+class TestEmptyInputs:
+    """Round-5 operators must degrade to empty outputs, not crash."""
+
+    def test_containment_empty(self):
+        from raylog.functions.dedup import ngram_containment_pairs
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+        }))
+        out = ngram_containment_pairs(ds).to_pandas()
+        assert len(out) == 0
+
+    def test_semantic_survivors_no_edges(self):
+        from raylog.functions.dedup import semantic_dedup_survivors
+
+        # orthogonal unit vectors: zero pairs -> every vector survives
+        # as its own singleton component
+        n, d = 4, 8
+        vecs = np.eye(d)[:n]
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
+        }))
+        out = semantic_dedup_survivors(
+            ds, keep_cols=["label"], threshold=0.5, n_rows=n,
+        ).to_pandas()
+        assert sorted(out["vec_id"]) == list(range(n))
+        assert (out["n_members"] == 1).all()
+
+    def test_keep_best_singleton(self):
+        # a fully empty corpus can't reach this operator (CC labels
+        # every doc), and Ray's hash join loses the schema of an empty
+        # dataset; the minimal real case is one singleton cluster
+        from raylog.functions.cc import keep_best_per_cluster
+
+        clusters = rd.from_arrow(pa.table({
+            "doc_id": pa.array([5], pa.int64()),
+            "cluster_id": pa.array([5], pa.int64()),
+        }))
+        scored = rd.from_arrow(pa.table({
+            "doc_id": pa.array([5], pa.int64()),
+            "score_milli": pa.array([700], pa.int64()),
+        }))
+        out = keep_best_per_cluster(scored, clusters).to_pandas()
+        assert out.to_dict("records") == [
+            {"cluster_id": 5, "doc_id": 5, "score_milli": 700,
+             "n_members": 1}]
+
+    def test_prefix_dedup_all_short(self):
+        from raylog.functions.tokens import prefix_dedup_survivors
+
+        # every doc shorter than k: all exempt, empty output
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "tokens": pa.array([[1, 2, 3], [4, 5]], pa.list_(pa.int32())),
+            "n_tok": pa.array([3, 2], pa.int32()),
+        })
+        out = prefix_dedup_survivors(rd.from_arrow(tbl)).to_pandas()
+        assert len(out) == 0
