@@ -1582,6 +1582,90 @@ def substring_duplicate_coverage(
     )
 
 
+def ngram_novelty(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Per-doc n-gram NOVELTY: of the doc's distinct n-word grams, how
+    many appear for the FIRST time in this doc (no doc with a smaller
+    ``doc_id`` contains them). Scanning the corpus in id (crawl) order,
+    the per-doc novelty rate is the saturation curve a crawl operator
+    watches to decide when new data stops adding new content — the
+    complement of :func:`substring_duplicate_coverage`'s dup mass
+    (which is order-free).
+
+    Same single gram-hash exchange shape as the coverage kernel:
+
+    1. map: distinct (gram, doc) postings per doc — a doc's text is one
+       row, so per-batch dedup IS global dedup;
+    2. postings hash-partition by gram: the (gram, doc)-lexsorted
+       segment scan reads each gram's min doc_id off the first row of
+       its run, flags postings, and pre-aggregates per-doc partials
+       inside the partition;
+    3. per-doc partials combine in the hash-partitioned aggregate.
+
+    Output: (doc_id, n_grams, novel_grams) for every doc with >= n
+    words. 64-bit gram-hash collision regime as the other shingle ops.
+    """
+    from raylog.functions.agg import grouped_aggregate_ds, partitioned_group_apply
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].combine_chunks(), dtype=np.int64)
+        wh, offsets = _split_words(batch[text_col], _PROCESS_HASHER)
+        d, g = _doc_window_occurrences(wh, offsets, n)
+        order = np.lexsort((g.view(np.int64), d))
+        d_s, g_s = d[order], g[order]
+        first = np.empty(len(d_s), dtype=bool)
+        if len(d_s):
+            first[0] = True
+            first[1:] = (d_s[1:] != d_s[:-1]) | (g_s[1:] != g_s[:-1])
+        return pa.table({
+            "gram": pa.array(g_s[first].view(np.int64)),
+            "doc_id": pa.array(ids[d_s[first]]),
+        })
+
+    occ = ds.map_batches(postings, batch_format="pyarrow",
+                         batch_size=None)
+
+    def per_partition(part: pa.Table) -> pa.Table:
+        g = np.asarray(part["gram"].combine_chunks(), dtype=np.int64)
+        d = np.asarray(part["doc_id"].combine_chunks(), dtype=np.int64)
+        if len(g) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_grams": pa.array([], pa.int64()),
+                             "novel_grams": pa.array([], pa.int64())})
+        order = np.lexsort((d, g))
+        g_s, d_s = g[order], d[order]
+        new_gram = np.empty(len(g_s), dtype=bool)
+        new_gram[0] = True
+        new_gram[1:] = g_s[1:] != g_s[:-1]
+        gram_id = np.cumsum(new_gram) - 1
+        # sorted by (gram, doc): a gram run's first row carries min doc
+        min_doc = d_s[new_gram]
+        novel = d_s == min_doc[gram_id]
+        docs, inv = np.unique(d_s, return_inverse=True)
+        return pa.table({
+            "doc_id": pa.array(docs),
+            "n_grams": pa.array(np.bincount(inv).astype(np.int64)),
+            "novel_grams": pa.array(
+                np.bincount(inv, weights=novel).astype(np.int64)),
+        })
+
+    partials = partitioned_group_apply(
+        occ, ["gram"], per_partition, num_partitions=num_partitions,
+        materialize_input=True,
+    )
+    return grouped_aggregate_ds(
+        partials, ["doc_id"],
+        [("n_grams", "sum", "n_grams"),
+         ("novel_grams", "sum", "novel_grams")],
+    )
+
+
 def duplicate_spans(
     ds: rd.Dataset,
     *,

@@ -1746,3 +1746,57 @@ def decontam_ngram_report_q(sf_dir: str):
 
     flagged = ds.map_batches(flag, batch_format="pyarrow", batch_size=None)
     return decontam_ngram_report(flagged, n=8)
+
+
+@query(
+    "docs_ngram_novelty",
+    """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS g
+  FROM docs, LATERAL (
+    SELECT unnest(generate_series(1, len(w) - 7)) AS i
+  ) t
+),
+fm AS (SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+SELECT s.doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN fm.first_doc = s.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS novel_grams,
+       CAST(FLOOR(1000.0 * SUM(CASE WHEN fm.first_doc = s.doc_id
+                                    THEN 1 ELSE 0 END) / COUNT(*))
+            AS BIGINT) AS novelty_milli
+FROM sh s JOIN fm USING (g)
+GROUP BY 1""",
+)
+def docs_ngram_novelty(sf_dir: str):
+    """Crawl-saturation novelty curve: per doc, the fraction of its
+    DISTINCT 8-word grams appearing for the first time in corpus
+    (crawl) order — no smaller doc_id contains them. Falling novelty
+    tells a crawl operator that new data has stopped adding new
+    content (the order-aware complement of the Lee et al. dup-mass
+    statistic). One gram-hash exchange: per-gram min doc_id read off
+    the lexsorted run starts inside complete-gram partitions, per-doc
+    partials pre-aggregated before the combine
+    (`functions/dedup.py:ngram_novelty`)."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.dedup import ngram_novelty
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    nov = ngram_novelty(docs, n=8)
+
+    def finish(b: pa.Table) -> pa.Table:
+        ng = np.asarray(b["n_grams"].combine_chunks(), dtype=np.int64)
+        nv = np.asarray(b["novel_grams"].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_grams": b["n_grams"],
+            "novel_grams": b["novel_grams"],
+            "novelty_milli": pa.array(
+                np.floor(1000.0 * nv / ng).astype(np.int64)),
+        })
+
+    return nov.map_batches(finish, batch_format="pyarrow", batch_size=None)

@@ -1759,3 +1759,151 @@ def text_lm_score(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+
+
+@query(
+    "docs_ccnet_buckets",
+    """
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+vc AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+tot AS (SELECT SUM(c) AS n FROM vc),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_words,
+         CAST(ROUND(-1e6 * AVG(ln(vc.c / tot.n))) AS BIGINT) AS nll_micro
+  FROM words JOIN vc USING (w) CROSS JOIN tot
+  GROUP BY doc_id),
+sl AS (SELECT s.doc_id, d.lang, s.n_words, s.nll_micro,
+              CAST(s.nll_micro // 1000 AS BIGINT) AS nll_milli
+       FROM scored s JOIN documents d USING (doc_id)),
+th AS (SELECT lang, quantile_disc(nll_milli, 1.0/3) AS t1,
+              quantile_disc(nll_milli, 2.0/3) AS t2
+       FROM sl GROUP BY lang)
+SELECT sl.lang,
+       CASE WHEN nll_milli <= t1 THEN 'head'
+            WHEN nll_milli <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(SUM(nll_micro) AS BIGINT) AS nll_micro_sum
+FROM sl JOIN th USING (lang)
+GROUP BY 1, 2""",
+)
+def docs_ccnet_buckets(sf_dir: str):
+    """CCNet-style quality bucketing (Wenzek et al. 2020): score every
+    doc with the corpus unigram LM, split each LANGUAGE into
+    head/middle/tail by perplexity terciles, and report the
+    (lang, bucket) composition table a curation run uses to pick its
+    training cut (train on head+middle, drop tail).
+
+    Plan: the `text_lm_score` two-pass scoring (vocab-bounded fit →
+    broadcast model → map-side scoring), then per-lang tercile
+    thresholds from the exact distributed-quantile kernel over the
+    MILLI-quantized NLL (quantize-first is that kernel's documented
+    contract for continuous domains — the histogram is bounded by
+    distinct milli values, not doc count), thresholds broadcast
+    (langs-bounded), bucket assignment map-side, and a
+    (langs x 3)-bounded aggregate. No corpus-sized exchange anywhere.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+    from raylog.functions.quantile import grouped_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+
+    def words(b: pa.Table) -> pa.Table:
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        flat = split.flatten().dictionary_encode()
+        codes = np.asarray(flat.indices, dtype=np.int64)
+        uc, cnt = np.unique(codes, return_counts=True)
+        return pa.table({
+            "w": flat.dictionary.take(pa.array(uc)),
+            "c": pa.array(cnt, pa.int64()),
+        })
+
+    vc = grouped_aggregate_ds(
+        ds.map_batches(words, batch_format="pyarrow", batch_size=None),
+        ["w"], [("c", "sum", "c")],
+    ).to_pandas()
+    vocab = np.array(vc["w"], dtype=object)
+    order = np.argsort(vocab)
+    vocab = vocab[order]
+    counts = vc["c"].to_numpy()[order].astype(np.float64)
+    logp = np.log(counts / counts.sum())
+    model = (vocab.astype("U"), logp)
+    model_ref = ray.put(model) if ray.is_initialized() else model
+
+    def score(b: pa.Table) -> pa.Table:
+        vocab_, logp_ = (ray.get(model_ref)
+                         if ray.is_initialized() else model_ref)
+        n_docs = b.num_rows
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        lens = np.asarray(pc.list_value_length(split), dtype=np.int64)
+        flat = split.flatten().dictionary_encode()
+        codes = np.asarray(flat.indices, dtype=np.int64)
+        dict_words = np.asarray(flat.dictionary, dtype="U")
+        dict_logp = logp_[np.searchsorted(vocab_, dict_words)]
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        ll = np.bincount(doc_idx, weights=dict_logp[codes],
+                         minlength=n_docs)
+        nll_micro = np.round(
+            1e6 * (-ll / np.maximum(lens, 1))).astype(np.int64)
+        return pa.table({
+            "lang": b["lang"],
+            "n_words": pa.array(lens),
+            "nll_micro": pa.array(nll_micro),
+            "nll_milli": pa.array(nll_micro // 1000),
+        })
+
+    scored = ds.map_batches(score, batch_format="pyarrow",
+                            batch_size=None)
+
+    th = grouped_quantiles(
+        scored.select_columns(["lang", "nll_milli"]),
+        key="lang", value="nll_milli", ps=[1.0 / 3, 2.0 / 3],
+        out_names=["t1", "t2"],
+    ).to_pandas()
+    lang_keys = np.sort(np.asarray(th["lang"], dtype="U"))
+    ordk = np.argsort(np.asarray(th["lang"], dtype="U"))
+    thresholds = (lang_keys,
+                  th["t1"].to_numpy()[ordk].astype(np.int64),
+                  th["t2"].to_numpy()[ordk].astype(np.int64))
+    th_ref = (ray.put(thresholds) if ray.is_initialized()
+              else thresholds)
+
+    def assign(b: pa.Table) -> pa.Table:
+        th_ = (th_ref if isinstance(th_ref, tuple) else ray.get(th_ref))
+        keys_, t1_, t2_ = th_
+        # dictionary-encode the lang column so the threshold lookup is
+        # one searchsorted over DISTINCT langs, then a gather
+        lang_dict = b["lang"].combine_chunks().dictionary_encode()
+        dpos = np.searchsorted(
+            keys_, np.asarray(lang_dict.dictionary, dtype="U"))
+        codes = np.asarray(lang_dict.indices, dtype=np.int64)
+        milli = np.asarray(b["nll_milli"].combine_chunks(),
+                           dtype=np.int64)
+        t1 = t1_[dpos][codes]
+        t2 = t2_[dpos][codes]
+        bucket = np.where(milli <= t1, "head",
+                          np.where(milli <= t2, "middle", "tail"))
+        return pa.table({
+            "lang": b["lang"],
+            "bucket": pa.array(bucket.astype(object), pa.string()),
+            "n_words": b["n_words"],
+            "nll_micro": b["nll_micro"],
+        })
+
+    assigned = scored.map_batches(assign, batch_format="pyarrow",
+                                  batch_size=None)
+    agg = grouped_aggregate(
+        assigned, ["lang", "bucket"],
+        [("*", "count", "n_docs"),
+         ("n_words", "sum", "n_words"),
+         ("nll_micro", "sum", "nll_micro_sum")],
+    )
+    return agg

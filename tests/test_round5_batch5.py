@@ -1,0 +1,114 @@
+"""Edge-case tests for the round-5 fifth-batch operators:
+``docs_ngram_novelty`` (crawl-order first-seen gram rate) and
+``docs_ccnet_buckets`` (per-language perplexity-tercile bucketing).
+
+Same contract as the other curation edge suites: a tiny synthetic
+``documents.parquet`` with deliberately nasty rows, Ray pipeline
+cross-checked against DuckDB running the registered oracle SQL.
+"""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from raylog.pipelines.queries import ORACLES, QUERIES
+
+
+def _write_docs(tmp_path, rows):
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array(["s"] * len(rows), pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _cmp(name, sf_dir, keys):
+    out = QUERIES[name](sf_dir)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')")
+    want = con.execute(ORACLES[name]).fetchdf()
+    got = out.sort_values(keys).reset_index(drop=True)
+    want = want.sort_values(keys).reset_index(drop=True)
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    return got
+
+
+WORDS = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"
+
+
+def test_ngram_novelty_edges(tmp_path, ray_session):
+    rows = [
+        (10, WORDS, "en"),                       # 5 distinct grams, all novel
+        (20, WORDS, "en"),                       # exact copy: 0 novel
+        (30, " ".join(WORDS.split()[:8]) + " z1 z2 z3", "en"),
+        # doc 30 shares gram w0..w7 with doc 10; its tail grams are novel
+        (40, " ".join(["a"] * 10), "en"),        # 1 distinct gram (self-rep)
+        (50, "only seven words here not eight yet", "en"),  # < 8: excluded
+        (60, "", "en"),                          # empty: excluded
+    ]
+    d = _write_docs(tmp_path, rows)
+    got = _cmp("docs_ngram_novelty", d, ["doc_id"]).set_index("doc_id")
+    assert set(got.index) == {10, 20, 30, 40}  # short/empty docs excluded
+    assert got.loc[10, "novel_grams"] == got.loc[10, "n_grams"] == 5
+    assert got.loc[20, "novel_grams"] == 0      # later exact copy
+    assert got.loc[40, "n_grams"] == 1          # within-doc dedup
+    assert got.loc[40, "novel_grams"] == 1
+    # doc 30: first gram (w0..w7) first seen in doc 10, the 3 tail grams new
+    assert got.loc[30, "n_grams"] == 4
+    assert got.loc[30, "novel_grams"] == 3
+    assert got.loc[30, "novelty_milli"] == 750
+
+
+def test_ngram_novelty_order_dependence(tmp_path, ray_session):
+    # swapping doc ids flips which copy is "novel": min doc_id wins
+    rows = [(2, WORDS, "en"), (1, WORDS, "en")]
+    d = _write_docs(tmp_path, rows)
+    got = _cmp("docs_ngram_novelty", d, ["doc_id"]).set_index("doc_id")
+    assert got.loc[1, "novel_grams"] == 5
+    assert got.loc[2, "novel_grams"] == 0
+
+
+def test_ccnet_buckets_degenerate_langs(tmp_path, ray_session):
+    # lang 'aa': a single doc -> t1 == t2 == its value -> bucket 'head';
+    # lang 'bb': two identical-score docs -> both land in one bucket;
+    # lang 'cc': six docs with spread scores -> all three buckets hit
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, common, "aa"),
+        (2, "alpha beta gamma", "bb"),
+        (3, "alpha beta gamma", "bb"),
+    ]
+    # cc docs: increasingly rare vocabulary -> increasing NLL
+    for i in range(6):
+        rare = " ".join(f"rare{i}x{j}" for j in range(i + 1))
+        rows.append((10 + i, common + " " + rare, "cc"))
+    d = _write_docs(tmp_path, rows)
+    got = _cmp("docs_ccnet_buckets", d, ["lang", "bucket"])
+    by_lang = got.groupby("lang")["n_docs"].sum()
+    assert by_lang["aa"] == 1 and by_lang["bb"] == 2 and by_lang["cc"] == 6
+    aa = got[got["lang"] == "aa"]
+    assert list(aa["bucket"]) == ["head"]       # single doc is its own head
+    bb = got[got["lang"] == "bb"]
+    assert len(bb) == 1 and bb["n_docs"].iloc[0] == 2  # ties share a bucket
+    cc = set(got[got["lang"] == "cc"]["bucket"])
+    assert cc == {"head", "middle", "tail"}
+
+
+def test_ccnet_buckets_mass_conservation(tmp_path, ray_session):
+    # bucket n_words/nll sums partition the per-lang totals exactly
+    rows = [(i, " ".join(f"t{i}w{j}" for j in range(5 + i % 3)), "xx")
+            for i in range(9)]
+    d = _write_docs(tmp_path, rows)
+    got = _cmp("docs_ccnet_buckets", d, ["lang", "bucket"])
+    assert got["n_docs"].sum() == 9
+    assert got["n_words"].sum() == sum(5 + i % 3 for i in range(9))
