@@ -1800,3 +1800,107 @@ def docs_ngram_novelty(sf_dir: str):
         })
 
     return nov.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+@query(
+    "dedup_threshold_curve",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+             CAST(ROUND(1000 * list_cosine_similarity(a.v, b.v))
+                  AS BIGINT) AS cm
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+th AS (SELECT unnest([400, 500, 600, 700, 800, 900]) AS t),
+d AS (SELECT vec_id, MAX(cm) AS mc FROM (
+        SELECT va AS vec_id, cm FROM p
+        UNION ALL SELECT vb, cm FROM p) GROUP BY 1)
+SELECT CAST(th.t AS BIGINT) AS threshold_milli,
+       CAST((SELECT COUNT(*) FROM p WHERE cm >= th.t) AS BIGINT)
+         AS n_pairs,
+       CAST((SELECT COUNT(*) FROM d WHERE mc >= th.t) AS BIGINT)
+         AS n_docs
+FROM th""",
+)
+def dedup_threshold_curve(sf_dir: str):
+    """Near-dup threshold SWEEP (curation planning): how many
+    embedding-cosine pairs — and how many docs touched by at least one
+    pair — survive at each candidate threshold, all from ONE pair
+    build at the loosest setting. The table a curation run reads to
+    pick its dedup aggressiveness before committing to a full pass
+    (raising the threshold later never needs a recompute; every
+    stricter curve point is a filter over the loose pair set).
+
+    Exchange: the 0.4-threshold pair build (already the oracled
+    `dedup_embed_pairs` kernel: broadcast matmul small-side, centroid
+    cells at scale), then two pair-bounded aggregates — a cos_milli
+    histogram (<= 601 cells) and a per-doc max-cos table folded to a
+    second histogram. The sweep itself is arithmetic on the two
+    histograms driver-side; the corpus is never re-read per threshold.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+    from raylog.functions.dedup import embedding_near_dup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    n_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    pairs = embedding_near_dup_pairs(ds, threshold=0.4, n_rows=n_rows)
+    if isinstance(pairs, pa.Table):
+        # broadcast (small-side) regime returns the pair table directly
+        pairs = rd.from_arrow(pairs)
+
+    def cm_part(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "cm": b["cos_milli"],
+            "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        })
+
+    hist = grouped_aggregate(
+        pairs.map_batches(cm_part, batch_format="pyarrow",
+                          batch_size=None),
+        ["cm"], [("one", "sum", "n")]).to_pandas()
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        cm = b["cos_milli"].combine_chunks()
+        return pa.table({
+            "vec_id": pa.concat_arrays(
+                [b["vec_a"].combine_chunks(),
+                 b["vec_b"].combine_chunks()]),
+            "cm": pa.concat_arrays([cm, cm]),
+        })
+
+    docmax = grouped_aggregate_ds(
+        pairs.map_batches(endpoints, batch_format="pyarrow",
+                          batch_size=None),
+        ["vec_id"], [("cm", "max", "mc")])
+
+    def mc_part(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "mc": b["mc"],
+            "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        })
+
+    mhist = grouped_aggregate(
+        docmax.map_batches(mc_part, batch_format="pyarrow",
+                           batch_size=None),
+        ["mc"], [("one", "sum", "n")]).to_pandas()
+
+    cm_v = hist["cm"].to_numpy(dtype=np.int64)
+    cm_n = hist["n"].to_numpy(dtype=np.int64)
+    mc_v = mhist["mc"].to_numpy(dtype=np.int64)
+    mc_n = mhist["n"].to_numpy(dtype=np.int64)
+    ts = np.array([400, 500, 600, 700, 800, 900], dtype=np.int64)
+    return pa.table({
+        "threshold_milli": pa.array(ts),
+        "n_pairs": pa.array(
+            np.array([cm_n[cm_v >= t].sum() for t in ts],
+                     dtype=np.int64)),
+        "n_docs": pa.array(
+            np.array([mc_n[mc_v >= t].sum() for t in ts],
+                     dtype=np.int64)),
+    })

@@ -1907,3 +1907,117 @@ def docs_ccnet_buckets(sf_dir: str):
          ("nll_micro", "sum", "nll_micro_sum")],
     )
     return agg
+
+
+@query(
+    "tokens_heaps_curve",
+    """
+WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+fo AS (SELECT w, MIN(doc_id) AS fd FROM words GROUP BY 1),
+vb AS (SELECT CAST(fd * 10 // (m + 1) AS BIGINT) AS bucket,
+              COUNT(*) AS new_words
+       FROM fo CROSS JOIN mx GROUP BY 1),
+tb AS (SELECT CAST(doc_id * 10 // (m + 1) AS BIGINT) AS bucket,
+              COUNT(*) AS n_tokens
+       FROM words CROSS JOIN mx GROUP BY 1)
+SELECT tb.bucket, tb.n_tokens,
+       CAST(COALESCE(vb.new_words, 0) AS BIGINT) AS new_words,
+       CAST(SUM(tb.n_tokens) OVER (ORDER BY tb.bucket) AS BIGINT)
+         AS cum_tokens,
+       CAST(SUM(COALESCE(vb.new_words, 0)) OVER (ORDER BY tb.bucket)
+            AS BIGINT) AS cum_vocab
+FROM tb LEFT JOIN vb USING (bucket)""",
+)
+def tokens_heaps_curve(sf_dir: str):
+    """Heaps'-law vocabulary growth curve: cumulative DISTINCT vocab
+    vs cumulative token mass across ten equal doc-id (crawl-order)
+    slices of the corpus. The flattening of cum_vocab against
+    cum_tokens is the classic "is more data still buying new language"
+    audit (word-level sibling of `docs_ngram_novelty`; the static
+    rank-frequency view is `tokens_zipf_slope`).
+
+    Plan: a word's bucket is decided by its FIRST-occurrence doc_id —
+    one map-side (word, min doc) compression per batch, the min folded
+    in the hash-partitioned vocab-bounded aggregate; token mass per
+    bucket is a 10-cell count partial. Both finishes land on ≤10-row
+    tables; the corpus streams once, nothing doc-sized shuffles.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    mx = int(grouped_aggregate(
+        ds.map_batches(
+            lambda b: pa.table(
+                {"k": pa.array([0], pa.int64()),
+                 "m": pa.array(
+                     [pc.max(b["doc_id"]).as_py() or 0], pa.int64())}),
+            batch_format="pyarrow", batch_size=None),
+        ["k"], [("m", "max", "m")])["m"][0].as_py())
+
+    def partials(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].combine_chunks(), dtype=np.int64)
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        lens = np.asarray(pc.list_value_length(split), dtype=np.int64)
+        flat = split.flatten().dictionary_encode()
+        codes = np.asarray(flat.indices, dtype=np.int64)
+        doc_idx = np.repeat(np.arange(b.num_rows, dtype=np.int64), lens)
+        # per-word min doc inside the batch: reverse doc order + first-hit
+        order = np.lexsort((doc_idx, codes))
+        c_s, d_s = codes[order], doc_idx[order]
+        first = np.empty(len(c_s), dtype=bool)
+        if len(c_s):
+            first[0] = True
+            first[1:] = c_s[1:] != c_s[:-1]
+        return pa.table({
+            "w": flat.dictionary.take(pa.array(c_s[first])),
+            "fd": pa.array(ids[d_s[first]]),
+        })
+
+    fo = grouped_aggregate_ds(
+        ds.map_batches(partials, batch_format="pyarrow",
+                       batch_size=None),
+        ["w"], [("fd", "min", "fd")],
+    )
+
+    def vb_part(b: pa.Table) -> pa.Table:
+        fd = np.asarray(b["fd"].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "bucket": pa.array(fd * 10 // (mx + 1)),
+            "one": pa.array(np.ones(len(fd), dtype=np.int64)),
+        })
+
+    vb = grouped_aggregate(
+        fo.map_batches(vb_part, batch_format="pyarrow", batch_size=None),
+        ["bucket"], [("one", "sum", "new_words")]).to_pandas()
+
+    def tb_part(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].combine_chunks(), dtype=np.int64)
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        lens = np.asarray(pc.list_value_length(split), dtype=np.int64)
+        return pa.table({
+            "bucket": pa.array(ids * 10 // (mx + 1)),
+            "n": pa.array(lens),
+        })
+
+    tb = grouped_aggregate(
+        ds.map_batches(tb_part, batch_format="pyarrow", batch_size=None),
+        ["bucket"], [("n", "sum", "n_tokens")]).to_pandas()
+
+    out = tb.merge(vb, on="bucket", how="left").fillna({"new_words": 0})
+    out = out.sort_values("bucket").reset_index(drop=True)
+    return pa.table({
+        "bucket": pa.array(out["bucket"].astype(np.int64)),
+        "n_tokens": pa.array(out["n_tokens"].astype(np.int64)),
+        "new_words": pa.array(out["new_words"].astype(np.int64)),
+        "cum_tokens": pa.array(
+            out["n_tokens"].astype(np.int64).cumsum().to_numpy()),
+        "cum_vocab": pa.array(
+            out["new_words"].astype(np.int64).cumsum().to_numpy()),
+    })

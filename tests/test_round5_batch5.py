@@ -112,3 +112,72 @@ def test_ccnet_buckets_mass_conservation(tmp_path, ray_session):
     got = _cmp("docs_ccnet_buckets", d, ["lang", "bucket"])
     assert got["n_docs"].sum() == 9
     assert got["n_words"].sum() == sum(5 + i % 3 for i in range(9))
+
+
+def test_heaps_curve_growth(tmp_path, ray_session):
+    # first docs introduce the vocab; later docs reuse it -> cum_vocab
+    # flattens while cum_tokens keeps climbing
+    rows = []
+    for i in range(20):
+        if i < 5:
+            rows.append((i, " ".join(f"fresh{i}w{j}" for j in range(6)),
+                         "en"))
+        else:
+            rows.append((i, "fresh0w0 fresh0w1 fresh0w2 fresh1w0 "
+                            "fresh1w1 fresh1w2", "en"))
+    d = _write_docs(tmp_path, rows)
+    got = _cmp("tokens_heaps_curve", d, ["bucket"])
+    assert list(got["bucket"]) == list(range(10))
+    cv = got["cum_vocab"].to_numpy()
+    ct = got["cum_tokens"].to_numpy()
+    assert (cv[1:] >= cv[:-1]).all() and (ct[1:] > ct[:-1]).all()
+    assert cv[-1] == 30                       # 5 docs x 6 fresh words
+    assert got["new_words"].to_numpy()[5:].sum() == 0  # growth stops
+    assert ct[-1] == 20 * 6
+
+
+def _write_embeddings(tmp_path, vecs):
+    t = pa.table({
+        "vec_id": pa.array(list(range(len(vecs))), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * len(vecs), pa.int32()),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+
+def _cmp_embed(name, sf_dir, keys):
+    out = QUERIES[name](sf_dir)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')")
+    want = con.execute(ORACLES[name]).fetchdf()
+    got = out.sort_values(keys).reset_index(drop=True)
+    want = want.sort_values(keys).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  want[sorted(want.columns)],
+                                  check_dtype=False)
+    return got
+
+
+def test_threshold_curve_monotone(tmp_path, ray_session):
+    # 0/1 identical (cos 1.0), 2 similar to them (~0.707), 3 orthogonal
+    vecs = [
+        (1.0, 0.0, 0.0),
+        (1.0, 0.0, 0.0),
+        (1.0, 1.0, 0.0),
+        (0.0, 0.0, 1.0),
+    ]
+    _write_embeddings(tmp_path, vecs)
+    got = _cmp_embed("dedup_threshold_curve", str(tmp_path),
+                     ["threshold_milli"])
+    np_ = got["n_pairs"].to_numpy()
+    nd = got["n_docs"].to_numpy()
+    assert (np_[1:] <= np_[:-1]).all() and (nd[1:] <= nd[:-1]).all()
+    # at 400..700: pairs (0,1)@1000, (0,2)&(1,2)@707 -> 3 pairs, 3 docs
+    assert np_[0] == 3 and nd[0] == 3
+    # at 800+: only the identical pair survives
+    assert np_[4] == 1 and nd[4] == 2
