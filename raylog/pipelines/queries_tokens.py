@@ -2021,3 +2021,108 @@ def tokens_heaps_curve(sf_dir: str):
         "cum_vocab": pa.array(
             out["new_words"].astype(np.int64).cumsum().to_numpy()),
     })
+
+
+@query(
+    "tokens_lm2_score",
+    _P() + """
+, pairs AS (
+  SELECT doc_id, CAST(tokens[CAST(i AS INT)] AS BIGINT) AS a,
+         CAST(tokens[CAST(i AS INT) + 1] AS BIGINT) AS b
+  FROM recs2, LATERAL (
+    SELECT unnest(generate_series(1, CAST(n_tok AS INT) - 1)) AS i) g),
+bc AS (SELECT a, b, COUNT(*) AS c FROM pairs GROUP BY 1, 2),
+ac AS (SELECT a, COUNT(*) AS c FROM pairs GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT t) AS nv FROM (
+        SELECT unnest(tokens) AS t FROM recs2))
+SELECT p.doc_id, COUNT(*) AS n_bigrams,
+       CAST(ROUND(-1e6 * AVG(ln((bc.c + 1.0) / (ac.c + v.nv))))
+            AS BIGINT) AS nll2_micro
+FROM pairs p JOIN bc USING (a, b) JOIN ac USING (a) CROSS JOIN v
+GROUP BY 1""",
+)
+def tokens_lm2_score(sf_dir: str):
+    """Bigram-LM quality scoring over the PRE-TOKENIZED sequences
+    table: per-sequence mean negative log-likelihood under an add-one
+    (Laplace) smoothed bigram model fit on the corpus itself — the
+    context-aware step up from `text_lm_score`'s unigram scorer, and
+    the shape of CCNet's KenLM perplexity filter expressed on the
+    input_hint table.
+
+    Two passes: (1) the bigram model = ONE vocab²-bounded
+    hash-partitioned count aggregate over the masked packed-pair
+    kernel (`_masked_bigram_keys` — boundary rule shared with every
+    bigram op here); context totals and the smoothing vocab fall out
+    of the model table and the unigram-frequency table driver-side.
+    (2) scoring is map-only: pack each batch's pairs, ONE searchsorted
+    into the broadcast sorted model, segment-mean per sequence.
+    Sequences with < 2 tokens carry no bigram and are excluded (both
+    sides). At real tokenizer vocab the dense bigram table is capped
+    top-K + backoff (documented LM practice); the synthetic alphabet
+    ships exact.
+    """
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate_ds
+    from raylog.functions.tokens import (
+        _flat_values,
+        _masked_bigram_keys,
+        bigram_count_partial,
+        token_frequencies,
+    )
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["doc_id", "tokens"])
+
+    bc = grouped_aggregate_ds(
+        ds.map_batches(bigram_count_partial, batch_format="pyarrow",
+                       batch_size=None),
+        ["t1", "t2"], [("cnt", "sum", "c")],
+    ).to_pandas()
+    nv = len(token_frequencies(ds.select_columns(["tokens"])))
+
+    t1 = bc["t1"].to_numpy(dtype=np.int64)
+    t2 = bc["t2"].to_numpy(dtype=np.int64)
+    c = bc["c"].to_numpy(dtype=np.int64)
+    key = (t1.astype(np.int32).view(np.uint32).astype(np.uint64)
+           << np.uint64(32)) | t2.astype(np.int32).view(np.uint32)
+    order = np.argsort(key)
+    key_s, c_s, t1_s = key[order], c[order], t1[order]
+    # context totals: segment-sum of pair counts per left token
+    a_vals, a_inv = np.unique(t1_s, return_inverse=True)
+    a_tot = np.bincount(a_inv, weights=c_s).astype(np.int64)
+    # per-pair log prob precomputed once: model ships as (key, logp)
+    logp = np.log((c_s + 1.0) / (a_tot[a_inv] + nv))
+    model = (key_s, logp)
+    model_ref = ray.put(model) if ray.is_initialized() else model
+
+    def score(b: pa.Table) -> pa.Table:
+        key_, logp_ = (model_ref if isinstance(model_ref, tuple)
+                       else ray.get(model_ref))
+        vals, lengths = _flat_values(b, "tokens")
+        ids = np.asarray(b["doc_id"].combine_chunks(), dtype=np.int64)
+        n_pairs = np.maximum(lengths.astype(np.int64) - 1, 0)
+        keep = n_pairs > 0
+        if len(vals) < 2 or not keep.any():
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "n_bigrams": pa.array([], pa.int64()),
+                "nll2_micro": pa.array([], pa.int64()),
+            })
+        pk = _masked_bigram_keys(vals, lengths)
+        ll = logp_[np.searchsorted(key_, pk)]
+        doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64),
+                            n_pairs)
+        sums = np.bincount(doc_idx, weights=ll, minlength=len(ids))
+        nll = -sums[keep] / n_pairs[keep]
+        return pa.table({
+            "doc_id": pa.array(ids[keep]),
+            "n_bigrams": pa.array(n_pairs[keep]),
+            "nll2_micro": pa.array(
+                np.round(1e6 * nll).astype(np.int64)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          batch_size=None)

@@ -181,3 +181,22 @@ def test_threshold_curve_monotone(tmp_path, ray_session):
     assert np_[0] == 3 and nd[0] == 3
     # at 800+: only the identical pair survives
     assert np_[4] == 1 and nd[4] == 2
+
+
+def test_lm2_score_edges(tmp_path, ray_session):
+    # tokens are word LENGTHS of the text (records.py derivation);
+    # doc 4 repeats one common bigram, doc 5 is a one-off pattern
+    rows = [
+        (1, "aa bbb aa bbb aa bbb", "en"),     # lengths 2,3,2,3,...
+        (2, "aa bbb aa bbb aa bbb", "en"),     # identical -> same score
+        (3, "x", "en"),                        # 1 token: no bigram
+        (4, "aa bbb aa bbb", "en"),            # same common bigrams
+        (5, "zzzzzz y zzzzzz", "en"),          # rare pattern
+    ]
+    d = _write_docs(tmp_path, rows)
+    got = _cmp("tokens_lm2_score", d, ["doc_id"]).set_index("doc_id")
+    assert 3 not in got.index                  # single-token excluded
+    assert got.loc[1, "nll2_micro"] == got.loc[2, "nll2_micro"]
+    # the common alternating bigram is cheaper than the rare one
+    assert got.loc[1, "nll2_micro"] < got.loc[5, "nll2_micro"]
+    assert got.loc[1, "n_bigrams"] == 5
