@@ -2126,3 +2126,209 @@ def tokens_lm2_score(sf_dir: str):
 
     return ds.map_batches(score, batch_format="pyarrow",
                           batch_size=None)
+
+
+@query(
+    "tokens_position_entropy",
+    _P() + """
+, toks AS (
+  SELECT LEAST(CAST(i AS BIGINT) - 1, 8) AS pos_bucket,
+         CAST(tokens[CAST(i AS INT)] AS BIGINT) AS t
+  FROM recs2, LATERAL (
+    SELECT unnest(generate_series(1, CAST(n_tok AS INT))) AS i) g),
+c AS (SELECT pos_bucket, t, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+s AS (SELECT pos_bucket, SUM(c) AS n, SUM(c * log2(c)) AS sc
+      FROM c GROUP BY 1)
+SELECT pos_bucket, CAST(n AS BIGINT) AS n_tokens,
+       CAST(FLOOR(1000 * (log2(n) - sc / n)) AS BIGINT)
+         AS entropy_milli
+FROM s""",
+)
+def tokens_position_entropy(sf_dir: str):
+    """Positional token entropy audit: Shannon entropy (millibits) of
+    the token distribution at each of the first 8 sequence positions
+    plus an 8+ tail bucket. Formatted corpora leak template structure
+    at fixed offsets (BOS artifacts, boilerplate headers, serialization
+    quirks) as an entropy DIP at those positions — the audit a
+    pretraining run does before trusting its sequence starts.
+
+    One (pos_bucket, token) hash-partitioned count — 9 × vocab-bounded
+    exchange, corpus streams once; the entropy finish is integer-count
+    arithmetic on the tiny grid (same SUM(c·log2 c) restatement as
+    `tokens_cond_entropy`, FLOOR-quantized so both engines bit-agree).
+    """
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate_ds
+    from raylog.functions.tokens import _flat_values
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["tokens"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        vals, lengths = _flat_values(b, "tokens")
+        if len(vals) == 0:
+            return pa.table({"pos_bucket": pa.array([], pa.int64()),
+                             "t": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        lens = lengths.astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        pos = (np.arange(len(vals), dtype=np.int64)
+               - np.repeat(starts, lens))
+        bucket = np.minimum(pos, 8)
+        # pack (bucket, token) into one key for a single np.unique pass
+        keyed = bucket * (np.int64(vals.max()) + 1) + vals.astype(np.int64)
+        uk, cnt = np.unique(keyed, return_counts=True)
+        base = np.int64(vals.max()) + 1
+        return pa.table({
+            "pos_bucket": pa.array(uk // base),
+            "t": pa.array(uk % base),
+            "c": pa.array(cnt.astype(np.int64)),
+        })
+
+    grid = grouped_aggregate_ds(
+        ds.map_batches(partials, batch_format="pyarrow",
+                       batch_size=None),
+        ["pos_bucket", "t"], [("c", "sum", "c")],
+    ).to_pandas()
+    pb = grid["pos_bucket"].to_numpy(dtype=np.int64)
+    c = grid["c"].to_numpy(dtype=np.int64)
+    order = np.argsort(pb, kind="mergesort")
+    pb_s, c_s = pb[order], c[order]
+    starts = np.flatnonzero(np.concatenate(
+        [[True], pb_s[1:] != pb_s[:-1]]))
+    n = np.add.reduceat(c_s, starts).astype(np.float64)
+    sc = np.add.reduceat(c_s * np.log2(c_s), starts)
+    return pa.table({
+        "pos_bucket": pa.array(pb_s[starts]),
+        "n_tokens": pa.array(n.astype(np.int64)),
+        "entropy_milli": pa.array(
+            np.floor(1000 * (np.log2(n) - sc / n)).astype(np.int64)),
+    })
+
+
+@query(
+    "corpus_dataset_card",
+    """
+WITH w AS (SELECT doc_id, len(string_split(text, ' ')) AS nw
+           FROM documents)
+SELECT 'n_docs' AS metric,
+       CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS value
+UNION ALL SELECT 'n_words',
+       CAST((SELECT SUM(nw) FROM w) AS BIGINT)
+UNION ALL SELECT 'n_chars',
+       CAST((SELECT SUM(n_chars) FROM documents) AS BIGINT)
+UNION ALL SELECT 'n_langs',
+       CAST((SELECT COUNT(DISTINCT lang) FROM documents) AS BIGINT)
+UNION ALL SELECT 'n_sources',
+       CAST((SELECT COUNT(DISTINCT source) FROM documents) AS BIGINT)
+UNION ALL SELECT 'exact_dup_docs',
+       CAST((SELECT COUNT(*) - COUNT(DISTINCT text) FROM documents)
+            AS BIGINT)
+UNION ALL SELECT 'en_docs',
+       CAST((SELECT COUNT(*) FROM documents WHERE lang = 'en')
+            AS BIGINT)
+UNION ALL SELECT 'p50_words',
+       CAST((SELECT quantile_disc(nw, 0.5) FROM w) AS BIGINT)
+UNION ALL SELECT 'p90_words',
+       CAST((SELECT quantile_disc(nw, 0.9) FROM w) AS BIGINT)
+UNION ALL SELECT 'max_words',
+       CAST((SELECT MAX(nw) FROM w) AS BIGINT)""",
+)
+def corpus_dataset_card(sf_dir: str):
+    """The DATASET CARD headline table every curation run publishes:
+    corpus size (docs / words / chars), language and source breadth,
+    exact-duplicate mass, English share, and the word-length profile —
+    one (metric, value) report assembled entirely from bounded
+    aggregates (composition showcase: the distinct-text count rides
+    the 128-bit content-key dedup exchange, the length quantiles ride
+    the exact distributed-quantile kernel, everything else is
+    constant-size partials; the corpus streams twice, once per
+    text-derived pass, and no doc-sized table ever reaches the driver).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+    from raylog.functions.dedup import add_content_h128
+    from raylog.functions.quantile import grouped_quantiles
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source", "n_chars"])
+
+    def flat_part(b: pa.Table) -> pa.Table:
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        nw = np.asarray(pc.list_value_length(split), dtype=np.int64)
+        lang = np.asarray(b["lang"].combine_chunks(), dtype="U")
+        nch = np.asarray(b["n_chars"].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "k": pa.array([0], pa.int64()),
+            "n_docs": pa.array([b.num_rows], pa.int64()),
+            "n_words": pa.array([int(nw.sum())], pa.int64()),
+            "n_chars": pa.array([int(nch.sum())], pa.int64()),
+            "en_docs": pa.array([int((lang == "en").sum())], pa.int64()),
+        })
+
+    tot = grouped_aggregate(
+        ds.map_batches(flat_part, batch_format="pyarrow",
+                       batch_size=None),
+        ["k"], [("n_docs", "sum", "n_docs"),
+                ("n_words", "sum", "n_words"),
+                ("n_chars", "sum", "n_chars"),
+                ("en_docs", "sum", "en_docs")]).to_pandas().iloc[0]
+
+    n_langs = len(grouped_aggregate(
+        ds.select_columns(["lang"]).map_batches(
+            lambda b: pa.table({
+                "lang": pc.unique(b["lang"].combine_chunks()),
+            }), batch_format="pyarrow", batch_size=None),
+        ["lang"], [("*", "count", "c")]))
+    n_sources = len(grouped_aggregate(
+        ds.select_columns(["source"]).map_batches(
+            lambda b: pa.table({
+                "source": pc.unique(b["source"].combine_chunks()),
+            }), batch_format="pyarrow", batch_size=None),
+        ["source"], [("*", "count", "c")]))
+
+    # distinct texts via the 128-bit content-key dedup exchange
+    distinct_texts = grouped_aggregate_ds(
+        ds.map_batches(
+            lambda b: add_content_h128(b).select(
+                ["content_h1", "content_h2", "doc_id"]),
+            batch_format="pyarrow", batch_size=None),
+        ["content_h1", "content_h2"],
+        [("doc_id", "min", "doc_id")]).count()
+
+    def nw_part(b: pa.Table) -> pa.Table:
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        return pa.table({
+            "k": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            "nw": pa.array(np.asarray(pc.list_value_length(split),
+                                      dtype=np.int64)),
+        })
+
+    q = grouped_quantiles(
+        ds.map_batches(nw_part, batch_format="pyarrow",
+                       batch_size=None),
+        key="k", value="nw", ps=[0.5, 0.9, 1.0],
+        out_names=["p50", "p90", "mx"]).to_pandas().iloc[0]
+
+    metrics = [
+        ("n_docs", int(tot["n_docs"])),
+        ("n_words", int(tot["n_words"])),
+        ("n_chars", int(tot["n_chars"])),
+        ("n_langs", int(n_langs)),
+        ("n_sources", int(n_sources)),
+        ("exact_dup_docs", int(tot["n_docs"]) - int(distinct_texts)),
+        ("en_docs", int(tot["en_docs"])),
+        ("p50_words", int(q["p50"])),
+        ("p90_words", int(q["p90"])),
+        ("max_words", int(q["mx"])),
+    ]
+    return pa.table({
+        "metric": pa.array([m for m, _ in metrics], pa.string()),
+        "value": pa.array([v for _, v in metrics], pa.int64()),
+    })

@@ -200,3 +200,42 @@ def test_lm2_score_edges(tmp_path, ray_session):
     # the common alternating bigram is cheaper than the rare one
     assert got.loc[1, "nll2_micro"] < got.loc[5, "nll2_micro"]
     assert got.loc[1, "n_bigrams"] == 5
+
+
+def test_position_entropy_template_dip(tmp_path, ray_session):
+    # every doc starts with the same-length word -> position 0 entropy
+    # is exactly 0 (template artifact); later positions vary
+    rows = [(i, "zz " + " ".join(
+        ("a" * (1 + (i + j) % 4)) for j in range(10)), "en")
+        for i in range(12)]
+    d = _write_docs(tmp_path, rows)
+    got = _cmp("tokens_position_entropy", d,
+               ["pos_bucket"]).set_index("pos_bucket")
+    assert got.loc[0, "entropy_milli"] == 0     # constant first token
+    assert got.loc[1, "entropy_milli"] > 0
+    assert got.loc[8, "n_tokens"] == 12 * 3     # 11 tokens: 3 in tail
+
+
+def test_dataset_card_counts(tmp_path, ray_session):
+    rows = [
+        (1, "one two three", "en"),
+        (2, "one two three", "en"),     # exact dup of 1
+        (3, "four five", "fr"),
+        (4, "six", "de"),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array(["sA", "sA", "sB", "sB"], pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = _cmp("corpus_dataset_card", str(tmp_path),
+               ["metric"]).set_index("metric")["value"]
+    assert got["n_docs"] == 4
+    assert got["exact_dup_docs"] == 1
+    assert got["n_langs"] == 3 and got["n_sources"] == 2
+    assert got["en_docs"] == 2
+    assert got["n_words"] == 3 + 3 + 2 + 1
+    assert got["max_words"] == 3
