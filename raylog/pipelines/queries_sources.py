@@ -1884,3 +1884,109 @@ def events_user_features(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+
+
+@query(
+    "events_funnel_time",
+    """
+WITH m AS (SELECT user_id, event_type, MIN(ts) AS mt
+           FROM events GROUP BY 1, 2),
+p AS (SELECT user_id,
+        MIN(CASE WHEN event_type = 'view' THEN mt END) AS v,
+        MIN(CASE WHEN event_type = 'click' THEN mt END) AS c,
+        MIN(CASE WHEN event_type = 'purchase' THEN mt END) AS b
+      FROM m GROUP BY 1),
+d AS (
+  SELECT 'view_click' AS step,
+         CAST((epoch_us(c) - epoch_us(v)) // 1000000 AS BIGINT)
+           AS delay_s
+  FROM p WHERE v IS NOT NULL AND c IS NOT NULL AND v < c
+  UNION ALL
+  SELECT 'click_purchase',
+         CAST((epoch_us(b) - epoch_us(c)) // 1000000 AS BIGINT)
+  FROM p WHERE c IS NOT NULL AND b IS NOT NULL AND c < b)
+SELECT step, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(quantile_disc(delay_s, 0.25) AS BIGINT) AS p25_s,
+       CAST(quantile_disc(delay_s, 0.5) AS BIGINT) AS p50_s,
+       CAST(quantile_disc(delay_s, 0.75) AS BIGINT) AS p75_s
+FROM d GROUP BY 1""",
+)
+def events_funnel_time(sf_dir: str):
+    """Funnel TIME-TO-CONVERT: for users who progress view→click (and
+    click→purchase), the delay between their first events at each
+    stage, reported as second-quantized quartiles — the latency
+    companion to `events_funnel`'s conversion counts (how LONG the
+    funnel takes, not just how many fall through).
+
+    Same key-compressed (user, stage) min-aggregate as the funnel;
+    whole-user partitions pivot and emit one (step, delay_s) row per
+    CONVERTING user only; the users-bounded delay stream is
+    materialized once and feeds both the exact distributed-quantile
+    kernel (histogram exchange bounded by steps × distinct seconds)
+    and the 2-row count aggregate.
+    """
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import (
+        grouped_aggregate,
+        grouped_aggregate_ds,
+        partitioned_group_apply,
+    )
+    from raylog.functions.quantile import grouped_quantiles
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+    firsts = grouped_aggregate_ds(
+        ev, ["user_id", "event_type"], [("ts", "min", "mt")],
+        num_partitions=8,
+    )
+
+    def delays(part: pa.Table) -> pa.Table:
+        u = np.asarray(part["user_id"].combine_chunks(), dtype=np.int64)
+        et = np.asarray(part["event_type"].combine_chunks())
+        mt = np.asarray(part["mt"].combine_chunks()).view("i8")
+        order = np.argsort(u, kind="mergesort")
+        u, et, mt = u[order], et[order], mt[order]
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        seg = np.repeat(np.arange(len(starts)),
+                        np.diff(np.append(starts, len(u))))
+        big = np.iinfo(np.int64).max
+        stage = {}
+        for name in ("view", "click", "purchase"):
+            vals = np.full(len(starts), big)
+            msk = et == name
+            np.minimum.at(vals, seg[msk], mt[msk])
+            stage[name] = vals
+        v, c, b = stage["view"], stage["click"], stage["purchase"]
+        vc = (v < big) & (c < big) & (v < c)
+        cb = (c < big) & (b < big) & (c < b)
+        step = np.concatenate([
+            np.full(int(vc.sum()), "view_click", dtype=object),
+            np.full(int(cb.sum()), "click_purchase", dtype=object),
+        ])
+        delay = np.concatenate([
+            (c[vc] - v[vc]) // 1_000_000,
+            (b[cb] - c[cb]) // 1_000_000,
+        ])
+        return pa.table({
+            "step": pa.array(step, pa.string()),
+            "delay_s": pa.array(delay.astype(np.int64)),
+        })
+
+    d = partitioned_group_apply(firsts, ["user_id"], delays,
+                                num_partitions=8).materialize()
+    q = grouped_quantiles(d, key="step", value="delay_s",
+                          ps=[0.25, 0.5, 0.75],
+                          out_names=["p25_s", "p50_s", "p75_s"]
+                          ).to_pandas()
+    n = grouped_aggregate(d, ["step"],
+                          [("*", "count", "n_users")]).to_pandas()
+    out = n.merge(q, on="step")
+    return pa.table({
+        "step": pa.array(out["step"], pa.string()),
+        "n_users": pa.array(out["n_users"].astype(np.int64)),
+        "p25_s": pa.array(out["p25_s"].astype(np.int64)),
+        "p50_s": pa.array(out["p50_s"].astype(np.int64)),
+        "p75_s": pa.array(out["p75_s"].astype(np.int64)),
+    })

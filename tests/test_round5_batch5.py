@@ -239,3 +239,47 @@ def test_dataset_card_counts(tmp_path, ray_session):
     assert got["en_docs"] == 2
     assert got["n_words"] == 3 + 3 + 2 + 1
     assert got["max_words"] == 3
+
+
+def test_funnel_time_quartiles(tmp_path, ray_session):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    evs = [
+        # user 1: view -> +10s click -> +70s purchase
+        (1, 1, "view", 0), (2, 1, "click", 10), (3, 1, "purchase", 70),
+        # user 2: click BEFORE view -> never converts
+        (4, 2, "click", 0), (5, 2, "view", 5),
+        # user 3: view -> +20s click, no purchase
+        (6, 3, "view", 0), (7, 3, "click", 20),
+        # user 4: only purchases
+        (8, 4, "purchase", 0),
+    ]
+    t = pa.table({
+        "event_id": pa.array([e[0] for e in evs], pa.int64()),
+        "ts": pa.array([base + dt.timedelta(seconds=e[3]) for e in evs],
+                       pa.timestamp("us")),
+        "user_id": pa.array([e[1] for e in evs], pa.int64()),
+        "event_type": pa.array([e[2] for e in evs], pa.string()),
+        "value": pa.array([1.0] * len(evs), pa.float64()),
+        "props": pa.array(["{}"] * len(evs), pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = QUERIES["events_funnel_time"](str(tmp_path))
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')")
+    want = con.execute(ORACLES["events_funnel_time"]).fetchdf()
+    got = out.sort_values("step").reset_index(drop=True)
+    want = want.sort_values("step").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  want[sorted(want.columns)],
+                                  check_dtype=False)
+    g = got.set_index("step")
+    assert g.loc["view_click", "n_users"] == 2       # users 1 and 3
+    assert g.loc["view_click", "p50_s"] == 10        # rank ceil(.5*2)=1
+    assert g.loc["view_click", "p75_s"] == 20
+    assert g.loc["click_purchase", "n_users"] == 1   # user 1 only
+    assert g.loc["click_purchase", "p25_s"] == 60
