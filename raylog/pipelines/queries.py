@@ -20,4 +20,5 @@ from raylog.pipelines import (  # noqa: E402,F401 — import = registration
     queries_sources,
     queries_events,
     queries_stats,
+    queries_marts,
 )

@@ -1,0 +1,583 @@
+"""Analytics-mart report shapes: TPC-H-style joins, attribution,
+retention-adjacent windows, and embedding health audits.
+
+Domain module of the driver-facing query registry — registration
+happens on import via :func:`raylog.pipelines.qbase.query`; the public
+surface stays ``raylog.pipelines.queries.QUERIES/ORACLES``.
+
+Every float-derived output is quantized to exact integers with the SAME
+double expression on both engines (``floor(x * 10^k + 0.5)`` per row
+BEFORE any sum), so distributed integer sums are bit-exact in any
+order — the established fixed-point discipline from
+``lineitem_discount_revenue``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from raylog.pipelines.qbase import query
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14 shape: promotion revenue share per ship-month
+# --------------------------------------------------------------------------
+
+@query(
+    "lineitem_promo_share",
+    """
+WITH r AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+              AS BIGINT) AS rev,
+         CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), m AS (
+  SELECT month, SUM(rev * is_promo) AS promo_e4, SUM(rev) AS total_e4
+  FROM r GROUP BY 1
+)
+SELECT month, CAST(promo_e4 AS BIGINT) AS promo_e4,
+       CAST(total_e4 AS BIGINT) AS total_e4,
+       (1000 * CAST(promo_e4 AS BIGINT)) // CAST(total_e4 AS BIGINT)
+         AS promo_share_milli
+FROM m""",
+)
+def lineitem_promo_share(sf_dir: str):
+    """Promotion revenue share per ship-month (TPC-H Q14 shape): what
+    fraction of monthly revenue came from PROMO-type parts.
+
+    The part side is a dimension — its partkey→is_promo bitmap is
+    broadcast once via ``ray.put`` and probed inside ``map_batches``
+    (never a shuffle join; reference analog: the k8s metadata lookup in
+    filter_kubernetes is the same broadcast-dim pattern,
+    fluent-bit.conf:83-90). Revenue is quantized to 1e-4 fixed point
+    per row before summation, so per-(month) integer partials combine
+    bit-exactly. Exchange: months-bounded partial rows only."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_type"]).to_pandas()
+    pk = part["p_partkey"].to_numpy(dtype=np.int64)
+    promo = np.zeros(int(pk.max()) + 1 if len(pk) else 1, dtype=bool)
+    promo[pk[part["p_type"].to_numpy() == "PROMO"]] = True
+    ref = ray.put(promo) if ray.is_initialized() else promo
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        promo_ = ray.get(ref) if ray.is_initialized() else ref
+        price = np.asarray(b["l_extendedprice"].combine_chunks(),
+                           dtype=np.float64)
+        disc = np.asarray(b["l_discount"].combine_chunks(),
+                          dtype=np.float64)
+        rev = np.floor(price * (1 - disc) * 10000 + 0.5).astype(np.int64)
+        partk = np.asarray(b["l_partkey"].combine_chunks(), dtype=np.int64)
+        is_promo = promo_[partk]
+        month = pc.strftime(b["l_shipdate"], format="%Y-%m")
+        return pa.table({
+            "month": month,
+            "p": pa.array(np.where(is_promo, rev, 0)),
+            "t": pa.array(rev),
+        })
+
+    m = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["month"], [("p", "sum", "promo_e4"), ("t", "sum", "total_e4")])
+    p = np.asarray(m["promo_e4"], dtype=np.int64)
+    t = np.asarray(m["total_e4"], dtype=np.int64)
+    return pa.table({
+        "month": m["month"],
+        "promo_e4": m["promo_e4"],
+        "total_e4": m["total_e4"],
+        "promo_share_milli": pa.array(1000 * p // t, pa.int64()),
+    })
+
+
+# --------------------------------------------------------------------------
+# Per-source lexical diversity (type-token ratio)
+# --------------------------------------------------------------------------
+
+@query(
+    "docs_lexical_diversity",
+    """
+WITH words AS (SELECT source, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+sw AS (SELECT source, w, COUNT(*) AS c FROM words GROUP BY 1, 2)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(c) AS BIGINT) AS n_words,
+       (1000 * CAST(COUNT(*) AS BIGINT)) // CAST(SUM(c) AS BIGINT)
+         AS ttr_milli
+FROM sw GROUP BY 1""",
+)
+def docs_lexical_diversity(sf_dir: str):
+    """Per-source lexical diversity: type-token ratio (distinct words /
+    total words) — the corpus-quality signal that separates boilerplate
+    mills (low TTR) from organic prose.
+
+    The corpus streams ONCE through a per-batch (source, word) count
+    kernel (dictionary-encode + packed unique, the corpus_source_kl
+    kernel); the only exchange is the hash-partitioned
+    vocab×sources-bounded count combine, and the finish is a
+    sources-bounded aggregate over it. No corpus shuffle, no
+    whole-vocab driver set."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+
+    def wcounts(b: pa.Table) -> pa.Table:
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        lens = np.asarray(pc.list_value_length(split), dtype=np.int64)
+        flat = split.flatten().dictionary_encode()
+        codes = np.asarray(flat.indices, dtype=np.int64)
+        enc = b["source"].combine_chunks().dictionary_encode()
+        src = np.asarray(enc.indices, dtype=np.int64)
+        tok_src = np.repeat(src, lens)
+        nv = len(flat.dictionary)
+        packed = tok_src * nv + codes
+        up, cnt = np.unique(packed, return_counts=True)
+        return pa.table({
+            "source": enc.dictionary.take(pa.array(up // nv)),
+            "w": flat.dictionary.take(pa.array(up % nv)),
+            "c": pa.array(cnt.astype(np.int64)),
+        })
+
+    sw = grouped_aggregate_ds(
+        ds.map_batches(wcounts, batch_format="pyarrow", batch_size=None),
+        ["source", "w"], [("c", "sum", "c")])
+    out = grouped_aggregate(sw, ["source"],
+                            [("*", "count", "n_types"),
+                             ("c", "sum", "n_words")])
+    ty = np.asarray(out["n_types"], dtype=np.int64)
+    wd = np.asarray(out["n_words"], dtype=np.int64)
+    return pa.table({
+        "source": out["source"],
+        "n_types": out["n_types"],
+        "n_words": out["n_words"],
+        "ttr_milli": pa.array(1000 * ty // wd, pa.int64()),
+    })
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q10 shape: top customers by returned-item revenue
+# --------------------------------------------------------------------------
+
+@query(
+    "orders_top_returners",
+    """
+WITH lr AS (
+  SELECT l_orderkey,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                  AS BIGINT)) AS rev
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+), cr AS (
+  SELECT o.o_custkey AS c_custkey, CAST(SUM(rev) AS BIGINT) AS revenue_e4
+  FROM lr JOIN orders o ON lr.l_orderkey = o.o_orderkey GROUP BY 1
+), rk AS (
+  SELECT c_custkey, revenue_e4,
+         ROW_NUMBER() OVER (ORDER BY revenue_e4 DESC, c_custkey) AS rnk
+  FROM cr
+)
+SELECT CAST(rk.rnk AS BIGINT) AS rnk, rk.c_custkey, c.c_name,
+       rk.revenue_e4
+FROM rk JOIN customer c USING (c_custkey) WHERE rk.rnk <= 20""",
+)
+def orders_top_returners(sf_dir: str):
+    """Top-20 customers by revenue lost to returns (TPC-H Q10 shape):
+    the churn-risk report.
+
+    Physical plan: the fact side shrinks FIRST — returned lineitems
+    pre-aggregate to one row per orderkey (hash-partitioned combine)
+    before any join, so the join exchange is key-bounded on both
+    sides; then one hash join against orders' (orderkey, custkey)
+    projection, a custkey-bounded combine, and a partial top-k merge.
+    The customer-name dimension attaches driver-side to the final 20
+    rows only — never shipped through the shuffle."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_returnflag"])
+
+    def returned(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], pa.scalar("R")))
+        price = np.asarray(b["l_extendedprice"].combine_chunks(),
+                           dtype=np.float64)
+        disc = np.asarray(b["l_discount"].combine_chunks(),
+                          dtype=np.float64)
+        rev = np.floor(price * (1 - disc) * 10000 + 0.5).astype(np.int64)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "rev": pa.array(rev),
+        })
+
+    lr = grouped_aggregate_ds(
+        li.map_batches(returned, batch_format="pyarrow", batch_size=None),
+        ["l_orderkey"], [("rev", "sum", "rev")], num_partitions=8)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    j = lr.join(orders, join_type="inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    cr = grouped_aggregate(j, ["o_custkey"], [("rev", "sum", "revenue_e4")])
+    order = np.lexsort((np.asarray(cr["o_custkey"], dtype=np.int64),
+                        -np.asarray(cr["revenue_e4"], dtype=np.int64)))
+    top = order[:20]
+    ck = np.asarray(cr["o_custkey"], dtype=np.int64)[top]
+    rev = np.asarray(cr["revenue_e4"], dtype=np.int64)[top]
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"]).to_pandas()
+    names = dict(zip(cust["c_custkey"].astype(np.int64),
+                     cust["c_name"]))
+    return pa.table({
+        "rnk": pa.array(np.arange(1, len(ck) + 1), pa.int64()),
+        "c_custkey": pa.array(ck, pa.int64()),
+        "c_name": pa.array([names[k] for k in ck], pa.string()),
+        "revenue_e4": pa.array(rev, pa.int64()),
+    })
+
+
+# --------------------------------------------------------------------------
+# First-touch attribution over the event stream
+# --------------------------------------------------------------------------
+
+@query(
+    "events_first_touch",
+    """
+WITH f AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), a AS (
+  SELECT event_type, COUNT(*) AS n_users FROM f WHERE rn = 1 GROUP BY 1
+), t AS (SELECT SUM(n_users) AS tot FROM a)
+SELECT a.event_type, CAST(a.n_users AS BIGINT) AS n_users,
+       (1000 * CAST(a.n_users AS BIGINT)) // CAST(t.tot AS BIGINT)
+         AS share_milli
+FROM a CROSS JOIN t""",
+)
+def events_first_touch(sf_dir: str):
+    """First-touch attribution: each user's very first event (by
+    arrival time, event_id tie-break) credits its event type — the
+    acquisition-channel report.
+
+    ``argmax_per_key`` keeps one whole min-row per user with the
+    standard two-level shape: each batch reduces itself to ≤ one row
+    per user, the user-compressed partials hash-partition, and
+    reducers pick the global first per complete user group. The
+    attribution counts and shares finish on the types-bounded
+    table."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import argmax_per_key, grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    firsts = argmax_per_key(ds, ["user_id"], ["ts", "event_id"],
+                            [False, False], num_partitions=8)
+    a = grouped_aggregate(firsts, ["event_type"],
+                          [("*", "count", "n_users")])
+    n = np.asarray(a["n_users"], dtype=np.int64)
+    tot = int(n.sum())
+    return pa.table({
+        "event_type": a["event_type"],
+        "n_users": a["n_users"],
+        "share_milli": pa.array(1000 * n // tot, pa.int64()),
+    })
+
+
+# --------------------------------------------------------------------------
+# Longest consecutive-day activity streak per user → histogram
+# --------------------------------------------------------------------------
+
+@query(
+    "events_user_streaks",
+    """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+g AS (
+  SELECT user_id,
+         (day - DATE '1970-01-01')
+           - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM ud
+), runs AS (
+  SELECT user_id, COUNT(*) AS len FROM g GROUP BY user_id, grp
+), mx AS (
+  SELECT user_id, MAX(len) AS max_streak FROM runs GROUP BY 1
+)
+SELECT CAST(max_streak AS BIGINT) AS max_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM mx GROUP BY 1""",
+)
+def events_user_streaks(sf_dir: str):
+    """Longest consecutive-day activity streak per user, reported as a
+    streak-length histogram (the engagement 'streaks' metric).
+
+    Classic gaps-and-islands, distributed: distinct (user, epoch-day)
+    pairs come from ONE hash-partitioned count aggregate (days-bounded
+    per user); streak runs are then a vectorized segmented scan per
+    complete-user partition — day[i]−i is constant within a run, so a
+    single diff/cumsum pass finds every run with zero per-group Python
+    calls. The histogram finish is streak-lengths-bounded."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import (grouped_aggregate,
+                                      grouped_aggregate_ds,
+                                      partitioned_group_apply)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def days(b: pa.Table) -> pa.Table:
+        t = np.asarray(b["ts"].combine_chunks()).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"],
+            "day": pa.array(t // 86_400_000_000),
+        })
+
+    ud = grouped_aggregate_ds(
+        ds.map_batches(days, batch_format="pyarrow", batch_size=None),
+        ["user_id", "day"], [("*", "count", "c")], num_partitions=8)
+
+    def streaks(part: pa.Table) -> pa.Table:
+        uid = np.asarray(part["user_id"].combine_chunks(), dtype=np.int64)
+        day = np.asarray(part["day"].combine_chunks(), dtype=np.int64)
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        # run id: changes where the user changes or the day gap != 1
+        brk = np.ones(len(uid), dtype=bool)
+        if len(uid) > 1:
+            brk[1:] = (uid[1:] != uid[:-1]) | (day[1:] != day[:-1] + 1)
+        run = np.cumsum(brk) - 1
+        run_len = np.bincount(run)
+        run_uid = uid[brk]
+        # max run per user within this complete-user partition
+        uu, inv = np.unique(run_uid, return_inverse=True)
+        mx = np.zeros(len(uu), dtype=np.int64)
+        np.maximum.at(mx, inv, run_len)
+        return pa.table({
+            "user_id": pa.array(uu),
+            "max_streak": pa.array(mx),
+        })
+
+    per_user = partitioned_group_apply(ud, ["user_id"], streaks,
+                                       num_partitions=8)
+    return grouped_aggregate(per_user, ["max_streak"],
+                             [("*", "count", "n_users")])
+
+
+# --------------------------------------------------------------------------
+# Trailing-7-day distinct active users per day
+# --------------------------------------------------------------------------
+
+@query(
+    "events_trailing_actives",
+    """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+days AS (SELECT DISTINCT day FROM ud)
+SELECT strftime(days.day, '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS actives_7d
+FROM days JOIN ud ON ud.day BETWEEN days.day - 6 AND days.day
+GROUP BY 1""",
+)
+def events_trailing_actives(sf_dir: str):
+    """Trailing-7-day distinct active users per day (the WAU curve) —
+    the sliding-window COUNT DISTINCT that naive engines answer with a
+    7× self-join over raw events.
+
+    Here: distinct (user, day) pairs from one hash-partitioned
+    aggregate; per complete-user partition each active day expands to
+    the ≤7 window-days it covers and duplicates collapse IN the
+    partition (interval union per user, vectorized), so a user counts
+    once per window-day no matter how many events they fired; the
+    finish is a (user-compressed) per-day sum. Exchange is bounded by
+    users × active-days × 7 coverage rows — never events × 7."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import (grouped_aggregate,
+                                      grouped_aggregate_ds,
+                                      partitioned_group_apply)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def days(b: pa.Table) -> pa.Table:
+        t = np.asarray(b["ts"].combine_chunks()).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"],
+            "day": pa.array(t // 86_400_000_000),
+        })
+
+    ud = grouped_aggregate_ds(
+        ds.map_batches(days, batch_format="pyarrow", batch_size=None),
+        ["user_id", "day"], [("*", "count", "c")], num_partitions=8)
+
+    def coverage(part: pa.Table) -> pa.Table:
+        uid = np.asarray(part["user_id"].combine_chunks(), dtype=np.int64)
+        day = np.asarray(part["day"].combine_chunks(), dtype=np.int64)
+        # every active day covers window-days [day, day+6]; dedupe the
+        # (user, covered-day) pairs inside the complete-user partition
+        cov_day = (day[:, None] + np.arange(7, dtype=np.int64)).ravel()
+        cov_uid = np.repeat(uid, 7)
+        packed = np.unique(cov_uid * (1 << 24) + cov_day)
+        return pa.table({
+            "day": pa.array(packed & ((1 << 24) - 1)),
+            "n": pa.array(np.ones(len(packed), dtype=np.int64)),
+        })
+
+    cov = partitioned_group_apply(ud, ["user_id"], coverage,
+                                  num_partitions=8)
+    per_day = grouped_aggregate(cov, ["day"], [("n", "sum", "actives_7d")])
+    # the SQL reports only observed days (a window anchored at a day
+    # with no activity at all is not a row); observed days are bounded
+    obs = grouped_aggregate(ud, ["day"], [("*", "count", "c")])
+    obs_days = set(np.asarray(obs["day"], dtype=np.int64).tolist())
+    d = np.asarray(per_day["day"], dtype=np.int64)
+    keep = np.array([x in obs_days for x in d.tolist()], dtype=bool)
+    d = d[keep]
+    n = np.asarray(per_day["actives_7d"], dtype=np.int64)[keep]
+    day_str = (d.astype("datetime64[D]")).astype(str)
+    return pa.table({
+        "day": pa.array(day_str.tolist(), pa.string()),
+        "actives_7d": pa.array(n),
+    })
+
+
+# --------------------------------------------------------------------------
+# Embedding norm audit (zero / exploding vector health check)
+# --------------------------------------------------------------------------
+
+@query(
+    "embed_norm_audit",
+    """
+WITH s AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(list_sum(list_transform(embedding,
+              x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              * 1000000 + 0.5) AS BIGINT))) AS BIGINT)
+           AS ssq
+  FROM embeddings
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(ssq) AS BIGINT) AS sum_ssq_e6,
+       CAST(MIN(ssq) AS BIGINT) AS min_ssq_e6,
+       CAST(MAX(ssq) AS BIGINT) AS max_ssq_e6
+FROM s GROUP BY 1""",
+)
+def embed_norm_audit(sf_dir: str):
+    """Per-label embedding-norm audit: squared-L2 statistics that
+    surface zero vectors (failed encodes) and exploding norms
+    (un-normalized mixes) before they poison an ANN index or a cosine
+    near-dup pass.
+
+    Per-element squares quantize to exact 1e-6 fixed point BEFORE the
+    row sum (float32→double is exact, the double product and floor are
+    the identical op on both engines), so every aggregate is an
+    order-independent integer. One corpus pass, labels-bounded
+    partials, zero shuffle."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["embedding"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        dim = len(col[0]) if len(col) else 0
+        mat = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, dim)
+        q = np.floor(mat * mat * 1_000_000 + 0.5).astype(np.int64)
+        ssq = q.sum(axis=1)
+        labels = np.asarray(b["label"].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "label": pa.array(labels),
+            "ssq": pa.array(ssq),
+        })
+
+    rows = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["label"], [("*", "count", "n_vecs"), ("ssq", "sum", "sum_ssq_e6"),
+                    ("ssq", "min", "min_ssq_e6"),
+                    ("ssq", "max", "max_ssq_e6")])
+    return rows
+
+
+# --------------------------------------------------------------------------
+# Year-over-year revenue growth
+# --------------------------------------------------------------------------
+
+@query(
+    "orders_yoy_growth",
+    """
+WITH y AS (
+  SELECT CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS year,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+           AS revenue_cents
+  FROM orders GROUP BY 1
+)
+SELECT year, CAST(revenue_cents AS BIGINT) AS revenue_cents,
+       (1000 * CAST(revenue_cents AS BIGINT))
+         // CAST(LAG(revenue_cents) OVER (ORDER BY year) AS BIGINT)
+         AS yoy_milli
+FROM y""",
+)
+def orders_yoy_growth(sf_dir: str):
+    """Year-over-year revenue growth: yearly revenue (exact integer
+    cents) and the YoY ratio in permille against the previous year
+    (NULL for the first year, matching LAG semantics).
+
+    One years-bounded count/sum aggregate is the only corpus pass; the
+    LAG finish runs driver-side on the tiny series."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        price = np.asarray(b["o_totalprice"].combine_chunks(),
+                           dtype=np.float64)
+        cents = np.floor(price * 100 + 0.5).astype(np.int64)
+        yr = pc.cast(pc.strftime(b["o_orderdate"], format="%Y"),
+                     pa.int64())
+        return pa.table({"year": yr, "cents": pa.array(cents)})
+
+    y = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["year"], [("cents", "sum", "revenue_cents")])
+    yr = np.asarray(y["year"], dtype=np.int64)
+    rev = np.asarray(y["revenue_cents"], dtype=np.int64)
+    order = np.argsort(yr)
+    yr, rev = yr[order], rev[order]
+    yoy = [None] + [int(1000 * rev[i] // rev[i - 1])
+                    for i in range(1, len(rev))]
+    return pa.table({
+        "year": pa.array(yr),
+        "revenue_cents": pa.array(rev),
+        "yoy_milli": pa.array(yoy, pa.int64()),
+    })

@@ -1,0 +1,166 @@
+"""Edge-case tests for the round-5 seventh-batch operators (the
+analytics-mart module ``queries_marts``): streak gaps-and-islands,
+trailing-window dedup, first-touch tie-breaks, YoY NULL semantics,
+zero-vector norms and promo-free months.
+
+Same contract as the other batch suites: tiny synthetic parquet with
+deliberately nasty rows, Ray pipeline cross-checked against DuckDB
+running the registered oracle SQL.
+"""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from raylog.pipelines.queries import ORACLES, QUERIES
+
+
+def _cmp(name, sf_dir, keys, tables):
+    out = QUERIES[name](sf_dir)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')")
+    want = con.execute(ORACLES[name]).fetchdf()
+    got = out.sort_values(keys).reset_index(drop=True)
+    want = want.sort_values(keys).reset_index(drop=True)
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    return got
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, ts_iso, user_id, event_type)"""
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([pd.Timestamp(r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_user_streaks_gaps_and_islands(tmp_path, ray_session):
+    rows = [
+        # user 1: days 1,2,3 then 5,6 -> max streak 3
+        (1, "2024-01-01 08:00", 1, "a"), (2, "2024-01-02 09:00", 1, "a"),
+        (3, "2024-01-03 10:00", 1, "a"), (4, "2024-01-05 11:00", 1, "a"),
+        (5, "2024-01-06 12:00", 1, "a"),
+        # user 2: two events SAME day (dedup to one) -> streak 1
+        (6, "2024-01-10 01:00", 2, "b"), (7, "2024-01-10 23:00", 2, "b"),
+        # user 3: isolated days far apart -> streak 1
+        (8, "2024-01-01 00:00", 3, "c"), (9, "2024-01-20 00:00", 3, "c"),
+        # user 4: 4-day run crossing a month boundary
+        (10, "2024-01-30 05:00", 4, "d"), (11, "2024-01-31 05:00", 4, "d"),
+        (12, "2024-02-01 05:00", 4, "d"), (13, "2024-02-02 05:00", 4, "d"),
+    ]
+    d = _write_events(tmp_path, rows)
+    got = _cmp("events_user_streaks", d, ["max_streak"], ["events"])
+    hist = dict(zip(got["max_streak"], got["n_users"]))
+    assert hist == {3: 1, 1: 2, 4: 1}
+
+
+def test_trailing_actives_window_dedup(tmp_path, ray_session):
+    rows = [
+        # user 1 fires 3 events on day 1 -> counts ONCE on every window
+        (1, "2024-01-01 01:00", 1, "a"), (2, "2024-01-01 02:00", 1, "a"),
+        (3, "2024-01-01 03:00", 1, "a"),
+        # user 2 active day 1 and day 5 -> still one distinct user in the
+        # day-5 window even though two activity days fall inside it
+        (4, "2024-01-01 04:00", 2, "b"), (5, "2024-01-05 04:00", 2, "b"),
+        # day 9: outside user 1's 7-day reach (day 1+6=7) but inside
+        # user 2's day-5 coverage
+        (6, "2024-01-09 00:00", 3, "c"),
+    ]
+    d = _write_events(tmp_path, rows)
+    got = _cmp("events_trailing_actives", d, ["day"], ["events"])
+    per_day = dict(zip(got["day"], got["actives_7d"]))
+    # observed days only: 01, 05, 09
+    assert per_day == {"2024-01-01": 2, "2024-01-05": 2, "2024-01-09": 2}
+
+
+def test_first_touch_tiebreak(tmp_path, ray_session):
+    rows = [
+        # user 1: two events at the IDENTICAL timestamp; event_id breaks
+        # the tie -> first touch is type "signup" (eid 1 < eid 2)
+        (2, "2024-01-01 00:00:00", 1, "click"),
+        (1, "2024-01-01 00:00:00", 1, "signup"),
+        # user 2: later-id event arrives earlier in time -> time wins
+        (9, "2024-01-01 00:00:00", 2, "signup"),
+        (3, "2024-01-02 00:00:00", 2, "click"),
+        # user 3: single event
+        (4, "2024-01-03 00:00:00", 3, "click"),
+    ]
+    d = _write_events(tmp_path, rows)
+    got = _cmp("events_first_touch", d, ["event_type"], ["events"])
+    n = dict(zip(got["event_type"], got["n_users"]))
+    assert n == {"signup": 2, "click": 1}
+    share = dict(zip(got["event_type"], got["share_milli"]))
+    assert share == {"signup": 666, "click": 333}
+
+
+def test_yoy_growth_first_year_null(tmp_path, ray_session):
+    t = pa.table({
+        "o_orderdate": pa.array([pd.Timestamp(x) for x in
+                                 ["1995-03-01", "1995-07-01",
+                                  "1996-01-01", "1998-06-01"]],
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([100.005, 200.0, 450.0, 90.0],
+                                 pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    got = _cmp("orders_yoy_growth", str(tmp_path), ["year"], ["orders"])
+    got = got.set_index("year")
+    # 100.005 quantizes as floor(10000.5 + 0.5) = 10001 cents
+    assert int(got.loc[1995, "revenue_cents"]) == 10001 + 20000
+    assert pd.isna(got.loc[1995, "yoy_milli"])      # no prior year
+    assert int(got.loc[1996, "yoy_milli"]) == 1000 * 45000 // 30001
+    # 1997 has no orders: 1998 compares against the PREVIOUS PRESENT
+    # year (LAG over existing rows), not a zero-filled 1997
+    assert int(got.loc[1998, "yoy_milli"]) == 1000 * 9000 // 45000
+
+
+def test_embed_norm_audit_zero_vector(tmp_path, ray_session):
+    t = pa.table({
+        "label": pa.array([0, 0, 1], pa.int32()),
+        "embedding": pa.array([[0.0, 0.0], [3.0, 4.0], [1.5, -2.5]],
+                              pa.list_(pa.float32())),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = _cmp("embed_norm_audit", str(tmp_path), ["label"],
+               ["embeddings"]).set_index("label")
+    assert int(got.loc[0, "min_ssq_e6"]) == 0          # the zero vector
+    assert int(got.loc[0, "max_ssq_e6"]) == 25_000_000  # 3-4-5 triangle
+    assert int(got.loc[1, "sum_ssq_e6"]) == 2_250_000 + 6_250_000
+
+
+def test_promo_share_zero_promo_month(tmp_path, ray_session):
+    part = pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_type": pa.array(["PROMO", "STANDARD"], pa.string()),
+    })
+    pq.write_table(part, str(tmp_path / "part.parquet"))
+    li = pa.table({
+        "l_partkey": pa.array([1, 2, 2], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 50.0, 80.0], pa.float64()),
+        "l_discount": pa.array([0.1, 0.0, 0.05], pa.float64()),
+        "l_shipdate": pa.array([pd.Timestamp(x) for x in
+                                ["1995-01-10", "1995-01-20",
+                                 "1995-02-01"]], pa.timestamp("us")),
+    })
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    got = _cmp("lineitem_promo_share", str(tmp_path), ["month"],
+               ["part", "lineitem"]).set_index("month")
+    # Feb has only non-promo revenue -> exact 0 share
+    assert int(got.loc["1995-02", "promo_share_milli"]) == 0
+    assert int(got.loc["1995-02", "promo_e4"]) == 0
+    # Jan: promo 100*0.9=90 -> 900000 e4; total 900000+500000
+    assert int(got.loc["1995-01", "promo_share_milli"]) == (
+        1000 * 900000 // 1400000)
