@@ -581,3 +581,373 @@ def orders_yoy_growth(sf_dir: str):
         "revenue_cents": pa.array(rev),
         "yoy_milli": pa.array(yoy, pa.int64()),
     })
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q12 shape: shipping-delay bands per order priority
+# --------------------------------------------------------------------------
+
+@query(
+    "lineitem_ship_delay",
+    """
+WITH d AS (
+  SELECT o.o_orderpriority,
+         (CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE))
+           AS delay
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CASE WHEN delay < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_early,
+       CAST(SUM(CASE WHEN delay BETWEEN 0 AND 7 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_fast,
+       CAST(SUM(CASE WHEN delay BETWEEN 8 AND 30 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_normal,
+       CAST(SUM(CASE WHEN delay > 30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       CAST(MIN(delay) AS BIGINT) AS min_delay,
+       CAST(MAX(delay) AS BIGINT) AS max_delay
+FROM d GROUP BY 1""",
+)
+def lineitem_ship_delay(sf_dir: str):
+    """Shipping-delay audit per order priority (TPC-H Q12 shape):
+    order-date → ship-date lag classified into early/fast/normal/late
+    bands, plus the min/max day extremes.
+
+    The lineitem fact first compresses to (orderkey, ship-epoch-day)
+    COUNTS (orders have few distinct ship days each), so the hash join
+    against orders' (orderkey, orderdate, priority) projection
+    exchanges key-bounded rows on both sides; band classification and
+    the priority-bounded aggregate finish after the join. Day
+    arithmetic is integer epoch-day subtraction on both engines — no
+    division anywhere, so negative lags are exact."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+
+    def lday(b: pa.Table) -> pa.Table:
+        t = np.asarray(b["l_shipdate"].combine_chunks()).astype(
+            "datetime64[D]").astype(np.int64)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "ship_day": pa.array(t),
+        })
+
+    lc = grouped_aggregate_ds(
+        li.map_batches(lday, batch_format="pyarrow", batch_size=None),
+        ["l_orderkey", "ship_day"], [("*", "count", "n")],
+        num_partitions=8)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+
+    def oday(b: pa.Table) -> pa.Table:
+        t = np.asarray(b["o_orderdate"].combine_chunks()).astype(
+            "datetime64[D]").astype(np.int64)
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_orderpriority": b["o_orderpriority"],
+            "order_day": pa.array(t),
+        })
+
+    od = orders.map_batches(oday, batch_format="pyarrow", batch_size=None)
+    j = lc.join(od, join_type="inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def bands(b: pa.Table) -> pa.Table:
+        delay = (np.asarray(b["ship_day"].combine_chunks(), np.int64)
+                 - np.asarray(b["order_day"].combine_chunks(), np.int64))
+        n = np.asarray(b["n"].combine_chunks(), dtype=np.int64)
+        big = np.where(delay < 0, np.int64(10**9), delay)  # min sentinel
+        return pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "n": pa.array(n),
+            "early": pa.array(np.where(delay < 0, n, 0)),
+            "fast": pa.array(np.where((delay >= 0) & (delay <= 7), n, 0)),
+            "normal": pa.array(np.where((delay >= 8) & (delay <= 30),
+                                        n, 0)),
+            "late": pa.array(np.where(delay > 30, n, 0)),
+            "dmin": pa.array(delay),
+            "dmax": pa.array(delay),
+        })
+
+    out = grouped_aggregate(
+        j.map_batches(bands, batch_format="pyarrow", batch_size=None),
+        ["o_orderpriority"],
+        [("n", "sum", "n_items"), ("early", "sum", "n_early"),
+         ("fast", "sum", "n_fast"), ("normal", "sum", "n_normal"),
+         ("late", "sum", "n_late"), ("dmin", "min", "min_delay"),
+         ("dmax", "max", "max_delay")])
+    return out
+
+
+# --------------------------------------------------------------------------
+# Coleman-Liau readability proxy per source (integer-exact)
+# --------------------------------------------------------------------------
+
+@query(
+    "docs_readability",
+    """
+WITH m AS (
+  SELECT source,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS letters,
+         GREATEST(CAST(length(text) AS BIGINT)
+                  - CAST(length(replace(text, '.', '')) AS BIGINT),
+                  1) AS sents,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS words
+  FROM documents
+), s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         SUM(letters) AS letters, SUM(sents) AS sents,
+         SUM(words) AS words
+  FROM m GROUP BY 1
+)
+SELECT source, n_docs,
+       CAST(GREATEST(588 * letters - 2960 * sents, 0) // words - 1580
+            AS BIGINT) AS cli_centi
+FROM s""",
+)
+def docs_readability(sf_dir: str):
+    """Coleman-Liau readability index per source (×100, integer): the
+    curation signal that flags sources whose prose complexity is
+    anomalous (too low = spam fragments, too high = OCR noise). CLI
+    needs only letters-per-word and sentences-per-word, so it is exact
+    in integer arithmetic — no syllable model.
+
+    Letters / sentence-dots / words are vectorized Arrow kernels
+    (utf8_length + substring counts), partials are sources-bounded
+    sums, and the single division happens once on the aggregate (the
+    clamp keeps the numerator non-negative — DuckDB `//` truncates
+    toward zero while numpy floors, so negatives must never reach the
+    division). Map-only over the corpus; zero shuffle."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+
+    def metrics(b: pa.Table) -> pa.Table:
+        txt = b["text"].combine_chunks()
+        total = np.asarray(pc.utf8_length(txt), dtype=np.int64)
+        spaces = np.asarray(pc.count_substring(txt, " "), dtype=np.int64)
+        dots = np.asarray(pc.count_substring(txt, "."), dtype=np.int64)
+        return pa.table({
+            "source": b["source"],
+            "letters": pa.array(total - spaces),
+            "sents": pa.array(np.maximum(dots, 1)),
+            "words": pa.array(spaces + 1),
+        })
+
+    s = grouped_aggregate(
+        ds.map_batches(metrics, batch_format="pyarrow", batch_size=None),
+        ["source"], [("*", "count", "n_docs"), ("letters", "sum", "l"),
+                     ("sents", "sum", "s"), ("words", "sum", "w")])
+    letters = np.asarray(s["l"], dtype=np.int64)
+    sents = np.asarray(s["s"], dtype=np.int64)
+    words = np.asarray(s["w"], dtype=np.int64)
+    cli = np.maximum(588 * letters - 2960 * sents, 0) // words - 1580
+    return pa.table({
+        "source": s["source"],
+        "n_docs": s["n_docs"],
+        "cli_centi": pa.array(cli, pa.int64()),
+    })
+
+
+# --------------------------------------------------------------------------
+# Embedding cluster-quality audit (integer-exact cohesion + separation)
+# --------------------------------------------------------------------------
+
+@query(
+    "embed_cluster_quality",
+    """
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         unnest(list_transform(embedding,
+                x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5)
+                          AS BIGINT))) AS xq,
+         unnest(generate_series(1, len(embedding))) AS d
+  FROM embeddings
+), sd AS (
+  SELECT label, d, SUM(xq) AS s, SUM(xq * xq) AS q FROM e GROUP BY 1, 2
+), n AS (
+  SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n
+  FROM embeddings GROUP BY 1
+), coh AS (
+  SELECT sd.label, n.n,
+         CAST((CAST(n.n AS HUGEINT) * SUM(sd.q) - SUM(CAST(sd.s AS HUGEINT) * sd.s))
+              // (CAST(n.n AS HUGEINT) * n.n * 1000) AS BIGINT)
+           AS cohesion_milli
+  FROM sd JOIN n USING (label) GROUP BY 1, 2
+), sep AS (
+  SELECT a.label AS la, b.label AS lb,
+         CAST((1000 * SUM((CAST(sa.s AS HUGEINT) * b.n - CAST(sb.s AS HUGEINT) * a.n)
+                          * (CAST(sa.s AS HUGEINT) * b.n - CAST(sb.s AS HUGEINT) * a.n)))
+              // (CAST(a.n AS HUGEINT) * a.n * b.n * b.n * 1000000)
+              AS BIGINT) AS sep_milli
+  FROM sd sa JOIN sd sb ON sa.d = sb.d AND sa.label <> sb.label
+       JOIN n a ON a.label = sa.label JOIN n b ON b.label = sb.label
+  GROUP BY 1, 2, a.n, b.n
+), nearest AS (
+  SELECT la AS label, lb AS nearest_label, sep_milli,
+         ROW_NUMBER() OVER (PARTITION BY la ORDER BY sep_milli, lb)
+           AS rn
+  FROM sep
+)
+SELECT coh.label, coh.n AS n_vecs, coh.cohesion_milli,
+       nearest.nearest_label, nearest.sep_milli
+FROM coh JOIN nearest USING (label) WHERE nearest.rn = 1""",
+)
+def embed_cluster_quality(sf_dir: str):
+    """Cluster-quality audit over the labeled embedding table: per
+    label the within-cluster cohesion (trace of the cluster variance)
+    and the squared distance to the NEAREST other centroid — the
+    Davies-Bouldin ingredients that tell you which labels are
+    collapsing into each other before you trust them as dedup buckets
+    or classifier targets.
+
+    Everything reduces to three integer moments per (label, dim) —
+    n, Σx, Σx² over 1e-3-quantized components — gathered in ONE corpus
+    pass with labels×dims-bounded partials. Cohesion and pairwise
+    centroid separations are exact integer rationals of those moments
+    (n·ΣQ − ΣS² and (S_i·n_j − S_j·n_i)² — Python arbitrary-precision
+    on the driver, HUGEINT in the oracle), quantized to identical
+    milli integers on both engines. No per-vector distance pass, no
+    pairwise vector work: labels² × dims arithmetic only."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["embedding"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        dim = len(col[0]) if len(col) else 0
+        mat = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, dim)
+        q = np.floor(mat * 1000 + 0.5).astype(np.int64)
+        labels = np.asarray(b["label"].combine_chunks(), dtype=np.int64)
+        uk = np.unique(labels)
+        rows = []
+        for lb in uk:  # few labels; per-label reduction is vectorized
+            sub = q[labels == lb]
+            rows.append((lb, len(sub), sub.sum(axis=0),
+                         int((sub.astype(object) ** 2).sum())
+                         if len(sub) > 100_000 else int((sub * sub).sum())))
+        return pa.table({
+            "label": pa.array([r[0] for r in rows], pa.int64()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "s": pa.array([r[2].tolist() for r in rows],
+                          pa.list_(pa.int64())),
+            "q": pa.array([r[3] for r in rows], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+    tbls = list(parts.iter_batches(batch_format="pyarrow",
+                                   batch_size=None))
+    merged = pa.concat_tables([t for t in tbls if t.num_rows],
+                              promote_options="default")
+    lab = np.asarray(merged["label"], dtype=np.int64)
+    nn = np.asarray(merged["n"], dtype=np.int64)
+    qq = np.asarray(merged["q"], dtype=np.int64)
+    sv = merged["s"].combine_chunks()
+    dim = len(sv[0])
+    smat = np.asarray(sv.flatten(), dtype=np.int64).reshape(-1, dim)
+    labels = np.unique(lab)
+    # exact integer moments per label (Python ints from here on)
+    N, S, Q = {}, {}, {}
+    for lb in labels:
+        m = lab == lb
+        N[lb] = int(nn[m].sum())
+        S[lb] = [int(x) for x in smat[m].sum(axis=0)]
+        Q[lb] = int(qq[m].sum())
+    out = []
+    for lb in labels:
+        n, s, qsum = N[lb], S[lb], Q[lb]
+        coh = (n * qsum - sum(x * x for x in s)) // (n * n * 1000)
+        best = None
+        for ot in labels:
+            if ot == lb:
+                continue
+            no, so = N[ot], S[ot]
+            num = 1000 * sum((si * no - oi * n) ** 2
+                             for si, oi in zip(s, so))
+            sep = num // (n * n * no * no * 1_000_000)
+            if best is None or (sep, ot) < best:
+                best = (sep, ot)
+        out.append((int(lb), n, coh, int(best[1]), best[0]))
+    return pa.table({
+        "label": pa.array([r[0] for r in out], pa.int64()),
+        "n_vecs": pa.array([r[1] for r in out], pa.int64()),
+        "cohesion_milli": pa.array([r[2] for r in out], pa.int64()),
+        "nearest_label": pa.array([r[3] for r in out], pa.int64()),
+        "sep_milli": pa.array([r[4] for r in out], pa.int64()),
+    })
+
+
+# --------------------------------------------------------------------------
+# Sequence-level token diversity (distinct/len TTR deciles)
+# --------------------------------------------------------------------------
+
+@query(
+    "tokens_unique_rate",
+    None,  # composed below with the recs2 prefix
+)
+def tokens_unique_rate(sf_dir: str):
+    """Sequence-level token diversity: distinct-token / length ratio
+    per sequence, histogrammed by decile — the cheap screen for
+    degenerate sequences (decile 0-2 ≈ heavy repetition) that runs
+    before the expensive trigram/repetition kernels.
+
+    The per-row distinct count is one vectorized pass over the flat
+    token buffer (row-id-packed unique + bincount — no per-row Python,
+    no hashing of list objects); the histogram finish is 11 rows. Map
+    only; zero shuffle."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["tokens", "n_tok"])
+
+    def rate(b: pa.Table) -> pa.Table:
+        col = b["tokens"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        n_tok = np.asarray(b["n_tok"].combine_chunks(), dtype=np.int64)
+        flat = np.asarray(col.flatten(), dtype=np.int64)
+        rid = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)
+        packed = np.unique(rid * (1 << 32) + flat)
+        distinct = np.bincount((packed >> 32).astype(np.int64),
+                               minlength=len(n_tok))
+        dec = np.where(n_tok > 0, 10 * distinct // np.maximum(n_tok, 1),
+                       0)
+        return pa.table({
+            "decile": pa.array(dec.astype(np.int64)),
+            "one": pa.array(np.ones(len(dec), dtype=np.int64)),
+            "ntk": pa.array(n_tok),
+        })
+
+    return grouped_aggregate(
+        ds.map_batches(rate, batch_format="pyarrow", batch_size=None),
+        ["decile"], [("one", "sum", "n_seqs"), ("ntk", "sum", "sum_tok")])
+
+
+from raylog.pipelines.qbase import ORACLES as _OR
+from raylog import records as _R
+
+_OR["tokens_unique_rate"] = _R.oracle_prefix() + """
+SELECT (10 * CAST(len(list_distinct(tokens)) AS BIGINT)) // n_tok
+         AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_seqs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+FROM recs2 WHERE n_tok > 0 GROUP BY 1"""

@@ -164,3 +164,75 @@ def test_promo_share_zero_promo_month(tmp_path, ray_session):
     # Jan: promo 100*0.9=90 -> 900000 e4; total 900000+500000
     assert int(got.loc["1995-01", "promo_share_milli"]) == (
         1000 * 900000 // 1400000)
+
+
+def test_ship_delay_negative_and_bands(tmp_path, ray_session):
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_orderdate": pa.array([pd.Timestamp("1995-06-10")] * 2,
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT", "2-HIGH"], pa.string()),
+    })
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "l_shipdate": pa.array([pd.Timestamp(x) for x in
+                                ["1995-06-05",   # early (-5)
+                                 "1995-06-10",   # fast (0)
+                                 "1995-06-17",   # fast (7)
+                                 "1995-07-15",   # late (35)
+                                 "1995-06-25"]], # normal (15)
+                               pa.timestamp("us")),
+    })
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    got = _cmp("lineitem_ship_delay", str(tmp_path), ["o_orderpriority"],
+               ["orders", "lineitem"]).set_index("o_orderpriority")
+    r = got.loc["1-URGENT"]
+    assert (int(r.n_early), int(r.n_fast), int(r.n_normal),
+            int(r.n_late)) == (1, 2, 0, 1)
+    assert int(r.min_delay) == -5 and int(r.max_delay) == 35
+    r2 = got.loc["2-HIGH"]
+    assert int(r2.n_normal) == 1 and int(r2.min_delay) == 15
+
+
+def test_readability_degenerate_docs(tmp_path, ray_session):
+    rows = [
+        (1, "a.", "en"),                       # 1 word, tiny
+        (2, "The cat sat on the mat.", "en"),
+        (3, "", "en"),                          # empty: 1 word, 0 letters
+        (4, "x" * 300, "en"),                   # one giant word, no dot
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array(["s"] * len(rows), pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = _cmp("docs_readability", str(tmp_path), ["source"],
+               ["documents"])
+    assert int(got.loc[0, "n_docs"]) == 4
+
+
+def test_cluster_quality_two_tight_clusters(tmp_path, ray_session):
+    import numpy as np
+    rng = np.random.default_rng(7)
+    a = rng.normal(0, 0.01, (40, 4)) + np.array([1, 0, 0, 0])
+    b = rng.normal(0, 0.01, (40, 4)) + np.array([-1, 0, 0, 0])
+    c = rng.normal(0, 0.01, (40, 4)) + np.array([0, 5, 0, 0])
+    t = pa.table({
+        "label": pa.array([0] * 40 + [1] * 40 + [2] * 40, pa.int32()),
+        "embedding": pa.array(
+            np.vstack([a, b, c]).astype(np.float32).tolist(),
+            pa.list_(pa.float32())),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = _cmp("embed_cluster_quality", str(tmp_path), ["label"],
+               ["embeddings"]).set_index("label")
+    # 0 and 1 are mutually nearest (sep ~4); 2 is far from both
+    assert int(got.loc[0, "nearest_label"]) == 1
+    assert int(got.loc[1, "nearest_label"]) == 0
+    # tight clusters: cohesion ~ 4 dims * 1e-4 var * 1000 ≈ 0
+    assert int(got.loc[0, "cohesion_milli"]) <= 1
+    # sep(0,1) ≈ 2² = 4.0 → ~4000 milli
+    assert 3800 <= int(got.loc[0, "sep_milli"]) <= 4200
