@@ -951,3 +951,269 @@ SELECT (10 * CAST(len(list_distinct(tokens)) AS BIGINT)) // n_tok
        CAST(COUNT(*) AS BIGINT) AS n_seqs,
        CAST(SUM(n_tok) AS BIGINT) AS sum_tok
 FROM recs2 WHERE n_tok > 0 GROUP BY 1"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q7 shape: trade volume between nation pairs
+# --------------------------------------------------------------------------
+
+@query(
+    "nation_trade_volume",
+    """
+WITH rev AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+              AS BIGINT) AS rev
+  FROM lineitem
+), j AS (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, rev
+  FROM rev
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+)
+SELECT supp_nation, cust_nation, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(rev) AS BIGINT) AS revenue_e4
+FROM j GROUP BY 1, 2""",
+)
+def nation_trade_volume(sf_dir: str):
+    """Trade volume between (supplier nation, customer nation) pairs
+    (TPC-H Q7 shape) — the five-table star flattened to ONE fact
+    exchange.
+
+    Supplier⋈nation and customer⋈nation are dimension chains: both
+    collapse driver-side to key→nation-name lookup tables and
+    broadcast once via ``ray.put`` (the repo's Q5 convention). The
+    lineitem fact pre-aggregates to (orderkey, supp_nation) partial
+    sums BEFORE the one unavoidable hash join against orders'
+    (orderkey, custkey) projection — so the join exchanges
+    key-bounded rows, and the finish is a nations²-bounded combine."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nname = dict(zip(nat["n_nationkey"].astype(np.int64), nat["n_name"]))
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = supp["s_suppkey"].to_numpy(np.int64)
+    s_nat = np.empty(int(sk.max()) + 1, dtype=object)
+    s_nat[sk] = [nname[k] for k in supp["s_nationkey"].to_numpy(np.int64)]
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    c_nat = np.empty(int(ck.max()) + 1, dtype=object)
+    c_nat[ck] = [nname[k] for k in cust["c_nationkey"].to_numpy(np.int64)]
+    s_ref = ray.put(s_nat) if ray.is_initialized() else s_nat
+    c_ref = ray.put(c_nat) if ray.is_initialized() else c_nat
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        s_nat_ = ray.get(s_ref) if ray.is_initialized() else s_ref
+        price = np.asarray(b["l_extendedprice"].combine_chunks(),
+                           dtype=np.float64)
+        disc = np.asarray(b["l_discount"].combine_chunks(),
+                          dtype=np.float64)
+        rev = np.floor(price * (1 - disc) * 10000 + 0.5).astype(np.int64)
+        sup = np.asarray(b["l_suppkey"].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "supp_nation": pa.array(s_nat_[sup].tolist(), pa.string()),
+            "rev": pa.array(rev),
+            "one": pa.array(np.ones(len(rev), dtype=np.int64)),
+        })
+
+    per_ord = grouped_aggregate_ds(
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["l_orderkey", "supp_nation"],
+        [("rev", "sum", "rev"), ("one", "sum", "n")], num_partitions=8)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    j = per_ord.join(orders, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def attach_cust(b: pa.Table) -> pa.Table:
+        c_nat_ = ray.get(c_ref) if ray.is_initialized() else c_ref
+        cust_ = np.asarray(b["o_custkey"].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "supp_nation": b["supp_nation"],
+            "cust_nation": pa.array(c_nat_[cust_].tolist(), pa.string()),
+            "rev": b["rev"],
+            "n": b["n"],
+        })
+
+    return grouped_aggregate(
+        j.map_batches(attach_cust, batch_format="pyarrow",
+                      batch_size=None),
+        ["supp_nation", "cust_nation"],
+        [("n", "sum", "n_items"), ("rev", "sum", "revenue_e4")])
+
+
+# --------------------------------------------------------------------------
+# Winsorized mean (robust KPI) per event type
+# --------------------------------------------------------------------------
+
+@query(
+    "events_value_winsorized",
+    """
+WITH v AS (
+  SELECT event_type, CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v
+  FROM events
+), f AS (
+  SELECT event_type, quantile_disc(v, 0.05) AS lo,
+         quantile_disc(v, 0.95) AS hi
+  FROM v GROUP BY 1
+)
+SELECT v.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(f.lo AS BIGINT) AS lo_e4, CAST(f.hi AS BIGINT) AS hi_e4,
+       CAST(SUM(LEAST(GREATEST(v.v, f.lo), f.hi)) // COUNT(*) AS BIGINT)
+         AS wins_mean_e4
+FROM v JOIN f USING (event_type) GROUP BY 1, f.lo, f.hi""",
+)
+def events_value_winsorized(sf_dir: str):
+    """Winsorized mean of the event value per type — the robust KPI
+    that a handful of fat-finger outliers cannot move (clamp at the
+    exact p05/p95, then average).
+
+    Pass 1 computes EXACT per-type 5/95 fences through the distributed
+    count-histogram quantile kernel (values pre-quantized to 1e-4
+    integers, so the quantile is a real element and the later sum is
+    order-independent); the fences broadcast; pass 2 is a map-only
+    clamp + per-type integer sum. No sort of the raw stream."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+    from raylog.functions.quantile import grouped_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def quant(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["value"].combine_chunks(), dtype=np.float64)
+        return pa.table({
+            "event_type": b["event_type"],
+            "v": pa.array(np.floor(v * 10000 + 0.5).astype(np.int64)),
+        })
+
+    vds = ds.map_batches(quant, batch_format="pyarrow", batch_size=None)
+    q = grouped_quantiles(vds, key="event_type", value="v",
+                          ps=[0.05, 0.95], out_names=["lo", "hi"],
+                          num_partitions=8)
+    fences = {r["event_type"]: (int(r["lo"]), int(r["hi"]))
+              for r in q.to_pandas().to_dict("records")}
+    ref = ray.put(fences) if ray.is_initialized() else fences
+
+    def clamp(b: pa.Table) -> pa.Table:
+        fences_ = ray.get(ref) if ray.is_initialized() else ref
+        enc = b["event_type"].combine_chunks().dictionary_encode()
+        # per-dictionary (not per-row) fence lookup, then one gather
+        dlo = np.array([fences_[t][0] for t in enc.dictionary.to_pylist()],
+                       dtype=np.int64)
+        dhi = np.array([fences_[t][1] for t in enc.dictionary.to_pylist()],
+                       dtype=np.int64)
+        idx = np.asarray(enc.indices, dtype=np.int64)
+        v = np.asarray(b["v"].combine_chunks(), dtype=np.int64)
+        lo, hi = dlo[idx], dhi[idx]
+        return pa.table({
+            "event_type": b["event_type"],
+            "w": pa.array(np.clip(v, lo, hi)),
+            "lo": pa.array(lo),
+            "hi": pa.array(hi),
+        })
+
+    agg = grouped_aggregate(
+        vds.map_batches(clamp, batch_format="pyarrow", batch_size=None),
+        ["event_type"], [("*", "count", "n"), ("w", "sum", "wsum"),
+                         ("lo", "min", "lo_e4"), ("hi", "min", "hi_e4")])
+    n = np.asarray(agg["n"], dtype=np.int64)
+    ws = np.asarray(agg["wsum"], dtype=np.int64)
+    return pa.table({
+        "event_type": agg["event_type"],
+        "n": agg["n"],
+        "lo_e4": agg["lo_e4"],
+        "hi_e4": agg["hi_e4"],
+        "wins_mean_e4": pa.array(ws // n, pa.int64()),
+    })
+
+
+# --------------------------------------------------------------------------
+# A/B holdout lift audit (deterministic hash split)
+# --------------------------------------------------------------------------
+
+@query(
+    "events_ab_lift",
+    """
+WITH u AS (
+  SELECT user_id % 2 AS variant,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS conv
+  FROM events GROUP BY user_id
+)
+SELECT CAST(variant AS BIGINT) AS variant,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(conv) AS BIGINT) AS n_converted,
+       (1000 * CAST(SUM(conv) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+         AS cvr_milli
+FROM u GROUP BY 1""",
+)
+def events_ab_lift(sf_dir: str):
+    """A/B holdout audit: users deterministically split by id parity,
+    per-variant conversion (≥1 purchase event) counts and rate — the
+    sanity check that a rollout's treatment and control cohorts are
+    balanced and the conversion delta is real.
+
+    Per-user conversion is ONE hash-partitioned max aggregate (user
+    cardinality-bounded, batch-compressed partials); variants reduce
+    that to two rows. Integer permille throughout — no float."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def conv(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_p = pc.equal(b["event_type"].combine_chunks(),
+                        pa.scalar("purchase"))
+        return pa.table({
+            "user_id": b["user_id"],
+            "conv": pc.cast(is_p, pa.int64()),
+        })
+
+    per_user = grouped_aggregate_ds(
+        ds.map_batches(conv, batch_format="pyarrow", batch_size=None),
+        ["user_id"], [("conv", "max", "conv")], num_partitions=8)
+
+    def variant(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "variant": pa.array(uid % 2),
+            "conv": b["conv"],
+        })
+
+    a = grouped_aggregate(
+        per_user.map_batches(variant, batch_format="pyarrow",
+                             batch_size=None),
+        ["variant"], [("*", "count", "n_users"),
+                      ("conv", "sum", "n_converted")])
+    n = np.asarray(a["n_users"], dtype=np.int64)
+    c = np.asarray(a["n_converted"], dtype=np.int64)
+    return pa.table({
+        "variant": a["variant"],
+        "n_users": a["n_users"],
+        "n_converted": a["n_converted"],
+        "cvr_milli": pa.array(1000 * c // n, pa.int64()),
+    })

@@ -236,3 +236,53 @@ def test_cluster_quality_two_tight_clusters(tmp_path, ray_session):
     assert int(got.loc[0, "cohesion_milli"]) <= 1
     # sep(0,1) ≈ 2² = 4.0 → ~4000 milli
     assert 3800 <= int(got.loc[0, "sep_milli"]) <= 4200
+
+
+def test_winsorized_clamps_outlier(tmp_path, ray_session):
+    import numpy as np
+    # 19 normal values + 1 extreme outlier; the winsorized mean must sit
+    # near the bulk while the raw mean would be dragged far right
+    vals = [10.0] * 10 + [20.0] * 9 + [100000.0]
+    rows = list(range(len(vals)))
+    t = pa.table({
+        "event_id": pa.array(rows, pa.int64()),
+        "ts": pa.array([pd.Timestamp("2024-01-01")] * len(vals),
+                       pa.timestamp("us")),
+        "user_id": pa.array(rows, pa.int64()),
+        "event_type": pa.array(["click"] * len(vals), pa.string()),
+        "value": pa.array(vals, pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = _cmp("events_value_winsorized", str(tmp_path), ["event_type"],
+               ["events"]).set_index("event_type")
+    r = got.loc["click"]
+    assert int(r.hi_e4) == 200000       # p95 = a real element (20.0)
+    assert int(r.lo_e4) == 100000
+    # clamped sum: 10*100000 + 10*200000 = 3_000_000 over 20 rows
+    assert int(r.wins_mean_e4) == 150000
+
+
+def test_ab_lift_parity_split(tmp_path, ray_session):
+    rows = [
+        # even users 0,2: one converts; odd users 1,3: both convert
+        (1, "2024-01-01", 0, "purchase"), (2, "2024-01-01", 0, "click"),
+        (3, "2024-01-01", 2, "view"),
+        (4, "2024-01-01", 1, "purchase"), (5, "2024-01-01", 3, "purchase"),
+        (6, "2024-01-01", 3, "purchase"),   # double purchase: still 1 user
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([pd.Timestamp(r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = _cmp("events_ab_lift", str(tmp_path), ["variant"],
+               ["events"]).set_index("variant")
+    assert int(got.loc[0, "n_users"]) == 2
+    assert int(got.loc[0, "n_converted"]) == 1
+    assert int(got.loc[0, "cvr_milli"]) == 500
+    assert int(got.loc[1, "n_converted"]) == 2
+    assert int(got.loc[1, "cvr_milli"]) == 1000
