@@ -984,12 +984,15 @@ def nation_trade_volume(sf_dir: str):
     exchange.
 
     Supplier⋈nation and customer⋈nation are dimension chains: both
-    collapse driver-side to key→nation-name lookup tables and
+    collapse driver-side to key→nation-key lookup arrays and
     broadcast once via ``ray.put`` (the repo's Q5 convention). The
-    lineitem fact pre-aggregates to (orderkey, supp_nation) partial
-    sums BEFORE the one unavoidable hash join against orders'
-    (orderkey, custkey) projection — so the join exchanges
-    key-bounded rows, and the finish is a nations²-bounded combine."""
+    lineitem fact pre-aggregates BEFORE the one unavoidable hash join
+    against orders' (orderkey, custkey) projection — and the supplier
+    nation rides PACKED INSIDE the integer group key
+    (orderkey·32 + natkey; nation cardinality 25 < 32, orderkey <
+    2^58 — holds to TPC-H SF ~10^7), so the whole exchange is a
+    single-int64-key combine with no string payload. Names attach to
+    the final nations²-bounded table only."""
     import numpy as np
     import pyarrow.parquet as pq
     import ray
@@ -1002,13 +1005,13 @@ def nation_trade_volume(sf_dir: str):
     supp = pq.read_table(f"{sf_dir}/supplier.parquet",
                          columns=["s_suppkey", "s_nationkey"]).to_pandas()
     sk = supp["s_suppkey"].to_numpy(np.int64)
-    s_nat = np.empty(int(sk.max()) + 1, dtype=object)
-    s_nat[sk] = [nname[k] for k in supp["s_nationkey"].to_numpy(np.int64)]
+    s_nat = np.zeros(int(sk.max()) + 1, dtype=np.int64)
+    s_nat[sk] = supp["s_nationkey"].to_numpy(np.int64)
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_nationkey"]).to_pandas()
     ck = cust["c_custkey"].to_numpy(np.int64)
-    c_nat = np.empty(int(ck.max()) + 1, dtype=object)
-    c_nat[ck] = [nname[k] for k in cust["c_nationkey"].to_numpy(np.int64)]
+    c_nat = np.zeros(int(ck.max()) + 1, dtype=np.int64)
+    c_nat[ck] = cust["c_nationkey"].to_numpy(np.int64)
     s_ref = ray.put(s_nat) if ray.is_initialized() else s_nat
     c_ref = ray.put(c_nat) if ray.is_initialized() else c_nat
 
@@ -1024,17 +1027,29 @@ def nation_trade_volume(sf_dir: str):
                           dtype=np.float64)
         rev = np.floor(price * (1 - disc) * 10000 + 0.5).astype(np.int64)
         sup = np.asarray(b["l_suppkey"].combine_chunks(), dtype=np.int64)
+        okey = np.asarray(b["l_orderkey"].combine_chunks(), dtype=np.int64)
         return pa.table({
-            "l_orderkey": b["l_orderkey"],
-            "supp_nation": pa.array(s_nat_[sup].tolist(), pa.string()),
+            "l_orderkey": pa.array(okey * 32 + s_nat_[sup]),
             "rev": pa.array(rev),
             "one": pa.array(np.ones(len(rev), dtype=np.int64)),
         })
 
     per_ord = grouped_aggregate_ds(
         li.map_batches(partial, batch_format="pyarrow", batch_size=None),
-        ["l_orderkey", "supp_nation"],
+        ["l_orderkey"],
         [("rev", "sum", "rev"), ("one", "sum", "n")], num_partitions=8)
+
+    def unpack(b: pa.Table) -> pa.Table:
+        k = np.asarray(b["l_orderkey"].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "l_orderkey": pa.array(k // 32),
+            "snat": pa.array(k % 32),
+            "rev": b["rev"],
+            "n": b["n"],
+        })
+
+    per_ord = per_ord.map_batches(unpack, batch_format="pyarrow",
+                                  batch_size=None)
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey"])
     j = per_ord.join(orders, join_type="inner", num_partitions=8,
@@ -1044,17 +1059,25 @@ def nation_trade_volume(sf_dir: str):
         c_nat_ = ray.get(c_ref) if ray.is_initialized() else c_ref
         cust_ = np.asarray(b["o_custkey"].combine_chunks(), dtype=np.int64)
         return pa.table({
-            "supp_nation": b["supp_nation"],
-            "cust_nation": pa.array(c_nat_[cust_].tolist(), pa.string()),
+            "snat": b["snat"],
+            "cnat": pa.array(c_nat_[cust_]),
             "rev": b["rev"],
             "n": b["n"],
         })
 
-    return grouped_aggregate(
+    out = grouped_aggregate(
         j.map_batches(attach_cust, batch_format="pyarrow",
                       batch_size=None),
-        ["supp_nation", "cust_nation"],
+        ["snat", "cnat"],
         [("n", "sum", "n_items"), ("rev", "sum", "revenue_e4")])
+    sn = np.asarray(out["snat"], dtype=np.int64)
+    cn = np.asarray(out["cnat"], dtype=np.int64)
+    return pa.table({
+        "supp_nation": pa.array([nname[k] for k in sn], pa.string()),
+        "cust_nation": pa.array([nname[k] for k in cn], pa.string()),
+        "n_items": out["n_items"],
+        "revenue_e4": out["revenue_e4"],
+    })
 
 
 # --------------------------------------------------------------------------
