@@ -2289,3 +2289,152 @@ def cross_source_dup_matrix(
         num_partitions=num_partitions)
     return grouped_aggregate(pair_rows, ["source_a", "source_b"],
                              [("dup_docs", "sum", "dup_docs")])
+
+
+# ---------------------------------------------------------------------------
+# Canonical-form exact dedup (case / punctuation / whitespace insensitive)
+# ---------------------------------------------------------------------------
+
+def canonicalize_text(arr: pa.Array) -> pa.Array:
+    """Normalization shared with the SQL oracle, op for op: lowercase →
+    strip non-[a-z0-9 ] (RE2 on both engines) → collapse space runs →
+    trim. Catches the re-crawl variants exact dedup misses (case flips,
+    punctuation drift, double spaces)."""
+    import pyarrow.compute as pc
+
+    x = pc.utf8_lower(arr)
+    x = pc.replace_substring_regex(x, pattern="[^a-z0-9 ]", replacement="")
+    x = pc.replace_substring_regex(x, pattern=" +", replacement=" ")
+    return pc.utf8_trim_whitespace(x)
+
+
+def canonical_dedup_groups(ds: rd.Dataset, id_col: str = "doc_id",
+                           text_col: str = "text") -> rd.Dataset:
+    """(survivor id, member count) per canonical-text group.
+
+    Same scale shape as :func:`exact_dedup_survivors`: the exchange
+    carries only (h128, id) rows — the canonical strings themselves
+    never shuffle — and the combine is the hash-partitioned
+    distributed path, so the driver never holds an O(n_docs) table."""
+    def keyed(b: pa.Table) -> pa.Table:
+        canon = canonicalize_text(
+            b[text_col].combine_chunks()
+            if isinstance(b[text_col], pa.ChunkedArray) else b[text_col])
+        kb = add_content_h128(pa.table({"text": canon, id_col: b[id_col]}))
+        return pa.table({
+            "content_h1": kb["content_h1"],
+            "content_h2": kb["content_h2"],
+            id_col: b[id_col],
+            "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        })
+
+    hashed = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    g = grouped_aggregate_ds(hashed, ["content_h1", "content_h2"],
+                             [(id_col, "min", id_col),
+                              ("one", "sum", "n_members")])
+    return g.select_columns([id_col, "n_members"])
+
+
+# ---------------------------------------------------------------------------
+# Blocked edit-distance near-dup pairs (Levenshtein verify)
+# ---------------------------------------------------------------------------
+
+def _levenshtein(a: np.ndarray, b: np.ndarray) -> int:
+    """Exact Levenshtein distance between two codepoint arrays with the
+    inner DP row fully vectorized: the serial insertion recurrence
+    cur[j] = min(m[j], cur[j-1]+1) is the min-plus prefix scan
+    cur = idx + cummin(m - idx) — one numpy pass per row instead of a
+    per-cell Python loop."""
+    n = len(b)
+    prev = np.arange(n + 1, dtype=np.int64)
+    idx = np.arange(n + 1, dtype=np.int64)
+    m = np.empty(n + 1, dtype=np.int64)
+    for i in range(1, len(a) + 1):
+        m[0] = i
+        np.minimum(prev[1:] + 1, prev[:-1] + (b != a[i - 1]), out=m[1:])
+        prev = np.minimum.accumulate(m - idx) + idx
+    return int(prev[-1])
+
+
+def _codepoints(s: str) -> np.ndarray:
+    return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+
+
+def editdist_pairs(ds: rd.Dataset, *, prefix_len: int = 16,
+                   len_band: int = 4, head: int = 200,
+                   max_dist: int = 8,
+                   num_partitions: int = 16) -> rd.Dataset:
+    """Near-dup pairs by exact edit distance on a BLOCKED candidate set:
+    docs sharing the first ``prefix_len`` characters, length within
+    ``len_band``, distance computed on the first ``head`` characters,
+    kept when ≤ ``max_dist``.
+
+    Scale shape: blocking is map-only (prefix + length projection; the
+    exchange ships prefix-block keys, ids and ``head``-char heads, never
+    whole documents); candidate enumeration runs inside complete-prefix
+    partitions with a sorted-length two-pointer window, so the m²/2
+    hazard is bounded by (docs sharing a 16-char prefix) × (length band)
+    — the truncation/typo near-dup population, not the corpus. The DP
+    itself is the vectorized min-plus scan (O(head) numpy row ops per
+    pair); this is a VERIFY-stage kernel: pair count, not corpus size,
+    is the cost driver."""
+    from raylog.functions.agg import partitioned_group_apply
+
+    def project(b: pa.Table) -> pa.Table:
+        txt = b["text"]
+        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
+        ln = pc.utf8_length(txt)
+        keep = pc.greater_equal(ln, pa.scalar(prefix_len))
+        t = pa.table({
+            "pfx": pc.utf8_slice_codeunits(txt, 0, prefix_len),
+            "len": pc.cast(ln, pa.int64()),
+            "head": pc.utf8_slice_codeunits(txt, 0, head),
+            "doc_id": b["doc_id"],
+        })
+        return t.filter(keep)
+
+    blocked = ds.map_batches(project, batch_format="pyarrow",
+                             batch_size=None)
+
+    def pairs(part: pa.Table) -> pa.Table:
+        df = part.to_pandas().sort_values(["pfx", "len", "doc_id"],
+                                          kind="mergesort")
+        pfx = df["pfx"].to_numpy()
+        ln = df["len"].to_numpy(dtype=np.int64)
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        heads = df["head"].to_numpy()
+        brk = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            brk[1:] = pfx[1:] != pfx[:-1]
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(df))
+        oa, ob, od = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            gl = ln[s:e]
+            cps = [None] * (e - s)
+            for i in range(e - s):
+                hi = int(np.searchsorted(gl, gl[i] + len_band,
+                                         side="right"))
+                for j in range(i + 1, hi):
+                    if cps[i] is None:
+                        cps[i] = _codepoints(heads[s + i])
+                    if cps[j] is None:
+                        cps[j] = _codepoints(heads[s + j])
+                    dist = _levenshtein(cps[i], cps[j])
+                    if dist <= max_dist:
+                        a, bb = ids[s + i], ids[s + j]
+                        if a > bb:
+                            a, bb = bb, a
+                        oa.append(a)
+                        ob.append(bb)
+                        od.append(dist)
+        return pa.table({
+            "doc_a": pa.array(oa, pa.int64()),
+            "doc_b": pa.array(ob, pa.int64()),
+            "dist": pa.array(od, pa.int64()),
+        })
+
+    return partitioned_group_apply(blocked, ["pfx"], pairs,
+                                   num_partitions=num_partitions)

@@ -1904,3 +1904,67 @@ def dedup_threshold_curve(sf_dir: str):
             np.array([mc_n[mc_v >= t].sum() for t in ts],
                      dtype=np.int64)),
     })
+
+
+@query(
+    "dedup_canonical",
+    """
+WITH c AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(
+              regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+              ' +', ' ', 'g'), '^ +| +$', '', 'g')) AS canon
+  FROM documents
+)
+SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM c GROUP BY canon""",
+)
+def dedup_canonical(sf_dir: str):
+    """Canonical-form exact dedup: case / punctuation / whitespace
+    variants collapse to one survivor (re-crawls that differ only in
+    casing or punctuation drift are invisible to byte-exact dedup but
+    are NOT near-dups — they are the same document). Normalization is
+    RE2 on both engines, op for op; the exchange carries only
+    (128-bit canonical key, id) rows through the hash-partitioned
+    combine — canonical strings never shuffle."""
+    import ray.data as rd
+
+    from raylog.functions.dedup import canonical_dedup_groups
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return canonical_dedup_groups(ds)
+
+
+@query(
+    "dedup_editdist_pairs",
+    """
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 16) AS pfx,
+         CAST(length(text) AS BIGINT) AS len,
+         substr(text, 1, 200) AS head
+  FROM documents WHERE length(text) >= 16
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         levenshtein(a.head, b.head) AS dist
+  FROM d a JOIN d b
+    ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+   AND abs(a.len - b.len) <= 4
+)
+SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS dist
+FROM p WHERE dist <= 8""",
+)
+def dedup_editdist_pairs(sf_dir: str):
+    """Edit-distance near-dup pairs on a blocked candidate set (shared
+    16-char prefix, ±4 length, Levenshtein ≤ 8 on the 200-char head):
+    the character-level verify that catches single-typo / small-edit
+    re-crawls which token-level Jaccard over-counts and byte-exact
+    dedup misses entirely. Candidate enumeration is bounded by the
+    blocking; the DP row is a vectorized min-plus scan."""
+    import ray.data as rd
+
+    from raylog.functions.dedup import editdist_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return editdist_pairs(ds)

@@ -208,7 +208,8 @@ def orders_top_returners(sf_dir: str):
     import pyarrow.compute as pc
     import ray.data as rd
 
-    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+    from raylog.functions.agg import grouped_aggregate_ds
+    from raylog.functions.topk import topk
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_extendedprice",
@@ -233,12 +234,15 @@ def orders_top_returners(sf_dir: str):
                              columns=["o_orderkey", "o_custkey"])
     j = lr.join(orders, join_type="inner", num_partitions=8,
                 on=("l_orderkey",), right_on=("o_orderkey",))
-    cr = grouped_aggregate(j, ["o_custkey"], [("rev", "sum", "revenue_e4")])
-    order = np.lexsort((np.asarray(cr["o_custkey"], dtype=np.int64),
-                        -np.asarray(cr["revenue_e4"], dtype=np.int64)))
-    top = order[:20]
-    ck = np.asarray(cr["o_custkey"], dtype=np.int64)[top]
-    rev = np.asarray(cr["revenue_e4"], dtype=np.int64)[top]
+    cr = grouped_aggregate_ds(j, ["o_custkey"],
+                              [("rev", "sum", "revenue_e4")],
+                              num_partitions=8)
+    # partial top-k merge: every block emits ≤20 rows, the driver never
+    # sees the custkey-cardinality table
+    top20 = topk(cr, sort_cols=["revenue_e4", "o_custkey"],
+                 descending=[True, False], k=20)
+    ck = np.asarray(top20["o_custkey"], dtype=np.int64)
+    rev = np.asarray(top20["revenue_e4"], dtype=np.int64)
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_name"]).to_pandas()
     names = dict(zip(cust["c_custkey"].astype(np.int64),

@@ -286,3 +286,70 @@ def test_ab_lift_parity_split(tmp_path, ray_session):
     assert int(got.loc[0, "cvr_milli"]) == 500
     assert int(got.loc[1, "n_converted"]) == 2
     assert int(got.loc[1, "cvr_milli"]) == 1000
+
+
+def _write_docs(tmp_path, rows):
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array(["s"] * len(rows), pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_canonical_dedup_collapses_variants(tmp_path, ray_session):
+    rows = [
+        (1, "The Quick Brown Fox."),
+        (2, "the quick  brown fox"),     # case + double space + no dot
+        (3, "  THE QUICK BROWN FOX!!  "), # shouting + trailing space
+        (4, "a different document"),
+        (5, "A, different; document?"),   # punctuation drift of 4
+        (6, "genuinely unique text"),
+    ]
+    d = _write_docs(tmp_path, rows)
+    got = _cmp("dedup_canonical", d, ["doc_id"], ["documents"])
+    members = dict(zip(got["doc_id"], got["n_members"]))
+    assert members == {1: 3, 4: 2, 6: 1}
+
+
+def test_editdist_pairs_blocking_and_distance(tmp_path, ray_session):
+    base = "shared sixteench "  # 17 chars: first 16 identical
+    rows = [
+        (1, base + "hello world example text"),
+        (2, base + "hello w0rld example text"),   # 1 substitution
+        (3, base + "hello world exampel text"),   # transposition = 2 edits
+        (4, base + "x" * 40),                     # same block, len diff > 4
+        (5, "different prefix here yes", ),       # other block
+        (6, base + "hello world example tex"),    # 1 deletion vs doc 1
+    ]
+    rows = [(i, t if isinstance(t, str) else t[0]) for i, t in
+            [(r[0], r[1]) for r in rows]]
+    d = _write_docs(tmp_path, rows)
+    got = _cmp("dedup_editdist_pairs", d, ["doc_a", "doc_b"],
+               ["documents"])
+    pairs = {(a, b): dd for a, b, dd in
+             zip(got["doc_a"], got["doc_b"], got["dist"])}
+    assert pairs[(1, 2)] == 1
+    assert pairs[(1, 6)] == 1
+    assert pairs[(2, 6)] == 2
+    assert (1, 4) not in pairs          # length band excludes
+    assert all(5 not in p for p in pairs)  # different block
+    # doc 3: 'exampel' vs 'example' = 2 substitutions-ish edits
+    assert pairs[(1, 3)] == 2
+
+
+def test_levenshtein_kernel_matches_duckdb(ray_session):
+    import numpy as np
+
+    from raylog.functions.dedup import _codepoints, _levenshtein
+
+    cases = [("kitten", "sitting"), ("", "abc"), ("abc", ""),
+             ("same", "same"), ("ab", "ba"), ("flaw", "lawn"),
+             ("intention", "execution")]
+    for a, b in cases:
+        got = _levenshtein(_codepoints(a), _codepoints(b))
+        want = duckdb.sql(
+            f"SELECT levenshtein('{a}', '{b}')").fetchone()[0]
+        assert got == want, (a, b, got, want)
