@@ -1244,3 +1244,224 @@ def events_ab_lift(sf_dir: str):
         "n_converted": a["n_converted"],
         "cvr_milli": pa.array(1000 * c // n, pa.int64()),
     })
+
+
+# --------------------------------------------------------------------------
+# Weekday × hour traffic heatmap
+# --------------------------------------------------------------------------
+
+@query(
+    "events_hour_heatmap",
+    """
+WITH c AS (
+  SELECT CAST(dayofweek(ts) AS BIGINT) AS weekday,
+         CAST(hour(ts) AS BIGINT) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), t AS (SELECT SUM(n) AS tot FROM c)
+SELECT weekday, hour, CAST(n AS BIGINT) AS n,
+       (100000 * CAST(n AS BIGINT)) // CAST(t.tot AS BIGINT)
+         AS share_e5
+FROM c CROSS JOIN t""",
+)
+def events_hour_heatmap(sf_dir: str):
+    """Weekday × hour traffic heatmap (the capacity-planning grid):
+    event counts per (day-of-week, hour-of-day) cell plus each cell's
+    share in 1e-5 units. One pass, 7×24-bounded partials; day-of-week
+    from epoch-day arithmetic ((days+4) % 7 matches DuckDB's
+    Sunday=0 dayofweek for the post-1970 domain)."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        t = np.asarray(b["ts"].combine_chunks()).astype(
+            "datetime64[us]").astype(np.int64)
+        day = t // 86_400_000_000
+        hour = (t % 86_400_000_000) // 3_600_000_000
+        weekday = (day + 4) % 7  # 1970-01-01 was a Thursday; Sunday=0
+        return pa.table({
+            "weekday": pa.array(weekday),
+            "hour": pa.array(hour),
+        })
+
+    c = grouped_aggregate(
+        ds.map_batches(cells, batch_format="pyarrow", batch_size=None),
+        ["weekday", "hour"], [("*", "count", "n")])
+    n = np.asarray(c["n"], dtype=np.int64)
+    tot = int(n.sum())
+    return pa.table({
+        "weekday": c["weekday"],
+        "hour": c["hour"],
+        "n": c["n"],
+        "share_e5": pa.array(100000 * n // tot, pa.int64()),
+    })
+
+
+# --------------------------------------------------------------------------
+# Near-dup pair-graph degree histogram
+# --------------------------------------------------------------------------
+
+@query(
+    "dedup_pair_degree_hist",
+    """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              list_extract(w, i) || ' ' || list_extract(w, i+1)
+                || ' ' || list_extract(w, i+2) AS g
+       FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+       WHERE len(w) >= 3),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+np AS (SELECT doc_a, doc_b FROM inter
+       JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+       WHERE c * 1.0 / (x.n + y.n - c) >= 0.3),
+deg AS (
+  SELECT d, COUNT(*) AS degree FROM (
+    SELECT doc_a AS d FROM np UNION ALL SELECT doc_b FROM np
+  ) GROUP BY 1
+)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM deg GROUP BY 1""",
+)
+def dedup_pair_degree_hist(sf_dir: str):
+    """Degree histogram of the near-dup pair graph (J ≥ 0.3 word
+    3-grams): how many docs have 1, 2, … near-duplicates. The shape
+    diagnostic that separates pairwise re-crawls (degree 1-2) from
+    template explosions (one hub with degree 10⁴ — the case where CC
+    clustering and keep-one dedup behave very differently).
+
+    Rides the oracled ``ngram_jaccard_pairs`` kernel unchanged; the
+    finish is a per-doc degree count (hash-partitioned, pair-bounded)
+    folded into a degrees-bounded histogram."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+    from raylog.functions.dedup import ngram_jaccard_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, threshold=0.3)
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["doc_a"].combine_chunks(), dtype=np.int64)
+        bb = np.asarray(b["doc_b"].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "d": pa.array(np.concatenate([a, bb])),
+            "one": pa.array(np.ones(2 * len(a), dtype=np.int64)),
+        })
+
+    deg = grouped_aggregate_ds(
+        pairs.map_batches(endpoints, batch_format="pyarrow",
+                          batch_size=None),
+        ["d"], [("one", "sum", "degree")], num_partitions=8)
+    return grouped_aggregate(deg, ["degree"], [("*", "count", "n_docs")])
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q3 shape: top unshipped orders by accrued revenue
+# --------------------------------------------------------------------------
+
+@query(
+    "orders_q3_unshipped",
+    """
+WITH r AS (
+  SELECT l.l_orderkey,
+         SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000
+                        + 0.5) AS BIGINT)) AS revenue_e4
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < DATE '1997-01-01'
+    AND l.l_shipdate > DATE '1997-01-01'
+  GROUP BY 1
+), rk AS (
+  SELECT l_orderkey, CAST(revenue_e4 AS BIGINT) AS revenue_e4,
+         ROW_NUMBER() OVER (ORDER BY revenue_e4 DESC, l_orderkey) AS rnk
+  FROM r
+)
+SELECT CAST(rnk AS BIGINT) AS rnk, l_orderkey, revenue_e4
+FROM rk WHERE rnk <= 10""",
+)
+def orders_q3_unshipped(sf_dir: str):
+    """Top-10 unshipped orders by accrued revenue for one market
+    segment (TPC-H Q3 shape) — the classic selective-filter star.
+
+    Physical plan: the BUILDING custkey set is a broadcast bitmap (dim
+    chain, Q5 convention); orders filter (segment ∧ date) BEFORE
+    shipping only qualifying orderkeys into the hash join; lineitem
+    prunes to three columns at the read and pre-aggregates per
+    orderkey AFTER its own shipdate filter. The only exchange is the
+    qualifying-orderkey join + a partial top-k merge — the driver sees
+    10 rows."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate_ds
+    from raylog.functions.topk import topk
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    bld = np.zeros(int(ck.max()) + 1, dtype=bool)
+    bld[ck[cust["c_mktsegment"].to_numpy() == "BUILDING"]] = True
+    ref = ray.put(bld) if ray.is_initialized() else bld
+    cutoff = np.datetime64("1997-01-01").astype("datetime64[us]")
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def qual_orders(b: pa.Table) -> pa.Table:
+        bld_ = ray.get(ref) if ray.is_initialized() else ref
+        cd = np.asarray(b["o_orderdate"].combine_chunks()).astype(
+            "datetime64[us]")
+        cu = np.asarray(b["o_custkey"].combine_chunks(), dtype=np.int64)
+        keep = (cd < cutoff) & bld_[cu]
+        return pa.table({"o_orderkey": b["o_orderkey"]}).filter(
+            pa.array(keep))
+
+    qo = orders.map_batches(qual_orders, batch_format="pyarrow",
+                            batch_size=None)
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+
+    def unshipped(b: pa.Table) -> pa.Table:
+        sd = np.asarray(b["l_shipdate"].combine_chunks()).astype(
+            "datetime64[us]")
+        keep = sd > cutoff
+        b = b.filter(pa.array(keep))
+        price = np.asarray(b["l_extendedprice"].combine_chunks(),
+                           dtype=np.float64)
+        disc = np.asarray(b["l_discount"].combine_chunks(),
+                          dtype=np.float64)
+        rev = np.floor(price * (1 - disc) * 10000 + 0.5).astype(np.int64)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "rev": pa.array(rev),
+        })
+
+    lr = grouped_aggregate_ds(
+        li.map_batches(unshipped, batch_format="pyarrow",
+                       batch_size=None),
+        ["l_orderkey"], [("rev", "sum", "revenue_e4")], num_partitions=8)
+    j = lr.join(qo, join_type="inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    top = topk(j, sort_cols=["revenue_e4", "l_orderkey"],
+               descending=[True, False], k=10)
+    return pa.table({
+        "rnk": pa.array(np.arange(1, top.num_rows + 1), pa.int64()),
+        "l_orderkey": top["l_orderkey"],
+        "revenue_e4": top["revenue_e4"],
+    })

@@ -353,3 +353,34 @@ def test_levenshtein_kernel_matches_duckdb(ray_session):
         want = duckdb.sql(
             f"SELECT levenshtein('{a}', '{b}')").fetchone()[0]
         assert got == want, (a, b, got, want)
+
+
+def test_hour_heatmap_weekday_parity(tmp_path, ray_session):
+    # 1970-01-01 was a Thursday; DuckDB dayofweek: Sunday=0 .. Saturday=6
+    rows = [
+        (1, "2024-01-01 00:30", 1, "a"),   # Monday    -> 1
+        (2, "2024-01-06 23:10", 1, "a"),   # Saturday  -> 6
+        (3, "2024-01-07 12:00", 2, "a"),   # Sunday    -> 0
+        (4, "2024-01-07 12:59", 3, "a"),   # same cell
+    ]
+    d = _write_events(tmp_path, rows)
+    got = _cmp("events_hour_heatmap", d, ["weekday", "hour"], ["events"])
+    cells = {(w, h): n for w, h, n in
+             zip(got["weekday"], got["hour"], got["n"])}
+    assert cells == {(1, 0): 1, (6, 23): 1, (0, 12): 2}
+    shares = dict(zip(zip(got["weekday"], got["hour"]), got["share_e5"]))
+    assert shares[(0, 12)] == 50000
+
+
+def test_pair_degree_hub_vs_chain(tmp_path, ray_session):
+    # four exact copies form a K4 (each degree 3); an isolated doc has
+    # no row; a disjoint identical pair contributes two degree-1 docs
+    quad = "alpha beta gamma delta epsilon zeta"
+    pair = "one two three four five six seven"
+    rows = [(1, quad), (2, quad), (3, quad), (4, quad),
+            (5, "totally unrelated words entirely distinct tokens"),
+            (6, pair), (7, pair)]
+    d = _write_docs(tmp_path, rows)
+    got = _cmp("dedup_pair_degree_hist", d, ["degree"], ["documents"])
+    hist = dict(zip(got["degree"], got["n_docs"]))
+    assert hist == {3: 4, 1: 2}
