@@ -1465,3 +1465,165 @@ def orders_q3_unshipped(sf_dir: str):
         "l_orderkey": top["l_orderkey"],
         "revenue_e4": top["revenue_e4"],
     })
+
+
+# --------------------------------------------------------------------------
+# Cross-source quantile normalization (score calibration)
+# --------------------------------------------------------------------------
+
+@query(
+    "docs_quantile_normalize",
+    """
+WITH d AS (SELECT doc_id, source, n_chars AS score FROM documents),
+r AS (
+  SELECT doc_id, source, score,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY score, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS ns,
+         COUNT(*) OVER () AS n
+  FROM d
+),
+g AS (
+  SELECT score, SUM(COUNT(*)) OVER (ORDER BY score) AS cum
+  FROM d GROUP BY score
+)
+SELECT r.doc_id, r.source, CAST(r.score AS BIGINT) AS score,
+       CAST((SELECT MIN(g.score) FROM g
+             WHERE g.cum >= ((r.rk * r.n + r.ns - 1) // r.ns))
+            AS BIGINT) AS norm_score
+FROM r""",
+)
+def docs_quantile_normalize(sf_dir: str):
+    """Cross-source quantile normalization of the per-doc quality score
+    (here: n_chars): each doc's within-source rank maps onto the GLOBAL
+    score distribution, so a '90th-percentile doc of source A' and a
+    '90th-percentile doc of source B' get the SAME calibrated value —
+    the standard fix before mixing heterogeneous sources with one
+    quality threshold.
+
+    Pass A: one (score, count) global histogram (bounded by distinct
+    lengths), cum-summed and broadcast. Pass B: complete-source
+    partitions rank their docs with one vectorized sort, compute the
+    exact ceil-rank target in integer arithmetic (positive operands
+    only — DuckDB truncating `//` == numpy floor there), and read the
+    calibrated value off the broadcast CDF with one searchsorted. No
+    global sort, no per-row Python."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, partitioned_group_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "n_chars"])
+
+    g = grouped_aggregate(ds, ["n_chars"], [("*", "count", "c")])
+    sc = np.asarray(g["n_chars"], dtype=np.int64)
+    cnt = np.asarray(g["c"], dtype=np.int64)
+    order = np.argsort(sc)
+    scores, cum = sc[order], np.cumsum(cnt[order])
+    n_total = int(cum[-1]) if len(cum) else 0
+    ref = (ray.put((scores, cum)) if ray.is_initialized()
+           else (scores, cum))
+
+    def normalize(part: pa.Table) -> pa.Table:
+        scores_, cum_ = ray.get(ref) if ray.is_initialized() else ref
+        src = part["source"].to_pandas().to_numpy()
+        did = np.asarray(part["doc_id"].combine_chunks(), dtype=np.int64)
+        val = np.asarray(part["n_chars"].combine_chunks(), dtype=np.int64)
+        order = np.lexsort((did, val, src))
+        src, did, val = src[order], did[order], val[order]
+        brk = np.ones(len(src), dtype=bool)
+        if len(src) > 1:
+            brk[1:] = src[1:] != src[:-1]
+        seg = np.cumsum(brk) - 1
+        seg_start = np.flatnonzero(brk)
+        sizes = np.diff(np.append(seg_start, len(src)))
+        rk = np.arange(len(src), dtype=np.int64) - seg_start[seg] + 1
+        ns = sizes[seg]
+        k = (rk * n_total + ns - 1) // ns
+        norm = scores_[np.searchsorted(cum_, k, side="left")]
+        return pa.table({
+            "doc_id": pa.array(did),
+            "source": pa.array(src.tolist(), pa.string()),
+            "score": pa.array(val),
+            "norm_score": pa.array(norm),
+        })
+
+    return partitioned_group_apply(ds, ["source"], normalize,
+                                   num_partitions=8)
+
+
+# --------------------------------------------------------------------------
+# Customer-cohort lifetime revenue matrix
+# --------------------------------------------------------------------------
+
+@query(
+    "orders_cohort_ltv",
+    """
+WITH f AS (
+  SELECT o_custkey,
+         MIN(CAST(strftime(o_orderdate, '%Y') AS BIGINT)) AS cohort_year
+  FROM orders GROUP BY 1
+)
+SELECT f.cohort_year,
+       CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) - f.cohort_year
+         AS year_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+GROUP BY 1, 2""",
+)
+def orders_cohort_ltv(sf_dir: str):
+    """Cohort lifetime-value matrix: customers grouped by
+    first-purchase year, revenue accrued at each year offset — the
+    revenue companion of `events_cohort_retention` (does a 1996
+    cohort keep spending in 1999?).
+
+    Per-customer cohort year is ONE hash-partitioned min; the matrix
+    is a native hash join of orders against that custkey-bounded
+    table followed by a cohorts×offsets-bounded combine. Revenue is
+    exact integer cents."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate",
+                                      "o_totalprice"])
+
+    def oyear(b: pa.Table) -> pa.Table:
+        price = np.asarray(b["o_totalprice"].combine_chunks(),
+                           dtype=np.float64)
+        return pa.table({
+            "o_custkey": b["o_custkey"],
+            "year": pc.cast(pc.strftime(b["o_orderdate"], format="%Y"),
+                            pa.int64()),
+            "cents": pa.array(np.floor(price * 100 + 0.5).astype(np.int64)),
+        })
+
+    oy = orders.map_batches(oyear, batch_format="pyarrow",
+                            batch_size=None)
+    first = grouped_aggregate_ds(oy.select_columns(["o_custkey", "year"]),
+                                 ["o_custkey"],
+                                 [("year", "min", "cohort_year")],
+                                 num_partitions=8)
+    j = oy.join(first, join_type="inner", num_partitions=8,
+                on=("o_custkey",))
+
+    def cells(b: pa.Table) -> pa.Table:
+        yr = np.asarray(b["year"].combine_chunks(), dtype=np.int64)
+        cy = np.asarray(b["cohort_year"].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "cohort_year": pa.array(cy),
+            "year_offset": pa.array(yr - cy),
+            "cents": b["cents"],
+        })
+
+    return grouped_aggregate(
+        j.map_batches(cells, batch_format="pyarrow", batch_size=None),
+        ["cohort_year", "year_offset"],
+        [("*", "count", "n_orders"), ("cents", "sum", "revenue_cents")])

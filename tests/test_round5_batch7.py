@@ -384,3 +384,50 @@ def test_pair_degree_hub_vs_chain(tmp_path, ray_session):
     got = _cmp("dedup_pair_degree_hist", d, ["degree"], ["documents"])
     hist = dict(zip(got["degree"], got["n_docs"]))
     assert hist == {3: 4, 1: 2}
+
+
+def test_quantile_normalize_calibrates_sources(tmp_path, ray_session):
+    # source A scores 1..4, source B scores 101..104: after calibration
+    # the rank-matched docs of A and B get the SAME global value
+    rows = [(i, "w " * i) for i in range(1, 5)]          # A: tiny scores
+    rows += [(100 + i, "w " * (100 + i)) for i in range(1, 5)]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array(["A"] * 4 + ["B"] * 4, pa.string()),
+        "n_chars": pa.array([r[0] * 2 for r in rows], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = _cmp("docs_quantile_normalize", str(tmp_path), ["doc_id"],
+               ["documents"]).set_index("doc_id")
+    # rank r of 4 in its source -> global target ceil(r*8/4) = 2r; the
+    # global CDF has one doc per value, so norm = the 2r-th smallest
+    glob = sorted(t["n_chars"].to_pylist())
+    for r, (da, db) in enumerate(zip([1, 2, 3, 4], [101, 102, 103, 104]),
+                                 start=1):
+        assert int(got.loc[da, "norm_score"]) == glob[2 * r - 1]
+        assert int(got.loc[da, "norm_score"]) == int(
+            got.loc[db, "norm_score"])
+
+
+def test_cohort_ltv_offsets(tmp_path, ray_session):
+    t = pa.table({
+        "o_custkey": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "o_orderdate": pa.array([pd.Timestamp(x) for x in
+                                 ["1995-05-01", "1995-08-01", "1997-01-01",
+                                  "1996-03-01", "1996-09-09"]],
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([10.0, 20.0, 40.0, 5.0, 7.0],
+                                 pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    got = _cmp("orders_cohort_ltv", str(tmp_path),
+               ["cohort_year", "year_offset"], ["orders"])
+    cells = {(c, o): (n, r) for c, o, n, r in
+             zip(got["cohort_year"], got["year_offset"],
+                 got["n_orders"], got["revenue_cents"])}
+    assert cells[(1995, 0)] == (2, 3000)
+    assert cells[(1995, 2)] == (1, 4000)
+    assert cells[(1996, 0)] == (2, 1200)
+    assert (1995, 1) not in cells       # no 1996 order for cohort 1995
