@@ -1968,3 +1968,93 @@ def dedup_editdist_pairs(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return editdist_pairs(ds)
+
+
+@query(
+    "dedup_reciprocal_nn",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT a.vec_id AS qa, b.vec_id AS qb,
+         list_cosine_similarity(a.v, b.v) AS cos
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+nn AS (
+  SELECT qa, qb, cos,
+         ROW_NUMBER() OVER (PARTITION BY qa ORDER BY cos DESC, qb) AS rn
+  FROM s
+)
+SELECT x.qa AS vec_a, x.qb AS vec_b,
+       CAST(ROUND(1000 * x.cos) AS BIGINT) AS cos_milli
+FROM nn x JOIN nn y ON x.qb = y.qa AND y.qb = x.qa
+WHERE x.rn = 1 AND y.rn = 1 AND x.qa < x.qb""",
+)
+def dedup_reciprocal_nn(sf_dir: str):
+    """Reciprocal-nearest-neighbor pairs: (a, b) where b is a's single
+    closest embedding AND a is b's — the threshold-free merge rule
+    (RNN clustering) that finds the genuinely mutual duplicates a
+    fixed cosine cutoff either floods or misses.
+
+    One streamed pass of per-batch float64 matmuls against the
+    broadcast normalized corpus yields each vector's top-1 (ties by
+    smallest neighbor id, matching the SQL ORDER BY); reciprocity is
+    then a COUNT==2 on the canonical (min,max) pair key through the
+    hash-partitioned aggregate — no self-join of the NN table, no
+    driver-side pair set. Same ≤100k broadcast bound as
+    `dedup_embed_pairs`; above it the IVF-bucketed top-1 path applies
+    (same recall trade, measured there)."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate_ds
+    from raylog.functions.similarity import _to_matrix
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    corpus = pa.concat_tables(
+        list(ds.iter_batches(batch_format="pyarrow", batch_size=None)))
+    ids = corpus["vec_id"].to_numpy()
+    mat = _to_matrix(corpus, "embedding")
+    ref = ray.put((ids, mat)) if ray.is_initialized() else (ids, mat)
+
+    def top1(batch: pa.Table) -> pa.Table:
+        cids, cmat = ray.get(ref) if ray.is_initialized() else ref
+        bids = np.asarray(batch["vec_id"].combine_chunks(),
+                          dtype=np.int64)
+        bmat = _to_matrix(batch, "embedding")
+        sims = bmat @ cmat.T
+        sims[np.equal.outer(bids, cids)] = -np.inf  # mask self
+        best = sims.max(axis=1)
+        # ties (cos equal) break to the SMALLEST neighbor id: scan each
+        # row's argmax set — cids ascending makes first-match smallest
+        order = np.argsort(cids, kind="mergesort")
+        sims_sorted = sims[:, order]
+        nb = cids[order][np.argmax(sims_sorted == best[:, None], axis=1)]
+        a = np.minimum(bids, nb)
+        b = np.maximum(bids, nb)
+        return pa.table({
+            "pair": pa.array(a * (1 << 32) + b),
+            "cos_milli": pa.array(np.round(1000 * best).astype(np.int64)),
+            "one": pa.array(np.ones(len(a), dtype=np.int64)),
+        })
+
+    nn = ds.map_batches(top1, batch_format="pyarrow", batch_size=None)
+    g = grouped_aggregate_ds(nn, ["pair"],
+                             [("one", "sum", "n"),
+                              ("cos_milli", "min", "cos_milli")],
+                             num_partitions=8)
+
+    def reciprocal(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["n"].combine_chunks(), dtype=np.int64)
+        k = np.asarray(b["pair"].combine_chunks(), dtype=np.int64)[n == 2]
+        cm = np.asarray(b["cos_milli"].combine_chunks(),
+                        dtype=np.int64)[n == 2]
+        return pa.table({
+            "vec_a": pa.array(k >> 32),
+            "vec_b": pa.array(k & ((1 << 32) - 1)),
+            "cos_milli": pa.array(cm),
+        })
+
+    return g.map_batches(reciprocal, batch_format="pyarrow",
+                         batch_size=None)

@@ -1627,3 +1627,68 @@ def orders_cohort_ltv(sf_dir: str):
         j.map_batches(cells, batch_format="pyarrow", batch_size=None),
         ["cohort_year", "year_offset"],
         [("*", "count", "n_orders"), ("cents", "sum", "revenue_cents")])
+
+
+# --------------------------------------------------------------------------
+# Returns rate by part brand
+# --------------------------------------------------------------------------
+
+@query(
+    "lineitem_returns_by_brand",
+    """
+SELECT p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_returned,
+       (1000 * CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+         AS return_rate_milli
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1""",
+)
+def lineitem_returns_by_brand(sf_dir: str):
+    """Return rate per part brand — the supplier-quality report that
+    flags brands whose items come back. partkey→brand is the broadcast
+    dimension (Q14 convention); the corpus pass emits brands-bounded
+    (count, returned) partials; one permille division on the tiny
+    aggregate."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"]).to_pandas()
+    pk = part["p_partkey"].to_numpy(dtype=np.int64)
+    brands = np.empty(int(pk.max()) + 1 if len(pk) else 1, dtype=object)
+    brands[pk] = part["p_brand"].to_numpy()
+    ref = ray.put(brands) if ray.is_initialized() else brands
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_returnflag"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        brands_ = ray.get(ref) if ray.is_initialized() else ref
+        partk = np.asarray(b["l_partkey"].combine_chunks(), dtype=np.int64)
+        ret = pc.cast(pc.equal(b["l_returnflag"].combine_chunks(),
+                               pa.scalar("R")), pa.int64())
+        return pa.table({
+            "p_brand": pa.array(brands_[partk].tolist(), pa.string()),
+            "ret": ret,
+            "one": pa.array(np.ones(len(partk), dtype=np.int64)),
+        })
+
+    a = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["p_brand"], [("one", "sum", "n_items"),
+                      ("ret", "sum", "n_returned")])
+    n = np.asarray(a["n_items"], dtype=np.int64)
+    r = np.asarray(a["n_returned"], dtype=np.int64)
+    return pa.table({
+        "p_brand": a["p_brand"],
+        "n_items": a["n_items"],
+        "n_returned": a["n_returned"],
+        "return_rate_milli": pa.array(1000 * r // n, pa.int64()),
+    })

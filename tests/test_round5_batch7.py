@@ -431,3 +431,46 @@ def test_cohort_ltv_offsets(tmp_path, ray_session):
     assert cells[(1995, 2)] == (1, 4000)
     assert cells[(1996, 0)] == (2, 1200)
     assert (1995, 1) not in cells       # no 1996 order for cohort 1995
+
+
+def test_reciprocal_nn_mutual_only(tmp_path, ray_session):
+    import numpy as np
+    # a<->b mutual top-1; c's top-1 is a but a's is b -> (a,c) excluded;
+    # d<->e a second mutual pair far away
+    vecs = {
+        1: [1.0, 0.0, 0.0],
+        2: [0.999, 0.0447, 0.0],          # closest to 1 and vice versa
+        3: [0.95, -0.312, 0.0],           # top-1 is 1, but 1 prefers 2
+        4: [0.0, 0.0, 1.0],
+        5: [0.0, 0.0447, 0.999],
+    }
+    t = pa.table({
+        "vec_id": pa.array(list(vecs), pa.int64()),
+        "embedding": pa.array(
+            [np.asarray(v, np.float32) / np.linalg.norm(v)
+             for v in vecs.values()],
+            pa.list_(pa.float32())),
+        "label": pa.array([0] * 5, pa.int32()),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = _cmp("dedup_reciprocal_nn", str(tmp_path), ["vec_a", "vec_b"],
+               ["embeddings"])
+    pairs = set(zip(got["vec_a"], got["vec_b"]))
+    assert pairs == {(1, 2), (4, 5)}
+
+
+def test_returns_by_brand_rates(tmp_path, ray_session):
+    part = pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_brand": pa.array(["B#1", "B#2"], pa.string()),
+    })
+    pq.write_table(part, str(tmp_path / "part.parquet"))
+    li = pa.table({
+        "l_partkey": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "l_returnflag": pa.array(["R", "N", "A", "R", "N"], pa.string()),
+    })
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    got = _cmp("lineitem_returns_by_brand", str(tmp_path), ["p_brand"],
+               ["part", "lineitem"]).set_index("p_brand")
+    assert int(got.loc["B#1", "return_rate_milli"]) == 500
+    assert int(got.loc["B#2", "n_returned"]) == 0
