@@ -1692,3 +1692,180 @@ def lineitem_returns_by_brand(sf_dir: str):
         "n_returned": a["n_returned"],
         "return_rate_milli": pa.array(1000 * r // n, pa.int64()),
     })
+
+
+# --------------------------------------------------------------------------
+# Pairwise source Jensen-Shannon divergence matrix
+# --------------------------------------------------------------------------
+
+@query(
+    "corpus_source_js_matrix",
+    """
+WITH words AS (SELECT source, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+sw AS (SELECT source, w, COUNT(*) AS c FROM words GROUP BY 1, 2),
+st AS (SELECT source, SUM(c) AS n FROM sw GROUP BY 1),
+p AS (SELECT sw.source, sw.w, sw.c * 1.0 / st.n AS p
+      FROM sw JOIN st USING (source)),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         SUM((a.p / 2) * ln(2 * a.p / (a.p + b.p))
+             + (b.p / 2) * ln(2 * b.p / (a.p + b.p))) AS js_shared,
+         SUM(a.p) AS mass_a, SUM(b.p) AS mass_b
+  FROM p a JOIN p b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2
+),
+allpairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM st a JOIN st b ON a.source < b.source
+)
+SELECT ap.source_a, ap.source_b,
+       CAST(FLOOR(10000 * (COALESCE(s.js_shared, 0)
+            + ((1 - COALESCE(s.mass_a, 0))
+               + (1 - COALESCE(s.mass_b, 0))) / 2 * ln(2)))
+            AS BIGINT) AS js_e4
+FROM allpairs ap LEFT JOIN shared s USING (source_a, source_b)""",
+)
+def corpus_source_js_matrix(sf_dir: str):
+    """Pairwise Jensen-Shannon divergence between every two sources'
+    word distributions — the symmetric, bounded mixture-diagnostics
+    matrix (`corpus_source_kl` measures each source against the global
+    mix; this measures sources against EACH OTHER, the input to
+    source-clustering / redundancy pruning decisions).
+
+    Identity that makes it one exchange: JS(i,j) splits into shared-
+    vocabulary terms plus ln2/2 × the one-sided probability masses, so
+    the kernel never materializes per-pair union vocabularies. The
+    (source, word) count table (vocab×sources-bounded) hash-partitions
+    BY WORD; inside complete-word partitions each word's ≤sources probs
+    expand to its pair contributions via one vectorized triangular
+    outer product; the finish sums sources²/2 cells. The corpus
+    streams once; nothing vocab-sized reaches the driver except the
+    sources-bounded totals."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import (grouped_aggregate,
+                                      grouped_aggregate_ds,
+                                      partitioned_group_apply)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+
+    def wcounts(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        lens = np.asarray(pc.list_value_length(split), dtype=np.int64)
+        flat = split.flatten().dictionary_encode()
+        codes = np.asarray(flat.indices, dtype=np.int64)
+        enc = b["source"].combine_chunks().dictionary_encode()
+        src = np.asarray(enc.indices, dtype=np.int64)
+        tok_src = np.repeat(src, lens)
+        nv = len(flat.dictionary)
+        packed = tok_src * nv + codes
+        up, cnt = np.unique(packed, return_counts=True)
+        return pa.table({
+            "source": enc.dictionary.take(pa.array(up // nv)),
+            "w": flat.dictionary.take(pa.array(up % nv)),
+            "c": pa.array(cnt.astype(np.int64)),
+        })
+
+    sw = grouped_aggregate_ds(
+        ds.map_batches(wcounts, batch_format="pyarrow", batch_size=None),
+        ["source", "w"], [("c", "sum", "c")])
+    st = grouped_aggregate(sw, ["source"], [("c", "sum", "n")])
+    sources = np.asarray(st["source"]).astype("U")
+    order = np.argsort(sources)
+    sources = sources[order]
+    totals = np.asarray(st["n"], dtype=np.float64)[order]
+    ref = (ray.put((sources, totals)) if ray.is_initialized()
+           else (sources, totals))
+
+    def pair_terms(part: pa.Table) -> pa.Table:
+        sources_, totals_ = ray.get(ref) if ray.is_initialized() else ref
+        w = np.asarray(part["w"].combine_chunks()).astype("U")
+        src = np.asarray(part["source"].combine_chunks()).astype("U")
+        c = np.asarray(part["c"].combine_chunks(), dtype=np.float64)
+        si = np.searchsorted(sources_, src)
+        p = c / totals_[si]
+        order = np.lexsort((si, w))
+        w, si, p = w[order], si[order], p[order]
+        brk = np.ones(len(w), dtype=bool)
+        if len(w) > 1:
+            brk[1:] = w[1:] != w[:-1]
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(w))
+        ns = len(sources_)
+        js = np.zeros((ns, ns))
+        mass = np.zeros((ns, ns))
+        for s, e in zip(starts, ends):  # ≤sources probs per word
+            ii, pp = si[s:e], p[s:e]
+            if e - s < 2:
+                continue
+            pi = pp[:, None]
+            pj = pp[None, :]
+            m = pi + pj
+            term = (pi / 2) * np.log(2 * pi / m) \
+                + (pj / 2) * np.log(2 * pj / m)
+            js[np.ix_(ii, ii)] += term
+            mass[np.ix_(ii, ii)] += pi + 0 * pj
+        iu, ju = np.triu_indices(ns, k=1)
+        rows = pa.table({
+            "ia": pa.array(iu.astype(np.int64)),
+            "jb": pa.array(ju.astype(np.int64)),
+            "js": pa.array(js[iu, ju]),
+            "ma": pa.array(mass[iu, ju]),
+            "mb": pa.array(mass[ju, iu]),
+        })
+        return rows
+
+    cells = partitioned_group_apply(sw, ["w"], pair_terms,
+                                    num_partitions=8)
+    agg = grouped_aggregate(cells, ["ia", "jb"],
+                            [("js", "sum", "js"), ("ma", "sum", "ma"),
+                             ("mb", "sum", "mb")])
+    ia = np.asarray(agg["ia"], dtype=np.int64)
+    jb = np.asarray(agg["jb"], dtype=np.int64)
+    js = np.asarray(agg["js"], dtype=np.float64)
+    ma = np.asarray(agg["ma"], dtype=np.float64)
+    mb = np.asarray(agg["mb"], dtype=np.float64)
+    val = np.floor(10000 * (js + ((1 - ma) + (1 - mb)) / 2
+                            * np.log(2))).astype(np.int64)
+    return pa.table({
+        "source_a": pa.array(sources[ia].tolist(), pa.string()),
+        "source_b": pa.array(sources[jb].tolist(), pa.string()),
+        "js_e4": pa.array(val),
+    })
+
+
+# --------------------------------------------------------------------------
+# Basket-size (lineitems per order) distribution
+# --------------------------------------------------------------------------
+
+@query(
+    "lineitem_basket_hist",
+    """
+WITH b AS (SELECT l_orderkey, COUNT(*) AS n_items
+           FROM lineitem GROUP BY 1)
+SELECT CAST(n_items AS BIGINT) AS n_items,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM b GROUP BY 1""",
+)
+def lineitem_basket_hist(sf_dir: str):
+    """Basket-size distribution: lineitems per order, histogrammed —
+    the order-complexity profile (sibling of the Q13 customer
+    distribution, one level down the hierarchy). One hash-partitioned
+    per-order count, one tiny histogram combine."""
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey"])
+    per = grouped_aggregate_ds(li, ["l_orderkey"],
+                               [("l_orderkey", "count", "n_items")],
+                               num_partitions=8)
+    return grouped_aggregate(per, ["n_items"],
+                             [("*", "count", "n_orders")])

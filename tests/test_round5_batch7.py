@@ -474,3 +474,39 @@ def test_returns_by_brand_rates(tmp_path, ray_session):
                ["part", "lineitem"]).set_index("p_brand")
     assert int(got.loc["B#1", "return_rate_milli"]) == 500
     assert int(got.loc["B#2", "n_returned"]) == 0
+
+
+def test_js_matrix_symmetric_bounds(tmp_path, ray_session):
+    import math
+    rows = [
+        (1, "a a a a", "en"), (2, "a a a a", "en"),      # source X: all 'a'
+        (3, "b b b b", "en"),                             # source Y: all 'b'
+        (4, "a a b b", "en"),                             # source Z: mixed
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array(["X", "X", "Y", "Z"], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = _cmp("corpus_source_js_matrix", str(tmp_path),
+               ["source_a", "source_b"], ["documents"])
+    js = {(a, b): v for a, b, v in
+          zip(got["source_a"], got["source_b"], got["js_e4"])}
+    # disjoint vocabularies -> maximal JS = ln 2
+    assert js[("X", "Y")] == int(math.floor(10000 * math.log(2)))
+    # mixed source sits strictly between 0 and ln 2 against either pole
+    assert 0 < js[("X", "Z")] < js[("X", "Y")]
+    assert js[("X", "Z")] == js[("Y", "Z")]   # symmetric construction
+
+
+def test_basket_hist(tmp_path, ray_session):
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 2, 3, 3], pa.int64()),
+    })
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    got = _cmp("lineitem_basket_hist", str(tmp_path), ["n_items"],
+               ["lineitem"])
+    hist = dict(zip(got["n_items"], got["n_orders"]))
+    assert hist == {3: 1, 1: 1, 2: 1}
