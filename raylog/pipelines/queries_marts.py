@@ -1869,3 +1869,187 @@ def lineitem_basket_hist(sf_dir: str):
                                num_partitions=8)
     return grouped_aggregate(per, ["n_items"],
                              [("*", "count", "n_orders")])
+
+
+# --------------------------------------------------------------------------
+# Last-touch attribution (7-day lookback before each purchase)
+# --------------------------------------------------------------------------
+
+@query(
+    "events_last_touch",
+    """
+WITH p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+), credit AS (
+  SELECT p.event_id,
+         (SELECT e.event_type FROM events e
+          WHERE e.user_id = p.user_id
+            AND e.event_type <> 'purchase'
+            AND e.ts <= p.ts
+            AND e.ts >= p.ts - INTERVAL 7 DAY
+          ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS channel
+  FROM p
+), a AS (
+  SELECT COALESCE(channel, '(none)') AS channel,
+         COUNT(*) AS n_purchases
+  FROM credit GROUP BY 1
+), t AS (SELECT SUM(n_purchases) AS tot FROM a)
+SELECT a.channel, CAST(a.n_purchases AS BIGINT) AS n_purchases,
+       (1000 * CAST(a.n_purchases AS BIGINT)) // CAST(t.tot AS BIGINT)
+         AS share_milli
+FROM a CROSS JOIN t""",
+)
+def events_last_touch(sf_dir: str):
+    """Last-touch attribution: each purchase credits the user's most
+    recent non-purchase event within the 7 days before it (ties by
+    event_id) — the marketing-channel report; purchases with no
+    qualifying touch fall in '(none)'.
+
+    Per complete-user partition, one sort of the user's events and one
+    searchsorted from each purchase into the user's non-purchase
+    timeline resolves every credit vectorized — no per-purchase
+    subquery, no events×events join; the finish is types-bounded."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, partitioned_group_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    WINDOW_US = 7 * 86_400_000_000
+
+    def credits(part: pa.Table) -> pa.Table:
+        uid = np.asarray(part["user_id"].combine_chunks(), dtype=np.int64)
+        ts = np.asarray(part["ts"].combine_chunks()).astype(
+            "datetime64[us]").astype(np.int64)
+        eid = np.asarray(part["event_id"].combine_chunks(), dtype=np.int64)
+        et = np.asarray(part["event_type"].combine_chunks()).astype("U")
+        # one timeline sort: (user, ts, non-purchase-first, event_id) —
+        # at equal ts the SQL's `e.ts <= p.ts` still admits the touch,
+        # so non-purchases must order BEFORE the purchase they credit;
+        # ascending event_id puts the SQL's DESC-limit pick last
+        isp0 = (np.asarray(part["event_type"].combine_chunks())
+                .astype("U") == "purchase")
+        order = np.lexsort((eid, isp0, ts, uid))
+        uid, ts, eid, et = uid[order], ts[order], eid[order], et[order]
+        isp = et == "purchase"
+        # non-purchase timeline per user, positions in the sorted stream
+        np_idx = np.flatnonzero(~isp)
+        p_idx = np.flatnonzero(isp)
+        if len(p_idx) == 0:
+            return pa.table({"channel": pa.array([], pa.string()),
+                             "one": pa.array([], pa.int64())})
+        # for each purchase: the latest non-purchase with position <
+        # its own position+1 AND same user AND ts within the window.
+        # positions are timeline-ordered, so searchsorted on np_idx
+        # finds the latest candidate; user/window checks finish it.
+        cand = np.searchsorted(np_idx, p_idx) - 1
+        channel = np.full(len(p_idx), "(none)", dtype=object)
+        valid = cand >= 0
+        ci = np_idx[np.clip(cand, 0, None)]
+        ok = (valid & (uid[ci] == uid[p_idx])
+              & (ts[ci] >= ts[p_idx] - WINDOW_US))
+        channel[ok] = et[ci[ok]]
+        # a candidate from an earlier user's block fails the uid check
+        return pa.table({
+            "channel": pa.array(channel.tolist(), pa.string()),
+            "one": pa.array(np.ones(len(p_idx), dtype=np.int64)),
+        })
+
+    c = partitioned_group_apply(ds, ["user_id"], credits,
+                                num_partitions=8)
+    a = grouped_aggregate(c, ["channel"], [("one", "sum", "n_purchases")])
+    n = np.asarray(a["n_purchases"], dtype=np.int64)
+    tot = int(n.sum())
+    return pa.table({
+        "channel": a["channel"],
+        "n_purchases": a["n_purchases"],
+        "share_milli": pa.array(1000 * n // tot, pa.int64()),
+    })
+
+
+# --------------------------------------------------------------------------
+# Embedding-space label-noise audit (top-1 neighbor label agreement)
+# --------------------------------------------------------------------------
+
+@query(
+    "embed_nn_label_agreement",
+    """
+WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                  embedding::DOUBLE[] AS v FROM embeddings),
+nn AS (
+  SELECT a.vec_id, a.label,
+         b.label AS nb_label,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY list_cosine_similarity(a.v, b.v)
+                                     DESC, b.vec_id) AS rn
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN nb_label = label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_agree,
+       (1000 * CAST(SUM(CASE WHEN nb_label = label THEN 1 ELSE 0 END)
+                    AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+         AS agree_milli
+FROM nn WHERE rn = 1 GROUP BY label""",
+)
+def embed_nn_label_agreement(sf_dir: str):
+    """Embedding-space label-noise audit: for each vector, does its
+    single nearest neighbor carry the SAME label? Per-label agreement
+    permille — low agreement means the label is not linearly separable
+    in this embedding (mislabeled data or a collapsed encoder), the
+    go/no-go check before trusting labels as dedup buckets or
+    classifier targets.
+
+    Same streamed broadcast-matmul top-1 as `dedup_reciprocal_nn`
+    (ties to the smallest neighbor id, matching the SQL); the finish
+    is a labels-bounded aggregate. ≤100k broadcast bound documented
+    there."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+    from raylog.functions.similarity import _to_matrix
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "label", "embedding"])
+    corpus = pa.concat_tables(
+        list(ds.iter_batches(batch_format="pyarrow", batch_size=None)))
+    ids = corpus["vec_id"].to_numpy()
+    labels = np.asarray(corpus["label"], dtype=np.int64)
+    mat = _to_matrix(corpus, "embedding")
+    ref = (ray.put((ids, labels, mat)) if ray.is_initialized()
+           else (ids, labels, mat))
+
+    def agree(batch: pa.Table) -> pa.Table:
+        cids, clab, cmat = ray.get(ref) if ray.is_initialized() else ref
+        bids = np.asarray(batch["vec_id"].combine_chunks(),
+                          dtype=np.int64)
+        blab = np.asarray(batch["label"].combine_chunks(), dtype=np.int64)
+        bmat = _to_matrix(batch, "embedding")
+        sims = bmat @ cmat.T
+        sims[np.equal.outer(bids, cids)] = -np.inf
+        best = sims.max(axis=1)
+        order = np.argsort(cids, kind="mergesort")
+        ss = sims[:, order]
+        nb = order[np.argmax(ss == best[:, None], axis=1)]
+        return pa.table({
+            "label": pa.array(blab),
+            "agree": pa.array((clab[nb] == blab).astype(np.int64)),
+            "one": pa.array(np.ones(len(bids), dtype=np.int64)),
+        })
+
+    a = grouped_aggregate(
+        ds.map_batches(agree, batch_format="pyarrow", batch_size=None),
+        ["label"], [("one", "sum", "n_vecs"), ("agree", "sum", "n_agree")])
+    n = np.asarray(a["n_vecs"], dtype=np.int64)
+    g = np.asarray(a["n_agree"], dtype=np.int64)
+    return pa.table({
+        "label": a["label"],
+        "n_vecs": a["n_vecs"],
+        "n_agree": a["n_agree"],
+        "agree_milli": pa.array(1000 * g // n, pa.int64()),
+    })

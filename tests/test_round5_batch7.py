@@ -510,3 +510,52 @@ def test_basket_hist(tmp_path, ray_session):
                ["lineitem"])
     hist = dict(zip(got["n_items"], got["n_orders"]))
     assert hist == {3: 1, 1: 1, 2: 1}
+
+
+def test_last_touch_window_and_ties(tmp_path, ray_session):
+    rows = [
+        # user 1: click 3 days before purchase -> credited
+        (1, "2024-01-01 00:00", 1, "click"),
+        (2, "2024-01-04 00:00", 1, "purchase"),
+        # user 2: only touch is 8 days prior -> outside window, (none)
+        (3, "2024-01-01 00:00", 2, "view"),
+        (4, "2024-01-09 00:01", 2, "purchase"),
+        # user 3: two touches, later one wins; equal-ts touch with a
+        # LARGER event_id than the purchase still qualifies (ts <= p.ts)
+        (5, "2024-01-02 00:00", 3, "view"),
+        (9, "2024-01-03 00:00", 3, "signup"),   # same ts as purchase
+        (6, "2024-01-03 00:00", 3, "purchase"),
+        # user 4: purchase then a later event -> later event NOT credited
+        (7, "2024-01-05 00:00", 4, "purchase"),
+        (8, "2024-01-06 00:00", 4, "click"),
+    ]
+    d = _write_events(tmp_path, rows)
+    got = _cmp("events_last_touch", d, ["channel"], ["events"])
+    n = dict(zip(got["channel"], got["n_purchases"]))
+    assert n == {"click": 1, "(none)": 2, "signup": 1}
+
+
+def test_nn_label_agreement_planted_noise(tmp_path, ray_session):
+    import numpy as np
+    rng = np.random.default_rng(3)
+    # two tight clusters; one vector of label 1 planted inside cluster 0
+    a = rng.normal(0, 0.01, (10, 4)) + np.array([1, 0, 0, 0])
+    b = rng.normal(0, 0.01, (10, 4)) + np.array([0, 1, 0, 0])
+    noise = np.array([[1.0, 0.001, 0, 0]])
+    mat = np.vstack([a, b, noise]).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(list(range(21)), pa.int64()),
+        "label": pa.array([0] * 10 + [1] * 10 + [1], pa.int32()),
+        "embedding": pa.array(mat.tolist(), pa.list_(pa.float32())),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = _cmp("embed_nn_label_agreement", str(tmp_path), ["label"],
+               ["embeddings"]).set_index("label")
+    # the planted impostor sits INSIDE cluster 0, so some label-0
+    # vectors pick it as their top-1 — agreement drops below 1000
+    assert int(got.loc[0, "n_vecs"]) == 10
+    assert int(got.loc[0, "agree_milli"]) < 1000
+    # label 1: ten clean (mutual within their own cluster) + the
+    # planted one whose NN is a cluster-0 vector -> 10/11 agree
+    assert int(got.loc[1, "n_agree"]) == 10
+    assert int(got.loc[1, "agree_milli"]) == 1000 * 10 // 11
