@@ -2053,3 +2053,177 @@ def embed_nn_label_agreement(sf_dir: str):
         "n_agree": a["n_agree"],
         "agree_milli": pa.array(1000 * g // n, pa.int64()),
     })
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q4 shape: orders with late lineitems, per priority
+# --------------------------------------------------------------------------
+
+@query(
+    "orders_q4_lateness",
+    """
+WITH late AS (
+  SELECT DISTINCT l.l_orderkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+), a AS (
+  SELECT o.o_orderpriority,
+         COUNT(*) AS n_orders,
+         SUM(CASE WHEN late.l_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+           AS n_late
+  FROM orders o LEFT JOIN late ON o.o_orderkey = late.l_orderkey
+  GROUP BY 1
+)
+SELECT o_orderpriority, CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(n_late AS BIGINT) AS n_late,
+       (1000 * CAST(n_late AS BIGINT)) // CAST(n_orders AS BIGINT)
+         AS late_rate_milli
+FROM a""",
+)
+def orders_q4_lateness(sf_dir: str):
+    """Late-order rate per priority (TPC-H Q4 shape — an EXISTS
+    semi-join aggregate): an order is late when ANY of its lineitems
+    shipped more than 60 days after the order date.
+
+    The lineitem fact compresses to per-orderkey MAX(ship-day) — the
+    EXISTS collapses to one comparison per order — before the single
+    hash join against orders; the finish is priorities-bounded. No
+    DISTINCT materialization, no row-level semi-join."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+
+    def lday(b: pa.Table) -> pa.Table:
+        t = np.asarray(b["l_shipdate"].combine_chunks()).astype(
+            "datetime64[D]").astype(np.int64)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "ship_day": pa.array(t),
+        })
+
+    mx = grouped_aggregate_ds(
+        li.map_batches(lday, batch_format="pyarrow", batch_size=None),
+        ["l_orderkey"], [("ship_day", "max", "max_ship")],
+        num_partitions=8)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+
+    def oday(b: pa.Table) -> pa.Table:
+        t = np.asarray(b["o_orderdate"].combine_chunks()).astype(
+            "datetime64[D]").astype(np.int64)
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_orderpriority": b["o_orderpriority"],
+            "order_day": pa.array(t),
+        })
+
+    od = orders.map_batches(oday, batch_format="pyarrow", batch_size=None)
+    j = od.join(mx, join_type="left_outer", num_partitions=8,
+                on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def flags(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ms = pc.fill_null(pc.cast(b["max_ship"], pa.int64()),
+                          -(10**9))
+        late = (np.asarray(ms, dtype=np.int64)
+                > np.asarray(b["order_day"].combine_chunks(),
+                             dtype=np.int64) + 60)
+        return pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "late": pa.array(late.astype(np.int64)),
+            "one": pa.array(np.ones(len(late), dtype=np.int64)),
+        })
+
+    a = grouped_aggregate(
+        j.map_batches(flags, batch_format="pyarrow", batch_size=None),
+        ["o_orderpriority"], [("one", "sum", "n_orders"),
+                              ("late", "sum", "n_late")])
+    n = np.asarray(a["n_orders"], dtype=np.int64)
+    l = np.asarray(a["n_late"], dtype=np.int64)
+    return pa.table({
+        "o_orderpriority": a["o_orderpriority"],
+        "n_orders": a["n_orders"],
+        "n_late": a["n_late"],
+        "late_rate_milli": pa.array(1000 * l // n, pa.int64()),
+    })
+
+
+# --------------------------------------------------------------------------
+# Hapax legomena rate per source
+# --------------------------------------------------------------------------
+
+@query(
+    "docs_hapax_rate",
+    """
+WITH words AS (SELECT source, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+sw AS (SELECT source, w, COUNT(*) AS c FROM words GROUP BY 1, 2)
+SELECT source,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       (1000 * CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT))
+         // CAST(COUNT(*) AS BIGINT) AS hapax_milli
+FROM sw GROUP BY 1""",
+)
+def docs_hapax_rate(sf_dir: str):
+    """Hapax legomena rate per source: the fraction of word types that
+    occur exactly once — abnormally HIGH hapax rates flag OCR noise /
+    mojibake (every garble is unique), abnormally LOW ones flag
+    template mills. Rides the same (source, word) hash-partitioned
+    count as the KL/TTR audits; the finish marks c==1 rows in one
+    vectorized pass over the vocab-bounded table."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+
+    def wcounts(b: pa.Table) -> pa.Table:
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        lens = np.asarray(pc.list_value_length(split), dtype=np.int64)
+        flat = split.flatten().dictionary_encode()
+        codes = np.asarray(flat.indices, dtype=np.int64)
+        enc = b["source"].combine_chunks().dictionary_encode()
+        src = np.asarray(enc.indices, dtype=np.int64)
+        tok_src = np.repeat(src, lens)
+        nv = len(flat.dictionary)
+        packed = tok_src * nv + codes
+        up, cnt = np.unique(packed, return_counts=True)
+        return pa.table({
+            "source": enc.dictionary.take(pa.array(up // nv)),
+            "w": flat.dictionary.take(pa.array(up % nv)),
+            "c": pa.array(cnt.astype(np.int64)),
+        })
+
+    sw = grouped_aggregate_ds(
+        ds.map_batches(wcounts, batch_format="pyarrow", batch_size=None),
+        ["source", "w"], [("c", "sum", "c")])
+
+    def mark(b: pa.Table) -> pa.Table:
+        c = np.asarray(b["c"].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "source": b["source"],
+            "hap": pa.array((c == 1).astype(np.int64)),
+            "one": pa.array(np.ones(len(c), dtype=np.int64)),
+        })
+
+    a = grouped_aggregate(
+        sw.map_batches(mark, batch_format="pyarrow", batch_size=None),
+        ["source"], [("hap", "sum", "n_hapax"), ("one", "sum", "n_types")])
+    h = np.asarray(a["n_hapax"], dtype=np.int64)
+    t = np.asarray(a["n_types"], dtype=np.int64)
+    return pa.table({
+        "source": a["source"],
+        "n_hapax": a["n_hapax"],
+        "n_types": a["n_types"],
+        "hapax_milli": pa.array(1000 * h // t, pa.int64()),
+    })

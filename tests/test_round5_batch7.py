@@ -559,3 +559,49 @@ def test_nn_label_agreement_planted_noise(tmp_path, ray_session):
     # planted one whose NN is a cluster-0 vector -> 10/11 agree
     assert int(got.loc[1, "n_agree"]) == 10
     assert int(got.loc[1, "agree_milli"]) == 1000 * 10 // 11
+
+
+def test_q4_lateness_exists_semantics(tmp_path, ray_session):
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderdate": pa.array([pd.Timestamp("1995-01-01")] * 3,
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT", "1-URGENT", "2-HIGH"],
+                                    pa.string()),
+    })
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    li = pa.table({
+        # order 1: two on-time + ONE late item -> late (EXISTS, not ALL)
+        "l_orderkey": pa.array([1, 1, 1, 2, 3], pa.int64()),
+        "l_shipdate": pa.array([pd.Timestamp(x) for x in
+                                ["1995-01-10", "1995-02-01", "1995-09-01",
+                                 "1995-03-01",   # exactly 59 days: on time
+                                 "1995-03-03"]], # 61 days: late
+                               pa.timestamp("us")),
+    })
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    got = _cmp("orders_q4_lateness", str(tmp_path), ["o_orderpriority"],
+               ["orders", "lineitem"]).set_index("o_orderpriority")
+    assert int(got.loc["1-URGENT", "n_late"]) == 1   # order 1 only
+    assert int(got.loc["1-URGENT", "late_rate_milli"]) == 500
+    assert int(got.loc["2-HIGH", "n_late"]) == 1
+
+
+def test_hapax_rate_ocr_noise(tmp_path, ray_session):
+    rows = [
+        (1, "the the the cat cat dog", "clean"),   # 0 hapax of 3 types
+        (2, "xq9z jw7k vv2m pp1q", "noisy"),        # 4 hapax of 4 types
+        (3, "the dog", "mixed"),                     # 2 hapax of 2 types
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = _cmp("docs_hapax_rate", str(tmp_path), ["source"],
+               ["documents"]).set_index("source")
+    assert int(got.loc["clean", "hapax_milli"]) == 333  # only 'dog'
+    assert int(got.loc["noisy", "hapax_milli"]) == 1000
+    assert int(got.loc["clean", "n_hapax"]) == 1
