@@ -2227,3 +2227,140 @@ def docs_hapax_rate(sf_dir: str):
         "n_types": a["n_types"],
         "hapax_milli": pa.array(1000 * h // t, pa.int64()),
     })
+
+
+# --------------------------------------------------------------------------
+# DAU / trailing-WAU stickiness ratio
+# --------------------------------------------------------------------------
+
+@query(
+    "events_dau_wau_stickiness",
+    """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+days AS (SELECT DISTINCT day FROM ud),
+wau AS (
+  SELECT days.day, COUNT(DISTINCT ud.user_id) AS wau
+  FROM days JOIN ud ON ud.day BETWEEN days.day - 6 AND days.day
+  GROUP BY 1
+)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day,
+       CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+       (1000 * CAST(dau.dau AS BIGINT)) // CAST(wau.wau AS BIGINT)
+         AS stickiness_milli
+FROM dau JOIN wau ON dau.day = wau.day""",
+)
+def events_dau_wau_stickiness(sf_dir: str):
+    """DAU / trailing-7-day-WAU stickiness per day — the growth KPI
+    (how much of the weekly audience shows up daily). DAU and WAU both
+    derive from ONE distinct (user, day) aggregate: DAU is its per-day
+    count; WAU rides the interval-coverage kernel from
+    `events_trailing_actives` (each active day covers its ≤7
+    window-days inside the complete-user partition — no 7× self-join);
+    the permille ratio joins two days-bounded tables driver-side."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import (grouped_aggregate,
+                                      grouped_aggregate_ds,
+                                      partitioned_group_apply)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def days(b: pa.Table) -> pa.Table:
+        t = np.asarray(b["ts"].combine_chunks()).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"],
+            "day": pa.array(t // 86_400_000_000),
+        })
+
+    ud = grouped_aggregate_ds(
+        ds.map_batches(days, batch_format="pyarrow", batch_size=None),
+        ["user_id", "day"], [("*", "count", "c")], num_partitions=8)
+
+    dau_t = grouped_aggregate(ud, ["day"], [("*", "count", "dau")])
+
+    def coverage(part: pa.Table) -> pa.Table:
+        uid = np.asarray(part["user_id"].combine_chunks(), dtype=np.int64)
+        day = np.asarray(part["day"].combine_chunks(), dtype=np.int64)
+        cov_day = (day[:, None] + np.arange(7, dtype=np.int64)).ravel()
+        cov_uid = np.repeat(uid, 7)
+        packed = np.unique(cov_uid * (1 << 24) + cov_day)
+        return pa.table({
+            "day": pa.array(packed & ((1 << 24) - 1)),
+            "n": pa.array(np.ones(len(packed), dtype=np.int64)),
+        })
+
+    cov = partitioned_group_apply(ud, ["user_id"], coverage,
+                                  num_partitions=8)
+    wau_t = grouped_aggregate(cov, ["day"], [("n", "sum", "wau")])
+    dau = dict(zip(np.asarray(dau_t["day"], dtype=np.int64).tolist(),
+                   np.asarray(dau_t["dau"], dtype=np.int64).tolist()))
+    wau = dict(zip(np.asarray(wau_t["day"], dtype=np.int64).tolist(),
+                   np.asarray(wau_t["wau"], dtype=np.int64).tolist()))
+    obs = sorted(dau)
+    day_str = np.array(obs, dtype=np.int64).astype(
+        "datetime64[D]").astype(str)
+    return pa.table({
+        "day": pa.array(day_str.tolist(), pa.string()),
+        "dau": pa.array([dau[d] for d in obs], pa.int64()),
+        "wau": pa.array([wau[d] for d in obs], pa.int64()),
+        "stickiness_milli": pa.array(
+            [1000 * dau[d] // wau[d] for d in obs], pa.int64()),
+    })
+
+
+# --------------------------------------------------------------------------
+# Cumulative revenue curve by month
+# --------------------------------------------------------------------------
+
+@query(
+    "orders_revenue_cumulative",
+    """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+           AS revenue_cents
+  FROM orders GROUP BY 1
+)
+SELECT month, CAST(revenue_cents AS BIGINT) AS revenue_cents,
+       CAST(SUM(revenue_cents) OVER (ORDER BY month) AS BIGINT)
+         AS cum_cents
+FROM m""",
+)
+def orders_revenue_cumulative(sf_dir: str):
+    """Monthly revenue plus the running (cumulative) total — the
+    revenue-to-date curve. One months-bounded integer-cents aggregate;
+    the window cumsum runs driver-side on the tiny sorted series
+    (exact: integer addition in month order on both engines)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        price = np.asarray(b["o_totalprice"].combine_chunks(),
+                           dtype=np.float64)
+        return pa.table({
+            "month": pc.strftime(b["o_orderdate"], format="%Y-%m"),
+            "cents": pa.array(np.floor(price * 100 + 0.5).astype(np.int64)),
+        })
+
+    m = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["month"], [("cents", "sum", "revenue_cents")])
+    mo = np.asarray(m["month"]).astype("U")
+    rev = np.asarray(m["revenue_cents"], dtype=np.int64)
+    order = np.argsort(mo)
+    mo, rev = mo[order], rev[order]
+    return pa.table({
+        "month": pa.array(mo.tolist(), pa.string()),
+        "revenue_cents": pa.array(rev),
+        "cum_cents": pa.array(np.cumsum(rev)),
+    })

@@ -605,3 +605,35 @@ def test_hapax_rate_ocr_noise(tmp_path, ray_session):
     assert int(got.loc["clean", "hapax_milli"]) == 333  # only 'dog'
     assert int(got.loc["noisy", "hapax_milli"]) == 1000
     assert int(got.loc["clean", "n_hapax"]) == 1
+
+
+def test_stickiness_ratio(tmp_path, ray_session):
+    rows = [
+        # day 1: users 1,2 active; day 3: only user 1
+        (1, "2024-01-01 01:00", 1, "a"), (2, "2024-01-01 02:00", 2, "a"),
+        (3, "2024-01-03 01:00", 1, "a"),
+    ]
+    d = _write_events(tmp_path, rows)
+    got = _cmp("events_dau_wau_stickiness", d, ["day"],
+               ["events"]).set_index("day")
+    # day 1: dau=2, wau=2 -> 1000; day 3: dau=1, wau covers both -> 500
+    assert int(got.loc["2024-01-01", "stickiness_milli"]) == 1000
+    assert int(got.loc["2024-01-03", "dau"]) == 1
+    assert int(got.loc["2024-01-03", "wau"]) == 2
+    assert int(got.loc["2024-01-03", "stickiness_milli"]) == 500
+
+
+def test_revenue_cumulative_order(tmp_path, ray_session):
+    t = pa.table({
+        "o_orderdate": pa.array([pd.Timestamp(x) for x in
+                                 ["1995-02-01", "1995-01-15",
+                                  "1995-03-01", "1995-01-20"]],
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([20.0, 10.0, 40.0, 5.0], pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    got = _cmp("orders_revenue_cumulative", str(tmp_path), ["month"],
+               ["orders"]).set_index("month")
+    assert int(got.loc["1995-01", "cum_cents"]) == 1500
+    assert int(got.loc["1995-02", "cum_cents"]) == 3500
+    assert int(got.loc["1995-03", "cum_cents"]) == 7500
