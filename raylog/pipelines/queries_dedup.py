@@ -2000,9 +2000,10 @@ def dedup_reciprocal_nn(sf_dir: str):
     smallest neighbor id, matching the SQL ORDER BY); reciprocity is
     then a COUNT==2 on the canonical (min,max) pair key through the
     hash-partitioned aggregate — no self-join of the NN table, no
-    driver-side pair set. Same ≤100k broadcast bound as
-    `dedup_embed_pairs`; above it the IVF-bucketed top-1 path applies
-    (same recall trade, measured there)."""
+    driver-side pair set. Exact path only, bounded by the same ≤100k
+    corpus broadcast as `dedup_embed_pairs`' exact branch; at larger
+    corpora run pair DISCOVERY through that kernel's IVF-bucketed
+    branch instead (top-1-specific bucketing is not implemented)."""
     import numpy as np
     import ray
     import ray.data as rd

@@ -2004,8 +2004,9 @@ def embed_nn_label_agreement(sf_dir: str):
 
     Same streamed broadcast-matmul top-1 as `dedup_reciprocal_nn`
     (ties to the smallest neighbor id, matching the SQL); the finish
-    is a labels-bounded aggregate. ≤100k broadcast bound documented
-    there."""
+    is a labels-bounded aggregate. Exact path only — the ≤100k corpus
+    broadcast bound and the at-scale alternative are documented on
+    that query."""
     import numpy as np
     import pyarrow.compute as pc
     import ray
