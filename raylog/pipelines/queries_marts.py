@@ -2365,3 +2365,160 @@ def orders_revenue_cumulative(sf_dir: str):
         "revenue_cents": pa.array(rev),
         "cum_cents": pa.array(np.cumsum(rev)),
     })
+
+
+# --------------------------------------------------------------------------
+# Crawl-stationarity audit: JS(first half, second half) per source
+# --------------------------------------------------------------------------
+
+@query(
+    "corpus_source_halves_js",
+    """
+WITH med AS (SELECT source, quantile_disc(doc_id, 0.5) AS m
+             FROM documents GROUP BY 1),
+words AS (
+  SELECT d.source,
+         CASE WHEN d.doc_id <= med.m THEN 0 ELSE 1 END AS half,
+         unnest(string_split(d.text, ' ')) AS w
+  FROM documents d JOIN med USING (source)
+),
+sw AS (SELECT source, half, w, COUNT(*) AS c FROM words GROUP BY 1, 2, 3),
+st AS (SELECT source, half, SUM(c) AS n FROM sw GROUP BY 1, 2),
+p AS (SELECT sw.source, sw.half, sw.w, sw.c * 1.0 / st.n AS p
+      FROM sw JOIN st USING (source, half)),
+shared AS (
+  SELECT a.source,
+         SUM((a.p / 2) * ln(2 * a.p / (a.p + b.p))
+             + (b.p / 2) * ln(2 * b.p / (a.p + b.p))) AS js_shared,
+         SUM(a.p) AS mass_a, SUM(b.p) AS mass_b
+  FROM p a JOIN p b ON a.w = b.w AND a.source = b.source
+       AND a.half = 0 AND b.half = 1
+  GROUP BY 1
+),
+srcs AS (SELECT DISTINCT source FROM documents)
+SELECT srcs.source,
+       CAST(FLOOR(10000 * (COALESCE(s.js_shared, 0)
+            + ((1 - COALESCE(s.mass_a, 0))
+               + (1 - COALESCE(s.mass_b, 0))) / 2 * ln(2)))
+            AS BIGINT) AS js_e4
+FROM srcs LEFT JOIN shared s USING (source)""",
+)
+def corpus_source_halves_js(sf_dir: str):
+    """Crawl-stationarity audit: Jensen-Shannon divergence between each
+    source's FIRST-half and SECOND-half word distributions (halves by
+    each source's OWN exact doc_id median — crawl order within the
+    source). A drifting source (topic shift, template change, encoding
+    break mid-crawl) shows a high half-vs-half JS while stationary
+    sources sit near zero — the per-source temporal complement of
+    `corpus_source_js_matrix`.
+
+    Same one-exchange identity as the pair matrix: shared-vocab terms
+    plus ln2/2 × one-sided masses. One (source, half, word)
+    hash-partitioned count; complete-(source,word) partitions emit the
+    per-source partial terms; sources-bounded finish. Per-source
+    medians come from the distributed quantile kernel (hash-
+    partitioned histogram, complete-source finish) and broadcast as a
+    sources-bounded dict — the driver never holds the doc_id table."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import (grouped_aggregate,
+                                      grouped_aggregate_ds,
+                                      partitioned_group_apply)
+    from raylog.functions.quantile import grouped_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "text"])
+
+    q = grouped_quantiles(ds.select_columns(["source", "doc_id"]),
+                          key="source", value="doc_id", ps=[0.5],
+                          out_names=["m"], num_partitions=8)
+    med = {r.source: int(r.m) for r in q.to_pandas().itertuples()}
+
+    def wcounts(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        lens = np.asarray(pc.list_value_length(split), dtype=np.int64)
+        flat = split.flatten().dictionary_encode()
+        codes = np.asarray(flat.indices, dtype=np.int64)
+        enc = b["source"].combine_chunks().dictionary_encode()
+        src = np.asarray(enc.indices, dtype=np.int64)
+        msrc = np.array([med[s] for s in enc.dictionary.to_pylist()],
+                        dtype=np.int64)[src]
+        half = (np.asarray(b["doc_id"].combine_chunks(),
+                           dtype=np.int64) > msrc).astype(np.int64)
+        tok_key = np.repeat(src * 2 + half, lens)
+        nv = len(flat.dictionary)
+        packed = tok_key * nv + codes
+        up, cnt = np.unique(packed, return_counts=True)
+        key = up // nv
+        return pa.table({
+            "source": enc.dictionary.take(pa.array(key // 2)),
+            "half": pa.array(key % 2),
+            "w": flat.dictionary.take(pa.array(up % nv)),
+            "c": pa.array(cnt.astype(np.int64)),
+        })
+
+    sw = grouped_aggregate_ds(
+        ds.map_batches(wcounts, batch_format="pyarrow", batch_size=None),
+        ["source", "half", "w"], [("c", "sum", "c")])
+    st = grouped_aggregate(sw, ["source", "half"], [("c", "sum", "n")])
+    stp = st.to_pandas()
+    totals = {(r.source, int(r.half)): float(r.n)
+              for r in stp.itertuples()}
+    sources = sorted({r.source for r in stp.itertuples()})
+    ref = ray.put(totals) if ray.is_initialized() else totals
+
+    def terms(part: pa.Table) -> pa.Table:
+        totals_ = ray.get(ref) if ray.is_initialized() else ref
+        src = np.asarray(part["source"].combine_chunks()).astype("U")
+        half = np.asarray(part["half"].combine_chunks(), dtype=np.int64)
+        w = np.asarray(part["w"].combine_chunks()).astype("U")
+        c = np.asarray(part["c"].combine_chunks(), dtype=np.float64)
+        n = np.array([totals_[(s, int(hh))]
+                      for s, hh in zip(src, half)])
+        p = c / n
+        # pair up the two halves of each (source, word): sort and scan
+        order = np.lexsort((half, w, src))
+        src, half, w, p = src[order], half[order], w[order], p[order]
+        both = np.zeros(len(src), dtype=bool)
+        if len(src) > 1:
+            nxt = (src[:-1] == src[1:]) & (w[:-1] == w[1:])
+            both[:-1] = nxt
+        i = np.flatnonzero(both)          # half-0 rows with a half-1 twin
+        pi, pj = p[i], p[i + 1]
+        m = pi + pj
+        js = (pi / 2) * np.log(2 * pi / m) + (pj / 2) * np.log(2 * pj / m)
+        out_src, out_js, out_ma, out_mb = [], [], [], []
+        # per-source partial sums within the partition (few sources)
+        for s in np.unique(src):
+            sel = src[i] == s
+            out_src.append(s)
+            out_js.append(js[sel].sum())
+            out_ma.append(pi[sel].sum())
+            out_mb.append(pj[sel].sum())
+        return pa.table({
+            "source": pa.array(out_src, pa.string()),
+            "js": pa.array(out_js, pa.float64()),
+            "ma": pa.array(out_ma, pa.float64()),
+            "mb": pa.array(out_mb, pa.float64()),
+        })
+
+    cells = partitioned_group_apply(sw, ["source", "w"], terms,
+                                    num_partitions=8)
+    agg = grouped_aggregate(cells, ["source"],
+                            [("js", "sum", "js"), ("ma", "sum", "ma"),
+                             ("mb", "sum", "mb")])
+    got = {r.source: (r.js, r.ma, r.mb)
+           for r in agg.to_pandas().itertuples()}
+    vals = []
+    for s in sources:
+        js, ma, mb = got.get(s, (0.0, 0.0, 0.0))
+        vals.append(int(np.floor(10000 * (js + ((1 - ma) + (1 - mb)) / 2
+                                          * np.log(2)))))
+    return pa.table({
+        "source": pa.array(sources, pa.string()),
+        "js_e4": pa.array(vals, pa.int64()),
+    })

@@ -637,3 +637,31 @@ def test_revenue_cumulative_order(tmp_path, ray_session):
     assert int(got.loc["1995-01", "cum_cents"]) == 1500
     assert int(got.loc["1995-02", "cum_cents"]) == 3500
     assert int(got.loc["1995-03", "cum_cents"]) == 7500
+
+
+def test_halves_js_drift_detection(tmp_path, ray_session):
+    import math
+    # source 'drift': first half all 'a', second half all 'b' -> ln 2;
+    # source 'stable': identical halves -> 0
+    rows = [
+        (1, "a a a", "drift"), (2, "a a a", "drift"),
+        (3, "b b b", "drift"), (4, "b b b", "drift"),
+        (5, "c c d", "stable"), (6, "c c d", "stable"),
+        (7, "c c d", "stable"), (8, "c c d", "stable"),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = _cmp("corpus_source_halves_js", str(tmp_path), ["source"],
+               ["documents"]).set_index("source")
+    import math
+    # per-source median: drift splits docs {1,2} vs {3,4} -> disjoint
+    # vocabularies, maximal JS = ln 2; stable splits {5,6} vs {7,8} ->
+    # identical distributions, exactly 0
+    assert int(got.loc["drift", "js_e4"]) == int(
+        math.floor(10000 * math.log(2)))
+    assert int(got.loc["stable", "js_e4"]) == 0
