@@ -2522,3 +2522,146 @@ def corpus_source_halves_js(sf_dir: str):
         "source": pa.array(sources, pa.string()),
         "js_e4": pa.array(vals, pa.int64()),
     })
+
+
+# --------------------------------------------------------------------------
+# Exact mode (most frequent value) per group
+# --------------------------------------------------------------------------
+
+@query(
+    "lineitem_quantity_mode",
+    """
+WITH c AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY 1, 2
+), rk AS (
+  SELECT l_returnflag, qty, n,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY n DESC, qty) AS rn
+  FROM c
+)
+SELECT l_returnflag, CAST(qty AS BIGINT) AS mode_qty,
+       CAST(n AS BIGINT) AS mode_count
+FROM rk WHERE rn = 1""",
+)
+def lineitem_quantity_mode(sf_dir: str):
+    """Exact MODE per group: the most frequent order quantity per
+    return flag (ties to the smallest value — deterministic on both
+    engines). The distributed mode is the (group, value) count
+    aggregate — bounded by flags × distinct quantities — followed by
+    one argmax scan per group on the tiny table; no sort of the fact
+    stream."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "qty": pc.cast(b["l_quantity"], pa.int64()),
+        })
+
+    c = grouped_aggregate(
+        ds.map_batches(cells, batch_format="pyarrow", batch_size=None),
+        ["l_returnflag", "qty"], [("*", "count", "n")])
+    flag = np.asarray(c["l_returnflag"]).astype("U")
+    qty = np.asarray(c["qty"], dtype=np.int64)
+    n = np.asarray(c["n"], dtype=np.int64)
+    # argmax per flag with (count desc, qty asc) tie rule
+    order = np.lexsort((qty, -n, flag))
+    flag, qty, n = flag[order], qty[order], n[order]
+    first = np.ones(len(flag), dtype=bool)
+    if len(flag) > 1:
+        first[1:] = flag[1:] != flag[:-1]
+    return pa.table({
+        "l_returnflag": pa.array(flag[first].tolist(), pa.string()),
+        "mode_qty": pa.array(qty[first]),
+        "mode_count": pa.array(n[first]),
+    })
+
+
+# --------------------------------------------------------------------------
+# New-vs-returning daily user mix
+# --------------------------------------------------------------------------
+
+@query(
+    "events_new_vs_returning",
+    """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+f AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY 1)
+SELECT strftime(ud.day, '%Y-%m-%d') AS day,
+       CAST(SUM(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN ud.day > f.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_returning
+FROM ud JOIN f USING (user_id)
+GROUP BY 1""",
+)
+def events_new_vs_returning(sf_dir: str):
+    """New-vs-returning daily active mix: each day's actives split into
+    first-ever-seen users and returners — the acquisition-vs-retention
+    read of the DAU curve.
+
+    One distinct (user, day) aggregate; each complete-user partition
+    knows the user's min day locally, so the new/returning flag needs
+    NO join — a segmented min per user inside the partition classifies
+    every row; the finish is days-bounded."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import (grouped_aggregate,
+                                      grouped_aggregate_ds,
+                                      partitioned_group_apply)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def days(b: pa.Table) -> pa.Table:
+        t = np.asarray(b["ts"].combine_chunks()).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"],
+            "day": pa.array(t // 86_400_000_000),
+        })
+
+    ud = grouped_aggregate_ds(
+        ds.map_batches(days, batch_format="pyarrow", batch_size=None),
+        ["user_id", "day"], [("*", "count", "c")], num_partitions=8)
+
+    def classify(part: pa.Table) -> pa.Table:
+        uid = np.asarray(part["user_id"].combine_chunks(), dtype=np.int64)
+        day = np.asarray(part["day"].combine_chunks(), dtype=np.int64)
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        brk = np.ones(len(uid), dtype=bool)
+        if len(uid) > 1:
+            brk[1:] = uid[1:] != uid[:-1]
+        seg_start = np.flatnonzero(brk)
+        seg = np.cumsum(brk) - 1
+        is_new = np.zeros(len(uid), dtype=np.int64)
+        is_new[seg_start] = 1  # sorted: first row per user = min day
+        return pa.table({
+            "day": pa.array(day),
+            "new": pa.array(is_new),
+            "ret": pa.array(1 - is_new),
+        })
+
+    c = partitioned_group_apply(ud, ["user_id"], classify,
+                                num_partitions=8)
+    a = grouped_aggregate(c, ["day"], [("new", "sum", "n_new"),
+                                       ("ret", "sum", "n_returning")])
+    d = np.asarray(a["day"], dtype=np.int64)
+    order = np.argsort(d)
+    day_str = d[order].astype("datetime64[D]").astype(str)
+    return pa.table({
+        "day": pa.array(day_str.tolist(), pa.string()),
+        "n_new": pa.array(np.asarray(a["n_new"], dtype=np.int64)[order]),
+        "n_returning": pa.array(
+            np.asarray(a["n_returning"], dtype=np.int64)[order]),
+    })

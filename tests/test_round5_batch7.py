@@ -665,3 +665,35 @@ def test_halves_js_drift_detection(tmp_path, ray_session):
     assert int(got.loc["drift", "js_e4"]) == int(
         math.floor(10000 * math.log(2)))
     assert int(got.loc["stable", "js_e4"]) == 0
+
+
+def test_quantity_mode_tiebreak(tmp_path, ray_session):
+    li = pa.table({
+        "l_returnflag": pa.array(["N"] * 4 + ["R"] * 3, pa.string()),
+        # N: 7 and 3 both appear twice -> tie, smaller qty (3) wins
+        "l_quantity": pa.array([7.0, 3.0, 7.0, 3.0, 9.0, 9.0, 1.0],
+                               pa.float64()),
+    })
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    got = _cmp("lineitem_quantity_mode", str(tmp_path), ["l_returnflag"],
+               ["lineitem"]).set_index("l_returnflag")
+    assert int(got.loc["N", "mode_qty"]) == 3
+    assert int(got.loc["N", "mode_count"]) == 2
+    assert int(got.loc["R", "mode_qty"]) == 9
+
+
+def test_new_vs_returning_mix(tmp_path, ray_session):
+    rows = [
+        (1, "2024-01-01 01:00", 1, "a"),   # user 1 new on day 1
+        (2, "2024-01-01 02:00", 2, "a"),   # user 2 new on day 1
+        (3, "2024-01-02 01:00", 1, "a"),   # user 1 returns day 2
+        (4, "2024-01-02 02:00", 3, "a"),   # user 3 new on day 2
+        (5, "2024-01-02 03:00", 1, "a"),   # same-day repeat: no double
+    ]
+    d = _write_events(tmp_path, rows)
+    got = _cmp("events_new_vs_returning", d, ["day"],
+               ["events"]).set_index("day")
+    assert (int(got.loc["2024-01-01", "n_new"]),
+            int(got.loc["2024-01-01", "n_returning"])) == (2, 0)
+    assert (int(got.loc["2024-01-02", "n_new"]),
+            int(got.loc["2024-01-02", "n_returning"])) == (1, 1)
