@@ -2665,3 +2665,222 @@ def events_new_vs_returning(sf_dir: str):
         "n_returning": pa.array(
             np.asarray(a["n_returning"], dtype=np.int64)[order]),
     })
+
+
+# --------------------------------------------------------------------------
+# Per-source character-class composition profile
+# --------------------------------------------------------------------------
+
+@query(
+    "docs_char_class_profile",
+    """
+WITH m AS (
+  SELECT source, CAST(length(text) AS BIGINT) AS total,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+           AS digits,
+         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT)
+           AS uppers,
+         CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT)
+           AS spaces
+  FROM documents
+), s AS (
+  SELECT source, SUM(total) AS total, SUM(digits) AS digits,
+         SUM(uppers) AS uppers, SUM(spaces) AS spaces
+  FROM m GROUP BY 1
+)
+SELECT source, CAST(total AS BIGINT) AS n_chars,
+       (10000 * CAST(digits AS BIGINT)) // CAST(total AS BIGINT)
+         AS digit_e4,
+       (10000 * CAST(uppers AS BIGINT)) // CAST(total AS BIGINT)
+         AS upper_e4,
+       (10000 * CAST(spaces AS BIGINT)) // CAST(total AS BIGINT)
+         AS space_e4
+FROM s""",
+)
+def docs_char_class_profile(sf_dir: str):
+    """Character-class composition per source: digit / uppercase /
+    whitespace shares in 1e-4 units — the cheap structural screen that
+    separates prose (low digit, moderate space) from tables, code
+    dumps and shouting spam before any tokenization runs.
+
+    Class counts are one segmented bincount over the flat UTF-8
+    buffer per batch (the `char_entropy` kernel shape — zero per-row
+    Python, zero regex at runtime; the oracle's regexp_replace chain
+    restates the same classes); partials are sources-bounded."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+
+    def classes(b: pa.Table) -> pa.Table:
+        txt = b["text"].combine_chunks()
+        # flat byte buffer + per-doc offsets (ASCII fixture; multi-byte
+        # UTF-8 would need codepoint classes — documented bound)
+        buf = np.frombuffer(txt.buffers()[2] or b"", dtype=np.uint8)
+        offs = np.frombuffer(txt.buffers()[1], dtype=np.int32)[
+            txt.offset:txt.offset + len(txt) + 1]
+        doc = np.repeat(np.arange(len(txt), dtype=np.int64),
+                        np.diff(offs))
+        seg = buf[offs[0]:offs[-1]]
+        is_digit = (seg >= 48) & (seg <= 57)
+        is_upper = (seg >= 65) & (seg <= 90)
+        is_space = seg == 32
+        n = len(txt)
+        return pa.table({
+            "source": b["source"],
+            "total": pa.array(np.diff(offs).astype(np.int64)),
+            "digits": pa.array(np.bincount(doc, weights=is_digit,
+                                           minlength=n).astype(np.int64)),
+            "uppers": pa.array(np.bincount(doc, weights=is_upper,
+                                           minlength=n).astype(np.int64)),
+            "spaces": pa.array(np.bincount(doc, weights=is_space,
+                                           minlength=n).astype(np.int64)),
+        })
+
+    s = grouped_aggregate(
+        ds.map_batches(classes, batch_format="pyarrow", batch_size=None),
+        ["source"], [("total", "sum", "n_chars"),
+                     ("digits", "sum", "d"), ("uppers", "sum", "u"),
+                     ("spaces", "sum", "sp")])
+    t = np.asarray(s["n_chars"], dtype=np.int64)
+    return pa.table({
+        "source": s["source"],
+        "n_chars": s["n_chars"],
+        "digit_e4": pa.array(
+            10000 * np.asarray(s["d"], dtype=np.int64) // t, pa.int64()),
+        "upper_e4": pa.array(
+            10000 * np.asarray(s["u"], dtype=np.int64) // t, pa.int64()),
+        "space_e4": pa.array(
+            10000 * np.asarray(s["sp"], dtype=np.int64) // t, pa.int64()),
+    })
+
+
+# --------------------------------------------------------------------------
+# Max same-token run length per sequence → histogram
+# --------------------------------------------------------------------------
+
+@query(
+    "tokens_max_run_hist",
+    None,  # composed below with the recs2 prefix
+)
+def tokens_max_run_hist(sf_dir: str):
+    """Histogram of each sequence's LONGEST same-token run — the
+    degenerate-repetition screen one level below the trigram filter
+    (catches 'aaaaaa…' loops that n-gram fractions dilute on long
+    docs).
+
+    One vectorized gaps-and-islands scan over the flat token buffer:
+    run breaks where the token changes or the row changes, run lengths
+    by bincount, per-row max via `np.maximum.at`; the finish is a
+    run-lengths-bounded histogram. Map-only; zero exchange."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["tokens", "n_tok"])
+
+    def maxrun(b: pa.Table) -> pa.Table:
+        col = b["tokens"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        n_tok = np.asarray(b["n_tok"].combine_chunks(), dtype=np.int64)
+        flat = np.asarray(col.flatten(), dtype=np.int64)
+        rid = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)
+        brk = np.ones(len(flat), dtype=bool)
+        if len(flat) > 1:
+            brk[1:] = (flat[1:] != flat[:-1]) | (rid[1:] != rid[:-1])
+        run = np.cumsum(brk) - 1
+        run_len = np.bincount(run)
+        run_row = rid[brk]
+        mx = np.zeros(len(n_tok), dtype=np.int64)
+        np.maximum.at(mx, run_row, run_len)
+        keep = n_tok > 0
+        return pa.table({
+            "max_run": pa.array(mx[keep]),
+            "one": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
+        })
+
+    return grouped_aggregate(
+        ds.map_batches(maxrun, batch_format="pyarrow", batch_size=None),
+        ["max_run"], [("one", "sum", "n_seqs")])
+
+
+from raylog.pipelines.qbase import ORACLES as _OR2
+from raylog import records as _R2
+
+_OR2["tokens_max_run_hist"] = _R2.oracle_prefix() + """
+, pos AS (
+  SELECT doc_id, i, tokens[CAST(i AS INT)] AS tok
+  FROM recs2, UNNEST(generate_series(1, CAST(n_tok AS INT))) t(i)
+  WHERE n_tok > 0
+), rl AS (
+  SELECT doc_id, COUNT(*) AS len FROM (
+    SELECT doc_id, tok,
+           i - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY i)
+             AS grp
+    FROM pos
+  ) GROUP BY doc_id, tok, grp
+), mx AS (SELECT doc_id, MAX(len) AS max_run FROM rl GROUP BY 1)
+SELECT CAST(max_run AS BIGINT) AS max_run,
+       CAST(COUNT(*) AS BIGINT) AS n_seqs
+FROM mx GROUP BY 1"""
+
+
+# --------------------------------------------------------------------------
+# User lifespan (first→last active day) histogram
+# --------------------------------------------------------------------------
+
+@query(
+    "events_user_lifespan_hist",
+    """
+WITH s AS (
+  SELECT user_id,
+         CAST(MAX(CAST(ts AS DATE)) - MIN(CAST(ts AS DATE)) AS BIGINT)
+           AS lifespan_days
+  FROM events GROUP BY 1
+)
+SELECT lifespan_days, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM s GROUP BY 1""",
+)
+def events_user_lifespan_hist(sf_dir: str):
+    """User lifespan histogram: days between each user's first and last
+    activity — the churn-risk distribution (a mass at 0 days = one-shot
+    users). One hash-partitioned (min, max) aggregate per user, one
+    lifespans-bounded histogram; epoch-day arithmetic matches the SQL
+    date subtraction exactly."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def days(b: pa.Table) -> pa.Table:
+        t = np.asarray(b["ts"].combine_chunks()).astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"],
+            "day": pa.array(t // 86_400_000_000),
+        })
+
+    span = grouped_aggregate_ds(
+        ds.map_batches(days, batch_format="pyarrow", batch_size=None),
+        ["user_id"], [("day", "min", "lo"), ("day", "max", "hi")],
+        num_partitions=8)
+
+    def diff(b: pa.Table) -> pa.Table:
+        lo = np.asarray(b["lo"].combine_chunks(), dtype=np.int64)
+        hi = np.asarray(b["hi"].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "lifespan_days": pa.array(hi - lo),
+            "one": pa.array(np.ones(len(lo), dtype=np.int64)),
+        })
+
+    return grouped_aggregate(
+        span.map_batches(diff, batch_format="pyarrow", batch_size=None),
+        ["lifespan_days"], [("one", "sum", "n_users")])

@@ -697,3 +697,56 @@ def test_new_vs_returning_mix(tmp_path, ray_session):
             int(got.loc["2024-01-01", "n_returning"])) == (2, 0)
     assert (int(got.loc["2024-01-02", "n_new"]),
             int(got.loc["2024-01-02", "n_returning"])) == (1, 1)
+
+
+def test_char_class_profile(tmp_path, ray_session):
+    rows = [
+        (1, "AB 12 cd", "mix"),   # 8 chars: 2 upper, 2 digit, 2 space
+        (2, "1234567890", "mix"),  # 10 digits
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * 2, pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = _cmp("docs_char_class_profile", str(tmp_path), ["source"],
+               ["documents"]).set_index("source")
+    assert int(got.loc["mix", "n_chars"]) == 18
+    assert int(got.loc["mix", "digit_e4"]) == 10000 * 12 // 18
+    assert int(got.loc["mix", "upper_e4"]) == 10000 * 2 // 18
+    assert int(got.loc["mix", "space_e4"]) == 10000 * 2 // 18
+
+
+def test_max_run_hist_detects_loops(tmp_path, ray_session):
+    # the tokens payload derives from word LENGTHS: craft docs whose
+    # word-length sequences contain known runs
+    rows = [
+        (1, "aa aa aa b cc", "s"),    # lengths 2,2,2,1,2 -> max run 3
+        (2, "a bb a bb a", "s"),       # 1,2,1,2,1 -> max run 1
+        (3, "xxx xxx xxx xxx", "s"),   # 3,3,3,3 -> max run 4
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = _cmp("tokens_max_run_hist", str(tmp_path), ["max_run"],
+               ["documents"])
+    hist = dict(zip(got["max_run"], got["n_seqs"]))
+    assert hist == {3: 1, 1: 1, 4: 1}
+
+
+def test_user_lifespan_hist(tmp_path, ray_session):
+    rows = [
+        (1, "2024-01-01 01:00", 1, "a"), (2, "2024-01-11 01:00", 1, "a"),
+        (3, "2024-01-05 01:00", 2, "a"),   # one-shot user: 0 days
+    ]
+    d = _write_events(tmp_path, rows)
+    got = _cmp("events_user_lifespan_hist", d, ["lifespan_days"],
+               ["events"])
+    hist = dict(zip(got["lifespan_days"], got["n_users"]))
+    assert hist == {10: 1, 0: 1}
