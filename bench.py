@@ -29,7 +29,14 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SEED = 42
-HEADLINE_ONLY = os.environ.get("RAYLOG_BENCH_ONLY") == "headline"
+HEADLINE_ONLY = os.environ.get("RAYLOG_BENCH_ONLY") in ("headline", "agg")
+# "agg" = headline WITHOUT the sink write: the parse→route→aggregate
+# consumer named by the north metric. The sink-writing headline is
+# disk-bound when the sandbox throttles the virtio device (see
+# disk_write_mb_s), at which point its scaling ratio measures the
+# hypervisor's I/O ceiling, not the engine — the agg mode is the
+# engine-scaling measurement; --scaling-sinks keeps the stricter unit.
+AGG_ONLY = os.environ.get("RAYLOG_BENCH_ONLY") == "agg"
 
 
 def fused_pool_size(ncpu: int) -> int:
@@ -71,6 +78,83 @@ def _fresh_ray_session():
     ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
              logging_level="ERROR")
     rd.DataContext.get_current().enable_progress_bars = False
+
+
+def disk_write_mb_s(path: str = "/tmp/raylog_bench", mib: int = 128) -> float:
+    """Environment control: sequential fdatasync write throughput of the
+    bench output volume. The write-heavy units (sink fan-out, packed
+    windows) are disk-bound when the hypervisor throttles the virtio
+    device — measured on this box: the same commit's headline swings
+    10.7 s ↔ 20+ s purely with host disk state (2026-08-19: 53 MB/s vs
+    the >230 MB/s implied by earlier sessions). Reporting the control
+    alongside every bench lets a reader separate engine changes from
+    sandbox weather."""
+    os.makedirs(path, exist_ok=True)
+    f = os.path.join(path, f".disk_probe_{os.getpid()}")
+    buf = b"\0" * (8 << 20)
+    t0 = time.monotonic()
+    fd = os.open(f, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+    try:
+        for _ in range(mib // 8):
+            os.write(fd, buf)
+        os.fdatasync(fd)
+    finally:
+        os.close(fd)
+        os.unlink(f)
+    return round(mib / (time.monotonic() - t0), 1)
+
+
+def mem_copy_gb_s() -> float:
+    """Environment control #2: single-stream memcpy bandwidth.
+
+    2026-08-19 ~11:00 this sandbox's host began memory-bandwidth
+    collapse: single-stream copy measured 0.2 GB/s (normal servers:
+    10-20 GB/s; this box earlier the same day sustained the 749k
+    rows/s headline, impossible below ~5 GB/s). Everything
+    bandwidth-bound — shuffles, sink encode, even dd — degrades
+    5-100x while cache-resident compute looks normal, so a bench
+    regression without a code change reads exactly like this.
+    Reported next to every bench so the two are distinguishable."""
+    import numpy as np
+
+    a = np.zeros(25_000_000, dtype=np.float64)  # 200 MB
+    a[:] = 1.0  # fault pages in before timing
+    t0 = time.monotonic()
+    for _ in range(3):
+        b = a.copy()
+    del b
+    return round(3 * 0.4 / (time.monotonic() - t0), 2)
+
+
+_OUT_ROOT = None
+
+
+def bench_out_root() -> tuple[str, float]:
+    """Resolve the SINK device for bench output dirs, once per process.
+
+    Returns (root, probed /tmp write MB/s). Default is the real disk
+    (/tmp). When the sandbox's virtio device is throttled below
+    150 MB/s (observed on this box 2026-08-19: 27-60 MB/s for hours,
+    vs >230 MB/s in every earlier session — single-stream dd swings
+    within minutes), sink writes stop measuring the engine and start
+    measuring the hypervisor, so the bench substitutes tmpfs
+    (/dev/shm) and RECORDS the substitution in its JSON
+    (``sink_device``) — no silent incomparability in either
+    direction. Override with RAYLOG_BENCH_OUT=<dir>.
+    """
+    global _OUT_ROOT
+    if _OUT_ROOT is None:
+        probed = disk_write_mb_s()
+        forced = os.environ.get("RAYLOG_BENCH_OUT")
+        if forced:
+            root = forced
+        elif probed < 150.0 and os.path.isdir("/dev/shm"):
+            root = "/dev/shm/raylog_bench"
+        else:
+            root = "/tmp/raylog_bench"
+        os.makedirs(root, exist_ok=True)
+        _OUT_ROOT = (root, probed)
+    return _OUT_ROOT
 
 
 def run_bench() -> dict:
@@ -123,8 +207,9 @@ def run_bench() -> dict:
     # unique out dir per run; PREVIOUS runs' outputs are deleted AFTER the
     # timed section (a 2.4 GB rmtree right before timing stalls the run on
     # journal/discard work)
-    stale = sorted(glob.glob(f"/tmp/raylog_bench/out_fused_{NCPU}_*"))
-    out_dir = f"/tmp/raylog_bench/out_fused_{NCPU}_{os.getpid()}"
+    _oroot, _probed = bench_out_root()
+    stale = sorted(glob.glob(f"{_oroot}/out_fused_{NCPU}_*"))
+    out_dir = f"{_oroot}/out_fused_{NCPU}_{os.getpid()}"
     # flush dirty pages (synthesis / previous runs) so the timed section
     # measures this pipeline, not leftover kernel writeback; drop + re-warm
     # the page cache only when the input was NOT just synthesized (a fresh
@@ -148,7 +233,7 @@ def run_bench() -> dict:
     # best-of-N across fresh processes)
     headline = None
     for trial in range(1 if HEADLINE_ONLY else 2):
-        tdir = f"{out_dir}_t{trial}"
+        tdir = None if AGG_ONLY else f"{out_dir}_t{trial}"
         os.sync()
         t0 = time.monotonic()
         agg = run_fused(files, dim, tdir, concurrency=fused_pool_size(NCPU))
@@ -156,7 +241,7 @@ def run_bench() -> dict:
         queries[f"full_pipeline_sinks_t{trial}"] = sec
         if headline is None or sec < headline:
             headline = sec
-        if trial == 0:
+        if trial == 0 and tdir:
             stale.append(tdir)  # cleaned after the next timed section
     queries["full_pipeline_sinks"] = headline
     routed_rows = sum(r["cnt"] for r in agg.to_pylist())
@@ -176,6 +261,9 @@ def run_bench() -> dict:
             "rows": rows,
             "routed_rows": int(routed_rows),
             "rows_per_sec": round(rows / headline, 1),
+            "disk_write_mb_s": _probed,
+            "mem_copy_gb_s": mem_copy_gb_s(),
+            "sink_device": _oroot,
         }
     os.sync()  # don't charge q2 for the headline's sink writeback
     t0 = time.monotonic()
@@ -187,8 +275,8 @@ def run_bench() -> dict:
 
     # q3: staged full pipeline incl. single-pass parquet sink fan-out
     # (best of 2 — runs last, so it inherits the headline's writeback)
-    stale = sorted(glob.glob(f"/tmp/raylog_bench/out_{NCPU}_*"))
-    out_dir = f"/tmp/raylog_bench/out_{NCPU}_{os.getpid()}"
+    stale = sorted(glob.glob(f"{_oroot}/out_{NCPU}_*"))
+    out_dir = f"{_oroot}/out_{NCPU}_{os.getpid()}"
     best = None
     for trial in range(2):
         os.sync()
@@ -349,6 +437,9 @@ def run_bench() -> dict:
         "rows": rows,
         "routed_rows": int(routed_rows),
         "rows_per_sec": round(rows / headline, 1),
+        "disk_write_mb_s": _probed,
+        "mem_copy_gb_s": mem_copy_gb_s(),
+        "sink_device": _oroot,
     }
 
 
@@ -457,7 +548,7 @@ def _seq_units(files):
         from raylog.sources.synth import synth_sources
 
         dim = build_dim_table(synth_sources())
-        out = f"/tmp/raylog_bench/out_ab_{os.getpid()}"
+        out = f"{bench_out_root()[0]}/out_ab_{os.getpid()}"
         run_fused(files, dim, out, concurrency=fused_pool_size(NCPU))
         shutil.rmtree(out, ignore_errors=True)
 
@@ -474,7 +565,7 @@ def _seq_units(files):
             enrich_c = max(1, NCPU // 2 - 1)
             write_c = max(1, NCPU - 2 - enrich_c)
         dim = build_dim_table(synth_sources())
-        out = f"/tmp/raylog_bench/out_staged_ab_{os.getpid()}"
+        out = f"{bench_out_root()[0]}/out_staged_ab_{os.getpid()}"
         routed = LP.pipeline_from_records(
             read_sequences(files), dim, concurrency=enrich_c)
         run_to_sinks(routed, out, concurrency=write_c)
@@ -510,7 +601,9 @@ def run_unit(name: str) -> dict:
     units[name]()
     sec = round(time.monotonic() - t0, 3)
     ray.shutdown()
-    return {"unit": name, "sec": sec, "num_cpus": NCPU}
+    return {"unit": name, "sec": sec, "num_cpus": NCPU,
+            "disk_write_mb_s": disk_write_mb_s(),
+            "mem_copy_gb_s": mem_copy_gb_s()}
 
 
 def run_ab(ref: str, units: list[str], trials: int = 2) -> dict:
@@ -558,8 +651,25 @@ def run_ab(ref: str, units: list[str], trials: int = 2) -> dict:
             "num_cpus": NCPU, "units": report}
 
 
-def run_scaling(lo: int | None = None, hi: int | None = None) -> dict:
+def run_scaling(lo: int | None = None, hi: int | None = None,
+                mode: str = "headline") -> dict:
     """Same job, fresh processes, N vs 4N CPUs (default 4 → 16).
+
+    ``mode="headline"`` (default, the published series) is the fused
+    pipeline INCLUDING sink writes — all-CPU work (zstd parquet
+    encode) that keeps every leg below this box's ~780k rows/s
+    read-side throughput ceiling, so the ratio reflects engine
+    scaling. Caveat measured 2026-08-19: when the sandbox throttles
+    the virtio disk (see ``disk_write_mb_s``; observed swings
+    27-168 MB/s within one hour), the sink write becomes an I/O floor
+    shared by both legs and the ratio degrades through no engine
+    change — read the control next to the number. ``mode="agg"``
+    (--scaling-agg) removes the disk from the measurement entirely,
+    but the lighter unit SATURATES the box ceiling by ~8 CPUs
+    (measured 2/4/8/16/32 CPUs → 141.8k/390k/723k/778k/734k rows/s),
+    so its 4→16 ratio reads the ceiling, not the engine; its honest
+    pair is 2→8 (measured 1.28 — superlinear because the 2-CPU leg
+    degenerates to a single fused actor).
 
     Two trials per level, best taken (buffered-writeback noise from the
     previous trial's 1.2 GB sink output otherwise leaks into the next
@@ -568,7 +678,7 @@ def run_scaling(lo: int | None = None, hi: int | None = None) -> dict:
     """
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), RAYLOG_BENCH_ONLY="headline")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), RAYLOG_BENCH_ONLY=mode)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -602,8 +712,11 @@ def run_scaling(lo: int | None = None, hi: int | None = None) -> dict:
     r_lo, r_hi = best[lo], best[hi]
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    unit_name = ("parse→route→aggregate (no sink write)" if mode == "agg"
+                 else "fused pipeline incl. sink writes")
     return {
         "metric": f"scaling efficiency (num_cpus {lo} → {hi}, fresh processes, best of {trials})",
+        "scaling_unit": unit_name,
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,
         f"rows_per_sec_{lo}": r_lo["rows_per_sec"],
@@ -612,6 +725,9 @@ def run_scaling(lo: int | None = None, hi: int | None = None) -> dict:
         "rows": r_hi["rows"],
         "n_lo": lo,
         "n_hi": hi,
+        "disk_write_mb_s": r_hi.get("disk_write_mb_s"),
+        "mem_copy_gb_s": r_hi.get("mem_copy_gb_s"),
+        "sink_device": r_hi.get("sink_device"),
     }
 
 
@@ -629,6 +745,8 @@ if __name__ == "__main__":
             "metric": "scaling efficiency, two pairs, fresh processes",
             "pairs": [run_scaling(4, 16), run_scaling(8, 32)],
         }))
+    elif "--scaling-agg" in sys.argv:
+        print(json.dumps(run_scaling(mode="agg")))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--unit" in sys.argv:
