@@ -2884,3 +2884,136 @@ def events_user_lifespan_hist(sf_dir: str):
     return grouped_aggregate(
         span.map_batches(diff, batch_format="pyarrow", batch_size=None),
         ["lifespan_days"], [("one", "sum", "n_users")])
+
+
+# --------------------------------------------------------------------------
+# CUBE aggregate (all grouping sets from one finest pass)
+# --------------------------------------------------------------------------
+
+@query(
+    "orders_cube",
+    """
+WITH c AS (
+  SELECT o_orderpriority,
+         CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS year,
+         COUNT(*) AS n_orders,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+           AS revenue_cents
+  FROM orders GROUP BY CUBE (o_orderpriority, year)
+)
+SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       COALESCE(year, -1) AS year,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(revenue_cents AS BIGINT) AS revenue_cents
+FROM c""",
+)
+def orders_cube(sf_dir: str):
+    """CUBE over (priority, year): all four grouping sets — the OLAP
+    subtotal lattice — derived from ONE finest-level distributed
+    aggregate. The corpus is scanned once; every coarser set is
+    integer re-aggregation of the priorities×years-bounded cells
+    ('ALL' / -1 stand in for the CUBE's NULL grouping keys so the
+    value compare is null-free)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderpriority", "o_orderdate",
+                                  "o_totalprice"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        price = np.asarray(b["o_totalprice"].combine_chunks(),
+                           dtype=np.float64)
+        return pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "year": pc.cast(pc.strftime(b["o_orderdate"], format="%Y"),
+                            pa.int64()),
+            "cents": pa.array(np.floor(price * 100 + 0.5).astype(np.int64)),
+        })
+
+    fin = grouped_aggregate(
+        ds.map_batches(cells, batch_format="pyarrow", batch_size=None),
+        ["o_orderpriority", "year"],
+        [("*", "count", "n"), ("cents", "sum", "rev")]).to_pandas()
+    rows = []
+    for pr, yr, n, rv in zip(fin["o_orderpriority"], fin["year"],
+                             fin["n"], fin["rev"]):
+        rows.append((pr, int(yr), int(n), int(rv)))
+    out = {}
+    for pr, yr, n, rv in rows:
+        for key in ((pr, yr), (pr, -1), ("ALL", yr), ("ALL", -1)):
+            a = out.setdefault(key, [0, 0])
+            a[0] += n
+            a[1] += rv
+    keys = sorted(out)
+    return pa.table({
+        "o_orderpriority": pa.array([k[0] for k in keys], pa.string()),
+        "year": pa.array([k[1] for k in keys], pa.int64()),
+        "n_orders": pa.array([out[k][0] for k in keys], pa.int64()),
+        "revenue_cents": pa.array([out[k][1] for k in keys], pa.int64()),
+    })
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-point median of the daily series
+# --------------------------------------------------------------------------
+
+@query(
+    "events_rolling_median_7d",
+    """
+WITH c AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, CAST(n AS BIGINT) AS n,
+       CAST(FLOOR(1000 * median(n) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS BIGINT)
+         AS med7_milli
+FROM c""",
+)
+def events_rolling_median_7d(sf_dir: str):
+    """Rolling 7-point median of the per-type daily count series — the
+    outlier-immune smoother ops dashboards pair with the EWMA (one
+    1000× spike day moves the mean for a week, the median not at
+    all). One (type, day) count pass; the order-statistics window runs
+    on the cells-bounded series (median of ≤7 ints is integer or
+    half-integer — exact in milli on both engines)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def day(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+        })
+
+    c = grouped_aggregate(
+        ds.map_batches(day, batch_format="pyarrow", batch_size=None),
+        ["event_type", "day"], [("*", "count", "n")]).to_pandas()
+    c = c.sort_values(["event_type", "day"])
+    out_et, out_day, out_n, out_med = [], [], [], []
+    for et, g in c.groupby("event_type", sort=True):
+        n = g["n"].to_numpy(dtype=np.int64)
+        for i in range(len(n)):
+            w = n[max(0, i - 6):i + 1]
+            out_et.append(et)
+            out_day.append(g["day"].iloc[i])
+            out_n.append(int(n[i]))
+            out_med.append(int(np.floor(1000 * np.median(w))))
+    return pa.table({
+        "event_type": pa.array(out_et, pa.string()),
+        "day": pa.array(out_day, pa.string()),
+        "n": pa.array(out_n, pa.int64()),
+        "med7_milli": pa.array(out_med, pa.int64()),
+    })

@@ -750,3 +750,44 @@ def test_user_lifespan_hist(tmp_path, ray_session):
                ["events"])
     hist = dict(zip(got["lifespan_days"], got["n_users"]))
     assert hist == {10: 1, 0: 1}
+
+
+def test_cube_subtotals_consistent(tmp_path, ray_session):
+    t = pa.table({
+        "o_orderpriority": pa.array(["1-URGENT", "2-HIGH", "1-URGENT"],
+                                    pa.string()),
+        "o_orderdate": pa.array([pd.Timestamp(x) for x in
+                                 ["1995-01-01", "1995-06-01",
+                                  "1996-01-01"]], pa.timestamp("us")),
+        "o_totalprice": pa.array([10.0, 20.0, 40.0], pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    got = _cmp("orders_cube", str(tmp_path),
+               ["o_orderpriority", "year"], ["orders"])
+    cells = {(p, y): (n, r) for p, y, n, r in
+             zip(got["o_orderpriority"], got["year"],
+                 got["n_orders"], got["revenue_cents"])}
+    assert cells[("ALL", -1)] == (3, 7000)            # grand total
+    assert cells[("1-URGENT", -1)] == (2, 5000)       # priority subtotal
+    assert cells[("ALL", 1995)] == (2, 3000)          # year subtotal
+    assert cells[("1-URGENT", 1996)] == (1, 4000)     # finest cell
+    assert len(cells) == 3 + 2 + 2 + 1   # finest + margins + grand
+
+
+def test_rolling_median_resists_spike(tmp_path, ray_session):
+    rows = []
+    eid = 0
+    # 8 days of exactly 2 events, one 50-event spike on day 5
+    for d in range(1, 9):
+        cnt = 50 if d == 5 else 2
+        for _ in range(cnt):
+            eid += 1
+            rows.append((eid, f"2024-01-{d:02d} 03:00", eid, "a"))
+    d = _write_events(tmp_path, rows)
+    got = _cmp("events_rolling_median_7d", d, ["event_type", "day"],
+               ["events"]).set_index("day")
+    # the spike day's own median stays 2 (window 1-5: 2,2,2,2,50)
+    assert int(got.loc["2024-01-05", "med7_milli"]) == 2000
+    assert int(got.loc["2024-01-05", "n"]) == 50
+    # two-day window at the series head: median of (2, 2)
+    assert int(got.loc["2024-01-02", "med7_milli"]) == 2000
