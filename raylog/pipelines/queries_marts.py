@@ -3017,3 +3017,190 @@ def events_rolling_median_7d(sf_dir: str):
         "n": pa.array(out_n, pa.int64()),
         "med7_milli": pa.array(out_med, pa.int64()),
     })
+
+
+# --------------------------------------------------------------------------
+# Token-weighted median document length (weighted quantile)
+# --------------------------------------------------------------------------
+
+@query(
+    "tokens_weighted_median_len",
+    None,  # composed below with the recs2 prefix
+)
+def tokens_weighted_median_len(sf_dir: str):
+    """Token-WEIGHTED median sequence length: the length of the
+    sequence holding the median TOKEN (plus the plain median for
+    contrast). Packing and window planning budget by token mass, and
+    on a long-tailed corpus the two medians diverge wildly — doc-count
+    medians say 'most docs are short', the weighted median says where
+    the training tokens actually live.
+
+    One (n_tok, count, token-mass) histogram — bounded by distinct
+    lengths — then both quantiles read off the broadcast cumulative
+    sums. The rank rule is ceil(half of total) on both engines."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["n_tok"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["n_tok"].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "n_tok": pa.array(n),
+            "one": pa.array(np.ones(len(n), dtype=np.int64)),
+            "mass": pa.array(n),
+        })
+
+    h = grouped_aggregate(
+        ds.map_batches(cells, batch_format="pyarrow", batch_size=None),
+        ["n_tok"], [("one", "sum", "docs"), ("mass", "sum", "mass")])
+    ln = np.asarray(h["n_tok"], dtype=np.int64)
+    docs = np.asarray(h["docs"], dtype=np.int64)
+    mass = np.asarray(h["mass"], dtype=np.int64)
+    order = np.argsort(ln)
+    ln, docs, mass = ln[order], docs[order], mass[order]
+    cd, cm = np.cumsum(docs), np.cumsum(mass)
+
+    def q(cum, target):
+        return int(ln[np.searchsorted(cum, target, side="left")])
+
+    n_docs, n_mass = int(cd[-1]), int(cm[-1])
+    return pa.table({
+        "median_len": pa.array([q(cd, (n_docs + 1) // 2)], pa.int64()),
+        "weighted_median_len": pa.array(
+            [q(cm, (n_mass + 1) // 2)], pa.int64()),
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "total_tokens": pa.array([n_mass], pa.int64()),
+    })
+
+
+from raylog.pipelines.qbase import ORACLES as _OR3
+from raylog import records as _R3
+
+_OR3["tokens_weighted_median_len"] = _R3.oracle_prefix() + """
+, h AS (
+  SELECT n_tok, COUNT(*) AS docs, SUM(n_tok) AS mass FROM recs2
+  GROUP BY 1
+), c AS (
+  SELECT n_tok,
+         SUM(docs) OVER (ORDER BY n_tok) AS cd,
+         SUM(mass) OVER (ORDER BY n_tok) AS cm
+  FROM h
+), t AS (SELECT SUM(docs) AS nd, SUM(mass) AS nm FROM h)
+SELECT
+  CAST((SELECT MIN(n_tok) FROM c, t WHERE c.cd >= (t.nd + 1) // 2)
+       AS BIGINT) AS median_len,
+  CAST((SELECT MIN(n_tok) FROM c, t WHERE c.cm >= (t.nm + 1) // 2)
+       AS BIGINT) AS weighted_median_len,
+  CAST(t.nd AS BIGINT) AS n_docs,
+  CAST(t.nm AS BIGINT) AS total_tokens
+FROM t"""
+
+
+# --------------------------------------------------------------------------
+# Event-type composition by user-activity decile
+# --------------------------------------------------------------------------
+
+@query(
+    "events_type_share_by_user_decile",
+    """
+WITH uc AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+), ut AS (
+  SELECT user_id, SUM(n) AS total FROM uc GROUP BY 1
+), th AS (
+  SELECT quantile_disc(total, 0.5) AS t_lo,
+         quantile_disc(total, 0.9) AS t_hi
+  FROM ut
+), cls AS (
+  SELECT ut.user_id,
+         CASE WHEN ut.total > th.t_hi THEN 'heavy'
+              WHEN ut.total > th.t_lo THEN 'mid'
+              ELSE 'light' END AS band
+  FROM ut CROSS JOIN th
+), m AS (
+  SELECT cls.band, uc.event_type, SUM(uc.n) AS n
+  FROM uc JOIN cls USING (user_id) GROUP BY 1, 2
+), bt AS (SELECT band, SUM(n) AS tot FROM m GROUP BY 1)
+SELECT m.band, m.event_type, CAST(m.n AS BIGINT) AS n,
+       (1000 * CAST(m.n AS BIGINT)) // CAST(bt.tot AS BIGINT)
+         AS share_milli
+FROM m JOIN bt USING (band)""",
+)
+def events_type_share_by_user_decile(sf_dir: str):
+    """Event-type mix by user-activity band (light / mid / heavy at the
+    exact p50/p90 activity cuts): do power users DO different things,
+    or just more of the same — the segmentation behind every
+    engagement-loop decision.
+
+    One (user, type) count aggregate is the only corpus pass; per-user
+    totals, the exact quantile cuts (distributed histogram kernel) and
+    the band classification all derive from that users×types-bounded
+    table — the classification happens INSIDE complete-user partitions
+    against broadcast thresholds, so no join back to the corpus."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import (grouped_aggregate,
+                                      grouped_aggregate_ds,
+                                      partitioned_group_apply)
+    from raylog.functions.quantile import grouped_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    uc = grouped_aggregate_ds(ds, ["user_id", "event_type"],
+                              [("user_id", "count", "n")],
+                              num_partitions=8)
+    ut = grouped_aggregate_ds(uc, ["user_id"], [("n", "sum", "total")],
+                              num_partitions=8)
+
+    def addk(b: pa.Table) -> pa.Table:
+        return b.append_column("k", pa.array(np.zeros(b.num_rows,
+                                                      dtype=np.int64)))
+
+    q = grouped_quantiles(
+        ut.map_batches(addk, batch_format="pyarrow", batch_size=None),
+        key="k", value="total", ps=[0.5, 0.9],
+        out_names=["t_lo", "t_hi"], num_partitions=2).to_pandas()
+    t_lo, t_hi = int(q["t_lo"].iloc[0]), int(q["t_hi"].iloc[0])
+    ref = (ray.put((t_lo, t_hi)) if ray.is_initialized()
+           else (t_lo, t_hi))
+
+    def classify(part: pa.Table) -> pa.Table:
+        lo, hi = ray.get(ref) if ray.is_initialized() else ref
+        uid = np.asarray(part["user_id"].combine_chunks(), dtype=np.int64)
+        et = np.asarray(part["event_type"].combine_chunks()).astype("U")
+        n = np.asarray(part["n"].combine_chunks(), dtype=np.int64)
+        order = np.argsort(uid, kind="mergesort")
+        uid, et, n = uid[order], et[order], n[order]
+        brk = np.ones(len(uid), dtype=bool)
+        if len(uid) > 1:
+            brk[1:] = uid[1:] != uid[:-1]
+        seg = np.cumsum(brk) - 1
+        totals = np.bincount(seg, weights=n).astype(np.int64)[seg]
+        band = np.where(totals > hi, "heavy",
+                        np.where(totals > lo, "mid", "light"))
+        return pa.table({
+            "band": pa.array(band.tolist(), pa.string()),
+            "event_type": pa.array(et.tolist(), pa.string()),
+            "n": pa.array(n),
+        })
+
+    m = partitioned_group_apply(uc, ["user_id"], classify,
+                                num_partitions=8)
+    agg = grouped_aggregate(m, ["band", "event_type"],
+                            [("n", "sum", "n")]).to_pandas()
+    bt = agg.groupby("band")["n"].sum().to_dict()
+    agg = agg.sort_values(["band", "event_type"])
+    return pa.table({
+        "band": pa.array(agg["band"].tolist(), pa.string()),
+        "event_type": pa.array(agg["event_type"].tolist(), pa.string()),
+        "n": pa.array(agg["n"].astype(np.int64).to_numpy()),
+        "share_milli": pa.array(
+            [1000 * int(n) // int(bt[b])
+             for b, n in zip(agg["band"], agg["n"])], pa.int64()),
+    })

@@ -791,3 +791,43 @@ def test_rolling_median_resists_spike(tmp_path, ray_session):
     assert int(got.loc["2024-01-05", "n"]) == 50
     # two-day window at the series head: median of (2, 2)
     assert int(got.loc["2024-01-02", "med7_milli"]) == 2000
+
+
+def test_weighted_median_diverges_on_long_tail(tmp_path, ray_session):
+    # nine 1-word docs + one 100-word doc: doc-median length is tiny,
+    # but most TOKENS live in the long doc
+    rows = [(i, "w", "s") for i in range(1, 10)]
+    rows.append((10, " ".join(["w"] * 100), "s"))
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = _cmp("tokens_weighted_median_len", str(tmp_path),
+               ["median_len"], ["documents"])
+    assert int(got.loc[0, "median_len"]) == 1
+    assert int(got.loc[0, "weighted_median_len"]) == 100
+    assert int(got.loc[0, "total_tokens"]) == 9 + 100
+
+
+def test_type_share_by_decile_bands(tmp_path, ray_session):
+    rows = []
+    eid = 0
+    # 10 light users: 1 click each; 1 heavy user: 30 purchases
+    for u in range(1, 11):
+        eid += 1
+        rows.append((eid, "2024-01-01 01:00", u, "click"))
+    for _ in range(30):
+        eid += 1
+        rows.append((eid, "2024-01-02 01:00", 99, "purchase"))
+    d = _write_events(tmp_path, rows)
+    got = _cmp("events_type_share_by_user_decile", d,
+               ["band", "event_type"], ["events"])
+    cells = {(b, e): (n, s) for b, e, n, s in
+             zip(got["band"], got["event_type"], got["n"],
+                 got["share_milli"])}
+    # heavy band = the one user above the p90 cut, all purchases
+    assert cells[("heavy", "purchase")] == (30, 1000)
+    assert cells[("light", "click")][1] == 1000
