@@ -3204,3 +3204,190 @@ def events_type_share_by_user_decile(sf_dir: str):
             [1000 * int(n) // int(bt[b])
              for b, n in zip(agg["band"], agg["n"])], pa.int64()),
     })
+
+
+# --------------------------------------------------------------------------
+# Distinct-user overlap (Jaccard) between event-type pairs
+# --------------------------------------------------------------------------
+
+@query(
+    "events_type_user_overlap",
+    """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+tc AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id
+       AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, CAST(p.n_both AS BIGINT) AS n_both,
+       (1000 * CAST(p.n_both AS BIGINT))
+         // CAST(x.n + y.n - p.n_both AS BIGINT) AS jaccard_milli
+FROM pairs p JOIN tc x ON p.type_a = x.event_type
+     JOIN tc y ON p.type_b = y.event_type""",
+)
+def events_type_user_overlap(sf_dir: str):
+    """Feature co-usage matrix: distinct-user Jaccard overlap between
+    every pair of event types (do clickers also purchase?) — the
+    product-analytics artifact behind cross-sell and funnel-order
+    decisions.
+
+    One distinct (user, type) aggregate; pair intersections expand
+    INSIDE complete-user partitions (≤ types²/2 rows per user, the
+    basket-pair kernel shape), so the exchange is pair-compressed
+    partials; per-type distinct counts ride the same table; the
+    Jaccard finish is types²-bounded."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import (grouped_aggregate,
+                                      grouped_aggregate_ds,
+                                      partitioned_group_apply)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    ut = grouped_aggregate_ds(ds, ["user_id", "event_type"],
+                              [("user_id", "count", "c")],
+                              num_partitions=8)
+
+    def pairs(part: pa.Table) -> pa.Table:
+        uid = np.asarray(part["user_id"].combine_chunks(), dtype=np.int64)
+        et = np.asarray(part["event_type"].combine_chunks()).astype("U")
+        order = np.lexsort((et, uid))
+        uid, et = uid[order], et[order]
+        brk = np.ones(len(uid), dtype=bool)
+        if len(uid) > 1:
+            brk[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(uid))
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):  # ≤types entries per user
+            k = e - s
+            if k < 2:
+                continue
+            iu, ju = np.triu_indices(k, 1)
+            out_a.append(et[s:e][iu])
+            out_b.append(et[s:e][ju])
+        if not out_a:
+            return pa.table({"type_a": pa.array([], pa.string()),
+                             "type_b": pa.array([], pa.string()),
+                             "one": pa.array([], pa.int64())})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        return pa.table({
+            "type_a": pa.array(a.tolist(), pa.string()),
+            "type_b": pa.array(b.tolist(), pa.string()),
+            "one": pa.array(np.ones(len(a), dtype=np.int64)),
+        })
+
+    inter = grouped_aggregate(
+        partitioned_group_apply(ut, ["user_id"], pairs,
+                                num_partitions=8),
+        ["type_a", "type_b"], [("one", "sum", "n_both")])
+    tc = grouped_aggregate(ut, ["event_type"], [("*", "count", "n")])
+    counts = dict(zip(np.asarray(tc["event_type"]).astype("U").tolist(),
+                      np.asarray(tc["n"], dtype=np.int64).tolist()))
+    ta = np.asarray(inter["type_a"]).astype("U")
+    tb = np.asarray(inter["type_b"]).astype("U")
+    nb = np.asarray(inter["n_both"], dtype=np.int64)
+    jac = [1000 * int(n) // (counts[a] + counts[b] - int(n))
+           for a, b, n in zip(ta, tb, nb)]
+    return pa.table({
+        "type_a": pa.array(ta.tolist(), pa.string()),
+        "type_b": pa.array(tb.tolist(), pa.string()),
+        "n_both": pa.array(nb),
+        "jaccard_milli": pa.array(jac, pa.int64()),
+    })
+
+
+# --------------------------------------------------------------------------
+# Character-bigram conditional entropy per source (mojibake detector)
+# --------------------------------------------------------------------------
+
+@query(
+    "docs_char_bigram_entropy",
+    """
+WITH pairs AS (
+  SELECT source, substr(text, CAST(i AS INT), 1) AS a,
+         substr(text, CAST(i AS INT) + 1, 1) AS b
+  FROM documents, UNNEST(generate_series(1, length(text) - 1)) t(i)
+  WHERE length(text) >= 2
+), c AS (
+  SELECT source, a, b, COUNT(*) AS n FROM pairs GROUP BY 1, 2, 3
+), t AS (SELECT source, SUM(n) AS tot FROM c GROUP BY 1),
+am AS (SELECT source, a, SUM(n) AS na FROM c GROUP BY 1, 2)
+SELECT c.source,
+       CAST(FLOOR(1000 * SUM((c.n * 1.0 / t.tot)
+            * ln((am.na * 1.0) / c.n)) / ln(2)) AS BIGINT)
+         AS h_cond_millibits,
+       CAST(t.tot AS BIGINT) AS n_bigrams
+FROM c JOIN t USING (source) JOIN am USING (source, a)
+GROUP BY 1, t.tot""",
+)
+def docs_char_bigram_entropy(sf_dir: str):
+    """Character-level conditional entropy H(next char | char) per
+    source, in millibits — natural text sits in a narrow band (~3-4
+    bits); mojibake / base64 blobs shoot high, template mills sit
+    low. The encoding-health companion to `docs_char_entropy`.
+
+    Per batch, ONE vectorized pass over the flat byte buffer builds
+    (source, a·256+b) pair counts with doc boundaries masked (no
+    per-row Python, no string ops); the exchange is the
+    sources×256²-bounded count combine and the entropy finish runs on
+    that bounded table. ASCII-fixture bound documented (byte == char
+    for the synthetic corpus, like `docs_char_class_profile`)."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+
+    def pair_counts(b: pa.Table) -> pa.Table:
+        txt = b["text"].combine_chunks()
+        buf = np.frombuffer(txt.buffers()[2] or b"", dtype=np.uint8)
+        offs = np.frombuffer(txt.buffers()[1], dtype=np.int32)[
+            txt.offset:txt.offset + len(txt) + 1]
+        lens = np.diff(offs).astype(np.int64)
+        seg = buf[offs[0]:offs[-1]].astype(np.int64)
+        doc = np.repeat(np.arange(len(txt), dtype=np.int64), lens)
+        enc = b["source"].combine_chunks().dictionary_encode()
+        src = np.asarray(enc.indices, dtype=np.int64)
+        if len(seg) < 2:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "ab": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        same_doc = doc[1:] == doc[:-1]
+        pair = (seg[:-1] * 256 + seg[1:])[same_doc]
+        psrc = src[doc[:-1][same_doc]]
+        packed = psrc * 65536 + pair
+        up, cnt = np.unique(packed, return_counts=True)
+        return pa.table({
+            "source": enc.dictionary.take(pa.array(up // 65536)),
+            "ab": pa.array(up % 65536),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    c = grouped_aggregate_ds(
+        ds.map_batches(pair_counts, batch_format="pyarrow",
+                       batch_size=None),
+        ["source", "ab"], [("n", "sum", "n")], num_partitions=8
+    ).to_pandas()
+    rows = []
+    for s, g in c.groupby("source", sort=True):
+        n = g["n"].to_numpy(dtype=np.float64)
+        ab = g["ab"].to_numpy(dtype=np.int64)
+        tot = n.sum()
+        na = np.zeros(256)
+        np.add.at(na, ab // 256, n)
+        h = float(((n / tot) * np.log(na[ab // 256] / n)).sum()
+                  / np.log(2))
+        rows.append((s, int(np.floor(1000 * h)), int(tot)))
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "h_cond_millibits": pa.array([r[1] for r in rows], pa.int64()),
+        "n_bigrams": pa.array([r[2] for r in rows], pa.int64()),
+    })

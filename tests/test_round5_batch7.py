@@ -831,3 +831,43 @@ def test_type_share_by_decile_bands(tmp_path, ray_session):
     # heavy band = the one user above the p90 cut, all purchases
     assert cells[("heavy", "purchase")] == (30, 1000)
     assert cells[("light", "click")][1] == 1000
+
+
+def test_type_user_overlap_jaccard(tmp_path, ray_session):
+    rows = [
+        # users 1,2: click+purchase; user 3: click only; user 4: view
+        (1, "2024-01-01", 1, "click"), (2, "2024-01-01", 1, "purchase"),
+        (3, "2024-01-01", 2, "click"), (4, "2024-01-01", 2, "purchase"),
+        (5, "2024-01-01", 3, "click"),
+        (6, "2024-01-01", 4, "view"),
+        (7, "2024-01-02", 1, "click"),   # repeat: distinct dedups
+    ]
+    d = _write_events(tmp_path, rows)
+    got = _cmp("events_type_user_overlap", d, ["type_a", "type_b"],
+               ["events"])
+    cells = {(a, b): (n, j) for a, b, n, j in
+             zip(got["type_a"], got["type_b"], got["n_both"],
+                 got["jaccard_milli"])}
+    # click ∩ purchase = {1,2}; union = {1,2,3} -> 2/3
+    assert cells[("click", "purchase")] == (2, 666)
+    assert ("click", "view") not in cells   # no co-user, no row
+
+
+def test_char_bigram_entropy_bounds(tmp_path, ray_session):
+    rows = [
+        (1, "abababababab", "deterministic"),  # H(next|char) = 0
+        (2, "aaabbbcccddd", "blocky"),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * 2, pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = _cmp("docs_char_bigram_entropy", str(tmp_path), ["source"],
+               ["documents"]).set_index("source")
+    # a->b always, b->a always: zero conditional entropy
+    assert int(got.loc["deterministic", "h_cond_millibits"]) == 0
+    assert int(got.loc["deterministic", "n_bigrams"]) == 11
+    assert int(got.loc["blocky", "h_cond_millibits"]) > 0
