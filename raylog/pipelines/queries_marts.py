@@ -3391,3 +3391,117 @@ def docs_char_bigram_entropy(sf_dir: str):
         "h_cond_millibits": pa.array([r[1] for r in rows], pa.int64()),
         "n_bigrams": pa.array([r[2] for r in rows], pa.int64()),
     })
+
+
+# --------------------------------------------------------------------------
+# Truncation-waste planning table (token mass kept at each max_len)
+# --------------------------------------------------------------------------
+
+@query(
+    "tokens_truncation_waste",
+    None,  # composed below with the recs2 prefix
+)
+def tokens_truncation_waste(sf_dir: str):
+    """Token mass retained when truncating every sequence at max_len ∈
+    {32, 64, 128, 256}: the one-table answer to 'what context length
+    wastes the least data' asked before every packing run (the
+    complement of `tokens_length_mass`, which buckets by doc length).
+
+    One (n_tok, count) histogram — bounded by distinct lengths — and
+    all four budget rows are integer arithmetic over the broadcast
+    cumulative sums; the corpus streams once."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["n_tok"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["n_tok"].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "n_tok": pa.array(n),
+            "one": pa.array(np.ones(len(n), dtype=np.int64)),
+        })
+
+    h = grouped_aggregate(
+        ds.map_batches(cells, batch_format="pyarrow", batch_size=None),
+        ["n_tok"], [("one", "sum", "docs")])
+    ln = np.asarray(h["n_tok"], dtype=np.int64)
+    docs = np.asarray(h["docs"], dtype=np.int64)
+    total = int((ln * docs).sum())
+    rows = []
+    for L in (32, 64, 128, 256):
+        kept = int((np.minimum(ln, L) * docs).sum())
+        n_trunc = int(docs[ln > L].sum())
+        rows.append((L, kept, 10000 * kept // total, n_trunc))
+    return pa.table({
+        "max_len": pa.array([r[0] for r in rows], pa.int64()),
+        "tokens_kept": pa.array([r[1] for r in rows], pa.int64()),
+        "kept_share_e4": pa.array([r[2] for r in rows], pa.int64()),
+        "n_truncated_docs": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+from raylog.pipelines.qbase import ORACLES as _OR4
+from raylog import records as _R4
+
+_OR4["tokens_truncation_waste"] = _R4.oracle_prefix() + """
+, L AS (SELECT unnest([32, 64, 128, 256]) AS max_len),
+t AS (SELECT SUM(n_tok) AS total FROM recs2)
+SELECT CAST(L.max_len AS BIGINT) AS max_len,
+       CAST(SUM(LEAST(n_tok, L.max_len)) AS BIGINT) AS tokens_kept,
+       (10000 * CAST(SUM(LEAST(n_tok, L.max_len)) AS BIGINT))
+         // CAST(t.total AS BIGINT) AS kept_share_e4,
+       CAST(SUM(CASE WHEN n_tok > L.max_len THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_truncated_docs
+FROM recs2 CROSS JOIN L CROSS JOIN t
+GROUP BY 1, t.total"""
+
+
+# --------------------------------------------------------------------------
+# Intrinsic-dimension proxy of the embedding space (participation ratio)
+# --------------------------------------------------------------------------
+
+@query(
+    "embed_intrinsic_dim",
+    """
+WITH w AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+), cov AS (
+  SELECT a.i AS i, b.i AS j, COVAR_SAMP(a.x, b.x) AS cov
+  FROM w a JOIN w b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+)
+SELECT POWER(SUM(CASE WHEN i = j THEN cov ELSE 0 END), 2)
+         / SUM(cov * cov) AS participation_ratio,
+       SUM(CASE WHEN i = j THEN cov ELSE 0 END) AS trace_var
+FROM cov""",
+)
+def embed_intrinsic_dim(sf_dir: str):
+    """Effective dimensionality of the embedding space: the
+    participation ratio (tr C)² / ‖C‖²_F = (Σλ)²/Σλ² — equals d for an
+    isotropic cloud, 1 for a collapsed (rank-1) encoder, WITHOUT any
+    eigendecomposition (Frobenius norm = Σ cov², so the whole statistic
+    is closed-form in the covariance entries). The one-number encoder
+    health check run before trusting cosine geometry for dedup or ANN.
+
+    Rides the oracled `embed_pca_cov` moment pass unchanged (one
+    streaming pass, d²-bounded partials); the finish is arithmetic on
+    the d×d matrix."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.pca import embedding_cov
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+    cov, _, _ = embedding_cov(ds)
+    tr = float(np.trace(cov))
+    fro2 = float((cov * cov).sum())
+    return pa.table({
+        "participation_ratio": pa.array([tr * tr / fro2], pa.float64()),
+        "trace_var": pa.array([tr], pa.float64()),
+    })

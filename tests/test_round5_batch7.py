@@ -871,3 +871,56 @@ def test_char_bigram_entropy_bounds(tmp_path, ray_session):
     assert int(got.loc["deterministic", "h_cond_millibits"]) == 0
     assert int(got.loc["deterministic", "n_bigrams"]) == 11
     assert int(got.loc["blocky", "h_cond_millibits"]) > 0
+
+
+def test_truncation_waste_exact(tmp_path, ray_session):
+    # doc word-counts 10, 50, 300 -> n_tok = 10, 50, 300
+    rows = [(1, " ".join(["w"] * 10), "s"),
+            (2, " ".join(["w"] * 50), "s"),
+            (3, " ".join(["w"] * 300), "s")]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = _cmp("tokens_truncation_waste", str(tmp_path), ["max_len"],
+               ["documents"]).set_index("max_len")
+    assert int(got.loc[32, "tokens_kept"]) == 10 + 32 + 32
+    assert int(got.loc[32, "n_truncated_docs"]) == 2
+    assert int(got.loc[64, "tokens_kept"]) == 10 + 50 + 64
+    assert int(got.loc[256, "n_truncated_docs"]) == 1
+    assert int(got.loc[256, "kept_share_e4"]) == (
+        10000 * (10 + 50 + 256) // 360)
+
+
+def test_intrinsic_dim_isotropic_vs_collapsed(tmp_path, ray_session):
+    import numpy as np
+    rng = np.random.default_rng(5)
+    # collapsed: all variance on one axis -> PR ~ 1
+    base = rng.normal(0, 1.0, (200, 1)) * np.array([[1.0]])
+    collapsed = np.hstack([base, 1e-4 * rng.normal(0, 1, (200, 3))])
+    t = pa.table({
+        "vec_id": pa.array(list(range(200)), pa.int64()),
+        "embedding": pa.array(collapsed.astype(np.float32).tolist(),
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * 200, pa.int32()),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = _cmp("embed_intrinsic_dim", str(tmp_path),
+               ["participation_ratio"], ["embeddings"])
+    assert float(got.loc[0, "participation_ratio"]) < 1.1
+
+    # isotropic 4-d cloud -> PR near 4
+    iso = rng.normal(0, 1.0, (500, 4))
+    t2 = pa.table({
+        "vec_id": pa.array(list(range(500)), pa.int64()),
+        "embedding": pa.array(iso.astype(np.float32).tolist(),
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * 500, pa.int32()),
+    })
+    pq.write_table(t2, str(tmp_path / "embeddings.parquet"))
+    got2 = _cmp("embed_intrinsic_dim", str(tmp_path),
+                ["participation_ratio"], ["embeddings"])
+    assert float(got2.loc[0, "participation_ratio"]) > 3.5
