@@ -3505,3 +3505,198 @@ def embed_intrinsic_dim(sf_dir: str):
         "participation_ratio": pa.array([tr * tr / fro2], pa.float64()),
         "trace_var": pa.array([tr], pa.float64()),
     })
+
+
+# --------------------------------------------------------------------------
+# Revenue-concentration HHI per market segment
+# --------------------------------------------------------------------------
+
+@query(
+    "orders_hhi_by_segment",
+    """
+WITH cr AS (
+  SELECT c.c_mktsegment, o.o_custkey,
+         SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS rev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), s AS (
+  SELECT c_mktsegment, SUM(rev) AS total,
+         SUM(CAST(rev AS HUGEINT) * rev) AS sumsq,
+         COUNT(*) AS n_cust
+  FROM cr GROUP BY 1
+)
+SELECT c_mktsegment, CAST(n_cust AS BIGINT) AS n_customers,
+       CAST(total AS BIGINT) AS revenue_cents,
+       CAST((1000000 * sumsq) // (CAST(total AS HUGEINT) * total)
+            AS BIGINT) AS hhi_e6
+FROM s""",
+)
+def orders_hhi_by_segment(sf_dir: str):
+    """Herfindahl–Hirschman revenue concentration per market segment:
+    Σ (customer share)² in 1e-6 units — 1e6/n for perfectly even
+    books, → 1e6 when one whale is the segment. The
+    customer-concentration risk report.
+
+    Per-(segment, customer) revenue is one hash-partitioned integer
+    aggregate (segment rides the broadcast customer dim); the HHI
+    finish is the exact integer rational 1e6·Σrev²/total² — Python
+    bigints on the driver, HUGEINT in the oracle — over the
+    custkey-bounded table, aggregated per segment with no float."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    seg = np.empty(int(ck.max()) + 1, dtype=object)
+    seg[ck] = cust["c_mktsegment"].to_numpy()
+    ref = ray.put(seg) if ray.is_initialized() else seg
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        seg_ = ray.get(ref) if ray.is_initialized() else ref
+        cu = np.asarray(b["o_custkey"].combine_chunks(), dtype=np.int64)
+        price = np.asarray(b["o_totalprice"].combine_chunks(),
+                           dtype=np.float64)
+        return pa.table({
+            "c_mktsegment": pa.array(seg_[cu].tolist(), pa.string()),
+            "o_custkey": pa.array(cu),
+            "rev": pa.array(np.floor(price * 100 + 0.5).astype(np.int64)),
+        })
+
+    cr = grouped_aggregate_ds(
+        orders.map_batches(cents, batch_format="pyarrow",
+                           batch_size=None),
+        ["c_mktsegment", "o_custkey"], [("rev", "sum", "rev")],
+        num_partitions=8)
+
+    def sq(b: pa.Table) -> pa.Table:
+        rev = np.asarray(b["rev"].combine_chunks(), dtype=np.int64)
+        # rev² as DOUBLE would round past 2^53; ship two int64 halves
+        hi = (rev.astype(object) * rev) >> 64
+        lo = (rev.astype(object) * rev) & ((1 << 64) - 1)
+        return pa.table({
+            "c_mktsegment": b["c_mktsegment"],
+            "rev": pa.array(rev),
+            "sq_hi": pa.array([int(x) for x in hi], pa.int64()),
+            "sq_lo_hi32": pa.array([int(x) >> 32 for x in lo], pa.int64()),
+            "sq_lo_lo32": pa.array([int(x) & 0xFFFFFFFF for x in lo],
+                                   pa.int64()),
+            "one": pa.array(np.ones(len(rev), dtype=np.int64)),
+        })
+
+    s = grouped_aggregate(
+        cr.map_batches(sq, batch_format="pyarrow", batch_size=None),
+        ["c_mktsegment"],
+        [("rev", "sum", "total"), ("sq_hi", "sum", "h"),
+         ("sq_lo_hi32", "sum", "m"), ("sq_lo_lo32", "sum", "l"),
+         ("one", "sum", "n_customers")])
+    segs = np.asarray(s["c_mktsegment"]).astype("U")
+    tot = np.asarray(s["total"], dtype=np.int64)
+    h = np.asarray(s["h"], dtype=np.int64)
+    m = np.asarray(s["m"], dtype=np.int64)
+    l = np.asarray(s["l"], dtype=np.int64)
+    n = np.asarray(s["n_customers"], dtype=np.int64)
+    hhi = [int(1_000_000 * (int(hh) * (1 << 64) + (int(mm) << 32)
+                            + int(ll)) // (int(t) * int(t)))
+           for hh, mm, ll, t in zip(h, m, l, tot)]
+    return pa.table({
+        "c_mktsegment": pa.array(segs.tolist(), pa.string()),
+        "n_customers": pa.array(n),
+        "revenue_cents": pa.array(tot),
+        "hhi_e6": pa.array(hhi, pa.int64()),
+    })
+
+
+# --------------------------------------------------------------------------
+# Revenue-weighted Pareto: customers covering 80% of revenue
+# --------------------------------------------------------------------------
+
+@query(
+    "orders_revenue_pareto",
+    """
+WITH cr AS (
+  SELECT o_custkey,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT rev,
+         SUM(rev) OVER (ORDER BY rev DESC, o_custkey) AS cum,
+         ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rn
+  FROM cr
+), t AS (SELECT SUM(rev) AS total, COUNT(*) AS n FROM cr)
+SELECT CAST(t.n AS BIGINT) AS n_customers,
+       CAST(t.total AS BIGINT) AS revenue_cents,
+       CAST((SELECT MIN(rn) FROM r
+             WHERE CAST(cum AS HUGEINT) * 10 >= CAST(t.total AS HUGEINT) * 8)
+            AS BIGINT) AS n_top80,
+       (10000 * CAST((SELECT MIN(rn) FROM r
+             WHERE CAST(cum AS HUGEINT) * 10 >= CAST(t.total AS HUGEINT) * 8)
+            AS BIGINT)) // CAST(t.n AS BIGINT) AS top80_share_e4
+FROM t""",
+)
+def orders_revenue_pareto(sf_dir: str):
+    """Revenue-weighted Pareto: the SMALLEST number of customers whose
+    (descending) revenue covers 80% of the book — the '80/20' as it
+    actually falls out of the data, not the folklore number.
+
+    Per-customer revenue is one hash-partitioned integer aggregate;
+    the crossing is found on the (revenue_cents, count) HISTOGRAM —
+    bounded by distinct revenue values — walking value blocks from the
+    top with a closed-form partial-block crossing (the
+    `events_pareto_users` tie-block rule, revenue-weighted): no
+    customer-level sort anywhere, and the ≥80% comparison is exact
+    integer cross-multiplication on both engines."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        price = np.asarray(b["o_totalprice"].combine_chunks(),
+                           dtype=np.float64)
+        return pa.table({
+            "o_custkey": b["o_custkey"],
+            "rev": pa.array(np.floor(price * 100 + 0.5).astype(np.int64)),
+        })
+
+    cr = grouped_aggregate_ds(
+        orders.map_batches(cents, batch_format="pyarrow",
+                           batch_size=None),
+        ["o_custkey"], [("rev", "sum", "rev")], num_partitions=8)
+    hist = grouped_aggregate(cr, ["rev"], [("*", "count", "c")])
+    rev = np.asarray(hist["rev"], dtype=np.int64)
+    cnt = np.asarray(hist["c"], dtype=np.int64)
+    order = np.argsort(-rev)
+    rev, cnt = rev[order], cnt[order]
+    total = int((rev * cnt).sum())
+    n_cust = int(cnt.sum())
+    # walk whole value blocks from the top, then cross inside a block
+    cum = 0
+    rank = 0
+    n_top = n_cust
+    for v, k in zip(rev.tolist(), cnt.tolist()):
+        block = v * k
+        if (cum + block) * 10 >= total * 8:
+            # smallest j in 1..k with (cum + j*v)*10 >= total*8
+            need = total * 8 - cum * 10
+            j = -(-need // (v * 10)) if v > 0 else k
+            n_top = rank + max(1, j)
+            break
+        cum += block
+        rank += k
+    return pa.table({
+        "n_customers": pa.array([n_cust], pa.int64()),
+        "revenue_cents": pa.array([total], pa.int64()),
+        "n_top80": pa.array([n_top], pa.int64()),
+        "top80_share_e4": pa.array([10000 * n_top // n_cust], pa.int64()),
+    })

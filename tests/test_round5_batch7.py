@@ -924,3 +924,45 @@ def test_intrinsic_dim_isotropic_vs_collapsed(tmp_path, ray_session):
     got2 = _cmp("embed_intrinsic_dim", str(tmp_path),
                 ["participation_ratio"], ["embeddings"])
     assert float(got2.loc[0, "participation_ratio"]) > 3.5
+
+
+def test_hhi_monopoly_vs_even(tmp_path, ray_session):
+    cust = pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_mktsegment": pa.array(["MONO", "MONO", "EVEN", "EVEN"],
+                                 pa.string()),
+    })
+    pq.write_table(cust, str(tmp_path / "customer.parquet"))
+    orders = pa.table({
+        "o_custkey": pa.array([1, 1, 2, 3, 4], pa.int64()),
+        "o_orderdate": pa.array([pd.Timestamp("1995-01-01")] * 5,
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([990.0, 9.0, 1.0, 50.0, 50.0],
+                                 pa.float64()),
+    })
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    got = _cmp("orders_hhi_by_segment", str(tmp_path),
+               ["c_mktsegment"], ["customer", "orders"]
+               ).set_index("c_mktsegment")
+    # MONO: shares 0.999/0.001 -> HHI ~ 998002 e6-units
+    assert int(got.loc["MONO", "hhi_e6"]) == (
+        1_000_000 * (99900 ** 2 + 100 ** 2) // (100000 ** 2))
+    # EVEN: two equal customers -> exactly 0.5
+    assert int(got.loc["EVEN", "hhi_e6"]) == 500000
+
+
+def test_revenue_pareto_whale(tmp_path, ray_session):
+    # one whale with 80% exactly, nine minnows sharing 20%
+    orders = pa.table({
+        "o_custkey": pa.array(list(range(1, 11)), pa.int64()),
+        "o_orderdate": pa.array([pd.Timestamp("1995-01-01")] * 10,
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([800.0] + [800.0 / 36] * 9,
+                                 pa.float64()),
+    })
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    got = _cmp("orders_revenue_pareto", str(tmp_path),
+               ["n_customers"], ["orders"])
+    # the whale alone crosses >= 80% of the total
+    assert int(got.loc[0, "n_top80"]) == 1
+    assert int(got.loc[0, "top80_share_e4"]) == 1000
