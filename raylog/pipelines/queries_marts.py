@@ -3700,3 +3700,151 @@ def orders_revenue_pareto(sf_dir: str):
         "n_top80": pa.array([n_top], pa.int64()),
         "top80_share_e4": pa.array([10000 * n_top // n_cust], pa.int64()),
     })
+
+
+# --------------------------------------------------------------------------
+# Token-unigram entropy per source (sequences table)
+# --------------------------------------------------------------------------
+
+@query(
+    "tokens_unigram_entropy_by_source",
+    None,  # composed below with the recs2 prefix
+)
+def tokens_unigram_entropy_by_source(sf_dir: str):
+    """Shannon entropy of the token-unigram distribution per source, in
+    millibits — the sequences-table sibling of `docs_char_entropy`:
+    a source whose token entropy collapses is emitting templates or
+    repeated padding regardless of what its text looks like.
+
+    One (source, token) hash-partitioned count (vocab×sources
+    bounded); the entropy finish is the integer-count restatement
+    Σ c·log2(N/c) / N on that bounded table — same identity as
+    `tokens_cond_entropy`, so both engines evaluate identical
+    expressions."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["source", "tokens"])
+
+    def tcounts(b: pa.Table) -> pa.Table:
+        col = b["tokens"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        import pyarrow.compute as pc
+
+        lens = np.asarray(pc.list_value_length(col), dtype=np.int64)
+        flat = np.asarray(col.flatten(), dtype=np.int64)
+        enc = b["source"].combine_chunks().dictionary_encode()
+        src = np.asarray(enc.indices, dtype=np.int64)
+        tok_src = np.repeat(src, lens)
+        packed = tok_src * (1 << 32) + flat
+        up, cnt = np.unique(packed, return_counts=True)
+        return pa.table({
+            "source": enc.dictionary.take(pa.array(up >> 32)),
+            "tok": pa.array(up & ((1 << 32) - 1)),
+            "c": pa.array(cnt.astype(np.int64)),
+        })
+
+    sw = grouped_aggregate_ds(
+        ds.map_batches(tcounts, batch_format="pyarrow", batch_size=None),
+        ["source", "tok"], [("c", "sum", "c")], num_partitions=8
+    ).to_pandas()
+    rows = []
+    for s, g in sw.groupby("source", sort=True):
+        c = g["c"].to_numpy(dtype=np.float64)
+        n = c.sum()
+        h = float(((c / n) * np.log(n / c)).sum() / np.log(2))
+        rows.append((s, int(np.floor(1000 * h)), int(n)))
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "h_millibits": pa.array([r[1] for r in rows], pa.int64()),
+        "n_tokens": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+from raylog.pipelines.qbase import ORACLES as _OR5
+from raylog import records as _R5
+
+_OR5["tokens_unigram_entropy_by_source"] = _R5.oracle_prefix() + """
+, tok AS (
+  SELECT source, CAST(unnest(tokens) AS BIGINT) AS t FROM recs2
+), c AS (
+  SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2
+), n AS (SELECT source, SUM(c) AS n FROM c GROUP BY 1)
+SELECT c.source,
+       CAST(FLOOR(1000 * SUM((c.c * 1.0 / n.n) * ln(n.n * 1.0 / c.c))
+            / ln(2)) AS BIGINT) AS h_millibits,
+       CAST(n.n AS BIGINT) AS n_tokens
+FROM c JOIN n USING (source)
+GROUP BY 1, n.n"""
+
+
+# --------------------------------------------------------------------------
+# Price quantiles per brand (grouped quantile kernel × broadcast dim)
+# --------------------------------------------------------------------------
+
+@query(
+    "lineitem_price_quantiles_by_brand",
+    """
+WITH b AS (
+  SELECT p.p_brand,
+         CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT p_brand,
+       CAST(quantile_disc(cents, 0.5) AS BIGINT) AS p50_cents,
+       CAST(quantile_disc(cents, 0.9) AS BIGINT) AS p90_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM b GROUP BY 1""",
+)
+def lineitem_price_quantiles_by_brand(sf_dir: str):
+    """Exact p50/p90 line price per brand: the pricing-dispersion
+    report. The brand attaches map-side from the broadcast part dim
+    (Q14 convention) and the quantiles ride the distributed
+    count-histogram kernel — no per-brand sort, exchange bounded by
+    brands × distinct prices."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+    from raylog.functions.quantile import grouped_quantiles
+
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"]).to_pandas()
+    pk = part["p_partkey"].to_numpy(np.int64)
+    brands = np.empty(int(pk.max()) + 1, dtype=object)
+    brands[pk] = part["p_brand"].to_numpy()
+    ref = ray.put(brands) if ray.is_initialized() else brands
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        brands_ = ray.get(ref) if ray.is_initialized() else ref
+        partk = np.asarray(b["l_partkey"].combine_chunks(), dtype=np.int64)
+        price = np.asarray(b["l_extendedprice"].combine_chunks(),
+                           dtype=np.float64)
+        return pa.table({
+            "p_brand": pa.array(brands_[partk].tolist(), pa.string()),
+            "cents": pa.array(np.floor(price * 100 + 0.5).astype(np.int64)),
+        })
+
+    vds = li.map_batches(cents, batch_format="pyarrow", batch_size=None)
+    q = grouped_quantiles(vds, key="p_brand", value="cents",
+                          ps=[0.5, 0.9], out_names=["p50_cents",
+                                                    "p90_cents"],
+                          num_partitions=8).to_pandas()
+    n = grouped_aggregate(vds, ["p_brand"],
+                          [("*", "count", "n_items")]).to_pandas()
+    m = q.merge(n, on="p_brand").sort_values("p_brand")
+    return pa.table({
+        "p_brand": pa.array(m["p_brand"].tolist(), pa.string()),
+        "p50_cents": pa.array(m["p50_cents"].astype(np.int64).to_numpy()),
+        "p90_cents": pa.array(m["p90_cents"].astype(np.int64).to_numpy()),
+        "n_items": pa.array(m["n_items"].astype(np.int64).to_numpy()),
+    })

@@ -966,3 +966,46 @@ def test_revenue_pareto_whale(tmp_path, ray_session):
     # the whale alone crosses >= 80% of the total
     assert int(got.loc[0, "n_top80"]) == 1
     assert int(got.loc[0, "top80_share_e4"]) == 1000
+
+
+def test_unigram_entropy_by_source(tmp_path, ray_session):
+    rows = [
+        (1, "aa aa aa aa", "flat"),       # all token 2 -> H = 0
+        # counts 3/1/1: H = log2(5) - (3*log2 3)/5 ≈ 1.371 bits — away
+        # from any floor boundary (a UNIFORM dist sits exactly on one,
+        # where numpy pairwise vs DuckDB sequential summation can
+        # floor to 1999 vs 2000)
+        (2, "a bb ccc a a", "spread"),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * 2, pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = _cmp("tokens_unigram_entropy_by_source", str(tmp_path),
+               ["source"], ["documents"]).set_index("source")
+    assert int(got.loc["flat", "h_millibits"]) == 0
+    assert int(got.loc["spread", "h_millibits"]) == 1370
+    assert int(got.loc["spread", "n_tokens"]) == 5
+
+
+def test_price_quantiles_by_brand(tmp_path, ray_session):
+    part = pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_brand": pa.array(["B#1", "B#2"], pa.string()),
+    })
+    pq.write_table(part, str(tmp_path / "part.parquet"))
+    li = pa.table({
+        "l_partkey": pa.array([1] * 10 + [2], pa.int64()),
+        "l_extendedprice": pa.array(
+            [float(i) for i in range(1, 11)] + [7.0], pa.float64()),
+    })
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    got = _cmp("lineitem_price_quantiles_by_brand", str(tmp_path),
+               ["p_brand"], ["part", "lineitem"]).set_index("p_brand")
+    # quantile_disc over 1..10: p50 -> ceil(0.5*10)=5th value = 500
+    assert int(got.loc["B#1", "p50_cents"]) == 500
+    assert int(got.loc["B#1", "p90_cents"]) == 900
+    assert int(got.loc["B#2", "p50_cents"]) == 700
