@@ -1009,3 +1009,22 @@ def test_price_quantiles_by_brand(tmp_path, ray_session):
     assert int(got.loc["B#1", "p50_cents"]) == 500
     assert int(got.loc["B#1", "p90_cents"]) == 900
     assert int(got.loc["B#2", "p50_cents"]) == 700
+
+
+def test_vocab_gini_bounds(tmp_path, ray_session):
+    rows = [
+        (1, "a b c d e f", "even"),       # all counts 1 -> Gini 0
+        (2, "x x x x x x x x x y", "spiky"),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * 2, pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = _cmp("docs_vocab_gini", str(tmp_path), ["source"],
+               ["documents"]).set_index("source")
+    assert int(got.loc["even", "gini_micro"]) == 0
+    # spiky: counts (1, 9) over 2 types: G = 2*(1*1+2*9)/(2*10) - 3/2 = 0.4
+    assert int(got.loc["spiky", "gini_micro"]) == 400000
