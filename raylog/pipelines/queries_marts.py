@@ -3934,3 +3934,110 @@ def docs_vocab_gini(sf_dir: str):
         "n_types": pa.array([r[2] for r in rows], pa.int64()),
         "n_words": pa.array([r[3] for r in rows], pa.int64()),
     })
+
+
+# --------------------------------------------------------------------------
+# Validation-set OOV rate vs the training vocabulary
+# --------------------------------------------------------------------------
+
+@query(
+    "tokens_split_oov",
+    """
+WITH a AS (
+  SELECT text,
+         CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+                   % 100 < 80 THEN 'train' ELSE 'heldout' END AS split
+  FROM documents
+), words AS (
+  SELECT split, unnest(string_split(text, ' ')) AS w FROM a
+), tv AS (SELECT DISTINCT w FROM words WHERE split = 'train'),
+hw AS (SELECT w, COUNT(*) AS c FROM words WHERE split = 'heldout'
+       GROUP BY 1)
+SELECT CAST(SUM(CASE WHEN tv.w IS NULL THEN hw.c ELSE 0 END) AS BIGINT)
+         AS oov_tokens,
+       CAST(SUM(hw.c) AS BIGINT) AS heldout_tokens,
+       (100000 * CAST(SUM(CASE WHEN tv.w IS NULL THEN hw.c ELSE 0 END)
+                      AS BIGINT)) // CAST(SUM(hw.c) AS BIGINT)
+         AS oov_share_e5,
+       CAST(SUM(CASE WHEN tv.w IS NULL AND hw.c > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS oov_types
+FROM hw LEFT JOIN tv USING (w)""",
+)
+def tokens_split_oov(sf_dir: str):
+    """Held-out OOV rate against the TRAIN split's vocabulary (the same
+    deterministic 80/20 content-hash rule as `sample_split_assign`):
+    what fraction of held-out tokens a train-fitted vocab/tokenizer
+    has never seen — the leakage-free generalization number every
+    split report should carry.
+
+    One corpus pass assigns splits AND emits (split, word) counts
+    (vocab×2-bounded); the train vocab and the held-out counts are two
+    slices of that ONE hash-partitioned aggregate, joined by word
+    inside complete-word partitions — a membership check with zero
+    extra corpus reads and no driver-side vocab set."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylog.functions.agg import (grouped_aggregate,
+                                      grouped_aggregate_ds,
+                                      partitioned_group_apply)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+
+    def wcounts(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        half = np.fromiter(
+            (int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 100 < 80
+             for t in texts), dtype=np.int64, count=len(texts))
+        split = pc.split_pattern(b["text"].combine_chunks(), " ")
+        lens = np.asarray(pc.list_value_length(split), dtype=np.int64)
+        flat = split.flatten().dictionary_encode()
+        codes = np.asarray(flat.indices, dtype=np.int64)
+        tok_half = np.repeat(half, lens)
+        nv = len(flat.dictionary)
+        packed = tok_half * nv + codes
+        up, cnt = np.unique(packed, return_counts=True)
+        return pa.table({
+            "w": flat.dictionary.take(pa.array(up % nv)),
+            "is_train": pa.array(up // nv),
+            "c": pa.array(cnt.astype(np.int64)),
+        })
+
+    sw = grouped_aggregate_ds(
+        ds.map_batches(wcounts, batch_format="pyarrow", batch_size=None),
+        ["w", "is_train"], [("c", "sum", "c")], num_partitions=8)
+
+    def membership(part: pa.Table) -> pa.Table:
+        w = np.asarray(part["w"].combine_chunks()).astype("U")
+        tr = np.asarray(part["is_train"].combine_chunks(), dtype=np.int64)
+        c = np.asarray(part["c"].combine_chunks(), dtype=np.int64)
+        order = np.lexsort((tr, w))
+        w, tr, c = w[order], tr[order], c[order]
+        # a held-out row is OOV iff no train row shares its word:
+        # sorted by (word, is_train), a train twin is adjacent
+        has_train_next = np.zeros(len(w), dtype=bool)
+        if len(w) > 1:
+            has_train_next[:-1] = (w[:-1] == w[1:]) & (tr[1:] == 1)
+        held = tr == 0
+        oov = held & ~has_train_next
+        return pa.table({
+            "oov_tokens": pa.array([int(c[oov].sum())], pa.int64()),
+            "heldout_tokens": pa.array([int(c[held].sum())], pa.int64()),
+            "oov_types": pa.array([int(oov.sum())], pa.int64()),
+        })
+
+    parts = partitioned_group_apply(sw, ["w"], membership,
+                                    num_partitions=8).to_pandas()
+    oov = int(parts["oov_tokens"].sum())
+    held = int(parts["heldout_tokens"].sum())
+    types = int(parts["oov_types"].sum())
+    return pa.table({
+        "oov_tokens": pa.array([oov], pa.int64()),
+        "heldout_tokens": pa.array([held], pa.int64()),
+        "oov_share_e5": pa.array([100000 * oov // held], pa.int64()),
+        "oov_types": pa.array([types], pa.int64()),
+    })

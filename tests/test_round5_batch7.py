@@ -1032,3 +1032,45 @@ def test_vocab_gini_bounds(tmp_path, ray_session):
     # value, which is what the oracle compare asserts; this pin just
     # documents the bit)
     assert int(got.loc["spiky", "gini_micro"]) == 399999
+
+
+def test_split_oov_membership(tmp_path, ray_session):
+    import hashlib
+    # craft texts whose md5 bucket puts them deterministically in
+    # train (<80) or heldout (>=80)
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 100
+
+    train_texts = []
+    held_texts = []
+    i = 0
+    while len(train_texts) < 2 or len(held_texts) < 1:
+        t = f"shared{i} common word{i}"
+        (train_texts if bucket(t) < 80 else held_texts).append(t)
+        i += 1
+    # force a heldout doc that shares 'common' with train but adds a
+    # token no train doc has
+    extra = None
+    j = 0
+    while extra is None:
+        cand = f"common neverseen{j}"
+        if bucket(cand) >= 80:
+            extra = cand
+        j += 1
+    texts = train_texts[:2] + [extra]
+    t = pa.table({
+        "doc_id": pa.array(list(range(1, len(texts) + 1)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = _cmp("tokens_split_oov", str(tmp_path), ["oov_tokens"],
+               ["documents"])
+    # heldout doc = "common neverseenX": 'common' is in train iff some
+    # train text contains it — train texts are "sharedN common wordN",
+    # so exactly 1 of 2 heldout tokens is OOV
+    assert int(got.loc[0, "heldout_tokens"]) == 2
+    assert int(got.loc[0, "oov_tokens"]) == 1
+    assert int(got.loc[0, "oov_types"]) == 1
+    assert int(got.loc[0, "oov_share_e5"]) == 50000
