@@ -4041,3 +4041,229 @@ def tokens_split_oov(sf_dir: str):
         "oov_share_e5": pa.array([100000 * oov // held], pa.int64()),
         "oov_types": pa.array([types], pa.int64()),
     })
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume orders (HAVING on a high-cardinality group)
+# --------------------------------------------------------------------------
+
+@query(
+    "orders_large_volume",
+    """
+WITH q AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING SUM(l_quantity) > 150
+)
+SELECT o.o_orderkey, c.c_custkey, c.c_name, q.total_qty,
+       CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_e2
+FROM q JOIN orders o ON q.l_orderkey = o.o_orderkey
+       JOIN customer c ON o.o_custkey = c.c_custkey""",
+)
+def orders_large_volume(sf_dir: str):
+    """Large-volume orders (TPC-H Q18 shape): orders whose total
+    lineitem quantity exceeds a threshold, enriched with the customer.
+
+    The HAVING sits on a HIGH-cardinality group (per orderkey), so the
+    filter runs INSIDE the hash-partitioned reducers of the distributed
+    combine — only qualifying orders (a few percent) ever reach the
+    orders join, and the customer name attaches via the broadcast dim
+    convention to that small survivor set. Quantities are quantized to
+    int64 per row before the sum (integer-exact, order-independent)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate_ds
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+
+    def qint(b: pa.Table) -> pa.Table:
+        q = np.asarray(b["l_quantity"].combine_chunks(), dtype=np.float64)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "q": pa.array(np.floor(q + 0.5).astype(np.int64)),
+        })
+
+    per_ord = grouped_aggregate_ds(
+        li.map_batches(qint, batch_format="pyarrow", batch_size=None),
+        ["l_orderkey"], [("q", "sum", "total_qty")], num_partitions=8)
+
+    def keep(b: pa.Table) -> pa.Table:
+        tq = np.asarray(b["total_qty"].combine_chunks()
+                        if isinstance(b["total_qty"], pa.ChunkedArray)
+                        else b["total_qty"], dtype=np.int64)
+        return b.filter(pa.array(tq > 150))
+
+    big = per_ord.map_batches(keep, batch_format="pyarrow",
+                              batch_size=None)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_totalprice"])
+    j = big.join(orders, join_type="inner", num_partitions=8,
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"]).to_pandas()
+    cname = dict(zip(cust["c_custkey"].astype(np.int64),
+                     cust["c_name"]))
+    c_ref = ray.put(cname) if ray.is_initialized() else cname
+
+    def attach(b: pa.Table) -> pa.Table:
+        cn = ray.get(c_ref) if ray.is_initialized() else c_ref
+        ck = np.asarray(b["o_custkey"].combine_chunks()
+                        if isinstance(b["o_custkey"], pa.ChunkedArray)
+                        else b["o_custkey"], dtype=np.int64)
+        price = np.asarray(b["o_totalprice"].combine_chunks()
+                           if isinstance(b["o_totalprice"],
+                                         pa.ChunkedArray)
+                           else b["o_totalprice"], dtype=np.float64)
+        return pa.table({
+            "o_orderkey": b["l_orderkey"],
+            "c_custkey": pa.array(ck),
+            "c_name": pa.array([cn[k] for k in ck], pa.string()),
+            "total_qty": b["total_qty"],
+            "totalprice_e2": pa.array(
+                np.floor(price * 100 + 0.5).astype(np.int64)),
+        })
+
+    return j.map_batches(attach, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q21 shape: suppliers who kept multi-supplier orders waiting
+# --------------------------------------------------------------------------
+
+@query(
+    "suppliers_kept_waiting",
+    """
+WITH ls AS (
+  SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS ms
+  FROM lineitem GROUP BY 1, 2
+), j AS (
+  SELECT ls.l_orderkey, ls.l_suppkey,
+         CASE WHEN ls.ms > o.o_orderdate + INTERVAL 60 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM ls JOIN orders o ON ls.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+), per_ord AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late,
+         MAX(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+  FROM j GROUP BY 1
+)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per_ord p JOIN supplier s ON p.late_supp = s.s_suppkey
+WHERE p.n_supp >= 2 AND p.n_late = 1
+GROUP BY 1""",
+)
+def suppliers_kept_waiting(sf_dir: str):
+    """Suppliers who were the SOLE late supplier on a finished
+    multi-supplier order (TPC-H Q21 shape; lateness = shipped more than
+    60 days after the order date, the repo's Q4 convention since the
+    fixture carries no commit/receipt dates).
+
+    Q21's EXISTS / NOT-EXISTS pair compiles to ONE grouped pass: the
+    fact first compresses to per-(order, supplier) MAX(ship-day) — far
+    smaller than lineitem — then one hash join against the
+    status-filtered orders projection marks each pair late/on-time, and
+    a per-order combine carries (n_supp, n_late, argmax-late-supplier)
+    so "some other supplier was also late" is just n_late = 1. The
+    finish is supplier-bounded."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def lday(b: pa.Table) -> pa.Table:
+        t = np.asarray(b["l_shipdate"].combine_chunks()).astype(
+            "datetime64[D]").astype(np.int64)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_suppkey": b["l_suppkey"],
+            "ship_day": pa.array(t),
+        })
+
+    pairs = grouped_aggregate_ds(
+        li.map_batches(lday, batch_format="pyarrow", batch_size=None),
+        ["l_orderkey", "l_suppkey"], [("ship_day", "max", "max_ship")],
+        num_partitions=8)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderstatus"])
+
+    def oday(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.equal(b["o_orderstatus"], "F"))
+        t = np.asarray(b["o_orderdate"].combine_chunks()).astype(
+            "datetime64[D]").astype(np.int64)
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "order_day": pa.array(t),
+        })
+
+    od = orders.map_batches(oday, batch_format="pyarrow", batch_size=None)
+    j = pairs.join(od, join_type="inner", num_partitions=8,
+                   on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def flags(b: pa.Table) -> pa.Table:
+        ms = np.asarray(b["max_ship"].combine_chunks()
+                        if isinstance(b["max_ship"], pa.ChunkedArray)
+                        else b["max_ship"], dtype=np.int64)
+        od_ = np.asarray(b["order_day"].combine_chunks()
+                         if isinstance(b["order_day"], pa.ChunkedArray)
+                         else b["order_day"], dtype=np.int64)
+        sup = np.asarray(b["l_suppkey"].combine_chunks()
+                         if isinstance(b["l_suppkey"], pa.ChunkedArray)
+                         else b["l_suppkey"], dtype=np.int64)
+        late = (ms > od_ + 60).astype(np.int64)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "one": pa.array(np.ones(len(late), dtype=np.int64)),
+            "late": pa.array(late),
+            # -1 sentinel < every suppkey: max() recovers the sole late
+            # supplier exactly when n_late == 1 (the only rows kept)
+            "lsupp": pa.array(np.where(late == 1, sup, -1)),
+        })
+
+    per_ord = grouped_aggregate_ds(
+        j.map_batches(flags, batch_format="pyarrow", batch_size=None),
+        ["l_orderkey"],
+        [("one", "sum", "n_supp"), ("late", "sum", "n_late"),
+         ("lsupp", "max", "late_supp")], num_partitions=8)
+
+    def keep(b: pa.Table) -> pa.Table:
+        ns = np.asarray(b["n_supp"].combine_chunks()
+                        if isinstance(b["n_supp"], pa.ChunkedArray)
+                        else b["n_supp"], dtype=np.int64)
+        nl = np.asarray(b["n_late"].combine_chunks()
+                        if isinstance(b["n_late"], pa.ChunkedArray)
+                        else b["n_late"], dtype=np.int64)
+        t = b.filter(pa.array((ns >= 2) & (nl == 1)))
+        return pa.table({
+            "late_supp": t["late_supp"],
+            "one": pa.array(np.ones(len(t), dtype=np.int64)),
+        })
+
+    agg = grouped_aggregate(
+        per_ord.map_batches(keep, batch_format="pyarrow",
+                            batch_size=None),
+        ["late_supp"], [("one", "sum", "numwait")])
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"]).to_pandas()
+    sname = dict(zip(supp["s_suppkey"].astype(np.int64), supp["s_name"]))
+    sk = np.asarray(agg["late_supp"], dtype=np.int64)
+    return pa.table({
+        "s_name": pa.array([sname[k] for k in sk], pa.string()),
+        "numwait": agg["numwait"],
+    })

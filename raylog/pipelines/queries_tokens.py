@@ -2332,3 +2332,73 @@ def corpus_dataset_card(sf_dir: str):
         "metric": pa.array([m for m, _ in metrics], pa.string()),
         "value": pa.array([v for _, v in metrics], pa.int64()),
     })
+
+
+# --------------------------------------------------------------------------
+# Kneser-Ney continuation counts (the KN lower-order distribution)
+# --------------------------------------------------------------------------
+
+@query(
+    "tokens_kn_continuation",
+    _P() + """
+, bg AS (
+  SELECT DISTINCT CAST(tokens[CAST(i AS INT)] AS BIGINT) AS t1,
+         CAST(tokens[CAST(i AS INT) + 1] AS BIGINT) AS t2
+  FROM recs2, LATERAL (
+    SELECT unnest(generate_series(1, CAST(n_tok AS INT) - 1)) AS i
+  ) g
+), cc AS (
+  SELECT t2 AS token, CAST(COUNT(*) AS BIGINT) AS n_cont FROM bg GROUP BY 1
+), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM bg)
+SELECT token, n_cont, (1000000 * n_cont) // t.tot AS cont_prob_e6, rank
+FROM (SELECT token, n_cont,
+             ROW_NUMBER() OVER (ORDER BY n_cont DESC, token) AS rank
+      FROM cc), t
+WHERE rank <= 20""",
+)
+def tokens_kn_continuation(sf_dir: str):
+    """Kneser-Ney continuation counts: for each token w, the number of
+    DISTINCT predecessors N1+(·,w), and the KN lower-order probability
+    P_cont(w) = N1+(·,w) / |distinct bigrams| — the quantity that makes
+    KN smoothing rank "Francisco" (frequent but only ever after "San")
+    below genuinely versatile words. Top-20 by continuation count.
+
+    Two-stage: per-batch DISTINCT packed pairs (bigram_count_partial's
+    keys, counts discarded) → hash-partitioned global dedup keyed by
+    the pair — the same bigram-cardinality-bounded exchange as
+    `tokens_bigrams` — then each surviving pair contributes one to its
+    t2, a vocab-bounded finish. Σ_w N1+(·,w) = |distinct bigrams|, so
+    the normalizer falls out of the same table with no extra pass."""
+    import numpy as np
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+    from raylog.functions.tokens import bigram_count_partial
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["tokens"])
+
+    distinct = grouped_aggregate_ds(
+        ds.map_batches(lambda b: bigram_count_partial(b),
+                       batch_format="pyarrow", batch_size=None),
+        ["t1", "t2"], [("cnt", "max", "cnt")], num_partitions=32)
+
+    def ones(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "token": b["t2"],
+            "one": pa.array(np.ones(len(b), dtype=np.int64)),
+        })
+
+    cc = grouped_aggregate(
+        distinct.map_batches(ones, batch_format="pyarrow",
+                             batch_size=None),
+        ["token"], [("one", "sum", "n_cont")])
+    tok = np.asarray(cc["token"], dtype=np.int64)
+    nc = np.asarray(cc["n_cont"], dtype=np.int64)
+    tot = int(nc.sum())
+    order = np.lexsort((tok, -nc))[:20]
+    return pa.table({
+        "token": pa.array(tok[order]),
+        "n_cont": pa.array(nc[order]),
+        "cont_prob_e6": pa.array(1_000_000 * nc[order] // tot),
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+    })
