@@ -4267,3 +4267,256 @@ def suppliers_kept_waiting(sf_dir: str):
         "s_name": pa.array([sname[k] for k in sk], pa.string()),
         "numwait": agg["numwait"],
     })
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q8 shape: nation market share within a region, per year
+# --------------------------------------------------------------------------
+
+@query(
+    "nation_market_share",
+    """
+WITH rev AS (
+  SELECT l.l_orderkey,
+         CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+              AS BIGINT) AS rev,
+         CASE WHEN s.s_nationkey =
+                   (SELECT n_nationkey FROM nation
+                    WHERE n_name = 'NATION_2')
+              THEN 1 ELSE 0 END AS is_t
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+), j AS (
+  SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS yr, rev, is_t
+  FROM rev r JOIN orders o ON r.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region rg ON n.n_regionkey = rg.r_regionkey
+  WHERE rg.r_name = 'ASIA'
+)
+SELECT yr, CAST(SUM(rev) AS BIGINT) AS revenue_e4,
+       CAST(SUM(rev * is_t) AS BIGINT) AS nation_revenue_e4,
+       (1000000 * CAST(SUM(rev * is_t) AS BIGINT))
+         // CAST(SUM(rev) AS BIGINT) AS share_e6
+FROM j GROUP BY 1""",
+)
+def nation_market_share(sf_dir: str):
+    """NATION_2's share of ECONOMY-part revenue sold into ASIA per year
+    (TPC-H Q8 shape): a six-table star where every table but the two
+    facts is a broadcast dimension.
+
+    The part-type predicate becomes a sorted-key membership bitmap
+    applied INSIDE the lineitem scan (map-side semi-join — non-ECONOMY
+    rows never leave the read task), the supplier nation collapses to a
+    key-indexed lookup, and both revenue sums (total + target-nation)
+    ride ONE per-orderkey combine so the single unavoidable hash join
+    against orders carries two int64s per surviving order. Customer →
+    nation → region folds to one custkey→in-ASIA bitmap driver-side;
+    the finish is years-bounded."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    asia_reg = int(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"].iloc[0])
+    asia_nats = set(nat.loc[nat["n_regionkey"] == asia_reg,
+                            "n_nationkey"].astype(int))
+    target_nat = int(nat.loc[nat["n_name"] == "NATION_2",
+                             "n_nationkey"].iloc[0])
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"]).to_pandas()
+    econ_keys = np.sort(part.loc[part["p_type"] == "ECONOMY",
+                                 "p_partkey"].to_numpy(np.int64))
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = supp["s_suppkey"].to_numpy(np.int64)
+    s_nat = np.zeros(int(sk.max()) + 1, dtype=np.int64)
+    s_nat[sk] = supp["s_nationkey"].to_numpy(np.int64)
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    c_asia = np.zeros(int(ck.max()) + 1, dtype=bool)
+    c_asia[ck] = cust["c_nationkey"].map(
+        lambda n: int(n) in asia_nats).to_numpy()
+
+    init = ray.is_initialized()
+    e_ref = ray.put(econ_keys) if init else econ_keys
+    s_ref = ray.put(s_nat) if init else s_nat
+    c_ref = ray.put(c_asia) if init else c_asia
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ek = ray.get(e_ref) if init else e_ref
+        sn = ray.get(s_ref) if init else s_ref
+        pk = np.asarray(b["l_partkey"].combine_chunks(), dtype=np.int64)
+        idx = np.searchsorted(ek, pk)
+        idx[idx >= len(ek)] = 0
+        keep = ek[idx] == pk if len(ek) else np.zeros(len(pk), bool)
+        b = b.filter(pa.array(keep))
+        price = np.asarray(b["l_extendedprice"].combine_chunks(),
+                           dtype=np.float64)
+        disc = np.asarray(b["l_discount"].combine_chunks(),
+                          dtype=np.float64)
+        rev = np.floor(price * (1 - disc) * 10000 + 0.5).astype(np.int64)
+        sup = np.asarray(b["l_suppkey"].combine_chunks(), dtype=np.int64)
+        is_t = (sn[sup] == target_nat).astype(np.int64)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "rev": pa.array(rev),
+            "rev_t": pa.array(rev * is_t),
+        })
+
+    per_ord = grouped_aggregate_ds(
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["l_orderkey"],
+        [("rev", "sum", "rev"), ("rev_t", "sum", "rev_t")],
+        num_partitions=8)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+    j = per_ord.join(orders, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def finishp(b: pa.Table) -> pa.Table:
+        ca = ray.get(c_ref) if init else c_ref
+        cu = np.asarray(b["o_custkey"].combine_chunks()
+                        if isinstance(b["o_custkey"], pa.ChunkedArray)
+                        else b["o_custkey"], dtype=np.int64)
+        keep = ca[cu]
+        b = b.filter(pa.array(keep))
+        yr = np.asarray(b["o_orderdate"].combine_chunks()
+                        if isinstance(b["o_orderdate"], pa.ChunkedArray)
+                        else b["o_orderdate"]).astype(
+            "datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({
+            "yr": pa.array(yr),
+            "rev": b["rev"],
+            "rev_t": b["rev_t"],
+        })
+
+    a = grouped_aggregate(
+        j.map_batches(finishp, batch_format="pyarrow", batch_size=None),
+        ["yr"], [("rev", "sum", "revenue_e4"),
+                 ("rev_t", "sum", "nation_revenue_e4")])
+    r = np.asarray(a["revenue_e4"], dtype=np.int64)
+    rt = np.asarray(a["nation_revenue_e4"], dtype=np.int64)
+    return pa.table({
+        "yr": a["yr"],
+        "revenue_e4": a["revenue_e4"],
+        "nation_revenue_e4": a["nation_revenue_e4"],
+        "share_e6": pa.array(1_000_000 * rt // r),
+    })
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q17 shape: small-quantity revenue vs the per-part average
+# --------------------------------------------------------------------------
+
+@query(
+    "lineitem_small_qty_revenue",
+    """
+WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+ag AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+           AS sq,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem JOIN pk ON l_partkey = p_partkey GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_e2
+FROM lineitem l JOIN ag ON l.l_partkey = ag.l_partkey
+WHERE 5 * CAST(FLOOR(l.l_quantity + 0.5) AS BIGINT) * ag.n < ag.sq""",
+)
+def lineitem_small_qty_revenue(sf_dir: str):
+    """Revenue from Brand#13 lineitems whose quantity is below 20% of
+    that part's average order quantity (TPC-H Q17 shape — the
+    correlated scalar subquery).
+
+    The correlation compiles to two passes with a broadcast between:
+    pass 1 aggregates (sum_qty, n) per brand part — bounded by the
+    brand's part count — and ships the pair as sorted key-aligned
+    arrays via ``ray.put``; pass 2 re-scans lineitem with the same
+    membership bitmap and keeps rows by the EXACT integer test
+    5·qty·n < sum_qty (no float average, so the oracle comparison can
+    never disagree on a boundary row). Nothing joins fact-to-fact."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"]).to_pandas()
+    bkeys = np.sort(part.loc[part["p_brand"] == "Brand#13",
+                             "p_partkey"].to_numpy(np.int64))
+    init = ray.is_initialized()
+    b_ref = ray.put(bkeys) if init else bkeys
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice"])
+
+    def member(b: pa.Table, keys: np.ndarray) -> pa.Table:
+        pk = np.asarray(b["l_partkey"].combine_chunks(), dtype=np.int64)
+        idx = np.searchsorted(keys, pk)
+        idx[idx >= len(keys)] = 0
+        keep = keys[idx] == pk if len(keys) else np.zeros(len(pk), bool)
+        return b.filter(pa.array(keep))
+
+    def qpart(b: pa.Table) -> pa.Table:
+        bk = ray.get(b_ref) if init else b_ref
+        b = member(b, bk)
+        q = np.asarray(b["l_quantity"].combine_chunks(),
+                       dtype=np.float64)
+        return pa.table({
+            "l_partkey": b["l_partkey"],
+            "q": pa.array(np.floor(q + 0.5).astype(np.int64)),
+            "one": pa.array(np.ones(len(b), dtype=np.int64)),
+        })
+
+    ag = grouped_aggregate(
+        li.map_batches(qpart, batch_format="pyarrow", batch_size=None),
+        ["l_partkey"], [("q", "sum", "sq"), ("one", "sum", "n")])
+    akeys = np.asarray(ag["l_partkey"], dtype=np.int64)
+    order = np.argsort(akeys)
+    akeys = akeys[order]
+    asq = np.asarray(ag["sq"], dtype=np.int64)[order]
+    an = np.asarray(ag["n"], dtype=np.int64)[order]
+    a_ref = ray.put((akeys, asq, an)) if init else (akeys, asq, an)
+
+    def small(b: pa.Table) -> pa.Table:
+        ks, sq, n = ray.get(a_ref) if init else a_ref
+        b = member(b, ks)
+        pk = np.asarray(b["l_partkey"].combine_chunks(), dtype=np.int64)
+        q = np.floor(np.asarray(b["l_quantity"].combine_chunks(),
+                                dtype=np.float64) + 0.5).astype(np.int64)
+        price = np.asarray(b["l_extendedprice"].combine_chunks(),
+                           dtype=np.float64)
+        pos = np.searchsorted(ks, pk)
+        keep = 5 * q * n[pos] < sq[pos]
+        pe2 = np.floor(price * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "n_rows": pa.array([int(keep.sum())], pa.int64()),
+            "revenue_e2": pa.array([int(pe2[keep].sum())], pa.int64()),
+        })
+
+    parts = li.map_batches(small, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    return pa.table({
+        "n_rows": pa.array([int(parts["n_rows"].sum())], pa.int64()),
+        "revenue_e2": pa.array([int(parts["revenue_e2"].sum())],
+                               pa.int64()),
+    })

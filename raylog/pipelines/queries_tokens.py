@@ -2402,3 +2402,82 @@ def tokens_kn_continuation(sf_dir: str):
         "cont_prob_e6": pa.array(1_000_000 * nc[order] // tot),
         "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
     })
+
+
+# --------------------------------------------------------------------------
+# Token burstiness (Church-Gale cf/df dispersion)
+# --------------------------------------------------------------------------
+
+@query(
+    "tokens_burstiness",
+    _P() + """
+, w AS (
+  SELECT doc_id, CAST(unnest(tokens) AS BIGINT) AS token FROM recs2
+), cf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cf FROM w GROUP BY 1),
+df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       FROM w GROUP BY 1)
+SELECT token, cf, df, (1000 * cf) // df AS burstiness_e3, rank
+FROM (SELECT cf.token, cf, df,
+             ROW_NUMBER() OVER (ORDER BY cf DESC, cf.token) AS rank
+      FROM cf JOIN df ON cf.token = df.token)
+WHERE rank <= 20""",
+)
+def tokens_burstiness(sf_dir: str):
+    """Church-Gale burstiness for the top-20 tokens: collection
+    frequency / document frequency. A token with cf≈df is spread thin
+    (function-word-like); cf≫df means it bursts inside few documents
+    (topical or template/boilerplate) — the dispersion signal behind
+    stopword induction and template detection.
+
+    ONE pass emits both partials per batch: cf from the Arrow
+    value_counts kernel on the flat buffer, df from np.unique over
+    (row, token) packed keys (per-doc dedup happens inside the batch,
+    so the exchange carries per-doc-distinct postings at most — and
+    after the per-batch (token) regroup, far less). One vocab-bounded
+    combine finishes both."""
+    import numpy as np
+
+    from raylog.functions.agg import grouped_aggregate
+    from raylog.functions.tokens import _flat_values
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["tokens"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        vals, lengths = _flat_values(b, "tokens")
+        if len(vals) == 0:
+            return pa.table({
+                "token": pa.array([], pa.int64()),
+                "cf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+            })
+        tok = vals.astype(np.int64)
+        rid = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+        # cf: plain counts; df: dedup (row, token) first, then count
+        ut, cf = np.unique(tok, return_counts=True)
+        packed = rid << np.int64(32) | tok  # tokens are int32-ranged
+        dt = np.unique(packed) & np.int64(0xFFFFFFFF)
+        ud, df = np.unique(dt, return_counts=True)
+        # ut == ud (every token occurs in some row) — keep aligned
+        out = np.zeros(len(ut), dtype=np.int64)
+        out[np.searchsorted(ut, ud)] = df
+        return pa.table({
+            "token": pa.array(ut),
+            "cf": pa.array(cf.astype(np.int64)),
+            "df": pa.array(out),
+        })
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["token"], [("cf", "sum", "cf"), ("df", "sum", "df")])
+    tok = np.asarray(agg["token"], dtype=np.int64)
+    cf = np.asarray(agg["cf"], dtype=np.int64)
+    df = np.asarray(agg["df"], dtype=np.int64)
+    order = np.lexsort((tok, -cf))[:20]
+    return pa.table({
+        "token": pa.array(tok[order]),
+        "cf": pa.array(cf[order]),
+        "df": pa.array(df[order]),
+        "burstiness_e3": pa.array(1000 * cf[order] // df[order]),
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+    })
