@@ -4520,3 +4520,167 @@ def lineitem_small_qty_revenue(sf_dir: str):
         "revenue_e2": pa.array([int(parts["revenue_e2"].sum())],
                                pa.int64()),
     })
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22 shape: sales opportunity (global-avg filter + anti-join)
+# --------------------------------------------------------------------------
+
+@query(
+    "customers_sales_opportunity",
+    """
+WITH bal AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_e2
+  FROM customer
+), pos AS (
+  SELECT CAST(SUM(bal_e2) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM bal WHERE bal_e2 > 0
+), cand AS (
+  SELECT c_custkey, c_nationkey, bal_e2
+  FROM bal, pos WHERE bal_e2 * pos.n > pos.s
+)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_inactive,
+       CAST(SUM(bal_e2) AS BIGINT) AS sum_bal_e2
+FROM cand LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+  ON cand.c_custkey = o.o_custkey
+GROUP BY 1""",
+)
+def customers_sales_opportunity(sf_dir: str):
+    """Above-average-balance customers per nation, with how many of
+    them have never ordered (TPC-H Q22 shape; the NOT-EXISTS kept as a
+    reported flag rather than a filter so the result carries signal on
+    fixtures where every rich customer is active).
+
+    Two distinct sub-shapes compose: the global scalar (sum, n of
+    positive balances) broadcasts into the candidate filter as the
+    EXACT integer test bal·n > sum (no float average), and the NOT
+    EXISTS compiles to orders → per-custkey distinct (custkey-bounded,
+    built in the hash-partitioned combine) → LEFT join → null marker.
+    The finish is nations-bounded."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey",
+                                  "c_acctbal"]).to_pandas()
+    bal = np.floor(cust["c_acctbal"].to_numpy(np.float64) * 100
+                   + 0.5).astype(np.int64)
+    pos = bal[bal > 0]
+    s, n = int(pos.sum()), len(pos)
+    keep = bal * n > s
+    cand = pa.table({
+        "c_custkey": pa.array(cust["c_custkey"].to_numpy(np.int64)[keep]),
+        "c_nationkey": pa.array(
+            cust["c_nationkey"].to_numpy(np.int64)[keep]),
+        "bal_e2": pa.array(bal[keep]),
+    })
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+
+    def ones(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": b["o_custkey"],
+            "one": pa.array(np.ones(len(b), dtype=np.int64)),
+        })
+
+    has_ord = grouped_aggregate_ds(
+        orders.map_batches(ones, batch_format="pyarrow", batch_size=None),
+        ["o_custkey"], [("one", "max", "has")], num_partitions=8)
+
+    cand_ds = rd.from_arrow(cand)
+    j = cand_ds.join(has_ord, join_type="left_outer", num_partitions=8,
+                     on=("c_custkey",), right_on=("o_custkey",))
+
+    def flag(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        inactive = pc.cast(pc.is_null(b["has"]), pa.int64())
+        return pa.table({
+            "c_nationkey": b["c_nationkey"],
+            "one": pa.array(np.ones(len(b), dtype=np.int64)),
+            "inactive": inactive,
+            "bal_e2": b["bal_e2"],
+        })
+
+    return grouped_aggregate(
+        j.map_batches(flag, batch_format="pyarrow", batch_size=None),
+        ["c_nationkey"],
+        [("one", "sum", "n_cust"), ("inactive", "sum", "n_inactive"),
+         ("bal_e2", "sum", "sum_bal_e2")])
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q15 shape: top supplier(s) by windowed revenue, ties kept
+# --------------------------------------------------------------------------
+
+@query(
+    "top_supplier_revenue",
+    """
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000
+                             + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_revenue_e4
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01'
+    AND l_shipdate < DATE '1996-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue_e4
+FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue_e4 = (SELECT MAX(total_revenue_e4) FROM r)""",
+)
+def top_supplier_revenue(sf_dir: str):
+    """Supplier(s) with the maximum revenue in 1996-Q1 (TPC-H Q15
+    shape): the view-vs-max pattern, ties ALL kept — the argmax runs
+    against a scalar computed from the same supplier-bounded aggregate,
+    not a second scan. Per-row e4 quantization keeps the tie comparison
+    exact."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1996-04-01")
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = np.asarray(b["l_shipdate"].combine_chunks()).astype(
+            "datetime64[D]")
+        b = b.filter(pa.array((d >= lo) & (d < hi)))
+        price = np.asarray(b["l_extendedprice"].combine_chunks(),
+                           dtype=np.float64)
+        disc = np.asarray(b["l_discount"].combine_chunks(),
+                          dtype=np.float64)
+        return pa.table({
+            "l_suppkey": b["l_suppkey"],
+            "rev": pa.array(np.floor(price * (1 - disc) * 10000
+                                     + 0.5).astype(np.int64)),
+        })
+
+    agg = grouped_aggregate(
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["l_suppkey"], [("rev", "sum", "total_revenue_e4")])
+    rev = np.asarray(agg["total_revenue_e4"], dtype=np.int64)
+    sk = np.asarray(agg["l_suppkey"], dtype=np.int64)
+    top = rev == rev.max()
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"]).to_pandas()
+    sname = dict(zip(supp["s_suppkey"].astype(np.int64),
+                     supp["s_name"]))
+    return pa.table({
+        "s_suppkey": pa.array(sk[top]),
+        "s_name": pa.array([sname[k] for k in sk[top]], pa.string()),
+        "total_revenue_e4": pa.array(rev[top]),
+    })

@@ -2481,3 +2481,120 @@ def tokens_burstiness(sf_dir: str):
         "burstiness_e3": pa.array(1000 * cf[order] // df[order]),
         "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
     })
+
+
+# --------------------------------------------------------------------------
+# Split-document boundary audit (crawl record-splitting detector)
+# --------------------------------------------------------------------------
+
+@query(
+    "tokens_split_boundary_audit",
+    _P() + """
+, s AS (
+  SELECT source, n_tok, tokens,
+         LEAD(doc_id) OVER w AS next_id,
+         LEAD(tokens) OVER w AS next_toks,
+         LEAD(n_tok) OVER w AS next_n
+  FROM recs2
+  WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+)
+SELECT source,
+  CAST(COUNT(*) FILTER (WHERE next_id IS NOT NULL
+                          AND n_tok >= 8 AND next_n >= 8) AS BIGINT)
+    AS n_pairs,
+  CAST(COUNT(*) FILTER (WHERE next_id IS NOT NULL
+        AND n_tok >= 8 AND next_n >= 8
+        AND list_slice(tokens, CAST(n_tok AS INT) - 7,
+                       CAST(n_tok AS INT))
+            = list_slice(next_toks, 1, 8)) AS BIGINT) AS n_matches
+FROM s GROUP BY 1""",
+)
+def tokens_split_boundary_audit(sf_dir: str):
+    """Split-document detector: among doc_id-consecutive document pairs
+    within a source, how many have the FIRST doc's last 8 tokens
+    exactly equal to the SECOND doc's first 8 tokens — the signature of
+    one document cut across two crawl records (or an overlapping
+    chunker). Reported per source; both docs must have ≥8 tokens.
+
+    Each doc compresses map-side to its two 8-token sentinels packed as
+    4+4 uint64 words (EXACT values, not hashes — equality can never
+    false-positive), so the per-source adjacency pass exchanges ~72
+    bytes per doc regardless of document length. Sources are
+    hash-partitioned complete, sorted by doc_id inside the partition,
+    and compared with one shifted vector equality."""
+    import numpy as np
+
+    from raylog.functions.agg import partitioned_group_apply
+    from raylog.functions.tokens import _flat_values
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(
+        ["source", "doc_id", "tokens"])
+
+    def sentinels(b: pa.Table) -> pa.Table:
+        vals, lengths = _flat_values(b, "tokens")
+        tok = vals.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+        starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        elig = lengths >= 8
+        cols = {"source": b["source"], "doc_id": b["doc_id"],
+                "elig": pa.array(elig.astype(np.int64))}
+        s_e = starts[elig]
+        e_e = (starts + lengths)[elig] - 8
+        for w in range(4):
+            pre = np.zeros(len(lengths), dtype=np.uint64)
+            suf = np.zeros(len(lengths), dtype=np.uint64)
+            if elig.any():
+                pre[elig] = (tok[s_e + 2 * w] << np.uint64(32)
+                             | tok[s_e + 2 * w + 1])
+                suf[elig] = (tok[e_e + 2 * w] << np.uint64(32)
+                             | tok[e_e + 2 * w + 1])
+            cols[f"pre{w}"] = pa.array(pre.view(np.int64))
+            cols[f"suf{w}"] = pa.array(suf.view(np.int64))
+        return pa.table(cols)
+
+    sent = ds.map_batches(sentinels, batch_format="pyarrow",
+                          batch_size=None)
+
+    def adjacency(t: pa.Table) -> pa.Table:
+        src = t["source"].to_pandas().to_numpy()
+        did = np.asarray(t["doc_id"].combine_chunks()
+                         if isinstance(t["doc_id"], pa.ChunkedArray)
+                         else t["doc_id"], dtype=np.int64)
+        scode, suniq = pa.array(src).dictionary_encode().indices, None
+        scode = np.asarray(scode, dtype=np.int64)
+        order = np.lexsort((did, scode))
+        sc = scode[order]
+        same = sc[:-1] == sc[1:]
+        elig = np.asarray(t["elig"].combine_chunks()
+                          if isinstance(t["elig"], pa.ChunkedArray)
+                          else t["elig"], dtype=np.int64)[order] == 1
+        pair_ok = same & elig[:-1] & elig[1:]
+        match = pair_ok.copy()
+        for w in range(4):
+            suf = np.asarray(t[f"suf{w}"].combine_chunks()
+                             if isinstance(t[f"suf{w}"], pa.ChunkedArray)
+                             else t[f"suf{w}"], dtype=np.int64)[order]
+            pre = np.asarray(t[f"pre{w}"].combine_chunks()
+                             if isinstance(t[f"pre{w}"], pa.ChunkedArray)
+                             else t[f"pre{w}"], dtype=np.int64)[order]
+            match &= suf[:-1] == pre[1:]
+        # per-source sums over the pair positions (left element's source)
+        npairs = np.bincount(sc[:-1][pair_ok],
+                             minlength=int(sc.max()) + 1 if len(sc) else 0)
+        nmatch = np.bincount(sc[:-1][match],
+                             minlength=int(sc.max()) + 1 if len(sc) else 0)
+        uniq_src = pa.array(src).dictionary_encode().dictionary
+        keep = np.arange(len(uniq_src))
+        return pa.table({
+            "source": uniq_src.take(pa.array(keep)),
+            "n_pairs": pa.array(npairs[keep].astype(np.int64)),
+            "n_matches": pa.array(nmatch[keep].astype(np.int64)),
+        })
+
+    out = partitioned_group_apply(sent, ["source"], adjacency,
+                                  num_partitions=8).to_pandas()
+    return pa.table({
+        "source": pa.array(out["source"], pa.string()),
+        "n_pairs": pa.array(out["n_pairs"].to_numpy(np.int64)),
+        "n_matches": pa.array(out["n_matches"].to_numpy(np.int64)),
+    })
