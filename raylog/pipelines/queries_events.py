@@ -2036,3 +2036,278 @@ def template_cap_sample(sf_dir: str):
         masked, sort_cols=["doc_id"], descending=[False], k=3,
         group_cols=["template"], add_rank="rank",
     )
+
+
+
+# --------------------------------------------------------------------------
+# Distributed prefix scan over session boundaries: peak concurrency +
+# load-duration curve
+# --------------------------------------------------------------------------
+
+_SESSION_GAP_US = 1_800_000_000
+
+_CONC_ORACLE_BODY = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS t
+  FROM events
+), d AS (
+  SELECT *, CASE WHEN t - LAG(t) OVER (PARTITION BY user_id
+                                       ORDER BY t, event_id)
+                      > 1800000000
+                   OR LAG(t) OVER (PARTITION BY user_id
+                                   ORDER BY t, event_id) IS NULL
+                 THEN 1 ELSE 0 END AS new_session
+  FROM e
+), s AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                                   ORDER BY t, event_id
+                                   ROWS UNBOUNDED PRECEDING)
+              AS session_no
+  FROM d
+), iv AS (
+  SELECT user_id, session_no, MIN(t) AS lo, MAX(t) AS hi
+  FROM s GROUP BY 1, 2
+), b AS (
+  SELECT lo AS ts_us, 1 AS delta FROM iv
+  UNION ALL SELECT hi, -1 FROM iv
+)"""
+
+
+def _boundary_bins(sf_dir: str, num_bins: int = 64):
+    """Session-boundary rows bucketed by VALUE into ``num_bins``
+    contiguous skey ranges — the explicit stand-in for a global sort
+    whose block→position mapping the scan needs.
+
+    skey = ts_us*2 + (0 start | 1 end): starts order before ends at
+    the same instant (closed intervals — a session ending exactly when
+    another starts still overlaps it). A cheap scalar min/max pre-pass
+    fixes uniform bin edges; every row maps to exactly ONE bin, so bin
+    id IS the block's global position and the driver can turn per-bin
+    Δ-sums into exact exclusive offsets — no reliance on opaque block
+    identity, and equal keys can never straddle an ordering boundary.
+    The exchange is 2×16 B per session, bounded well below the event
+    stream."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import partitioned_group_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts"])
+
+    def bounds(part: pa.Table) -> pa.Table:
+        def col(name):
+            c = part[name]
+            return (c.combine_chunks()
+                    if isinstance(c, pa.ChunkedArray) else c)
+
+        user = np.asarray(col("user_id"))
+        t = np.asarray(col("ts")).astype("datetime64[us]").astype(
+            np.int64)
+        eid = np.asarray(col("event_id"), dtype=np.int64)
+        n = len(user)
+        if n == 0:
+            return pa.table({"skey": pa.array([], pa.int64())})
+        order = np.lexsort((eid, t, user))
+        user, t = user[order], t[order]
+        new = np.ones(n, dtype=bool)
+        new[1:] = ((user[1:] != user[:-1])
+                   | ((t[1:] - t[:-1]) > _SESSION_GAP_US))
+        sstarts = np.flatnonzero(new)
+        sends = np.concatenate([sstarts[1:], [n]]) - 1
+        lo, hi = t[sstarts], t[sends]
+        return pa.table({
+            "skey": pa.array(np.concatenate([lo * 2, hi * 2 + 1])),
+        })
+
+    b = partitioned_group_apply(ds, ["user_id"], bounds,
+                                num_partitions=8)
+
+    from raylog.functions.agg import grouped_aggregate
+
+    def minmax(t: pa.Table) -> pa.Table:
+        sk = np.asarray(t["skey"].combine_chunks()
+                        if isinstance(t["skey"], pa.ChunkedArray)
+                        else t["skey"], dtype=np.int64)
+        return pa.table({
+            "g": pa.array([0], pa.int64()),
+            "lo": pa.array([int(sk.min())], pa.int64()),
+            "hi": pa.array([int(sk.max())], pa.int64()),
+        })
+
+    mm = grouped_aggregate(
+        b.map_batches(minmax, batch_format="pyarrow", batch_size=None),
+        ["g"], [("lo", "min", "lo"), ("hi", "max", "hi")])
+    lo, hi = int(mm["lo"][0].as_py()), int(mm["hi"][0].as_py())
+    span = max(hi - lo + 1, 1)
+
+    def binify(t: pa.Table) -> pa.Table:
+        sk = np.asarray(t["skey"].combine_chunks()
+                        if isinstance(t["skey"], pa.ChunkedArray)
+                        else t["skey"], dtype=np.int64)
+        bn = np.minimum((sk - lo) * num_bins // span, num_bins - 1)
+        return pa.table({"bin": pa.array(bn), "skey": pa.array(sk)})
+
+    return b.map_batches(binify, batch_format="pyarrow",
+                         batch_size=None), num_bins
+
+
+def _scan_bins(sf_dir: str):
+    """Run the per-bin scan pass: returns a pandas frame with one meta
+    row per non-empty bin (kind 0: bin, dsum, lmax, ts_at local
+    first-argmax, n, first_ts, last_ts) and per-(bin, LOCAL level)
+    duration partials (kind 1)."""
+    import numpy as np
+
+    from raylog.functions.agg import partitioned_group_apply
+
+    binned, _ = _boundary_bins(sf_dir)
+
+    def scan(part: pa.Table) -> pa.Table:
+        bn = np.asarray(part["bin"].combine_chunks()
+                        if isinstance(part["bin"], pa.ChunkedArray)
+                        else part["bin"], dtype=np.int64)
+        sk = np.asarray(part["skey"].combine_chunks()
+                        if isinstance(part["skey"], pa.ChunkedArray)
+                        else part["skey"], dtype=np.int64)
+        out = {c: [] for c in ("kind", "bin", "level", "dur_us",
+                               "dsum", "lmax", "ts_at", "n")}
+        order = np.lexsort((sk, bn))
+        bn, sk = bn[order], sk[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(bn[1:] != bn[:-1]) + 1, [len(bn)]])
+        for i in range(len(starts) - 1):
+            s, e = starts[i], starts[i + 1]
+            skb = sk[s:e]
+            delta = np.where(skb & 1 == 0, 1, -1).astype(np.int64)
+            pre = np.cumsum(delta)
+            ts = skb >> 1
+            apos = int(np.argmax(pre))
+            out["kind"].append(0)
+            out["bin"].append(int(bn[s]))
+            out["level"].append(int(ts[0]))    # meta: first_ts
+            out["dur_us"].append(int(ts[-1]))  # meta: last_ts
+            out["dsum"].append(int(pre[-1]))
+            out["lmax"].append(int(pre.max()))
+            out["ts_at"].append(int(ts[apos]))
+            out["n"].append(int(e - s))
+            gaps = ts[1:] - ts[:-1]
+            keep = gaps > 0
+            if keep.any():
+                ul, inv = np.unique(pre[:-1][keep], return_inverse=True)
+                dur = np.zeros(len(ul), dtype=np.int64)
+                np.add.at(dur, inv, gaps[keep])
+                for u, dv in zip(ul, dur):
+                    out["kind"].append(1)
+                    out["bin"].append(int(bn[s]))
+                    out["level"].append(int(u))
+                    out["dur_us"].append(int(dv))
+                    out["dsum"].append(0)
+                    out["lmax"].append(0)
+                    out["ts_at"].append(0)
+                    out["n"].append(0)
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in out.items()})
+
+    return partitioned_group_apply(binned, ["bin"], scan,
+                                   num_partitions=8).to_pandas()
+
+
+@query(
+    "events_peak_concurrency",
+    _CONC_ORACLE_BODY + """
+, r AS (
+  SELECT ts_us, SUM(delta) OVER (ORDER BY ts_us, delta DESC
+                                 ROWS UNBOUNDED PRECEDING) AS conc
+  FROM b
+), m AS (SELECT MAX(conc) AS mx FROM r)
+SELECT CAST(m.mx AS BIGINT) AS peak_concurrency,
+       CAST(MIN(r.ts_us) FILTER (WHERE r.conc = m.mx) AS BIGINT)
+         AS peak_at_us,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM iv) AS n_intervals
+FROM r, m GROUP BY m.mx""",
+)
+def events_peak_concurrency(sf_dir: str):
+    """Maximum number of simultaneously active sessions (30-min-gap
+    sessions) and the first instant it is reached — the
+    capacity-planning number a 100 TB ingest sizes its collectors by.
+
+    A true DISTRIBUTED prefix scan (unlike the repo's days-bounded
+    driver cumsums): boundaries bucket by value into ordered key-range
+    bins, each bin reduces map-side to (Δ-sum, local running max,
+    first-argmax ts), and the driver turns the bins-bounded Δ-sums
+    into exact exclusive offsets — global peak = max(offset + local
+    max), earliest attaining bin supplies the timestamp. Bin id gives
+    the scan its total order, so no opaque-block-identity assumption
+    and equal keys can never straddle an ordering boundary."""
+    import numpy as np
+
+    rows = _scan_bins(sf_dir)
+    meta = rows[rows["kind"] == 0].sort_values("bin")
+    dsum = meta["dsum"].to_numpy(np.int64)
+    off = np.concatenate([[0], np.cumsum(dsum)[:-1]])
+    glob = off + meta["lmax"].to_numpy(np.int64)
+    peak = int(glob.max())
+    first = int(np.argmax(glob == peak))
+    return pa.table({
+        "peak_concurrency": pa.array([peak], pa.int64()),
+        "peak_at_us": pa.array(
+            [int(meta["ts_at"].to_numpy(np.int64)[first])], pa.int64()),
+        "n_intervals": pa.array([int(meta["n"].sum()) // 2], pa.int64()),
+    })
+
+
+@query(
+    "events_concurrency_histogram",
+    _CONC_ORACLE_BODY + """
+, r AS (
+  SELECT SUM(delta) OVER (ORDER BY ts_us, delta DESC
+                          ROWS UNBOUNDED PRECEDING) AS conc,
+         LEAD(ts_us) OVER (ORDER BY ts_us, delta DESC) - ts_us AS dur
+  FROM b
+)
+SELECT CAST(conc AS BIGINT) AS level,
+       CAST(SUM(dur) AS BIGINT) AS dur_us
+FROM r WHERE dur IS NOT NULL
+GROUP BY 1 HAVING SUM(dur) > 0""",
+)
+def events_concurrency_histogram(sf_dir: str):
+    """Load-duration curve: total time spent at each session-
+    concurrency level (area under the concurrency staircase — the
+    metric behind percentile-based capacity sizing).
+
+    Same bin scan as `events_peak_concurrency`, richer payload: each
+    bin emits (LOCAL level → duration) partials from one diff/
+    segment-sum pass; the driver shifts each bin's levels by its
+    exclusive offset, adds the inter-bin gap at the boundary level,
+    and combines. Output bounded by the peak level; zero-duration
+    transient levels drop on both sides (oracle HAVING > 0)."""
+    import numpy as np
+
+    rows = _scan_bins(sf_dir)
+    meta = rows[rows["kind"] == 0].sort_values("bin").reset_index(
+        drop=True)
+    dsum = meta["dsum"].to_numpy(np.int64)
+    off = np.concatenate([[0], np.cumsum(dsum)[:-1]])
+    off_by_bin = dict(zip(meta["bin"].astype(int), off))
+    lv = rows[rows["kind"] == 1]
+    acc: dict[int, int] = {}
+    for b_, l_, d_ in zip(lv["bin"].astype(int),
+                          lv["level"].astype(int),
+                          lv["dur_us"].astype(int)):
+        g = l_ + off_by_bin[b_]
+        acc[g] = acc.get(g, 0) + d_
+    # inter-bin gaps: from bin i's last ts to bin i+1's first ts at
+    # the level reached at bin i's end (= exclusive offset of i+1)
+    first_ts = meta["level"].to_numpy(np.int64)
+    last_ts = meta["dur_us"].to_numpy(np.int64)
+    for i in range(len(meta) - 1):
+        gap = int(first_ts[i + 1] - last_ts[i])
+        if gap > 0:
+            g = int(off[i + 1])
+            acc[g] = acc.get(g, 0) + gap
+    levels = sorted(k for k, v in acc.items() if v > 0)
+    return pa.table({
+        "level": pa.array(levels, pa.int64()),
+        "dur_us": pa.array([acc[k] for k in levels], pa.int64()),
+    })
