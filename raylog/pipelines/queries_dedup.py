@@ -2059,3 +2059,179 @@ def dedup_reciprocal_nn(sf_dir: str):
 
     return g.map_batches(reciprocal, batch_format="pyarrow",
                          batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# Near-dup graph PageRank (iterative distributed SpMV)
+# --------------------------------------------------------------------------
+
+@query(
+    "dedup_graph_pagerank",
+    """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              list_extract(w, i) || ' ' || list_extract(w, i+1)
+                || ' ' || list_extract(w, i+2) AS g
+       FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+       WHERE len(w) >= 3),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+np AS (SELECT doc_a, doc_b FROM inter
+       JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+       WHERE c * 1.0 / (x.n + y.n - c) >= 0.3),
+e AS (SELECT doc_a AS u, doc_b AS v FROM np
+      UNION SELECT doc_b, doc_a FROM np),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+r0 AS (SELECT doc_id, CAST(1000000000 AS BIGINT) AS r FROM documents),
+c1 AS (SELECT e.v AS doc_id, SUM(r0.r // deg.d) AS s
+       FROM e JOIN deg USING (u) JOIN r0 ON r0.doc_id = e.u
+       GROUP BY 1),
+r1 AS (SELECT d0.doc_id,
+              CAST((15000000000 + 85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS r
+       FROM (SELECT doc_id FROM documents) d0
+       LEFT JOIN c1 USING (doc_id)),
+c2 AS (SELECT e.v AS doc_id, SUM(r1.r // deg.d) AS s
+       FROM e JOIN deg USING (u) JOIN r1 ON r1.doc_id = e.u
+       GROUP BY 1),
+r2 AS (SELECT d0.doc_id,
+              CAST((15000000000 + 85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS r
+       FROM (SELECT doc_id FROM documents) d0
+       LEFT JOIN c2 USING (doc_id)),
+c3 AS (SELECT e.v AS doc_id, SUM(r2.r // deg.d) AS s
+       FROM e JOIN deg USING (u) JOIN r2 ON r2.doc_id = e.u
+       GROUP BY 1),
+r3 AS (SELECT d0.doc_id,
+              CAST((15000000000 + 85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS r
+       FROM (SELECT doc_id FROM documents) d0
+       LEFT JOIN c3 USING (doc_id))
+SELECT doc_id, pagerank_e9, degree, rank FROM (
+  SELECT r3.doc_id, r3.r AS pagerank_e9,
+         COALESCE(deg.d, 0) AS degree,
+         ROW_NUMBER() OVER (ORDER BY r3.r DESC, r3.doc_id) AS rank
+  FROM r3 LEFT JOIN deg ON r3.doc_id = deg.u
+) WHERE rank <= 20""",
+)
+def dedup_graph_pagerank(sf_dir: str):
+    """PageRank centrality on the exact near-dup graph (3 power
+    iterations, damping 0.85) — hub documents in the duplication graph
+    are the templates/boilerplate whose removal shrinks the most
+    near-dup mass; top-20 with degree.
+
+    The engine's first ITERATIVE distributed computation: each round is
+    one SpMV expressed as co-partitioned join + combine — edges (with
+    out-degree attached once) hash-join the rank vector on the source
+    key, emit integer contributions r//deg, and a hash-partitioned
+    combine reduces per destination; ranks never broadcast and the
+    driver holds nothing node-sized. EVERY arithmetic step is integer
+    (e9 fixed point, floor divisions restated term-for-term in the
+    unrolled 3-level SQL oracle), so Ray and DuckDB agree bit-for-bit
+    — no float drift across iterations. Dangling mass evaporates
+    identically on both sides."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions import topk as tk
+    from raylog.functions.agg import grouped_aggregate_ds
+    from raylog.functions.dedup import ngram_jaccard_pairs
+
+    E9 = 1_000_000_000
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3)
+
+    def bidir(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["doc_a"].combine_chunks()
+                       if isinstance(b["doc_a"], pa.ChunkedArray)
+                       else b["doc_a"], dtype=np.int64)
+        c = np.asarray(b["doc_b"].combine_chunks()
+                       if isinstance(b["doc_b"], pa.ChunkedArray)
+                       else b["doc_b"], dtype=np.int64)
+        return pa.table({
+            "u": pa.array(np.concatenate([a, c])),
+            "v": pa.array(np.concatenate([c, a])),
+            "one": pa.array(np.ones(2 * len(a), dtype=np.int64)),
+        })
+
+    # Iterative algorithms MUST pin their loop-invariant inputs: the
+    # lazy DAG would otherwise re-run the whole inverted-index pair
+    # build once per consumer per iteration (observed: sf0.001 ran
+    # past 5 min lazy vs seconds pinned). edges/deg are pairs-bounded
+    # — far below the corpus — so materializing them is the classic
+    # PageRank cache, not a full-dataset spill.
+    edges = pairs.map_batches(bidir, batch_format="pyarrow",
+                              batch_size=None).materialize()
+    deg = grouped_aggregate_ds(edges, ["u"], [("one", "sum", "d")],
+                               num_partitions=8)
+    ewd = edges.drop_columns(["one"]).join(
+        deg, join_type="inner", num_partitions=8,
+        on=("u",)).materialize()
+
+    node_ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    ranks = node_ids.map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"],
+            "r": pa.array(np.full(len(b), E9, dtype=np.int64)),
+        }), batch_format="pyarrow", batch_size=None)
+
+    for _ in range(3):
+        j = ewd.join(ranks, join_type="inner", num_partitions=8,
+                     on=("u",), right_on=("doc_id",))
+
+        def contrib(b: pa.Table) -> pa.Table:
+            r = np.asarray(b["r"].combine_chunks()
+                           if isinstance(b["r"], pa.ChunkedArray)
+                           else b["r"], dtype=np.int64)
+            d = np.asarray(b["d"].combine_chunks()
+                           if isinstance(b["d"], pa.ChunkedArray)
+                           else b["d"], dtype=np.int64)
+            return pa.table({
+                "v": b["v"],
+                "c": pa.array(r // d),
+            })
+
+        sums = grouped_aggregate_ds(
+            j.map_batches(contrib, batch_format="pyarrow",
+                          batch_size=None),
+            ["v"], [("c", "sum", "s")], num_partitions=8)
+        nj = node_ids.join(sums, join_type="left_outer",
+                           num_partitions=8, on=("doc_id",),
+                           right_on=("v",))
+
+        def update(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            s = np.asarray(pc.fill_null(pc.cast(b["s"], pa.int64()), 0),
+                           dtype=np.int64)
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "r": pa.array((15 * E9 + 85 * s) // 100),
+            })
+
+        # node-bounded; pinned so iteration k+1 reads a table, not a
+        # k-deep join chain
+        ranks = nj.map_batches(update, batch_format="pyarrow",
+                               batch_size=None).materialize()
+
+    final = ranks.join(deg, join_type="left_outer", num_partitions=8,
+                       on=("doc_id",), right_on=("u",))
+
+    def shape(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "pagerank_e9": b["r"],
+            "degree": pc.fill_null(pc.cast(b["d"], pa.int64()), 0),
+        })
+
+    return tk.topk(
+        final.map_batches(shape, batch_format="pyarrow",
+                          batch_size=None),
+        sort_cols=["pagerank_e9", "doc_id"], descending=[True, False],
+        k=20, add_rank="rank",
+    )
