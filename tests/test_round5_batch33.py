@@ -79,3 +79,25 @@ def test_pagerank_hub_outranks_leaves(tmp_path, ray_session):
     assert by.loc[2, "degree"] == 2
     assert by.loc[2, "pagerank_e9"] > by.loc[0, "pagerank_e9"]
     assert by.loc[0, "pagerank_e9"] == by.loc[1, "pagerank_e9"]
+
+
+def test_triangles_clique_and_path(tmp_path, ray_session):
+    """A 3-clique closes its one wedge-orbit (transitivity 1); a
+    2-path stays open (0 triangles, 1 wedge)."""
+    dup3 = "alpha beta gamma delta epsilon zeta"
+    a = "red green blue cyan magenta"
+    b = "dog cat fox wolf bear"
+    hub = a + " " + b      # path a - hub - b, no (a,b) edge
+    rows = [(0, dup3), (1, dup3), (2, dup3), (3, a), (4, b), (5, hub)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array(["s"] * len(rows), pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    got = _cmp("dedup_graph_triangles", str(tmp_path), ["n_edges"])
+    r = got.iloc[0]
+    # clique: 1 triangle, 3 wedges; path: 0 triangles, 1 wedge
+    assert r["n_triangles"] == 1
+    assert r["n_wedges"] == 4
+    assert r["n_edges"] == 5
+    assert r["transitivity_e6"] == 3_000_000 * 1 // 4
