@@ -2164,6 +2164,24 @@ def dedup_graph_pagerank(sf_dir: str):
     # PageRank cache, not a full-dataset spill.
     edges = pairs.map_batches(bidir, batch_format="pyarrow",
                               batch_size=None).materialize()
+    if edges.count() == 0:
+        # edgeless corpus: every doc sits at the teleport floor after
+        # one round and stays there; top-20 = 20 smallest doc_ids
+        floor = 15 * E9 // 100
+        ranks0 = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        ).map_batches(
+            lambda b: pa.table({
+                "doc_id": b["doc_id"],
+                "pagerank_e9": pa.array(
+                    np.full(len(b), floor, dtype=np.int64)),
+                "degree": pa.array(np.zeros(len(b), dtype=np.int64)),
+            }), batch_format="pyarrow", batch_size=None)
+        from raylog.functions import topk as _tk
+        return _tk.topk(ranks0,
+                        sort_cols=["pagerank_e9", "doc_id"],
+                        descending=[True, False], k=20,
+                        add_rank="rank")
     deg = grouped_aggregate_ds(edges, ["u"], [("one", "sum", "d")],
                                num_partitions=8)
     ewd = edges.drop_columns(["one"]).join(
@@ -2265,7 +2283,8 @@ tri AS (SELECT COUNT(*) AS c
         FROM np e1
         JOIN np e2 ON e2.doc_a = e1.doc_a AND e2.doc_b > e1.doc_b
         JOIN np e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b),
-w AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS s FROM deg)
+w AS (SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT) AS s
+      FROM deg)
 SELECT CAST(tri.c AS BIGINT) AS n_triangles,
        w.s AS n_wedges,
        CAST(CASE WHEN w.s > 0 THEN (3000000 * tri.c) // w.s
@@ -2317,6 +2336,11 @@ def dedup_graph_triangles(sf_dir: str):
     edges = pairs.map_batches(bidir, batch_format="pyarrow",
                               batch_size=None)
     deg_t = grouped_aggregate(edges, ["u"], [("one", "sum", "d")])
+    if len(deg_t) == 0 or "u" not in deg_t.column_names:
+        # edgeless corpus: no wedges, no triangles
+        z = pa.array([0], pa.int64())
+        return pa.table({"n_triangles": z, "n_wedges": z,
+                         "transitivity_e6": z, "n_edges": z})
     dk = np.asarray(deg_t["u"], dtype=np.int64)
     dv = np.asarray(deg_t["d"], dtype=np.int64)
     n_edges = int(dv.sum()) // 2

@@ -101,3 +101,20 @@ def test_triangles_clique_and_path(tmp_path, ray_session):
     assert r["n_wedges"] == 4
     assert r["n_edges"] == 5
     assert r["transitivity_e6"] == 3_000_000 * 1 // 4
+
+
+def test_graph_ops_edgeless_corpus(tmp_path, ray_session):
+    """No near-dup pairs at all: PageRank puts every doc at the
+    teleport floor, triangles report all zeros — both matching the
+    oracle (regression: the empty edge set used to crash both)."""
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["aa bb cc dd ee", "ff gg hh ii jj"],
+                         pa.string()),
+        "source": pa.array(["s", "s"], pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    got = _cmp("dedup_graph_pagerank", str(tmp_path), ["rank"])
+    assert (got["pagerank_e9"] == 150_000_000).all()
+    assert (got["degree"] == 0).all()
+    tri = _cmp("dedup_graph_triangles", str(tmp_path), ["n_edges"])
+    assert tri.iloc[0].tolist() == [0, 0, 0, 0]
