@@ -2408,6 +2408,14 @@ def dedup_graph_triangles(sf_dir: str):
 
     cand = partitioned_group_apply(oe, ["src"], wedge_pairs,
                                    num_partitions=8)
+    # a wedge-free graph (disjoint edges) leaves cand fully empty and
+    # Ray's join crashes on an empty side; unmatchable sentinel (real
+    # ids are non-negative) vanishes in the inner join
+    cand = rd.from_arrow(pa.table({
+        "src": pa.array([-(1 << 62)], pa.int64()),
+        "dst": pa.array([-(1 << 62)], pa.int64()),
+        "w": pa.array([0], pa.int64()),
+    })).union(cand)  # sentinel FIRST (schema source)
     closed = cand.join(oe, join_type="inner", num_partitions=8,
                        on=("src", "dst"))
     tri_t = grouped_aggregate(

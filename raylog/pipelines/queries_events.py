@@ -2138,6 +2138,8 @@ def _boundary_bins(sf_dir: str, num_bins: int = 64):
     mm = grouped_aggregate(
         b.map_batches(minmax, batch_format="pyarrow", batch_size=None),
         ["g"], [("lo", "min", "lo"), ("hi", "max", "hi")])
+    if "lo" not in mm.column_names or len(mm) == 0:
+        return None, num_bins  # empty event stream
     lo, hi = int(mm["lo"][0].as_py()), int(mm["hi"][0].as_py())
     span = max(hi - lo + 1, 1)
 
@@ -2162,6 +2164,12 @@ def _scan_bins(sf_dir: str):
     from raylog.functions.agg import partitioned_group_apply
 
     binned, _ = _boundary_bins(sf_dir)
+    if binned is None:  # empty event stream
+        import pandas as pd
+
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("kind", "bin", "level", "dur_us",
+                                       "dsum", "lmax", "ts_at", "n")})
 
     def scan(part: pa.Table) -> pa.Table:
         bn = np.asarray(part["bin"].combine_chunks()
@@ -2244,6 +2252,10 @@ def events_peak_concurrency(sf_dir: str):
 
     rows = _scan_bins(sf_dir)
     meta = rows[rows["kind"] == 0].sort_values("bin")
+    if len(meta) == 0:  # empty event stream: oracle returns 0 rows
+        z = pa.array([], pa.int64())
+        return pa.table({"peak_concurrency": z, "peak_at_us": z,
+                         "n_intervals": z})
     dsum = meta["dsum"].to_numpy(np.int64)
     off = np.concatenate([[0], np.cumsum(dsum)[:-1]])
     glob = off + meta["lmax"].to_numpy(np.int64)
@@ -2287,6 +2299,9 @@ def events_concurrency_histogram(sf_dir: str):
     rows = _scan_bins(sf_dir)
     meta = rows[rows["kind"] == 0].sort_values("bin").reset_index(
         drop=True)
+    if len(meta) == 0:  # empty event stream
+        z = pa.array([], pa.int64())
+        return pa.table({"level": z, "dur_us": z})
     dsum = meta["dsum"].to_numpy(np.int64)
     off = np.concatenate([[0], np.cumsum(dsum)[:-1]])
     off_by_bin = dict(zip(meta["bin"].astype(int), off))

@@ -18,6 +18,13 @@ import pyarrow as pa
 
 from raylog.pipelines.qbase import query
 
+# Unmatchable join key: Ray's hash-shuffle join crashes when one side
+# is ENTIRELY empty (its aggregators drop schema'd empty blocks — see
+# the degenerate-input tests). Appending one sentinel-keyed row keeps
+# the side non-empty; all real keys are non-negative ids, so the
+# sentinel can never match and vanishes in inner joins.
+_JOIN_SENTINEL = -(1 << 62)
+
 
 # --------------------------------------------------------------------------
 # TPC-H Q14 shape: promotion revenue share per ship-month
@@ -4101,6 +4108,15 @@ def orders_large_volume(sf_dir: str):
 
     big = per_ord.map_batches(keep, batch_format="pyarrow",
                               batch_size=None)
+    # Ray's hash-shuffle join crashes on a fully-empty side (its
+    # aggregators drop schema'd empty blocks); an unmatchable sentinel
+    # key keeps the side non-empty and vanishes in the inner join.
+    big = rd.from_arrow(pa.table({
+        "l_orderkey": pa.array([_JOIN_SENTINEL], pa.int64()),
+        "total_qty": pa.array([0], pa.int64()),
+    })).union(big)  # sentinel FIRST: the union's dataset-level schema
+    # must come from the guaranteed-non-empty input (an all-empty
+    # first input erases the schema the join plans against)
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey",
                                       "o_totalprice"])
@@ -4211,7 +4227,19 @@ def suppliers_kept_waiting(sf_dir: str):
             "order_day": pa.array(t),
         })
 
-    od = orders.map_batches(oday, batch_format="pyarrow", batch_size=None)
+    od = orders.map_batches(oday, batch_format="pyarrow",
+                            batch_size=None)
+    # sentinel rows: either side can be empty (no 'F' orders / empty
+    # fact) and Ray's join crashes on a fully-empty side
+    pairs = rd.from_arrow(pa.table({
+        "l_orderkey": pa.array([_JOIN_SENTINEL], pa.int64()),
+        "l_suppkey": pa.array([_JOIN_SENTINEL], pa.int64()),
+        "max_ship": pa.array([0], pa.int64()),
+    })).union(pairs)  # sentinel FIRST (schema source)
+    od = rd.from_arrow(pa.table({
+        "o_orderkey": pa.array([_JOIN_SENTINEL - 1], pa.int64()),
+        "order_day": pa.array([0], pa.int64()),
+    })).union(od)
     j = pairs.join(od, join_type="inner", num_partitions=8,
                    on=("l_orderkey",), right_on=("o_orderkey",))
 
@@ -4258,6 +4286,9 @@ def suppliers_kept_waiting(sf_dir: str):
         per_ord.map_batches(keep, batch_format="pyarrow",
                             batch_size=None),
         ["late_supp"], [("one", "sum", "numwait")])
+    if "late_supp" not in agg.column_names:
+        return pa.table({"s_name": pa.array([], pa.string()),
+                         "numwait": pa.array([], pa.int64())})
 
     supp = pq.read_table(f"{sf_dir}/supplier.parquet",
                          columns=["s_suppkey", "s_name"]).to_pandas()
@@ -4381,6 +4412,13 @@ def nation_market_share(sf_dir: str):
         [("rev", "sum", "rev"), ("rev_t", "sum", "rev_t")],
         num_partitions=8)
 
+    # sentinel keeps the survivor side non-empty (no ECONOMY rows ->
+    # Ray join crash on a fully-empty side); vanishes in the inner join
+    per_ord = rd.from_arrow(pa.table({
+        "l_orderkey": pa.array([_JOIN_SENTINEL], pa.int64()),
+        "rev": pa.array([0], pa.int64()),
+        "rev_t": pa.array([0], pa.int64()),
+    })).union(per_ord)  # sentinel FIRST (schema source)
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey",
                                       "o_orderdate"])
@@ -4408,6 +4446,10 @@ def nation_market_share(sf_dir: str):
         j.map_batches(finishp, batch_format="pyarrow", batch_size=None),
         ["yr"], [("rev", "sum", "revenue_e4"),
                  ("rev_t", "sum", "nation_revenue_e4")])
+    if "yr" not in a.column_names:
+        z = pa.array([], pa.int64())
+        return pa.table({"yr": z, "revenue_e4": z,
+                         "nation_revenue_e4": z, "share_e6": z})
     r = np.asarray(a["revenue_e4"], dtype=np.int64)
     rt = np.asarray(a["nation_revenue_e4"], dtype=np.int64)
     return pa.table({
@@ -4490,6 +4532,11 @@ def lineitem_small_qty_revenue(sf_dir: str):
     ag = grouped_aggregate(
         li.map_batches(qpart, batch_format="pyarrow", batch_size=None),
         ["l_partkey"], [("q", "sum", "sq"), ("one", "sum", "n")])
+    if "l_partkey" not in ag.column_names:  # no brand rows at all
+        return pa.table({
+            "n_rows": pa.array([0], pa.int64()),
+            "revenue_e2": pa.array([0], pa.int64()),
+        })
     akeys = np.asarray(ag["l_partkey"], dtype=np.int64)
     order = np.argsort(akeys)
     akeys = akeys[order]
@@ -4594,13 +4641,29 @@ def customers_sales_opportunity(sf_dir: str):
         orders.map_batches(ones, batch_format="pyarrow", batch_size=None),
         ["o_custkey"], [("one", "max", "has")], num_partitions=8)
 
+    # sentinel rows on both sides (either can be empty; the cand
+    # sentinel survives the LEFT join and is dropped inside flag())
+    cand = pa.concat_tables([cand, pa.table({
+        "c_custkey": pa.array([_JOIN_SENTINEL], pa.int64()),
+        "c_nationkey": pa.array([0], pa.int64()),
+        "bal_e2": pa.array([0], pa.int64()),
+    })])
+    has_sent = rd.from_arrow(pa.table({
+        "o_custkey": pa.array([_JOIN_SENTINEL - 1], pa.int64()),
+        "has": pa.array([1], pa.int64()),
+    }))
     cand_ds = rd.from_arrow(cand)
-    j = cand_ds.join(has_ord, join_type="left_outer", num_partitions=8,
+    j = cand_ds.join(has_sent.union(has_ord), join_type="left_outer",
+                     num_partitions=8,
                      on=("c_custkey",), right_on=("o_custkey",))
 
     def flag(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        ck = np.asarray(b["c_custkey"].combine_chunks()
+                        if isinstance(b["c_custkey"], pa.ChunkedArray)
+                        else b["c_custkey"], dtype=np.int64)
+        b = b.filter(pa.array(ck != _JOIN_SENTINEL))
         inactive = pc.cast(pc.is_null(b["has"]), pa.int64())
         return pa.table({
             "c_nationkey": b["c_nationkey"],
@@ -4609,11 +4672,19 @@ def customers_sales_opportunity(sf_dir: str):
             "bal_e2": b["bal_e2"],
         })
 
-    return grouped_aggregate(
+    out = grouped_aggregate(
         j.map_batches(flag, batch_format="pyarrow", batch_size=None),
         ["c_nationkey"],
         [("one", "sum", "n_cust"), ("inactive", "sum", "n_inactive"),
          ("bal_e2", "sum", "sum_bal_e2")])
+    if "c_nationkey" not in out.column_names:
+        return pa.table({
+            "c_nationkey": pa.array([], pa.int64()),
+            "n_cust": pa.array([], pa.int64()),
+            "n_inactive": pa.array([], pa.int64()),
+            "sum_bal_e2": pa.array([], pa.int64()),
+        })
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -4672,6 +4743,12 @@ def top_supplier_revenue(sf_dir: str):
     agg = grouped_aggregate(
         li.map_batches(partial, batch_format="pyarrow", batch_size=None),
         ["l_suppkey"], [("rev", "sum", "total_revenue_e4")])
+    if "l_suppkey" not in agg.column_names:
+        return pa.table({
+            "s_suppkey": pa.array([], pa.int64()),
+            "s_name": pa.array([], pa.string()),
+            "total_revenue_e4": pa.array([], pa.int64()),
+        })
     rev = np.asarray(agg["total_revenue_e4"], dtype=np.int64)
     sk = np.asarray(agg["l_suppkey"], dtype=np.int64)
     top = rev == rev.max()

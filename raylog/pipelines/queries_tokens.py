@@ -2392,6 +2392,10 @@ def tokens_kn_continuation(sf_dir: str):
         distinct.map_batches(ones, batch_format="pyarrow",
                              batch_size=None),
         ["token"], [("one", "sum", "n_cont")])
+    if "token" not in cc.column_names:  # no bigrams (all 1-token docs)
+        z = pa.array([], pa.int64())
+        return pa.table({"token": z, "n_cont": z,
+                         "cont_prob_e6": z, "rank": z})
     tok = np.asarray(cc["token"], dtype=np.int64)
     nc = np.asarray(cc["n_cont"], dtype=np.int64)
     tot = int(nc.sum())
