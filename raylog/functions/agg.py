@@ -286,3 +286,16 @@ def grouped_aggregate(
         pa.concat_tables(tables, promote_options="default"), keys
     )
     return _finalize(merged, keys, aggs)
+
+
+def seed_join_side(ds, sentinel: "pa.Table"):
+    """Guard a (possibly filtered-to-nothing) join input against Ray's
+    empty-side hazard: when EVERY block of a side has zero rows the
+    dataset-level schema resolves empty and the hash-shuffle join dies
+    planning against it. Unioning a one-row sentinel table FIRST makes
+    it the schema source; use an unmatchable key (all real keys are
+    non-negative ids — convention: -(1<<62)) so the row vanishes in
+    inner joins (filter it explicitly after outer joins)."""
+    import ray.data as rd
+
+    return rd.from_arrow(sentinel).union(ds)

@@ -65,6 +65,17 @@ def asof_join(
         if c in left_cols:
             raise ValueError(f"right_vals column {c!r} collides with left")
     right_schema = right.schema()
+    if right_schema is None or not right_schema.names:
+        # all-empty right side: dataset-level schema resolves empty
+        # (SCALE.md hazard); every left row gets null right_vals
+        def nullwiden(b: pa.Table) -> pa.Table:
+            cols = {c: b[c] for c in left_cols}
+            for c in right_vals:
+                cols[c] = pa.nulls(b.num_rows)
+            return pa.table(cols)
+
+        return left.map_batches(nullwiden, batch_format="pyarrow",
+                                batch_size=None)
     rtypes = {n: t for n, t in zip(right_schema.names, right_schema.types)}
     ltypes = {n: t for n, t in zip(left_schema.names, left_schema.types)}
 
@@ -206,6 +217,17 @@ def interval_join(
         if c in left_cols:
             raise ValueError(f"right_vals column {c!r} collides with left")
     right_schema = right.schema()
+    if right_schema is None or not right_schema.names:
+        # all-empty right side: dataset-level schema resolves empty
+        # (SCALE.md hazard); every left row gets null right_vals
+        def nullwiden(b: pa.Table) -> pa.Table:
+            cols = {c: b[c] for c in left_cols}
+            for c in right_vals:
+                cols[c] = pa.nulls(b.num_rows)
+            return pa.table(cols)
+
+        return left.map_batches(nullwiden, batch_format="pyarrow",
+                                batch_size=None)
     rtypes = {n: t for n, t in zip(right_schema.names, right_schema.types)}
     ltypes_schema = left.schema()
     ltypes = {n: t for n, t in zip(ltypes_schema.names, ltypes_schema.types)}

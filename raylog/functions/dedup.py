@@ -287,7 +287,28 @@ def exact_dedup_survivors(ds: rd.Dataset, id_col: str = "doc_id",
 
 def _join_shingle_lists(pairs: rd.Dataset, doclists: rd.Dataset,
                         num_partitions: int) -> rd.Dataset:
-    """pairs (doc_a, doc_b, ...) ⋈ doclists on both sides (hash join)."""
+    """pairs (doc_a, doc_b) ⋈ doclists on both sides (hash join).
+
+    The candidate side is seeded with one unmatchable sentinel pair
+    (doc ids are non-negative): with zero candidates every pairs block
+    is empty, the dataset-level schema resolves empty and Ray's
+    hash-shuffle join dies planning against it (SCALE.md hazard). The
+    sentinel vanishes in the first inner join."""
+    from raylog.functions.agg import seed_join_side
+
+    pairs = seed_join_side(pairs, pa.table({
+        "doc_a": pa.array([-(1 << 62)], pa.int64()),
+        "doc_b": pa.array([-(1 << 62)], pa.int64()),
+    }))
+    # doclists can be all-empty too (every doc shorter than the gram),
+    # and the INTERMEDIATE join-1 output must stay non-empty for
+    # join-2's schema — so the doclists sentinel shares the pairs
+    # sentinel's key: the two sentinels join into exactly one bogus
+    # row that the final map filters out before verification
+    doclists = seed_join_side(doclists, pa.table({
+        "doc_id": pa.array([-(1 << 62)], pa.int64()),
+        "shingles": pa.array([b""], pa.binary()),
+    }))
     lists_a = doclists.map_batches(
         lambda b: b.rename_columns(["__ka", "sh_a"]),
         batch_format="pyarrow", batch_size=None,
@@ -298,12 +319,34 @@ def _join_shingle_lists(pairs: rd.Dataset, doclists: rd.Dataset,
     )
     j = pairs.join(lists_a, join_type="inner", num_partitions=num_partitions,
                    on=("doc_a",), right_on=("__ka",))
+
+    def _renorm(b: pa.Table) -> pa.Table:
+        # join-1's EMPTY shuffle partitions emit schemaless bundles
+        # that would poison join-2's planning (SCALE.md hazard);
+        # restore the typed schema on zero-row blocks
+        if b.num_rows == 0:
+            return pa.table({
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "__ka": pa.array([], pa.int64()),
+                "sh_a": pa.array([], pa.binary()),
+            })
+        return b
+
+    j = j.map_batches(_renorm, batch_format="pyarrow", batch_size=None)
     j = j.join(lists_b, join_type="inner", num_partitions=num_partitions,
                on=("doc_b",), right_on=("__kb",))
-    return j.map_batches(
-        lambda b: b.drop_columns([c for c in ("__ka", "__kb") if c in b.column_names]),
-        batch_format="pyarrow", batch_size=None,
-    )
+
+    def _strip(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.not_equal(b["doc_a"],
+                                  pa.scalar(-(1 << 62), pa.int64())))
+        return b.drop_columns([c for c in ("__ka", "__kb")
+                               if c in b.column_names])
+
+    return j.map_batches(_strip, batch_format="pyarrow",
+                         batch_size=None)
 
 
 def _flat_packed_u64(col) -> tuple[np.ndarray, np.ndarray]:
@@ -833,8 +876,19 @@ def minhash_lsh_pairs(
                                          max_bucket=max_bucket),
         num_partitions=num_partitions, materialize_input=True,
     )
+    # candidates pinned: 2 int64s per pair, far below the corpus; the
+    # free count() short-circuits the no-candidates case, where the
+    # chained verify joins hit Ray's empty-side schema race
+    # non-deterministically (SCALE.md hazard)
     cand = grouped_aggregate_ds(cand_dup, ["doc_a", "doc_b"], [],
-                                num_partitions=num_partitions)
+                                num_partitions=num_partitions
+                                ).materialize()
+    if cand.count() == 0:
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jacc_milli": pa.array([], pa.int64()),
+        }))
     doclists = ds.map_batches(
         shingle_lists_batch,
         fn_kwargs=dict(id_col=id_col, text_col=text_col, k=k),

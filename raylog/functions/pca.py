@@ -72,7 +72,10 @@ def embedding_cov(ds: rd.Dataset, *, vec_col: str = "embedding"):
             sxx_tot = sxx if sxx_tot is None else sxx_tot + sxx
     d = len(sx_tot)
     mean = sx_tot / n_tot
-    cov = (sxx_tot.reshape(d, d) - n_tot * np.outer(mean, mean)) / (n_tot - 1)
+    # n_tot == 1: sample covariance undefined; return the zero matrix
+    # (eigh stays finite, projections become mean-centering only)
+    denom = max(n_tot - 1, 1)
+    cov = (sxx_tot.reshape(d, d) - n_tot * np.outer(mean, mean)) / denom
     return cov, mean, n_tot
 
 

@@ -106,9 +106,15 @@ def ann_brute_topk(
     search = corpus_ds if corpus_ds is not None else ds
     partials = search.map_batches(partial_topk, batch_format="pyarrow",
                                   batch_size=None)
-    allp = pa.concat_tables(
-        list(partials.iter_batches(batch_format="pyarrow", batch_size=None))
-    )
+    _parts = list(partials.iter_batches(batch_format="pyarrow",
+                                        batch_size=None))
+    if not _parts:  # corpus produced no batches (degenerate input)
+        _parts = [pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "cos": pa.array([], pa.float64()),
+        })]
+    allp = pa.concat_tables(_parts)
     # final merge: per query, global top-k with deterministic tie-break
     import pandas as pd
 
@@ -130,6 +136,8 @@ def ann_brute_topk(
 def _kmeans(sample: np.ndarray, n_clusters: int, iters: int = 10,
             seed: int = 5) -> np.ndarray:
     rng = np.random.default_rng(seed)
+    # tiny corpora: can't seed more centroids than sample rows
+    n_clusters = max(1, min(n_clusters, len(sample)))
     cents = sample[rng.choice(len(sample), size=n_clusters, replace=False)]
     for _ in range(iters):
         assign = (sample @ cents.T).argmax(axis=1)  # cosine on normalized
@@ -226,6 +234,10 @@ def _merge_topk(allp: pa.Table, k: int) -> pa.Table:
     family's last pandas hold-out)."""
     from raylog.functions.topk import _partial_topk
 
+    if allp.num_rows == 0:  # degenerate corpus: no neighbors at all
+        z = pa.array([], pa.int64())
+        return pa.table({"query_id": z, "rank": z, "neighbor_id": z,
+                         "cos_micro": z})
     merged = _partial_topk(
         allp, ["cos", "neighbor_id"], [True, False], k,
         group_cols=["query_id"], rank_col="rank")
@@ -402,7 +414,10 @@ def pq_train(sample: np.ndarray, *, m: int = 8, ks: int = 32,
     vectors; d must divide by m)."""
     n, d = sample.shape
     if d % m:
-        raise ValueError(f"dim {d} not divisible by m={m}")
+        # degenerate dims: fall back to the largest divisor of d <= m
+        # (callers derive m from codebooks.shape, so this is safe)
+        while d % m:
+            m -= 1
     dsub = d // m
     return np.stack([
         _kmeans_l2(sample[:, s * dsub:(s + 1) * dsub], ks,
@@ -478,11 +493,22 @@ def ann_pq_topk(
     sids = np.asarray(sample_tbl[id_col].combine_chunks(), dtype=np.int64)
     qsel = np.isin(sids, np.asarray(query_ids, dtype=np.int64))
     if qsel.sum() != len(query_ids):
-        raise ValueError("query ids must appear in the training sample "
-                         "prefix (extend train_sample)")
+        missing = set(np.asarray(query_ids, dtype=np.int64).tolist()) \
+            - set(sids.tolist())
+        present = [q for q in query_ids if q not in missing]
+        if not present and len(sids) < len(query_ids):
+            # degenerate corpus smaller than the query list: answer for
+            # the ids that exist instead of refusing outright
+            qsel = np.ones(len(sids), dtype=bool)
+        elif not present:
+            raise ValueError(
+                "query ids must appear in the training sample prefix "
+                "(extend train_sample)")
     qmat = smat[qsel]
     qids = sids[qsel]
-    # per-query ADC tables [q, m, ks]
+    # per-query ADC tables [q, m, ks]; m comes from the TRAINED
+    # codebook (pq_train clamps it on degenerate dims)
+    m = books.shape[0]
     dsub = smat.shape[1] // m
     tables = np.stack([
         np.stack([qmat[:, s * dsub:(s + 1) * dsub] @ books[s].T

@@ -353,6 +353,14 @@ def bigram_pmi(
     )
     cnt_by_tok = dict(zip(
         np.asarray(uni["token"]).tolist(), np.asarray(uni["cnt"]).tolist()))
+    if "t1" not in top.column_names:  # no bigrams at all
+        return pa.table({
+            "t1": pa.array([], pa.int64()),
+            "t2": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "pmi": pa.array([], pa.float64()),
+        })
     t1 = np.asarray(top["t1"])
     t2 = np.asarray(top["t2"])
     c1 = np.array([cnt_by_tok[t] for t in t1.tolist()], dtype=np.float64)

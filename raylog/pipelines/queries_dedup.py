@@ -1144,6 +1144,12 @@ def dedup_dup_mass_by_source(sf_dir: str):
                            columns=["doc_id", "text", "source"])
     cov = substring_duplicate_coverage(
         docs.select_columns(["doc_id", "text"]), n=8, min_docs=2)
+    from raylog.functions.agg import seed_join_side
+    cov = seed_join_side(cov, pa.table({
+        "doc_id": pa.array([-(1 << 62)], pa.int64()),
+        "n_windows": pa.array([0], pa.int64()),
+        "dup_windows": pa.array([0], pa.int64()),
+    }))  # dup-free corpus -> empty side kills the join (SCALE.md)
     j = cov.join(docs.select_columns(["doc_id", "source"]),
                  join_type="inner", num_partitions=8, on=("doc_id",))
     agg = grouped_aggregate(
@@ -1151,6 +1157,11 @@ def dedup_dup_mass_by_source(sf_dir: str):
         [("n_windows", "sum", "total_windows"),
          ("dup_windows", "sum", "dup_windows")],
     ).to_pandas()
+    if "total_windows" not in agg.columns:  # dup-free corpus
+        z = pa.array([], pa.int64())
+        return pa.table({"source": pa.array([], pa.string()),
+                         "total_windows": z, "dup_windows": z,
+                         "dup_mass_milli": z})
     tw = agg["total_windows"].to_numpy(dtype=np.int64)
     dw = agg["dup_windows"].to_numpy(dtype=np.int64)
     return pa.table({
@@ -1338,6 +1349,12 @@ def corpus_curation(sf_dir: str):
         return b.filter(m).select(["doc_id", "source", "score_milli"])
 
     scored = scored.map_batches(keep, batch_format="pyarrow", batch_size=None)
+    from raylog.functions.agg import seed_join_side
+    scored = seed_join_side(scored, pa.table({
+        "doc_id": pa.array([-(1 << 62)], pa.int64()),
+        "source": pa.array([""], pa.string()),
+        "score_milli": pa.array([0], pa.int64()),
+    }))  # nothing above the quality bar -> empty join side (SCALE.md)
     survivors = exact_dedup_survivors(ds.select_columns(["doc_id", "text"]))
     return scored.join(survivors, join_type="inner", num_partitions=8,
                        on=("doc_id",))
@@ -1890,10 +1907,15 @@ def dedup_threshold_curve(sf_dir: str):
                            batch_size=None),
         ["mc"], [("one", "sum", "n")]).to_pandas()
 
-    cm_v = hist["cm"].to_numpy(dtype=np.int64)
-    cm_n = hist["n"].to_numpy(dtype=np.int64)
-    mc_v = mhist["mc"].to_numpy(dtype=np.int64)
-    mc_n = mhist["n"].to_numpy(dtype=np.int64)
+    import numpy as _np
+    cm_v = (hist["cm"].to_numpy(dtype=np.int64)
+            if "cm" in hist.columns else _np.zeros(0, np.int64))
+    cm_n = (hist["n"].to_numpy(dtype=np.int64)
+            if "n" in hist.columns else _np.zeros(0, np.int64))
+    mc_v = (mhist["mc"].to_numpy(dtype=np.int64)
+            if "mc" in mhist.columns else _np.zeros(0, np.int64))
+    mc_n = (mhist["n"].to_numpy(dtype=np.int64)
+            if "n" in mhist.columns else _np.zeros(0, np.int64))
     ts = np.array([400, 500, 600, 700, 800, 900], dtype=np.int64)
     return pa.table({
         "threshold_milli": pa.array(ts),

@@ -189,6 +189,8 @@ def docs_histogram(sf_dir: str):
     total = np.zeros(NBINS, dtype=np.int64)
     for t in ray.get(parts):
         tb = t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        if "bin" not in tb.column_names:  # schemaless 0-row block
+            continue
         total[np.asarray(tb["bin"].combine_chunks())] += np.asarray(
             tb["n"].combine_chunks())
     keep = total > 0
@@ -438,6 +440,7 @@ def events_anomaly(sf_dir: str):
     g = counts.groupby("event_type")["n"]
     stats = g.agg(mu="mean", sd=lambda x: x.std(ddof=1)).reset_index()
     m = counts.merge(stats, on="event_type")
+    m = m[(m["sd"].notna()) & (m["sd"] > 0)].reset_index(drop=True)
     z = (m["n"] - m["mu"]) / m["sd"]
     return pa.table({
         "event_type": pa.array(m["event_type"], pa.string()),
@@ -1163,7 +1166,12 @@ def text_pmi_bigrams(sf_dir: str):
         ds.map_batches(bigram_counts, batch_format="pyarrow",
                        batch_size=None),
         ["w1", "w2"], [("c", "sum", "c")])
-    btot = float(bg.sum("c"))
+    _bt = bg.sum("c")
+    if not _bt:  # no bigrams at all (or empty corpus)
+        z = pa.array([], pa.int64())
+        e = pa.array([], pa.string())
+        return pa.table({"w1": e, "w2": e, "c": z, "pmi_milli": z})
+    btot = float(_bt)
 
     def pmi(b: pa.Table) -> pa.Table:
         vocab_, p_ = (ray.get(model_ref)
@@ -1189,6 +1197,10 @@ def text_pmi_bigrams(sf_dir: str):
     scored = bg.map_batches(pmi, batch_format="pyarrow", batch_size=None)
     best = topk(scored, sort_cols=["v", "w1", "w2"],
                 descending=[True, False, False], k=30)
+    if "w1" not in best.column_names:  # every bigram below min count
+        z = pa.array([], pa.int64())
+        e = pa.array([], pa.string())
+        return pa.table({"w1": e, "w2": e, "c": z, "pmi_milli": z})
     return pa.table({
         "w1": best["w1"], "w2": best["w2"], "c": best["c"],
         "pmi_milli": pc.cast(pc.floor(pc.multiply(best["v"],

@@ -237,6 +237,11 @@ def orders_top_returners(sf_dir: str):
     lr = grouped_aggregate_ds(
         li.map_batches(returned, batch_format="pyarrow", batch_size=None),
         ["l_orderkey"], [("rev", "sum", "rev")], num_partitions=8)
+    from raylog.functions.agg import seed_join_side
+    lr = seed_join_side(lr, pa.table({
+        "l_orderkey": pa.array([_JOIN_SENTINEL], pa.int64()),
+        "rev": pa.array([0], pa.int64()),
+    }))  # no 'R' rows at all -> empty side kills the join (SCALE.md)
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey"])
     j = lr.join(orders, join_type="inner", num_partitions=8,
@@ -248,6 +253,11 @@ def orders_top_returners(sf_dir: str):
     # sees the custkey-cardinality table
     top20 = topk(cr, sort_cols=["revenue_e4", "o_custkey"],
                  descending=[True, False], k=20)
+    if "o_custkey" not in top20.column_names:  # no returned items
+        z = pa.array([], pa.int64())
+        return pa.table({"rnk": z, "c_custkey": z,
+                         "c_name": pa.array([], pa.string()),
+                         "revenue_e4": z})
     ck = np.asarray(top20["o_custkey"], dtype=np.int64)
     rev = np.asarray(top20["revenue_e4"], dtype=np.int64)
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
@@ -895,6 +905,8 @@ def embed_cluster_quality(sf_dir: str):
             sep = num // (n * n * no * no * 1_000_000)
             if best is None or (sep, ot) < best:
                 best = (sep, ot)
+        if best is None:  # single label: no other centroid to compare
+            continue
         out.append((int(lb), n, coh, int(best[1]), best[0]))
     return pa.table({
         "label": pa.array([r[0] for r in out], pa.int64()),
@@ -1463,6 +1475,14 @@ def orders_q3_unshipped(sf_dir: str):
         li.map_batches(unshipped, batch_format="pyarrow",
                        batch_size=None),
         ["l_orderkey"], [("rev", "sum", "revenue_e4")], num_partitions=8)
+    from raylog.functions.agg import seed_join_side
+    lr = seed_join_side(lr, pa.table({
+        "l_orderkey": pa.array([_JOIN_SENTINEL], pa.int64()),
+        "revenue_e4": pa.array([0], pa.int64()),
+    }))  # both sides are filtered and can be empty (SCALE.md hazard)
+    qo = seed_join_side(qo, pa.table({
+        "o_orderkey": pa.array([_JOIN_SENTINEL - 1], pa.int64()),
+    }))
     j = lr.join(qo, join_type="inner", num_partitions=8,
                 on=("l_orderkey",), right_on=("o_orderkey",))
     top = topk(j, sort_cols=["revenue_e4", "l_orderkey"],
@@ -1833,6 +1853,11 @@ def corpus_source_js_matrix(sf_dir: str):
     agg = grouped_aggregate(cells, ["ia", "jb"],
                             [("js", "sum", "js"), ("ma", "sum", "ma"),
                              ("mb", "sum", "mb")])
+    if "ia" not in agg.column_names:  # fewer than two sources
+        z = pa.array([], pa.int64())
+        return pa.table({"source_a": pa.array([], pa.string()),
+                         "source_b": pa.array([], pa.string()),
+                         "js_e4": z})
     ia = np.asarray(agg["ia"], dtype=np.int64)
     jb = np.asarray(agg["jb"], dtype=np.int64)
     js = np.asarray(agg["js"], dtype=np.float64)
@@ -1967,6 +1992,10 @@ def events_last_touch(sf_dir: str):
     c = partitioned_group_apply(ds, ["user_id"], credits,
                                 num_partitions=8)
     a = grouped_aggregate(c, ["channel"], [("one", "sum", "n_purchases")])
+    if "n_purchases" not in a.column_names:  # no purchases at all
+        z = pa.array([], pa.int64())
+        return pa.table({"channel": pa.array([], pa.string()),
+                         "n_purchases": z, "share_milli": z})
     n = np.asarray(a["n_purchases"], dtype=np.int64)
     tot = int(n.sum())
     return pa.table({
@@ -3296,6 +3325,11 @@ def events_type_user_overlap(sf_dir: str):
     tc = grouped_aggregate(ut, ["event_type"], [("*", "count", "n")])
     counts = dict(zip(np.asarray(tc["event_type"]).astype("U").tolist(),
                       np.asarray(tc["n"], dtype=np.int64).tolist()))
+    if "type_a" not in inter.column_names:  # no user spans 2 types
+        z = pa.array([], pa.int64())
+        e = pa.array([], pa.string())
+        return pa.table({"type_a": e, "type_b": e, "n_both": z,
+                         "jaccard_milli": z})
     ta = np.asarray(inter["type_a"]).astype("U")
     tb = np.asarray(inter["type_b"]).astype("U")
     nb = np.asarray(inter["n_both"], dtype=np.int64)
@@ -3508,6 +3542,11 @@ def embed_intrinsic_dim(sf_dir: str):
     cov, _, _ = embedding_cov(ds)
     tr = float(np.trace(cov))
     fro2 = float((cov * cov).sum())
+    if fro2 == 0.0:  # <2 vectors: covariance is the zero matrix
+        return pa.table({
+            "participation_ratio": pa.array([], pa.float64()),
+            "trace_var": pa.array([], pa.float64()),
+        })
     return pa.table({
         "participation_ratio": pa.array([tr * tr / fro2], pa.float64()),
         "trace_var": pa.array([tr], pa.float64()),
@@ -4045,7 +4084,8 @@ def tokens_split_oov(sf_dir: str):
     return pa.table({
         "oov_tokens": pa.array([oov], pa.int64()),
         "heldout_tokens": pa.array([held], pa.int64()),
-        "oov_share_e5": pa.array([100000 * oov // held], pa.int64()),
+        "oov_share_e5": pa.array(
+            [100000 * oov // held if held else 0], pa.int64()),
         "oov_types": pa.array([types], pa.int64()),
     })
 

@@ -844,6 +844,12 @@ def orders_cust_distribution(sf_dir: str):
         ["o_custkey"], [("o_custkey", "count", "c_count")],
         num_partitions=8,
     )
+    from raylog.functions.agg import seed_join_side
+    per_cust = seed_join_side(per_cust, pa.table({
+        "o_custkey": pa.array([-(1 << 62)], pa.int64()),
+        "c_count": pa.array([0], pa.int64()),
+    }))  # all orders urgent -> empty side kills the join (SCALE.md);
+    # the unmatchable sentinel never pairs with a real customer
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey"])
     j = cust.join(per_cust, join_type="left_outer", num_partitions=8,
@@ -1315,6 +1321,10 @@ def text_bm25_topk(sf_dir: str):
                (1, ["window", "batch", "stream"]),
                (2, ["customer", "vector", "the"])]
     tbl = bm25_topk(ds, queries, k=10)
+    if "rnk" not in tbl.column_names:  # no doc matches any term
+        z = pa.array([], pa.int64())
+        return pa.table({"query_id": z, "rnk": z, "doc_id": z,
+                         "score_milli": z})
     return pa.table({
         "query_id": tbl["query_id"],
         "rnk": pc.cast(tbl["rnk"], pa.int64()),
@@ -1982,6 +1992,11 @@ def events_funnel_time(sf_dir: str):
                           ).to_pandas()
     n = grouped_aggregate(d, ["step"],
                           [("*", "count", "n_users")]).to_pandas()
+    if "step" not in n.columns or "step" not in q.columns:
+        z = pa.array([], pa.int64())  # nobody completed any step pair
+        return pa.table({"step": pa.array([], pa.string()),
+                         "n_users": z, "p25_s": z, "p50_s": z,
+                         "p75_s": z})
     out = n.merge(q, on="step")
     return pa.table({
         "step": pa.array(out["step"], pa.string()),

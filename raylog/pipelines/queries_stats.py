@@ -83,8 +83,11 @@ def events_burstiness(sf_dir: str):
             ac1 = float(np.corrcoef(cur, prev)[0, 1])
         else:
             ac1 = float("nan")
+        if not (np.isfinite(v) and mu > 0):
+            continue  # <2 days: Fano/autocorr undefined, skip the type
         rows.append((et, k, int(np.floor(1000 * v / mu)),
-                     int(np.floor(1000 * ac1))))
+                     int(np.floor(1000 * ac1)) if np.isfinite(ac1)
+                     else 0))
     rows.sort()
     return pa.table({
         "event_type": pa.array([r[0] for r in rows], pa.string()),
@@ -160,6 +163,11 @@ def events_markov_transitions(sf_dir: str):
     pr = partitioned_group_apply(ds, ["user_id"], pairs)
     mat = grouped_aggregate(pr, ["from_type", "to_type"],
                             [("n", "sum", "n")]).to_pandas()
+    if "from_type" not in mat.columns:  # no user has 2+ events
+        z = pa.array([], pa.int64())
+        return pa.table({"from_type": pa.array([], pa.string()),
+                         "to_type": pa.array([], pa.string()),
+                         "n": z, "p_milli": z})
     tot = mat.groupby("from_type")["n"].transform("sum").to_numpy()
     nn = mat["n"].to_numpy().astype(np.float64)
     return pa.table({
@@ -318,6 +326,11 @@ def events_top_paths(sf_dir: str):
     pr = partitioned_group_apply(ds, ["user_id"], triples)
     mat = grouped_aggregate(pr, ["step1", "step2", "step3"],
                             [("n", "sum", "n")]).to_pandas()
+    if "n" not in mat.columns:  # no user has 3+ events
+        z = pa.array([], pa.int64())
+        e = pa.array([], pa.string())
+        return pa.table({"step1": e, "step2": e, "step3": e,
+                         "n": z, "p_milli": z})
     nn = mat["n"].to_numpy().astype(np.int64)
     tot = float(nn.sum())
     return pa.table({
@@ -455,6 +468,9 @@ def basket_pair_lift(sf_dir: str):
                                      batch_size=None)
     best = topk(scored, sort_cols=["lift", "p1", "p2"],
                 descending=[True, False, False], k=20)
+    if "p1" not in best.column_names:  # no multi-item baskets at all
+        z = pa.array([], pa.int64())
+        return pa.table({"p1": z, "p2": z, "n": z, "lift_milli": z})
     return pa.table({
         "p1": best["p1"], "p2": best["p2"], "n": best["n"],
         "lift_milli": pc.cast(pc.floor(pc.multiply(best["lift"],
@@ -897,6 +913,10 @@ def text_zipf_exponent(sf_dir: str):
         ["w"], [("c", "sum", "c")])
     top = topk(wc, sort_cols=["c", "w"], descending=[True, False], k=1000)
     c = np.asarray(top["c"], dtype=np.float64)
+    if len(c) < 2:  # OLS slope undefined on <2 rank points
+        z = pa.array([], pa.int64())
+        return pa.table({"n_ranks": z, "zipf_slope_micro": z,
+                         "r2_micro": z})
     rank = np.arange(1, len(c) + 1, dtype=np.float64)
     x, y = np.log(rank), np.log(c)
     n = float(len(x))
@@ -978,6 +998,11 @@ def events_entropy_rate(sf_dir: str):
 
     pr = partitioned_group_apply(ds, ["user_id"], pairs)
     mat = grouped_aggregate(pr, ["a", "b"], [("n", "sum", "n")]).to_pandas()
+    if "a" not in mat.columns:  # no user has 2+ events: no transitions
+        return pa.table({
+            "n_transitions": pa.array([0], pa.int64()),
+            "h_cond_micro": pa.array([0], pa.int64()),
+        })
     na = mat.groupby("a")["n"].transform("sum").to_numpy().astype(np.float64)
     nn = float(mat["n"].sum())
     p = mat["n"].to_numpy().astype(np.float64)
@@ -1840,6 +1865,9 @@ def orders_repeat_cadence(sf_dir: str):
 
     gds = partitioned_group_apply(ds, ["o_custkey"], gaps)
     n_gaps = int(gds.count())
+    if n_gaps == 0:  # no repeat customer anywhere
+        z = pa.array([], pa.int64())
+        return pa.table({"n_gaps": z, "p25": z, "p50": z, "p75": z})
     q = grouped_quantiles(gds, key="_k", value="gap_days",
                           ps=[0.25, 0.5, 0.75],
                           out_names=["p25", "p50", "p75"]).to_pandas()

@@ -385,6 +385,10 @@ def tokens_cond_entropy(sf_dir: str):
                                batch_size=None).to_pandas()
     prev_f = ca.map_batches(fold_prev, batch_format="pyarrow",
                             batch_size=None).to_pandas()
+    if "sc" not in pair_f.columns or int(pair_f["n"].sum()) == 0:
+        z = pa.array([], pa.int64())  # no bigrams: entropies undefined
+        return pa.table({"n_pairs": z, "h_cond_milli": z,
+                         "h_prev_milli": z})
     sc, n = float(pair_f["sc"].sum()), int(pair_f["n"].sum())
     sa = float(prev_f["sa"].sum())
     return pa.table({
@@ -1511,6 +1515,11 @@ def corpus_source_overlap(sf_dir: str):
         ),
         ["doc_a", "doc_b"], [("*", "count", "n_inter")],
     )
+    if "doc_a" not in inter.column_names:  # no cross-source word pair
+        z = pa.array([], pa.int64())
+        e = pa.array([], pa.string())
+        return pa.table({"src_a": e, "src_b": e, "n_inter": z,
+                         "n_union": z, "jacc_milli": z})
     a = inter["doc_a"].to_numpy()
     b_ = inter["doc_b"].to_numpy()
     ni = inter["n_inter"].to_numpy()
@@ -2083,6 +2092,10 @@ def tokens_lm2_score(sf_dir: str):
     ).to_pandas()
     nv = len(token_frequencies(ds.select_columns(["tokens"])))
 
+    if "t1" not in bc.columns:  # no bigrams: every doc scores empty
+        z = pa.array([], pa.int64())
+        return pa.table({"doc_id": z, "n_bigrams": z,
+                         "nll2_micro": z})
     t1 = bc["t1"].to_numpy(dtype=np.int64)
     t2 = bc["t2"].to_numpy(dtype=np.int64)
     c = bc["c"].to_numpy(dtype=np.int64)

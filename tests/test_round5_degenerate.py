@@ -44,6 +44,10 @@ def degenerate_sf(tmp_path_factory):
         "l_extendedprice": pa.array([5.0]),
         "l_discount": pa.array([0.0]),
         "l_partkey": pa.array([1], pa.int64()),
+        "l_linenumber": pa.array([1], pa.int32()),
+        "l_tax": pa.array([0.0]),
+        "l_returnflag": pa.array(["N"]),
+        "l_linestatus": pa.array(["O"]),
         "l_shipdate": pa.array([t0], pa.timestamp("us")),
     }), str(d / "lineitem.parquet"))
     pq.write_table(pa.table({
@@ -52,12 +56,14 @@ def degenerate_sf(tmp_path_factory):
         "o_totalprice": pa.array([1.0]),
         "o_orderdate": pa.array([t0], pa.timestamp("us")),
         "o_orderstatus": pa.array(["O"]),
+        "o_orderpriority": pa.array(["1-URGENT"]),
     }), str(d / "orders.parquet"))
     pq.write_table(pa.table({
         "c_custkey": pa.array([1], pa.int64()),
         "c_nationkey": pa.array([0], pa.int64()),
         "c_acctbal": pa.array([-5.0]),
         "c_name": pa.array(["C1"]),
+        "c_mktsegment": pa.array(["BUILDING"]),
     }), str(d / "customer.parquet"))
     pq.write_table(pa.table({
         "s_suppkey": pa.array([1], pa.int64()),
@@ -68,6 +74,9 @@ def degenerate_sf(tmp_path_factory):
         "p_partkey": pa.array([1], pa.int64()),
         "p_brand": pa.array(["Brand#99"]),
         "p_type": pa.array(["LARGE"]),
+        "p_name": pa.array(["part one"]),
+        "p_size": pa.array([1], pa.int32()),
+        "p_retailprice": pa.array([1.0]),
     }), str(d / "part.parquet"))
     pq.write_table(pa.table({
         "n_nationkey": pa.array([0], pa.int64()),
@@ -82,12 +91,22 @@ def degenerate_sf(tmp_path_factory):
         "doc_id": pa.array([0], pa.int64()),
         "text": pa.array(["hello"]),
         "source": pa.array(["s"]),
+        "lang": pa.array(["en"]),
+        "n_chars": pa.array([5], pa.int64()),
     }), str(d / "documents.parquet"))
     pq.write_table(pa.table({
         "event_id": pa.array([], pa.int64()),
         "user_id": pa.array([], pa.int64()),
         "ts": pa.array([], pa.timestamp("us")),
+        "event_type": pa.array([], pa.string()),
+        "value": pa.array([], pa.float64()),
+        "props": pa.array([], pa.string()),
     }), str(d / "events.parquet"))
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0], pa.int64()),
+        "embedding": pa.array([[0.1] * 16], pa.list_(pa.float32())),
+        "label": pa.array([0], pa.int32()),
+    }), str(d / "embeddings.parquet"))
     return str(d)
 
 
@@ -98,3 +117,54 @@ def test_degenerate_no_crash(name, want_rows, degenerate_sf,
     if hasattr(out, "to_pandas"):
         out = out.to_pandas()
     assert len(out) == want_rows, f"{name}: {len(out)} rows"
+
+
+# The registry-wide hardening sweep (round 5) fixed these operators on
+# the nothing-qualifies fixture: empty join sides (sentinel-first
+# seeding), empty-aggregate driver finishers (typed empty returns),
+# NaN/div0 on sub-minimal statistics, and ANN sampling preconditions
+# (clamped to the corpus). No-crash + typed result is the contract.
+_HARDENED = [
+    "basket_pair_lift", "corpus_curation", "corpus_source_js_matrix",
+    "corpus_source_overlap", "dedup_dup_mass_by_source",
+    "dedup_minhash_pairs", "dedup_ngram_pairs", "dedup_threshold_curve",
+    "docs_histogram", "embed_cluster_quality", "embed_intrinsic_dim",
+    "embed_pca_project", "embed_kmeans", "events_anomaly",
+    "events_asof_join", "events_burstiness", "events_entropy_rate",
+    "events_funnel_time", "events_last_touch",
+    "events_markov_transitions", "events_top_paths",
+    "events_type_user_overlap", "orders_cust_distribution",
+    "orders_q3_unshipped", "orders_repeat_cadence",
+    "orders_top_returners", "text_bm25_topk", "text_pmi_bigrams",
+    "text_zipf_exponent", "tokens_cond_entropy", "tokens_lm2_score",
+    "tokens_pmi_bigrams", "ann_cosine_topk", "ann_ivf_topk",
+    "ann_pq_topk", "embed_hard_negatives",
+]
+
+
+@pytest.fixture(scope="module")
+def degenerate_one_event_sf(degenerate_sf, tmp_path_factory):
+    import shutil
+
+    d = tmp_path_factory.mktemp("degenerate1ev")
+    for f in ("lineitem", "orders", "customer", "supplier", "part",
+              "nation", "region", "documents", "embeddings"):
+        shutil.copy(f"{degenerate_sf}/{f}.parquet", d / f"{f}.parquet")
+    pq.write_table(pa.table({
+        "event_id": pa.array([1], pa.int64()),
+        "user_id": pa.array([1], pa.int64()),
+        "ts": pa.array([dt.datetime(1990, 1, 1)], pa.timestamp("us")),
+        "event_type": pa.array(["view"]),
+        "value": pa.array([1.0]),
+        "props": pa.array(['{"a":1}']),
+    }), str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _HARDENED)
+def test_degenerate_hardened_no_crash(name, degenerate_one_event_sf,
+                                      ray_session):
+    out = QUERIES[name](degenerate_one_event_sf)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    assert out is not None  # typed (possibly empty) result, no crash
