@@ -296,52 +296,56 @@ def _join_shingle_lists(pairs: rd.Dataset, doclists: rd.Dataset,
     sentinel vanishes in the first inner join."""
     from raylog.functions.agg import seed_join_side
 
+    # 256 sentinel keys, fanned out so EVERY shuffle partition of both
+    # joins receives schema'd rows even when the real candidate set is
+    # (near-)empty — Ray's aggregators finalize against the first
+    # schema'd bundle, and with k distinct hash-spread keys the chance
+    # a partition sees none is ~P·((P-1)/P)^k ≈ 1e-14 at P=8, k=256.
+    # The doclists sentinels share the keys so the bogus rows survive
+    # BOTH joins (keeping join-2's left non-empty) and are filtered in
+    # the final map. Zero barrier, zero happy-path cost (256 rows).
+    sent_keys = np.arange(256, dtype=np.int64) * -2 - (1 << 62)
     pairs = seed_join_side(pairs, pa.table({
-        "doc_a": pa.array([-(1 << 62)], pa.int64()),
-        "doc_b": pa.array([-(1 << 62)], pa.int64()),
+        "doc_a": pa.array(sent_keys),
+        "doc_b": pa.array(sent_keys),
     }))
-    # doclists can be all-empty too (every doc shorter than the gram),
-    # and the INTERMEDIATE join-1 output must stay non-empty for
-    # join-2's schema — so the doclists sentinel shares the pairs
-    # sentinel's key: the two sentinels join into exactly one bogus
-    # row that the final map filters out before verification
-    doclists = seed_join_side(doclists, pa.table({
-        "doc_id": pa.array([-(1 << 62)], pa.int64()),
-        "shingles": pa.array([b""], pa.binary()),
+    # the doclists sentinels union AFTER the rename maps, so the heavy
+    # read->shingle->rename chain stays fused and only the tiny
+    # sentinel branch joins the stream at the shuffle boundary (a
+    # union BEFORE the rename measured 1.19x on the minhash unit)
+    import ray.data as _rd
+
+    sent_a = _rd.from_arrow(pa.table({
+        "__ka": pa.array(sent_keys),
+        "sh_a": pa.array([b""] * len(sent_keys), pa.binary()),
     }))
-    lists_a = doclists.map_batches(
+    sent_b = _rd.from_arrow(pa.table({
+        "__kb": pa.array(sent_keys),
+        "sh_b": pa.array([b""] * len(sent_keys), pa.binary()),
+    }))
+    lists_a = sent_a.union(doclists.map_batches(
         lambda b: b.rename_columns(["__ka", "sh_a"]),
         batch_format="pyarrow", batch_size=None,
-    )
-    lists_b = doclists.map_batches(
+    ))
+    lists_b = sent_b.union(doclists.map_batches(
         lambda b: b.rename_columns(["__kb", "sh_b"]),
         batch_format="pyarrow", batch_size=None,
-    )
+    ))
     j = pairs.join(lists_a, join_type="inner", num_partitions=num_partitions,
                    on=("doc_a",), right_on=("__ka",))
-
-    def _renorm(b: pa.Table) -> pa.Table:
-        # join-1's EMPTY shuffle partitions emit schemaless bundles
-        # that would poison join-2's planning (SCALE.md hazard);
-        # restore the typed schema on zero-row blocks
-        if b.num_rows == 0:
-            return pa.table({
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "__ka": pa.array([], pa.int64()),
-                "sh_a": pa.array([], pa.binary()),
-            })
-        return b
-
-    j = j.map_batches(_renorm, batch_format="pyarrow", batch_size=None)
+    # no stage between the joins: the fanned-out sentinels above keep
+    # every join-1 output partition schema'd, and an intermediate
+    # map_batches here measured ~1.2x on the minhash unit (an extra
+    # object-store hop for the heavy blob-list rows)
     j = j.join(lists_b, join_type="inner", num_partitions=num_partitions,
                on=("doc_b",), right_on=("__kb",))
 
     def _strip(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        b = b.filter(pc.not_equal(b["doc_a"],
-                                  pa.scalar(-(1 << 62), pa.int64())))
+        # real doc ids are non-negative; every sentinel is < -(1<<61)
+        b = b.filter(pc.greater(b["doc_a"],
+                                pa.scalar(-(1 << 61), pa.int64())))
         return b.drop_columns([c for c in ("__ka", "__kb")
                                if c in b.column_names])
 
@@ -876,19 +880,12 @@ def minhash_lsh_pairs(
                                          max_bucket=max_bucket),
         num_partitions=num_partitions, materialize_input=True,
     )
-    # candidates pinned: 2 int64s per pair, far below the corpus; the
-    # free count() short-circuits the no-candidates case, where the
-    # chained verify joins hit Ray's empty-side schema race
-    # non-deterministically (SCALE.md hazard)
+    # stays LAZY: the empty-candidate schema race is handled inside
+    # _join_shingle_lists by the fanned-out sentinel keys (a pinning
+    # materialize() here measured 1.2x on the minhash bench unit —
+    # it serialized the candidate build against the doclists pass)
     cand = grouped_aggregate_ds(cand_dup, ["doc_a", "doc_b"], [],
-                                num_partitions=num_partitions
-                                ).materialize()
-    if cand.count() == 0:
-        return rd.from_arrow(pa.table({
-            "doc_a": pa.array([], pa.int64()),
-            "doc_b": pa.array([], pa.int64()),
-            "jacc_milli": pa.array([], pa.int64()),
-        }))
+                                num_partitions=num_partitions)
     doclists = ds.map_batches(
         shingle_lists_batch,
         fn_kwargs=dict(id_col=id_col, text_col=text_col, k=k),
