@@ -4801,3 +4801,424 @@ def top_supplier_revenue(sf_dir: str):
         "s_name": pa.array([sname[k] for k in sk[top]], pa.string()),
         "total_revenue_e4": pa.array(rev[top]),
     })
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q5 shape: local supplier volume (supplier nation == customer nation)
+# --------------------------------------------------------------------------
+
+@query(
+    "orders_q5_local_volume",
+    """
+WITH ln AS (
+  SELECT l_orderkey, s.s_nationkey AS snk,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                  AS BIGINT)) AS rev
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+), oc AS (
+  SELECT o_orderkey, c.c_nationkey AS cnk
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT n.n_name AS nation, CAST(SUM(ln.rev) AS BIGINT) AS revenue_e4
+FROM ln JOIN oc ON ln.l_orderkey = oc.o_orderkey
+JOIN nation n ON ln.snk = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE ln.snk = oc.cnk AND r.r_name = 'ASIA'
+GROUP BY 1""",
+)
+def orders_q5_local_volume(sf_dir: str):
+    """Revenue earned in ASIA where the supplying and ordering nations
+    coincide (TPC-H Q5 shape) — the "local supplier volume" report.
+
+    Physical plan: supplier→nationkey and customer→nationkey collapse to
+    broadcast lookup arrays (dimension chains, Q7/Q8 convention — at true
+    TPC-H scale customer would instead ride the same hash join the fact
+    uses; the lookup keeps ONE data-sized exchange here). The fact side
+    shrinks first: lineitem pre-aggregates to (orderkey, supp_nationkey)
+    revenue partials via the hash-partitioned combine, THEN one native
+    hash join against orders' (orderkey, custkey) projection, and the
+    nation-equality + region filters run on the joined key-bounded rows.
+    Exchange: orderkey-bounded partials + one orderkey hash join;
+    finish is nations-bounded."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds, seed_join_side
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = supp["s_suppkey"].to_numpy(dtype=np.int64)
+    snk = np.full(int(sk.max()) + 1 if len(sk) else 1, -1, dtype=np.int32)
+    snk[sk] = supp["s_nationkey"].to_numpy(dtype=np.int32)
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    ck = cust["c_custkey"].to_numpy(dtype=np.int64)
+    cnk = np.full(int(ck.max()) + 1 if len(ck) else 1, -1, dtype=np.int32)
+    cnk[ck] = cust["c_nationkey"].to_numpy(dtype=np.int32)
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    asia = set(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"].astype(int))
+    nk_in_asia = np.zeros(int(nat["n_nationkey"].max()) + 1, dtype=bool)
+    for _, r in nat.iterrows():
+        if int(r["n_regionkey"]) in asia:
+            nk_in_asia[int(r["n_nationkey"])] = True
+    nname = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    snk_ref = ray.put(snk) if ray.is_initialized() else snk
+    cnk_ref = ray.put(cnk) if ray.is_initialized() else cnk
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        snk_ = ray.get(snk_ref) if ray.is_initialized() else snk_ref
+        price = np.asarray(b["l_extendedprice"].combine_chunks(),
+                           dtype=np.float64)
+        disc = np.asarray(b["l_discount"].combine_chunks(), dtype=np.float64)
+        rev = np.floor(price * (1 - disc) * 10000 + 0.5).astype(np.int64)
+        suppk = np.asarray(b["l_suppkey"].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "snk": pa.array(snk_[suppk].astype(np.int64)),
+            "rev": pa.array(rev),
+        })
+
+    ln = grouped_aggregate_ds(
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["l_orderkey", "snk"], [("rev", "sum", "rev")], num_partitions=8)
+    ln = seed_join_side(ln, pa.table({
+        "l_orderkey": pa.array([_JOIN_SENTINEL], pa.int64()),
+        "snk": pa.array([-1], pa.int64()),
+        "rev": pa.array([0], pa.int64()),
+    }))
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    j = ln.join(orders, join_type="inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def local_asia(b: pa.Table) -> pa.Table:
+        cnk_ = ray.get(cnk_ref) if ray.is_initialized() else cnk_ref
+        snk_v = np.asarray(b["snk"].combine_chunks(), dtype=np.int64)
+        custk = np.asarray(b["o_custkey"].combine_chunks(), dtype=np.int64)
+        keep = (snk_v >= 0) & (cnk_[custk].astype(np.int64) == snk_v) \
+            & nk_in_asia[np.clip(snk_v, 0, len(nk_in_asia) - 1)]
+        return pa.table({
+            "snk": pa.array(snk_v[keep]),
+            "rev": pa.array(np.asarray(b["rev"].combine_chunks(),
+                                       dtype=np.int64)[keep]),
+        })
+
+    agg = grouped_aggregate(
+        j.map_batches(local_asia, batch_format="pyarrow", batch_size=None),
+        ["snk"], [("rev", "sum", "revenue_e4")])
+    if "snk" not in agg.column_names or agg.num_rows == 0:
+        return pa.table({"nation": pa.array([], pa.string()),
+                         "revenue_e4": pa.array([], pa.int64())})
+    nk = np.asarray(agg["snk"], dtype=np.int64)
+    return pa.table({
+        "nation": pa.array([nname[int(k)] for k in nk], pa.string()),
+        "revenue_e4": agg["revenue_e4"],
+    })
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q9 shape: product-line profit by supplier nation and year
+# --------------------------------------------------------------------------
+
+@query(
+    "lineitem_q9_profit_by_nation",
+    """
+SELECT n.n_name AS nation,
+       CAST(strftime(l.l_shipdate, '%Y') AS BIGINT) AS year,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000
+                           + 0.5) AS BIGINT)
+                - CAST(l.l_quantity AS BIGINT)
+                  * CAST(FLOOR(p.p_retailprice * 0.6 * 10000 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS profit_e4
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2""",
+)
+def lineitem_q9_profit_by_nation(sf_dir: str):
+    """Profit on 'widget' parts by supplier nation × ship year (TPC-H Q9
+    shape, adapted: the fixture has no partsupp, so unit cost is the
+    deterministic 0.6 × p_retailprice fixed-point stand-in).
+
+    part (name-match bitmap + cost_e4 array) and supplier→nation chains
+    are broadcast dimensions probed inside the ONE lineitem scan
+    (map-side star join, Q8 convention); profit is quantized to exact
+    1e-4 integers per row before summation so partials combine
+    bit-exactly in any order. Exchange: (nations × years)-bounded
+    partial rows only."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name",
+                                  "p_retailprice"]).to_pandas()
+    pk = part["p_partkey"].to_numpy(dtype=np.int64)
+    match = np.zeros(int(pk.max()) + 1 if len(pk) else 1, dtype=bool)
+    cost = np.zeros(len(match), dtype=np.int64)
+    is_w = part["p_name"].str.contains("widget", regex=False).to_numpy()
+    match[pk[is_w]] = True
+    cost[pk] = np.floor(
+        part["p_retailprice"].to_numpy(dtype=np.float64) * 0.6 * 10000 + 0.5
+    ).astype(np.int64)
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = supp["s_suppkey"].to_numpy(dtype=np.int64)
+    snk = np.full(int(sk.max()) + 1 if len(sk) else 1, -1, dtype=np.int32)
+    snk[sk] = supp["s_nationkey"].to_numpy(dtype=np.int32)
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nname = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    refs = (ray.put(match), ray.put(cost), ray.put(snk)) \
+        if ray.is_initialized() else (match, cost, snk)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey", "l_quantity",
+                                  "l_extendedprice", "l_discount",
+                                  "l_shipdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        match_, cost_, snk_ = (
+            tuple(ray.get(r) for r in refs) if ray.is_initialized() else refs
+        )
+        partk = np.asarray(b["l_partkey"].combine_chunks(), dtype=np.int64)
+        keep = match_[partk]
+        b = b.filter(pa.array(keep))
+        if b.num_rows == 0:
+            return pa.table({"snk": pa.array([], pa.int64()),
+                             "year": pa.array([], pa.int64()),
+                             "profit": pa.array([], pa.int64())})
+        partk = partk[keep]
+        price = np.asarray(b["l_extendedprice"].combine_chunks(),
+                           dtype=np.float64)
+        disc = np.asarray(b["l_discount"].combine_chunks(), dtype=np.float64)
+        qty = np.asarray(b["l_quantity"].combine_chunks(),
+                         dtype=np.float64).astype(np.int64)
+        rev = np.floor(price * (1 - disc) * 10000 + 0.5).astype(np.int64)
+        profit = rev - qty * cost_[partk]
+        suppk = np.asarray(b["l_suppkey"].combine_chunks(), dtype=np.int64)
+        year = pc.cast(pc.strftime(b["l_shipdate"], format="%Y"), pa.int64())
+        return pa.table({
+            "snk": pa.array(snk_[suppk].astype(np.int64)),
+            "year": year,
+            "profit": pa.array(profit),
+        })
+
+    agg = grouped_aggregate(
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["snk", "year"], [("profit", "sum", "profit_e4")])
+    if "snk" not in agg.column_names or agg.num_rows == 0:
+        return pa.table({"nation": pa.array([], pa.string()),
+                         "year": pa.array([], pa.int64()),
+                         "profit_e4": pa.array([], pa.int64())})
+    nk = np.asarray(agg["snk"], dtype=np.int64)
+    return pa.table({
+        "nation": pa.array([nname[int(k)] for k in nk], pa.string()),
+        "year": agg["year"],
+        "profit_e4": agg["profit_e4"],
+    })
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q16 shape: supplier variety per (brand, type, size)
+# --------------------------------------------------------------------------
+
+@query(
+    "part_q16_supplier_variety",
+    """
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#13' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 44)
+  AND l.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3""",
+)
+def part_q16_supplier_variety(sf_dir: str):
+    """How many distinct suppliers ship each qualifying (brand, type,
+    size) part family (TPC-H Q16 shape, adapted: lineitem stands in for
+    partsupp; the NOT-IN "complaints" exclusion becomes the
+    negative-acctbal supplier set).
+
+    Both predicates collapse to broadcast bitmaps (partkey→group-id,
+    suppkey→excluded). Each batch emits its DISTINCT (group, supplier)
+    pairs via one np.unique on a packed uint64 key — so the exchange
+    carries per-batch-distinct pairs, not raw lineitems — then the
+    hash-partitioned distinct-combine dedups across batches and the
+    groups-bounded COUNT finishes driver-side."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_type",
+                                  "p_size"]).to_pandas()
+    sizes = {1, 4, 9, 14, 19, 24, 29, 34, 39, 44}
+    ok = ((part["p_brand"] != "Brand#13") & (part["p_type"] != "PROMO")
+          & part["p_size"].isin(sizes)).to_numpy()
+    qual = part.loc[ok]
+    # group = distinct (brand, type, size) combo — many partkeys share one
+    kept = (qual[["p_brand", "p_type", "p_size"]]
+            .drop_duplicates().reset_index(drop=True))
+    combo_ix = {t: i for i, t in enumerate(
+        zip(kept["p_brand"], kept["p_type"], kept["p_size"]))}
+    pk = part["p_partkey"].to_numpy(dtype=np.int64)
+    gid = np.full(int(pk.max()) + 1 if len(pk) else 1, -1, dtype=np.int32)
+    gid[qual["p_partkey"].to_numpy(dtype=np.int64)] = np.fromiter(
+        (combo_ix[t] for t in zip(qual["p_brand"], qual["p_type"],
+                                  qual["p_size"])),
+        dtype=np.int32, count=len(qual))
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_acctbal"]).to_pandas()
+    sk = supp["s_suppkey"].to_numpy(dtype=np.int64)
+    bad = np.zeros(int(sk.max()) + 1 if len(sk) else 1, dtype=bool)
+    bad[sk[supp["s_acctbal"].to_numpy() < 0]] = True
+
+    refs = (ray.put(gid), ray.put(bad)) if ray.is_initialized() \
+        else (gid, bad)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        gid_, bad_ = (tuple(ray.get(r) for r in refs)
+                      if ray.is_initialized() else refs)
+        partk = np.asarray(b["l_partkey"].combine_chunks(), dtype=np.int64)
+        suppk = np.asarray(b["l_suppkey"].combine_chunks(), dtype=np.int64)
+        g = gid_[partk].astype(np.int64)
+        keep = (g >= 0) & ~bad_[suppk]
+        # pack (group, supplier) into one uint64 for a single np.unique
+        packed = np.unique((g[keep].astype(np.uint64) << np.uint64(32))
+                           | suppk[keep].astype(np.uint64))
+        return pa.table({
+            "gid": pa.array((packed >> np.uint64(32)).astype(np.int64)),
+            "suppkey": pa.array(
+                (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+        })
+
+    distinct = grouped_aggregate_ds(
+        li.map_batches(pairs, batch_format="pyarrow", batch_size=None),
+        ["gid", "suppkey"], [("suppkey", "count", "c")], num_partitions=8)
+    agg = grouped_aggregate(distinct, ["gid"],
+                            [("suppkey", "count", "supplier_cnt")])
+    if "gid" not in agg.column_names or agg.num_rows == 0:
+        return pa.table({"p_brand": pa.array([], pa.string()),
+                         "p_type": pa.array([], pa.string()),
+                         "p_size": pa.array([], pa.int64()),
+                         "supplier_cnt": pa.array([], pa.int64())})
+    g = np.asarray(agg["gid"], dtype=np.int64)
+    return pa.table({
+        "p_brand": pa.array(kept["p_brand"].to_numpy()[g], pa.string()),
+        "p_type": pa.array(kept["p_type"].to_numpy()[g], pa.string()),
+        "p_size": pa.array(kept["p_size"].to_numpy(dtype=np.int64)[g]),
+        "supplier_cnt": agg["supplier_cnt"],
+    })
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19 shape: OR-of-ANDs band revenue
+# --------------------------------------------------------------------------
+
+@query(
+    "lineitem_q19_band_revenue",
+    """
+SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000
+                           + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
+       CAST(COUNT(*) AS BIGINT) AS matched_rows
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#4'  AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)""",
+)
+def lineitem_q19_band_revenue(sf_dir: str):
+    """Discounted revenue under an OR-of-ANDs predicate spanning both a
+    dimension (brand, size) and the fact (quantity) — TPC-H Q19's
+    "disjunctive band" shape that defeats naive predicate pushdown.
+
+    The dimension half of each disjunct collapses to a partkey→band-mask
+    byte (bit i set = part satisfies disjunct i's brand+size clause),
+    broadcast once; each batch then evaluates only the fact half and
+    ANDs it bitwise — one vectorized pass, no join, no row expansion.
+    Exchange: one (revenue, count) partial per block."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand",
+                                  "p_size"]).to_pandas()
+    pk = part["p_partkey"].to_numpy(dtype=np.int64)
+    brand = part["p_brand"].to_numpy()
+    size = part["p_size"].to_numpy(dtype=np.int64)
+    bands = [("Brand#4", 1, 15, 1, 11), ("Brand#15", 1, 25, 10, 20),
+             ("Brand#23", 1, 35, 20, 30)]
+    mask = np.zeros(int(pk.max()) + 1 if len(pk) else 1, dtype=np.uint8)
+    for i, (b_, lo, hi, _, _) in enumerate(bands):
+        sel = (brand == b_) & (size >= lo) & (size <= hi)
+        mask[pk[sel]] |= np.uint8(1 << i)
+    qlo = np.array([b[3] for b in bands], dtype=np.int64)
+    qhi = np.array([b[4] for b in bands], dtype=np.int64)
+    ref = ray.put(mask) if ray.is_initialized() else mask
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        mask_ = ray.get(ref) if ray.is_initialized() else ref
+        partk = np.asarray(b["l_partkey"].combine_chunks(), dtype=np.int64)
+        m = mask_[partk]
+        qty = np.asarray(b["l_quantity"].combine_chunks(),
+                         dtype=np.float64).astype(np.int64)
+        hit = np.zeros(len(qty), dtype=bool)
+        for i in range(len(qlo)):
+            hit |= ((m & np.uint8(1 << i)) != 0) \
+                & (qty >= qlo[i]) & (qty <= qhi[i])
+        price = np.asarray(b["l_extendedprice"].combine_chunks(),
+                           dtype=np.float64)[hit]
+        disc = np.asarray(b["l_discount"].combine_chunks(),
+                          dtype=np.float64)[hit]
+        rev = np.floor(price * (1 - disc) * 10000 + 0.5).astype(np.int64)
+        return pa.table({
+            "k": pa.array([0], pa.int64()),
+            "rev": pa.array([int(rev.sum())], pa.int64()),
+            "n": pa.array([int(hit.sum())], pa.int64()),
+        })
+
+    agg = grouped_aggregate(
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["k"], [("rev", "sum", "revenue_e4"), ("n", "sum", "matched_rows")])
+    return pa.table({
+        "revenue_e4": agg["revenue_e4"],
+        "matched_rows": agg["matched_rows"],
+    })

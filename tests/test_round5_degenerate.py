@@ -30,6 +30,10 @@ _QUERIES = [
     ("events_concurrency_histogram", 0),
     ("dedup_graph_pagerank", 1),         # the single doc, floor rank
     ("dedup_graph_triangles", 1),        # all-zero report
+    ("orders_q5_local_volume", 1),       # the one local-ASIA lineitem
+    ("lineitem_q9_profit_by_nation", 0),  # no 'widget' part qualifies
+    ("part_q16_supplier_variety", 0),    # only supplier is excluded
+    ("lineitem_q19_band_revenue", 1),    # scalar report: one zero row
 ]
 
 
@@ -69,6 +73,7 @@ def degenerate_sf(tmp_path_factory):
         "s_suppkey": pa.array([1], pa.int64()),
         "s_name": pa.array(["S1"]),
         "s_nationkey": pa.array([0], pa.int64()),
+        "s_acctbal": pa.array([-5.0]),
     }), str(d / "supplier.parquet"))
     pq.write_table(pa.table({
         "p_partkey": pa.array([1], pa.int64()),
