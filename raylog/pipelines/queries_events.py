@@ -2338,3 +2338,194 @@ def events_concurrency_histogram(sf_dir: str):
         "level": pa.array(levels, pa.int64()),
         "dur_us": pa.array([acc[k] for k in levels], pa.int64()),
     })
+
+
+# --------------------------------------------------------------------------
+# Session-duration percentiles (engagement SLO)
+# --------------------------------------------------------------------------
+
+@query(
+    "events_session_quantiles",
+    """
+WITH e AS (
+  SELECT user_id, event_id, epoch(ts) AS t FROM events
+), d AS (
+  SELECT *, CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                      > 1800 OR LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+                 THEN 1 ELSE 0 END AS new_session
+  FROM e
+), s AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM d
+), dur AS (
+  SELECT CAST(FLOOR(MAX(t) - MIN(t)) AS BIGINT) AS duration_sec
+  FROM s GROUP BY user_id, session_no
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       quantile_disc(duration_sec, 0.5) AS p50,
+       quantile_disc(duration_sec, 0.9) AS p90,
+       quantile_disc(duration_sec, 0.99) AS p99
+FROM dur""",
+)
+def events_session_quantiles(sf_dir: str):
+    """Session-duration percentiles (the engagement-SLO cut of the
+    sessionize kernel): 30-min-gap sessions per user, duration
+    second-quantized, exact global p50/p90/p99.
+
+    Sessions derive in the one partitioned sessionize pass; durations
+    compress to a (distinct-seconds)-bounded count histogram via the
+    hash-partitioned combine, and the exact disc-quantile rule
+    (ceil(p·n), the `grouped_quantiles` contract) finishes on that
+    tiny table driver-side — session rows never collect anywhere."""
+    import numpy as np
+
+    from raylog.functions.agg import grouped_aggregate
+
+    sess = events_sessionize(sf_dir).select_columns(["duration_sec"])
+    hist = grouped_aggregate(sess, ["duration_sec"],
+                             [("*", "count", "cnt")]).to_pandas()
+    if len(hist) == 0:
+        none = pa.array([None], pa.int64())
+        return pa.table({"n_sessions": pa.array([0], pa.int64()),
+                         "p50": none, "p90": none, "p99": none})
+    hist = hist.sort_values("duration_sec")
+    v = hist["duration_sec"].to_numpy(dtype=np.int64)
+    c = np.cumsum(hist["cnt"].to_numpy(dtype=np.int64))
+    n = int(c[-1])
+    out = {"n_sessions": pa.array([n], pa.int64())}
+    for p, nm in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+        target = max(int(np.ceil(p * n)), 1)
+        out[nm] = pa.array([int(v[np.searchsorted(c, target, "left")])],
+                           pa.int64())
+    return pa.table(out)
+
+
+# --------------------------------------------------------------------------
+# Power-law exponent of user activity (Clauset MLE)
+# --------------------------------------------------------------------------
+
+@query(
+    "events_powerlaw_alpha",
+    """
+WITH u AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1
+), q AS (
+  SELECT n FROM u WHERE n >= 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       1.0 + COUNT(*) / SUM(ln(n / 1.5)) AS alpha
+FROM q""",
+)
+def events_powerlaw_alpha(sf_dir: str):
+    """Maximum-likelihood power-law exponent of the per-user activity
+    distribution (Clauset/Shalizi/Newman continuous-MLE form with
+    xmin=2, the discrete -0.5 offset): how heavy the heavy-tail is —
+    the skew forecast every capacity plan needs.
+
+    Per-user counts via the hash-partitioned combine; the MLE needs
+    only (count of qualifying users, Σ ln(n/1.5)) — the count table
+    compresses to a count-of-counts histogram (bounded by distinct
+    activity levels) before any ln, so the driver sees activity
+    levels, never users."""
+    import numpy as np
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    per_user = grouped_aggregate_ds(ds, ["user_id"], [("*", "count", "n")])
+    hist = grouped_aggregate(per_user, ["n"],
+                             [("*", "count", "m")]).to_pandas()
+    if "n" in hist.columns:  # empty aggregate drops the key column
+        hist = hist[hist["n"] >= 2]
+    if "n" not in hist.columns or len(hist) == 0:
+        return pa.table({"n_users": pa.array([0], pa.int64()),
+                         "alpha": pa.array([None], pa.float64())})
+    n = hist["n"].to_numpy(dtype=np.float64)
+    m = hist["m"].to_numpy(dtype=np.float64)
+    k = m.sum()
+    lnsum = (m * np.log(n / 1.5)).sum()
+    return pa.table({
+        "n_users": pa.array([int(k)], pa.int64()),
+        "alpha": pa.array([1.0 + k / lnsum], pa.float64()),
+    })
+
+
+# --------------------------------------------------------------------------
+# Curriculum training order (easy→hard, shuffled within difficulty)
+# --------------------------------------------------------------------------
+
+@query(
+    "docs_curriculum_rank",
+    """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY LEAST(n_chars // 100, 9),
+                  md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT)
+         AS curriculum_rank
+FROM documents""",
+)
+def docs_curriculum_rank(sf_dir: str):
+    """Curriculum training order: short (easy) documents first, hard
+    ones last, deterministically shuffled WITHIN each difficulty band —
+    the curriculum-learning permutation, resumable because it is a pure
+    function of (n_chars, doc_id).
+
+    Same sort-free plan as `docs_shuffle_rank`, with the difficulty
+    band prepended to the range key: partition = band×256 md5 buckets
+    (2,560-bounded count offsets tree-merged exactly), each partition
+    ranks only its own complete buckets and adds the offset. One
+    key-partitioned exchange; no global sort."""
+    import hashlib
+
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import (grouped_aggregate,
+                                      partitioned_group_apply)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        nc = np.asarray(b["n_chars"].combine_chunks(), dtype=np.int64)
+        band = np.minimum(nc // 100, 9)
+        keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        b256 = np.array([int(k[:2], 16) for k in keys], dtype=np.int64)
+        return pa.table({"doc_id": b["doc_id"],
+                         "key": pa.array(keys, pa.string()),
+                         "bucket": pa.array(band * 256 + b256)})
+
+    kds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    counts = grouped_aggregate(kds, ["bucket"],
+                               [("*", "count", "c")]).to_pandas()
+    counts = counts.sort_values("bucket")
+    offsets = np.zeros(2560, dtype=np.int64)
+    off = 0
+    for r in counts.itertuples():
+        offsets[int(r.bucket)] = off
+        off += int(r.c)
+    off_ref = ray.put(offsets) if ray.is_initialized() else offsets
+
+    def rank_partition(part: pa.Table) -> pa.Table:
+        offs = ray.get(off_ref) if ray.is_initialized() else off_ref
+        key = np.asarray(part["key"].combine_chunks(), dtype="U")
+        ids = np.asarray(part["doc_id"].combine_chunks(), dtype=np.int64)
+        bkt = np.asarray(part["bucket"].combine_chunks(), dtype=np.int64)
+        order = np.lexsort((ids, key, bkt))
+        b_sorted = bkt[order]
+        starts = np.ones(len(b_sorted), dtype=bool)
+        starts[1:] = b_sorted[1:] != b_sorted[:-1]
+        idx = np.arange(len(b_sorted))
+        local = idx - idx[starts][np.cumsum(starts) - 1]
+        rank = offs[b_sorted] + local
+        out = np.empty(len(ids), dtype=np.int64)
+        out[order] = rank
+        return pa.table({"doc_id": pa.array(ids),
+                         "curriculum_rank": pa.array(out)})
+
+    return partitioned_group_apply(kds, ["bucket"], rank_partition)

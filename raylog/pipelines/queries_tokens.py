@@ -2615,3 +2615,119 @@ def tokens_split_boundary_audit(sf_dir: str):
         "n_pairs": pa.array(out["n_pairs"].to_numpy(np.int64)),
         "n_matches": pa.array(out["n_matches"].to_numpy(np.int64)),
     })
+
+
+# --------------------------------------------------------------------------
+# Pairwise centroid separation (embedding-space label geometry)
+# --------------------------------------------------------------------------
+
+@query(
+    "embed_centroid_distances",
+    """
+WITH c AS (
+  SELECT label, i, avg(embedding[CAST(i AS INT)]) AS v
+  FROM embeddings, LATERAL (
+    SELECT unnest(generate_series(1, len(embedding))) AS i
+  ) g
+  GROUP BY 1, 2
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       SUM(a.v * b.v) / (sqrt(SUM(a.v * a.v)) * sqrt(SUM(b.v * b.v)))
+         AS cosine
+FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
+GROUP BY 1, 2""",
+)
+def embed_centroid_distances(sf_dir: str):
+    """Pairwise cosine similarity between per-label centroids — the
+    label-geometry audit (near-parallel centroids mean the labels are
+    not separable in this embedding space; run it before trusting any
+    label-stratified sampling or hard-negative mining).
+
+    One corpus pass of per-batch dim-wise label sums (the
+    `embed_centroids` partial), merged on the labels×dims grid; the
+    labels²/2 cosine matrix is driver-side numpy on the tiny centroid
+    table. Exchange: labels×dims partials only."""
+    import numpy as np
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["embedding"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        dim = len(col[0]) if len(col) else 0
+        mat = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, dim)
+        labels = np.asarray(b["label"].combine_chunks(), dtype=np.int64)
+        uk = np.unique(labels)
+        rows = []
+        for lb in uk:
+            sub = mat[labels == lb]
+            rows.append((lb, sub.sum(axis=0), len(sub)))
+        return pa.table({
+            "label": pa.array([r[0] for r in rows], pa.int64()),
+            "sums": pa.array([r[1].tolist() for r in rows],
+                             pa.list_(pa.float64())),
+            "n": pa.array([r[2] for r in rows], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    acc: dict[int, tuple] = {}
+    for t in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        for lb, s, n in zip(t["label"].to_pylist(), t["sums"].to_pylist(),
+                            t["n"].to_pylist()):
+            s = np.asarray(s)
+            acc[lb] = (acc[lb][0] + s, acc[lb][1] + n) if lb in acc else (s, n)
+    labels = sorted(acc)
+    la, lb_, co = [], [], []
+    for i, a in enumerate(labels):
+        ca = acc[a][0] / acc[a][1]
+        na = np.sqrt((ca * ca).sum())
+        for b_ in labels[i + 1:]:
+            cb = acc[b_][0] / acc[b_][1]
+            nb = np.sqrt((cb * cb).sum())
+            la.append(a)
+            lb_.append(b_)
+            co.append(float((ca * cb).sum() / (na * nb)))
+    return pa.table({"label_a": pa.array(la, pa.int64()),
+                     "label_b": pa.array(lb_, pa.int64()),
+                     "cosine": pa.array(co, pa.float64())})
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility by source (chars per token)
+# --------------------------------------------------------------------------
+
+@query(
+    "tokens_fertility_by_source",
+    _P() + """
+SELECT source,
+       CAST(SUM(tok_sum) AS BIGINT) AS total_chars,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       (1000 * CAST(SUM(tok_sum) AS BIGINT)) // CAST(SUM(n_tok) AS BIGINT)
+         AS chars_per_token_milli
+FROM recs2 GROUP BY 1""",
+)
+def tokens_fertility_by_source(sf_dir: str):
+    """Tokenizer fertility per source: characters consumed per emitted
+    token (the compression-rate audit that flags sources whose text the
+    tokenizer fragments badly — a cost and quality signal at corpus
+    scale). Integer-exact: two int64 sums per source, permille division
+    on the sources-bounded aggregate; zero payload exchange."""
+    import numpy as np
+
+    from raylog.functions.agg import grouped_aggregate
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["source", "n_tok", "tok_sum"])
+    agg = grouped_aggregate(ds, ["source"],
+                            [("tok_sum", "sum", "total_chars"),
+                             ("n_tok", "sum", "total_tokens")])
+    ch = np.asarray(agg["total_chars"], dtype=np.int64)
+    tk = np.asarray(agg["total_tokens"], dtype=np.int64)
+    return pa.table({
+        "source": agg["source"],
+        "total_chars": agg["total_chars"],
+        "total_tokens": agg["total_tokens"],
+        "chars_per_token_milli": pa.array(1000 * ch // tk, pa.int64()),
+    })

@@ -34,6 +34,11 @@ _QUERIES = [
     ("lineitem_q9_profit_by_nation", 0),  # no 'widget' part qualifies
     ("part_q16_supplier_variety", 0),    # only supplier is excluded
     ("lineitem_q19_band_revenue", 1),    # scalar report: one zero row
+    ("events_session_quantiles", 1),     # empty stream: n=0, null pcts
+    ("events_powerlaw_alpha", 1),        # empty stream: n=0, null alpha
+    ("docs_curriculum_rank", 1),         # the single doc, rank 0
+    ("embed_centroid_distances", 0),     # one label: no pairs
+    ("tokens_fertility_by_source", 1),   # the one-word doc
 ]
 
 
