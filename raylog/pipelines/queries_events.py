@@ -2529,3 +2529,48 @@ def docs_curriculum_rank(sf_dir: str):
                          "curriculum_rank": pa.array(out)})
 
     return partitioned_group_apply(kds, ["bucket"], rank_partition)
+
+
+# --------------------------------------------------------------------------
+# Per-type value percentiles (ops latency/size distribution)
+# --------------------------------------------------------------------------
+
+@query(
+    "events_value_quantiles_by_type",
+    """
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type,
+       quantile_disc(cents, 0.5) AS p50_cents,
+       quantile_disc(cents, 0.9) AS p90_cents,
+       quantile_disc(cents, 0.99) AS p99_cents
+FROM c GROUP BY 1""",
+)
+def events_value_quantiles_by_type(sf_dir: str):
+    """Per-type percentiles of the event value (the latency/size
+    distribution cut of the ops dashboard): values quantize to exact
+    cents (bounded distinct values — the exact-quantile histogram
+    contract), then the distributed quantile kernel; corpus streams
+    once, exchange is (type, cent)-bounded."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.quantile import grouped_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["value"].combine_chunks(), dtype=np.float64)
+        return pa.table({
+            "event_type": b["event_type"],
+            "cents": pa.array(np.floor(v * 100 + 0.5).astype(np.int64)),
+        })
+
+    cds = ds.map_batches(cents, batch_format="pyarrow", batch_size=None)
+    return grouped_quantiles(cds, key="event_type", value="cents",
+                             ps=[0.5, 0.9, 0.99],
+                             out_names=["p50_cents", "p90_cents",
+                                        "p99_cents"])

@@ -5222,3 +5222,176 @@ def lineitem_q19_band_revenue(sf_dir: str):
         "revenue_e4": agg["revenue_e4"],
         "matched_rows": agg["matched_rows"],
     })
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q2 shape: cheapest-supplier argmin per part
+# --------------------------------------------------------------------------
+
+@query(
+    "part_q2_min_supplier",
+    """
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), a AS (
+  SELECT ps.l_partkey, s.s_nationkey,
+         ROW_NUMBER() OVER (PARTITION BY ps.l_partkey
+                            ORDER BY s.s_acctbal, ps.l_suppkey) AS rk
+  FROM ps JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+)
+SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS parts_won
+FROM a JOIN nation n ON a.s_nationkey = n.n_nationkey
+WHERE rk = 1 GROUP BY 1""",
+)
+def part_q2_min_supplier(sf_dir: str):
+    """Which nation's suppliers win the "cheapest supplier per part"
+    argmin (TPC-H Q2's correlated-min shape, adapted: lineitem's
+    observed (part, supplier) pairs stand in for partsupp and acctbal
+    for supplycost).
+
+    The distributed argmin needs NO window function: acctbal quantizes
+    to exact cents and packs with the supplier key into ONE int64
+    ((cents + bias) << 24 | suppkey), so per-partkey MIN of that packed
+    key IS the lexicographic (acctbal, suppkey) argmin — a plain
+    hash-partitioned min-combine. Per-batch distinct pair compression
+    bounds the exchange by observed pairs, and the winner decode +
+    nation rollup run on key-bounded rows."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_acctbal",
+                                  "s_nationkey"]).to_pandas()
+    sk = supp["s_suppkey"].to_numpy(dtype=np.int64)
+    cents = np.zeros(int(sk.max()) + 1 if len(sk) else 1, dtype=np.int64)
+    cents[sk] = np.floor(
+        supp["s_acctbal"].to_numpy(dtype=np.float64) * 100 + 0.5
+    ).astype(np.int64)
+    snk = np.full(len(cents), -1, dtype=np.int64)
+    snk[sk] = supp["s_nationkey"].to_numpy(dtype=np.int64)
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nname = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    ref = ray.put(cents) if ray.is_initialized() else cents
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+    BIAS = 1 << 21  # acctbal cents ∈ [-82k, 996k] — bias keeps it ≥ 0
+
+    def pairs(b: pa.Table) -> pa.Table:
+        cents_ = ray.get(ref) if ray.is_initialized() else ref
+        partk = np.asarray(b["l_partkey"].combine_chunks(), dtype=np.int64)
+        suppk = np.asarray(b["l_suppkey"].combine_chunks(), dtype=np.int64)
+        packed = np.unique((partk.astype(np.uint64) << np.uint64(24))
+                           | suppk.astype(np.uint64))
+        pk = (packed >> np.uint64(24)).astype(np.int64)
+        sk_ = (packed & np.uint64(0xFFFFFF)).astype(np.int64)
+        key = ((cents_[sk_] + BIAS) << 24) | sk_
+        return pa.table({"l_partkey": pa.array(pk),
+                         "key": pa.array(key)})
+
+    win = grouped_aggregate_ds(
+        li.map_batches(pairs, batch_format="pyarrow", batch_size=None),
+        ["l_partkey"], [("key", "min", "key")], num_partitions=8)
+
+    def decode(b: pa.Table) -> pa.Table:
+        key = np.asarray(b["key"].combine_chunks(), dtype=np.int64)
+        suppk = key & ((1 << 24) - 1)
+        return pa.table({"snk": pa.array(snk[suppk]),
+                         "one": pa.array(np.ones(len(key), np.int64))})
+
+    agg = grouped_aggregate(
+        win.map_batches(decode, batch_format="pyarrow", batch_size=None),
+        ["snk"], [("one", "sum", "parts_won")])
+    if "snk" not in agg.column_names or agg.num_rows == 0:
+        return pa.table({"nation": pa.array([], pa.string()),
+                         "parts_won": pa.array([], pa.int64())})
+    nk = np.asarray(agg["snk"], dtype=np.int64)
+    return pa.table({
+        "nation": pa.array([nname[int(k)] for k in nk], pa.string()),
+        "parts_won": agg["parts_won"],
+    })
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q20 shape: suppliers shipping an outsized share of a product line
+# --------------------------------------------------------------------------
+
+@query(
+    "supplier_q20_excess",
+    """
+WITH w AS (
+  SELECT l.l_suppkey, CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+           AS widget_qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_name LIKE '%widget%'
+  GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(widget_qty) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n FROM w
+)
+SELECT w.l_suppkey AS s_suppkey, s.s_name, w.widget_qty
+FROM w JOIN supplier s ON w.l_suppkey = s.s_suppkey CROSS JOIN t
+WHERE w.widget_qty * t.n > t.total""",
+)
+def supplier_q20_excess(sf_dir: str):
+    """Suppliers shipping strictly more than the mean 'widget' volume —
+    TPC-H Q20's semi-join-against-an-aggregate-threshold shape (no
+    partsupp in the fixture: shipped quantity stands in for availqty).
+
+    The part-name predicate is a broadcast bitmap inside the one
+    lineitem pass; per-supplier quantities are a suppliers-bounded
+    aggregate; the threshold test is restated integer-exact
+    (qty·n > total — no float division anywhere); names attach
+    driver-side to the qualifying handful."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"]).to_pandas()
+    pk = part["p_partkey"].to_numpy(dtype=np.int64)
+    match = np.zeros(int(pk.max()) + 1 if len(pk) else 1, dtype=bool)
+    match[pk[part["p_name"].str.contains("widget", regex=False)
+             .to_numpy()]] = True
+    ref = ray.put(match) if ray.is_initialized() else match
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        match_ = ray.get(ref) if ray.is_initialized() else ref
+        partk = np.asarray(b["l_partkey"].combine_chunks(), dtype=np.int64)
+        keep = match_[partk]
+        suppk = np.asarray(b["l_suppkey"].combine_chunks(),
+                           dtype=np.int64)[keep]
+        qty = np.asarray(b["l_quantity"].combine_chunks(),
+                         dtype=np.float64)[keep].astype(np.int64)
+        return pa.table({"s_suppkey": pa.array(suppk),
+                         "qty": pa.array(qty)})
+
+    agg = grouped_aggregate(
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["s_suppkey"], [("qty", "sum", "widget_qty")])
+    if "s_suppkey" not in agg.column_names or agg.num_rows == 0:
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "widget_qty": pa.array([], pa.int64())})
+    sk_ = np.asarray(agg["s_suppkey"], dtype=np.int64)
+    qty = np.asarray(agg["widget_qty"], dtype=np.int64)
+    total, n = int(qty.sum()), len(qty)
+    keep = qty * n > total
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"]).to_pandas()
+    names = dict(zip(supp["s_suppkey"].astype(np.int64), supp["s_name"]))
+    return pa.table({
+        "s_suppkey": pa.array(sk_[keep]),
+        "s_name": pa.array([names[k] for k in sk_[keep]], pa.string()),
+        "widget_qty": pa.array(qty[keep]),
+    })

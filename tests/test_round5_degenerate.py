@@ -39,6 +39,9 @@ _QUERIES = [
     ("docs_curriculum_rank", 1),         # the single doc, rank 0
     ("embed_centroid_distances", 0),     # one label: no pairs
     ("tokens_fertility_by_source", 1),   # the one-word doc
+    ("part_q2_min_supplier", 1),         # the one (part, supplier) pair
+    ("supplier_q20_excess", 0),          # no 'widget' part qualifies
+    ("events_value_quantiles_by_type", 0),  # empty stream
 ]
 
 
