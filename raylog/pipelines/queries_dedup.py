@@ -2456,3 +2456,56 @@ def dedup_graph_triangles(sf_dir: str):
             pa.int64()),
         "n_edges": pa.array([n_edges], pa.int64()),
     })
+
+
+# --------------------------------------------------------------------------
+# Shingle document-frequency spectrum (corpus duplication profile)
+# --------------------------------------------------------------------------
+
+@query(
+    "dedup_shingle_df_spectrum",
+    """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         list_extract(w, i) || ' ' || list_extract(w, i+1) || ' ' ||
+         list_extract(w, i+2) AS g
+  FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g
+  FROM docs WHERE len(w) < 3
+), df AS (
+  SELECT g, COUNT(*) AS df FROM sh GROUP BY 1
+)
+SELECT CAST(df AS BIGINT) AS df, CAST(COUNT(*) AS BIGINT) AS n_shingles
+FROM df GROUP BY 1""",
+)
+def dedup_shingle_df_spectrum(sf_dir: str):
+    """Document-frequency spectrum of word 3-gram shingles — the
+    corpus-duplication profile read BEFORE committing to a dedup pass
+    (a heavy df>1 tail means near-dup mass; an all-df=1 spectrum means
+    dedup will be a no-op). Short docs contribute their whole word
+    sequence as one gram (the `Shingler` round-1 parity rule, mirrored
+    in the SQL's UNION branch).
+
+    One shingle pass (per-doc-distinct hashed grams), hash-partitioned
+    df counts — the exact-answer exchange floor — then the
+    df-bounded count-of-counts histogram. The driver sees only the
+    spectrum."""
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+    from raylog.functions.dedup import shingle_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    sh = ds.map_batches(shingle_batch, batch_format="pyarrow",
+                        batch_size=None)
+    df = grouped_aggregate_ds(sh, ["shingle"], [("*", "count", "df")],
+                              num_partitions=8)
+    spec = grouped_aggregate(df, ["df"], [("*", "count", "n_shingles")])
+    if "df" not in spec.column_names:
+        return pa.table({"df": pa.array([], pa.int64()),
+                         "n_shingles": pa.array([], pa.int64())})
+    return pa.table({"df": spec["df"], "n_shingles": spec["n_shingles"]})

@@ -2574,3 +2574,64 @@ def events_value_quantiles_by_type(sf_dir: str):
                              ps=[0.5, 0.9, 0.99],
                              out_names=["p50_cents", "p90_cents",
                                         "p99_cents"])
+
+
+# --------------------------------------------------------------------------
+# Active-days distribution (engagement depth histogram)
+# --------------------------------------------------------------------------
+
+@query(
+    "events_active_days_hist",
+    """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+), c AS (
+  SELECT user_id, COUNT(*) AS active_days FROM ud GROUP BY 1
+)
+SELECT CAST(active_days AS BIGINT) AS active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM c GROUP BY 1""",
+)
+def events_active_days_hist(sf_dir: str):
+    """How many distinct days each user was active, as a count-of-counts
+    histogram (the engagement-depth complement of `events_user_lifespan_hist`,
+    which measures span, not density).
+
+    Per-batch distinct (user, day) pairs → hash-partitioned distinct →
+    per-user count → days-bounded histogram; users never reach the
+    driver."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        u = np.asarray(b["user_id"].combine_chunks(), dtype=np.int64)
+        t = np.asarray(b["ts"].combine_chunks()).astype("datetime64[us]")
+        day = np.floor(t.astype(np.int64) / 86400e6).astype(np.int64)
+        packed = np.unique((u.astype(np.uint64) << np.uint64(20))
+                           | day.astype(np.uint64))
+        return pa.table({
+            "user_id": pa.array((packed >> np.uint64(20)).astype(np.int64)),
+            "day": pa.array((packed & np.uint64((1 << 20) - 1))
+                            .astype(np.int64)),
+        })
+
+    distinct = grouped_aggregate_ds(
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=None),
+        ["user_id", "day"], [("*", "count", "c")], num_partitions=8)
+    per_user = grouped_aggregate_ds(distinct, ["user_id"],
+                                    [("*", "count", "active_days")],
+                                    num_partitions=8)
+    hist = grouped_aggregate(per_user, ["active_days"],
+                             [("*", "count", "n_users")])
+    if "active_days" not in hist.column_names:
+        return pa.table({"active_days": pa.array([], pa.int64()),
+                         "n_users": pa.array([], pa.int64())})
+    return pa.table({"active_days": hist["active_days"],
+                     "n_users": hist["n_users"]})

@@ -2731,3 +2731,206 @@ def tokens_fertility_by_source(sf_dir: str):
         "total_tokens": agg["total_tokens"],
         "chars_per_token_milli": pa.array(1000 * ch // tk, pa.int64()),
     })
+
+
+# --------------------------------------------------------------------------
+# Per-document divergence from the corpus distribution (outlier docs)
+# --------------------------------------------------------------------------
+
+@query(
+    "tokens_doc_js_divergence",
+    _P() + """
+, tok AS (SELECT doc_id, CAST(tokens[CAST(i AS INT)] AS BIGINT) AS t
+          FROM recs2, LATERAL (
+            SELECT unnest(generate_series(1, CAST(n_tok AS INT))) AS i) g),
+dc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+dn AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM dc GROUP BY 1),
+gc AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY 1),
+gn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM gc),
+terms AS (
+  SELECT dc.doc_id,
+         SUM((dc.c * 1.0 / dn.n)
+             * ln(2.0 * (dc.c * 1.0 / dn.n)
+                  / (dc.c * 1.0 / dn.n + gc.c * 1.0 / gn.n))
+             + (gc.c * 1.0 / gn.n)
+               * ln(2.0 * (gc.c * 1.0 / gn.n)
+                    / (dc.c * 1.0 / dn.n + gc.c * 1.0 / gn.n))) AS s_in,
+         SUM(gc.c * 1.0 / gn.n) AS q_in
+  FROM dc JOIN dn USING (doc_id) JOIN gc USING (t) CROSS JOIN gn
+  GROUP BY 1
+)
+SELECT doc_id, 0.5 * s_in + 0.5 * ln(2.0) * (1.0 - q_in) AS js
+FROM terms""",
+)
+def tokens_doc_js_divergence(sf_dir: str):
+    """Jensen-Shannon divergence of EVERY document's token distribution
+    from the corpus distribution — the per-document outlier score that
+    flags machine-generated or off-domain docs before training (the
+    doc-granular complement of `corpus_source_kl`, which scores whole
+    sources).
+
+    Pass 1 builds the vocab-bounded global distribution (one
+    value-counts aggregate, broadcast once); pass 2 computes each
+    doc's JS in closed form from a dense (docs_in_batch × vocab)
+    bincount — the out-of-doc mass needs only 1 − Σ_{t∈doc} q_t, so no
+    per-(doc, vocab) expansion ever leaves the batch. Map-only second
+    pass; exchange is the vocab aggregate."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+    from raylog.pipelines import log_pipeline as LP
+
+    ds = LP.records_ds(sf_dir).select_columns(["doc_id", "tokens"])
+
+    def flat_counts(b: pa.Table) -> pa.Table:
+        col = b["tokens"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        vals, cnts = np.unique(
+            np.asarray(col.flatten(), dtype=np.int64), return_counts=True)
+        return pa.table({"t": pa.array(vals),
+                         "c": pa.array(cnts.astype(np.int64))})
+
+    gc = grouped_aggregate(
+        ds.map_batches(flat_counts, batch_format="pyarrow", batch_size=None),
+        ["t"], [("c", "sum", "c")]).to_pandas().sort_values("t")
+    vocab = gc["t"].to_numpy(dtype=np.int64)
+    q = gc["c"].to_numpy(dtype=np.float64)
+    q = q / q.sum()
+    refs = (ray.put(vocab), ray.put(q)) if ray.is_initialized() \
+        else (vocab, q)
+
+    def js_batch(b: pa.Table) -> pa.Table:
+        vocab_, q_ = (tuple(ray.get(r) for r in refs)
+                      if ray.is_initialized() else refs)
+        V = len(vocab_)
+        col = b["tokens"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flat = np.asarray(col.flatten(), dtype=np.int64)
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        lens = offs[1:] - offs[:-1]
+        nd = len(lens)
+        ids = np.asarray(b["doc_id"].combine_chunks(), dtype=np.int64)
+        if nd == 0 or V == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "js": pa.array([], pa.float64())})
+        vix = np.searchsorted(vocab_, flat)
+        dli = np.repeat(np.arange(nd, dtype=np.int64), lens)
+        cnt = np.bincount(dli * V + vix, minlength=nd * V) \
+            .reshape(nd, V).astype(np.float64)
+        safe_lens = np.maximum(lens, 1).astype(np.float64)
+        p = cnt / safe_lens[:, None]
+        mask = cnt > 0
+        qm = np.broadcast_to(q_, (nd, V))
+        s = p + qm
+        with np.errstate(divide="ignore", invalid="ignore"):
+            terms = np.where(mask,
+                             p * np.log(2.0 * p / s) + qm * np.log(2.0 * qm / s),
+                             0.0)
+        s_in = terms.sum(axis=1)
+        q_in = np.where(mask, qm, 0.0).sum(axis=1)
+        js = 0.5 * s_in + 0.5 * np.log(2.0) * (1.0 - q_in)
+        keep = lens > 0
+        return pa.table({"doc_id": pa.array(ids[keep]),
+                         "js": pa.array(js[keep], pa.float64())})
+
+    return ds.map_batches(js_batch, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# Neighbor-pair cosine histogram (embedding-space smoothness audit)
+# --------------------------------------------------------------------------
+
+@query(
+    "embed_neighbor_sim_hist",
+    """
+WITH p AS (
+  SELECT a.vec_id AS ai, a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+), d AS (
+  SELECT ai,
+         SUM(CAST(list_extract(ea, CAST(i AS INT)) AS DOUBLE)
+             * CAST(list_extract(eb, CAST(i AS INT)) AS DOUBLE)) AS dot,
+         SUM(CAST(list_extract(ea, CAST(i AS INT)) AS DOUBLE)
+             * CAST(list_extract(ea, CAST(i AS INT)) AS DOUBLE)) AS na2,
+         SUM(CAST(list_extract(eb, CAST(i AS INT)) AS DOUBLE)
+             * CAST(list_extract(eb, CAST(i AS INT)) AS DOUBLE)) AS nb2
+  FROM p, UNNEST(generate_series(1, len(ea))) AS t(i)
+  GROUP BY 1
+)
+SELECT CAST(LEAST(FLOOR(dot / (sqrt(na2) * sqrt(nb2)) * 10), 9) AS BIGINT)
+         AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM d GROUP BY 1""",
+)
+def embed_neighbor_sim_hist(sf_dir: str):
+    """Cosine-similarity histogram over consecutive-id vector pairs —
+    the deterministic O(N) pair sample that audits embedding-space
+    smoothness (a healthy space shows a unimodal moderate-similarity
+    hump; a near-1.0 spike means collapsed/duplicated embeddings) —
+    without the N²/2 all-pairs pass.
+
+    Vectors pack to fixed-width float32 blobs so the pair rides ONE
+    native hash join on vec_id+1 (Arrow's hash join drops list-typed
+    payloads — the `ShingleLists` convention); cosines and bins are one
+    numpy pass per joined batch, and only the 20-bin histogram is
+    exchanged after that."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def pack(shift: int):
+        def _p(b: pa.Table) -> pa.Table:
+            col = b["embedding"]
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+                else col
+            dim = len(col[0]) if len(col) else 0
+            mat = np.asarray(col.flatten(), dtype=np.float32) \
+                .reshape(-1, dim)
+            ids = np.asarray(b["vec_id"].combine_chunks(), dtype=np.int64)
+            blobs = [mat[i].tobytes() for i in range(len(ids))]
+            return pa.table({
+                "k": pa.array(ids + shift),
+                "v": pa.array(blobs, pa.binary()),
+            })
+        return _p
+
+    left = ds.map_batches(pack(1), batch_format="pyarrow",
+                          batch_size=None)   # key = vec_id + 1
+    right = ds.map_batches(pack(0), batch_format="pyarrow",
+                           batch_size=None).rename_columns(["k2", "v2"])
+    j = left.join(right, join_type="inner", num_partitions=8,
+                  on=("k",), right_on=("k2",))
+
+    def bins(b: pa.Table) -> pa.Table:
+        va = b["v"].combine_chunks() if isinstance(b["v"], pa.ChunkedArray) \
+            else b["v"]
+        vb = b["v2"].combine_chunks() if isinstance(b["v2"], pa.ChunkedArray) \
+            else b["v2"]
+        n = len(va)
+        if n == 0:
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "one": pa.array([], pa.int64())})
+        ea = np.frombuffer(b"".join(va.to_pylist()), dtype=np.float32) \
+            .reshape(n, -1).astype(np.float64)
+        eb = np.frombuffer(b"".join(vb.to_pylist()), dtype=np.float32) \
+            .reshape(n, -1).astype(np.float64)
+        dot = (ea * eb).sum(axis=1)
+        cos = dot / (np.sqrt((ea * ea).sum(axis=1))
+                     * np.sqrt((eb * eb).sum(axis=1)))
+        bn = np.minimum(np.floor(cos * 10), 9).astype(np.int64)
+        return pa.table({"bin": pa.array(bn),
+                         "one": pa.array(np.ones(n, np.int64))})
+
+    hist = grouped_aggregate(
+        j.map_batches(bins, batch_format="pyarrow", batch_size=None),
+        ["bin"], [("one", "sum", "n_pairs")])
+    if "bin" not in hist.column_names:
+        return pa.table({"bin": pa.array([], pa.int64()),
+                         "n_pairs": pa.array([], pa.int64())})
+    return pa.table({"bin": hist["bin"], "n_pairs": hist["n_pairs"]})

@@ -42,6 +42,10 @@ _QUERIES = [
     ("part_q2_min_supplier", 1),         # the one (part, supplier) pair
     ("supplier_q20_excess", 0),          # no 'widget' part qualifies
     ("events_value_quantiles_by_type", 0),  # empty stream
+    ("dedup_shingle_df_spectrum", 1),    # one whole-doc gram, df=1
+    ("events_active_days_hist", 0),      # empty stream
+    ("tokens_doc_js_divergence", 1),     # single doc: JS = 0
+    ("embed_neighbor_sim_hist", 0),      # one vector: no neighbor pair
 ]
 
 
