@@ -2635,3 +2635,63 @@ def events_active_days_hist(sf_dir: str):
                          "n_users": pa.array([], pa.int64())})
     return pa.table({"active_days": hist["active_days"],
                      "n_users": hist["n_users"]})
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES)
+# --------------------------------------------------------------------------
+
+@query(
+    "sample_weighted_no_replacement",
+    """
+WITH k AS (
+  SELECT doc_id, n_chars,
+         ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+              AS BIGINT) + 1) * 1.0 / (power(16.0, 13) + 1)) / n_chars
+           AS key
+  FROM documents
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight
+FROM k
+QUALIFY ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) <= 50""",
+)
+def sample_weighted_no_replacement(sf_dir: str):
+    """Weighted sampling WITHOUT replacement, k=50, weight = n_chars —
+    the Efraimidis-Spirakis exponential-keys algorithm (key =
+    ln(u)/w ≡ u^(1/w); the global top-k by key IS an exact weighted
+    sample), with the repo's deterministic md5 coin standing in for u
+    so the sample is reproducible across runs AND engines.
+
+    One map-only key pass + the partial top-k merge (every block emits
+    ≤ k rows); no shuffle, no replacement bookkeeping — the classic
+    distributed one-pass weighted sampler (Efraimidis & Spirakis 2006,
+    IPL). The float key never leaves the engine: output is the integer
+    (doc_id, weight) rows only."""
+    import hashlib
+
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.topk import topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    DEN = 16.0 ** 13 + 1
+
+    def keys(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        w = np.asarray(b["n_chars"].combine_chunks(), dtype=np.float64)
+        h = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+                      for i in ids], dtype=np.int64)
+        key = np.log((h + 1) * 1.0 / DEN) / w
+        return pa.table({"doc_id": b["doc_id"],
+                         "weight": pa.array(w.astype(np.int64)),
+                         "key": pa.array(key, pa.float64())})
+
+    top = topk(ds.map_batches(keys, batch_format="pyarrow",
+                              batch_size=None),
+               sort_cols=["key", "doc_id"], descending=[True, False], k=50)
+    if "doc_id" not in top.column_names:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "weight": pa.array([], pa.int64())})
+    return top.select(["doc_id", "weight"])

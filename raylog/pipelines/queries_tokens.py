@@ -2934,3 +2934,154 @@ def embed_neighbor_sim_hist(sf_dir: str):
         return pa.table({"bin": pa.array([], pa.int64()),
                          "n_pairs": pa.array([], pa.int64())})
     return pa.table({"bin": hist["bin"], "n_pairs": hist["n_pairs"]})
+
+
+# --------------------------------------------------------------------------
+# Split-halves centroid stability per label (embedding reproducibility)
+# --------------------------------------------------------------------------
+
+@query(
+    "embed_label_halves_drift",
+    """
+WITH c AS (
+  SELECT label, vec_id % 2 AS half, i,
+         avg(embedding[CAST(i AS INT)]) AS v
+  FROM embeddings, LATERAL (
+    SELECT unnest(generate_series(1, len(embedding))) AS i
+  ) g
+  GROUP BY 1, 2, 3
+)
+SELECT a.label,
+       SUM(a.v * b.v) / (sqrt(SUM(a.v * a.v)) * sqrt(SUM(b.v * b.v)))
+         AS halves_cosine
+FROM c a JOIN c b ON a.label = b.label AND a.i = b.i
+WHERE a.half = 0 AND b.half = 1
+GROUP BY 1""",
+)
+def embed_label_halves_drift(sf_dir: str):
+    """Split-halves centroid stability per label: cosine between the
+    centroid of even-id and odd-id vectors of the same label — the
+    cheap reproducibility audit (a label whose two random halves
+    already disagree will not survive a re-embedding, and its
+    stratified samples are noise).
+
+    One corpus pass of (label, half)-keyed dim-wise sums; the per-label
+    cosine is driver-side numpy on the 2·labels×dims grid. Labels with
+    only one half are skipped (the SQL inner join drops them too)."""
+    import numpy as np
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["embedding"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        dim = len(col[0]) if len(col) else 0
+        mat = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, dim)
+        labels = np.asarray(b["label"].combine_chunks(), dtype=np.int64)
+        half = np.asarray(b["vec_id"].combine_chunks(), dtype=np.int64) % 2
+        key = labels * 2 + half
+        uk = np.unique(key)
+        rows = []
+        for kk in uk:
+            sub = mat[key == kk]
+            rows.append((kk, sub.sum(axis=0), len(sub)))
+        return pa.table({
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "sums": pa.array([r[1].tolist() for r in rows],
+                             pa.list_(pa.float64())),
+            "n": pa.array([r[2] for r in rows], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+    acc: dict[int, tuple] = {}
+    for t in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        for kk, s, n in zip(t["k"].to_pylist(), t["sums"].to_pylist(),
+                            t["n"].to_pylist()):
+            s = np.asarray(s)
+            acc[kk] = (acc[kk][0] + s, acc[kk][1] + n) if kk in acc \
+                else (s, n)
+    labels, cosines = [], []
+    for lb in sorted({k // 2 for k in acc}):
+        if 2 * lb in acc and 2 * lb + 1 in acc:
+            c0 = acc[2 * lb][0] / acc[2 * lb][1]
+            c1 = acc[2 * lb + 1][0] / acc[2 * lb + 1][1]
+            cos = float((c0 * c1).sum()
+                        / (np.sqrt((c0 * c0).sum())
+                           * np.sqrt((c1 * c1).sum())))
+            labels.append(lb)
+            cosines.append(cos)
+    return pa.table({"label": pa.array(labels, pa.int64()),
+                     "halves_cosine": pa.array(cosines, pa.float64())})
+
+
+# --------------------------------------------------------------------------
+# Simpson diversity index per source (vocabulary concentration)
+# --------------------------------------------------------------------------
+
+@query(
+    "docs_simpson_diversity",
+    """
+WITH w AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+), c AS (
+  SELECT source, word, COUNT(*) AS c FROM w GROUP BY 1, 2
+), n AS (
+  SELECT source, SUM(c) AS n FROM c GROUP BY 1
+)
+SELECT c.source,
+       CAST(SUM(c.c * (c.c - 1)) AS BIGINT) AS num,
+       CAST(MAX(n.n) * (MAX(n.n) - 1) AS BIGINT) AS den
+FROM c JOIN n ON c.source = n.source
+GROUP BY 1""",
+)
+def docs_simpson_diversity(sf_dir: str):
+    """Simpson concentration index per source: the probability that two
+    randomly drawn word tokens coincide, D = Σ c(c−1) / (n(n−1)) — the
+    vocabulary-concentration audit that flags template-heavy or
+    boilerplate sources (high D = few words dominate). Emitted as the
+    exact integer numerator/denominator pair, so the result is
+    bit-exact in any summation order (past ~1e12 tokens per source the
+    c² term needs the float path — switch documented here, not silent).
+
+    One (source, word-hash) hash-partitioned count aggregate — the
+    same exact-answer exchange as the vocab ops — then c(c−1) and c
+    fold to a sources-bounded table."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+    from raylog.functions.dedup import _PROCESS_HASHER, _split_words
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+
+    def words(b: pa.Table) -> pa.Table:
+        wh, offsets = _split_words(b["text"], _PROCESS_HASHER)
+        lens = offsets[1:] - offsets[:-1]
+        src = np.repeat(np.asarray(b["source"].combine_chunks()), lens)
+        return pa.table({"source": pa.array(src),
+                         "w": pa.array(wh.astype(np.int64))})
+
+    counts = grouped_aggregate_ds(
+        ds.map_batches(words, batch_format="pyarrow", batch_size=None),
+        ["source", "w"], [("*", "count", "c")], num_partitions=8)
+
+    def fold(b: pa.Table) -> pa.Table:
+        c = np.asarray(b["c"].combine_chunks(), dtype=np.int64)
+        return pa.table({"source": b["source"],
+                         "num": pa.array(c * (c - 1)),
+                         "n": pa.array(c)})
+
+    agg = grouped_aggregate(
+        counts.map_batches(fold, batch_format="pyarrow", batch_size=None),
+        ["source"], [("num", "sum", "num"), ("n", "sum", "n")])
+    if "source" not in agg.column_names:
+        return pa.table({"source": pa.array([], pa.string()),
+                         "num": pa.array([], pa.int64()),
+                         "den": pa.array([], pa.int64())})
+    n = np.asarray(agg["n"], dtype=np.int64)
+    return pa.table({"source": agg["source"], "num": agg["num"],
+                     "den": pa.array(n * (n - 1), pa.int64())})

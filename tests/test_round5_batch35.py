@@ -317,3 +317,84 @@ def test_active_days_hist_random_vs_bruteforce(tmp_path, ray_session):
     want = Counter(len(v) for v in days.values())
     got = QUERIES["events_active_days_hist"](str(d)).to_pandas()
     assert dict(zip(got["active_days"], got["n_users"])) == dict(want)
+
+
+def test_weighted_sample_random_vs_bruteforce(tmp_path, ray_session):
+    rng = np.random.default_rng(44)
+    d = tmp_path / "t0"
+    d.mkdir()
+    n = 200
+    ids = rng.permutation(5000)[:n].astype(np.int64)
+    w = rng.integers(10, 800, n).astype(np.int64)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids),
+        "n_chars": pa.array(w),
+    }), str(d / "documents.parquet"))
+    DEN = 16.0 ** 13 + 1
+    keys = []
+    for i, ww in zip(ids, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+        keys.append((np.log((h + 1) / DEN) / ww, -int(i)))
+    want = {int(ids[j]) for j in
+            sorted(range(n), key=lambda j: keys[j], reverse=True)[:50]}
+    got = QUERIES["sample_weighted_no_replacement"](str(d)).to_pandas()
+    assert set(got["doc_id"]) == want
+    assert len(got) == 50
+    # heavier docs must be over-represented vs uniform expectation
+    assert got["weight"].mean() > w.mean()
+
+
+def test_label_halves_drift_random_vs_bruteforce(tmp_path, ray_session):
+    rng = np.random.default_rng(45)
+    d = tmp_path / "t0"
+    d.mkdir()
+    n, dim = 120, 6
+    mat = rng.normal(size=(n, dim)).astype(np.float32)
+    labels = rng.integers(0, 4, n)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(mat.tolist(), pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    }), str(d / "embeddings.parquet"))
+    m64 = mat.astype(np.float64)
+    want = {}
+    for lb in np.unique(labels):
+        for h, name in [(0, "c0"), (1, "c1")]:
+            pass
+        e = m64[(labels == lb) & (np.arange(n) % 2 == 0)]
+        o = m64[(labels == lb) & (np.arange(n) % 2 == 1)]
+        if len(e) and len(o):
+            c0, c1 = e.mean(axis=0), o.mean(axis=0)
+            want[int(lb)] = float(
+                c0 @ c1 / (np.linalg.norm(c0) * np.linalg.norm(c1)))
+    got = QUERIES["embed_label_halves_drift"](str(d)).to_pandas()
+    got_map = dict(zip(got["label"], got["halves_cosine"]))
+    assert set(got_map) == set(want)
+    for k in want:
+        assert abs(got_map[k] - want[k]) < 1e-9
+
+
+def test_simpson_diversity_random_vs_bruteforce(tmp_path, ray_session):
+    rng = np.random.default_rng(46)
+    d = tmp_path / "t0"
+    d.mkdir()
+    n = 80
+    srcs = rng.choice(["s0", "s1", "s2"], n)
+    texts = [" ".join(rng.choice(["x", "yy", "zzz", "w", "v"],
+                                 rng.integers(2, 25)).tolist())
+             for _ in range(n)]
+    pq.write_table(pa.table({
+        "source": pa.array(srcs.tolist(), pa.string()),
+        "text": pa.array(texts, pa.string()),
+    }), str(d / "documents.parquet"))
+    from collections import Counter, defaultdict
+    cnt = defaultdict(Counter)
+    for s, t in zip(srcs, texts):
+        cnt[s].update(t.split(" "))
+    got = QUERIES["docs_simpson_diversity"](str(d)).to_pandas()
+    for r in got.itertuples():
+        c = cnt[r.source]
+        nn = sum(c.values())
+        assert r.num == sum(v * (v - 1) for v in c.values())
+        assert r.den == nn * (nn - 1)
+    assert set(got["source"]) == set(cnt)

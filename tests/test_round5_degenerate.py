@@ -46,6 +46,9 @@ _QUERIES = [
     ("events_active_days_hist", 0),      # empty stream
     ("tokens_doc_js_divergence", 1),     # single doc: JS = 0
     ("embed_neighbor_sim_hist", 0),      # one vector: no neighbor pair
+    ("sample_weighted_no_replacement", 1),  # k=50 of a 1-doc corpus
+    ("embed_label_halves_drift", 0),     # one vector: no odd half
+    ("docs_simpson_diversity", 1),       # the one-word doc, num=0
 ]
 
 
