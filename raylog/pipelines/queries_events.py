@@ -2695,3 +2695,59 @@ def sample_weighted_no_replacement(sf_dir: str):
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "weight": pa.array([], pa.int64())})
     return top.select(["doc_id", "weight"])
+
+
+# --------------------------------------------------------------------------
+# Behavioral diversity per user (event-type entropy)
+# --------------------------------------------------------------------------
+
+@query(
+    "events_user_type_entropy",
+    """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+), n AS (
+  SELECT user_id, SUM(c) AS n FROM c GROUP BY 1
+)
+SELECT c.user_id,
+       SUM(-(c.c * 1.0 / n.n) * ln(c.c * 1.0 / n.n)) AS type_entropy
+FROM c JOIN n USING (user_id) GROUP BY 1""",
+)
+def events_user_type_entropy(sf_dir: str):
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity feature (0 = single-type bots, high = broad
+    engagement) that feeds churn and segmentation models.
+
+    One (user, type) hash-partitioned count aggregate compresses the
+    stream to types-bounded rows per user; entropies evaluate inside
+    complete-user partitions with one segmented numpy pass (sort by
+    user, add.reduceat — no per-user group calls)."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import (grouped_aggregate_ds,
+                                      partitioned_group_apply)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    counts = grouped_aggregate_ds(ds, ["user_id", "event_type"],
+                                  [("*", "count", "c")], num_partitions=8)
+
+    def entropy(part: pa.Table) -> pa.Table:
+        u = np.asarray(part["user_id"].combine_chunks(), dtype=np.int64)
+        c = np.asarray(part["c"].combine_chunks(), dtype=np.float64)
+        if len(u) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "type_entropy": pa.array([], pa.float64())})
+        order = np.argsort(u, kind="mergesort")
+        u, c = u[order], c[order]
+        starts = np.ones(len(u), dtype=bool)
+        starts[1:] = u[1:] != u[:-1]
+        idx = np.flatnonzero(starts)
+        n = np.add.reduceat(c, idx)
+        p = c / np.repeat(n, np.diff(np.append(idx, len(u))))
+        h = np.add.reduceat(-p * np.log(p), idx)
+        return pa.table({"user_id": pa.array(u[idx]),
+                         "type_entropy": pa.array(h, pa.float64())})
+
+    return partitioned_group_apply(counts, ["user_id"], entropy)

@@ -216,3 +216,62 @@ def read_pruned(
     ds._raylog_pruning = {"row_groups_total": scanned,
                           "row_groups_read": kept}
     return ds
+
+
+def read_hive_partitioned(
+    root: str,
+    columns: list[str] | None = None,
+    filters: dict[str, set] | None = None,
+) -> rd.Dataset:
+    """Hive-layout (``key=value`` directory) dataset read with
+    PARTITION pruning: a file whose path carries ``key=v`` for a
+    filtered key with ``v`` outside the allowed set is skipped at plan
+    time — zero bytes of it are opened. This is the directory-level
+    complement of :func:`read_pruned`'s row-group-statistics pruning,
+    and the read-side contract of the repo's partitioned/resumable
+    sink convention (one directory per key → a key-filtered consumer
+    touches only its partitions; at 100 TB this is the difference
+    between a scan and a seek).
+
+    Partition keys are attached to every batch as string columns
+    (hive semantics); ``columns`` projects the FILE columns only.
+    Plan-time stats are exposed as ``ds._raylog_pruning``.
+    """
+    import os
+
+    want = {k: {str(x) for x in v} for k, v in (filters or {}).items()}
+    files: list[tuple[str, dict[str, str]]] = []
+    total = 0
+    for dirpath, _, names in sorted(os.walk(root)):
+        parts: dict[str, str] = {}
+        rel = os.path.relpath(dirpath, root)
+        for seg in rel.split(os.sep):
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                parts[k] = v
+        for nm in sorted(names):
+            if not nm.endswith(".parquet"):
+                continue
+            total += 1
+            if any(parts.get(k) not in vs for k, vs in want.items()):
+                continue
+            files.append((os.path.join(dirpath, nm), parts))
+
+    def _read(batch: pa.Table):
+        for path, keys in zip(batch["path"].to_pylist(),
+                              batch["keys"].to_pylist()):
+            tbl = pq.read_table(path, columns=columns)
+            for k, v in keys.items():
+                tbl = tbl.append_column(
+                    k, pa.array([v] * tbl.num_rows, pa.string()))
+            yield tbl
+
+    items = [{"path": p, "keys": k} for p, k in files]
+    if not items:
+        # typed-empty plan: nothing matched the partition filter
+        ds = rd.from_items([]).map_batches(lambda b: b)
+    else:
+        ds = rd.from_items(items).map_batches(
+            _read, batch_format="pyarrow", batch_size=1)
+    ds._raylog_pruning = {"files_total": total, "files_read": len(files)}
+    return ds

@@ -122,3 +122,42 @@ def test_read_pruned_skips_row_groups(ray_session, tmp_path):
     ds2 = read_pruned([path], columns=["v"], predicate=("k", 9000, None))
     assert ds2._raylog_pruning["row_groups_read"] == 1
     assert ds2.count() == 1000
+
+
+def test_hive_partitioned_read_prunes_at_plan_time(tmp_path, ray_session):
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raylog.sources.reader import read_hive_partitioned
+
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    df = src.to_pandas()
+    root = tmp_path / "hive"
+    for s, grp in df.groupby("source"):
+        d = root / f"source={s}"
+        d.mkdir(parents=True)
+        pq.write_table(pa.Table.from_pandas(grp.drop(columns=["source"]),
+                                            preserve_index=False),
+                       str(d / "part0.parquet"))
+
+    ds = read_hive_partitioned(str(root), columns=["doc_id", "n_chars"],
+                               filters={"source": {"src3"}})
+    stats = ds._raylog_pruning
+    out = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    n_sources = df["source"].nunique()
+    assert stats["files_total"] == n_sources
+    assert stats["files_read"] == 1  # plan-time pruning, not row filter
+
+    want = duckdb.sql(
+        "SELECT doc_id, n_chars, source FROM df WHERE source='src3' "
+        "ORDER BY doc_id").df()
+    assert list(out["doc_id"]) == list(want["doc_id"])
+    assert list(out["n_chars"]) == list(want["n_chars"])
+    assert set(out["source"]) == {"src3"}
+
+    # nothing-matches filter: typed-empty plan, zero files opened
+    empty = read_hive_partitioned(str(root), filters={"source": {"nope"}})
+    assert empty._raylog_pruning["files_read"] == 0
+    assert len(empty.to_pandas()) == 0

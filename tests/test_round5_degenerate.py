@@ -49,6 +49,7 @@ _QUERIES = [
     ("sample_weighted_no_replacement", 1),  # k=50 of a 1-doc corpus
     ("embed_label_halves_drift", 0),     # one vector: no odd half
     ("docs_simpson_diversity", 1),       # the one-word doc, num=0
+    ("events_user_type_entropy", 0),     # empty stream
 ]
 
 
