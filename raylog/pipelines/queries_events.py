@@ -2751,3 +2751,119 @@ def events_user_type_entropy(sf_dir: str):
                          "type_entropy": pa.array(h, pa.float64())})
 
     return partitioned_group_apply(counts, ["user_id"], entropy)
+
+
+# --------------------------------------------------------------------------
+# End-to-end pretraining prep INCLUDING packing (composite flagship)
+# --------------------------------------------------------------------------
+
+@query(
+    "pretrain_prep_packed",
+    """
+WITH snips AS (
+  SELECT DISTINCT substr(text, 1, 40) AS snip
+  FROM documents WHERE doc_id % 97 = 0 AND len(text) >= 40
+), q AS (
+  SELECT doc_id, text,
+    CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+    CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a'))) AS BIGINT) AS stop_hits,
+    CAST(len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und'))) AS BIGINT) AS h_de,
+    CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS BIGINT) AS h_en,
+    CAST(len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','y'))) AS BIGINT) AS h_es,
+    CAST(len(list_filter(string_split(text,' '), w -> w IN ('le','la','de','et'))) AS BIGINT) AS h_fr
+  FROM documents
+), scored AS (
+  SELECT *,
+    CAST(FLOOR(1000 * (0.5 * LEAST(n_words / 40.0, 1.0)
+               + 0.5 * (1.0 - stop_hits * 1.0 / n_words))) AS BIGINT) AS score,
+    GREATEST(h_de, h_en, h_es, h_fr) AS mx,
+    (CASE WHEN h_de = GREATEST(h_de,h_en,h_es,h_fr) THEN 1 ELSE 0 END
+   + CASE WHEN h_en = GREATEST(h_de,h_en,h_es,h_fr) THEN 1 ELSE 0 END
+   + CASE WHEN h_es = GREATEST(h_de,h_en,h_es,h_fr) THEN 1 ELSE 0 END
+   + CASE WHEN h_fr = GREATEST(h_de,h_en,h_es,h_fr) THEN 1 ELSE 0 END) AS ties
+  FROM q
+), kept AS (
+  SELECT doc_id, text FROM scored
+  WHERE score >= 600 AND mx > 0 AND ties = 1 AND h_en = mx
+    AND NOT EXISTS (SELECT 1 FROM snips s WHERE contains(scored.text, s.snip))
+), surv AS (
+  SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text
+), r AS (
+  SELECT s.doc_id, s.doc_id % 8 AS shard,
+         string_split(d.text, ' ') AS w
+  FROM surv s JOIN documents d USING (doc_id)
+), flat AS (
+  SELECT shard, doc_id, i,
+         length(list_extract(w, CAST(i AS INT))) AS t
+  FROM r, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+), seq AS (
+  SELECT shard, t,
+         CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id, i)
+              - 1 AS BIGINT) AS pos
+  FROM flat
+)
+SELECT shard, CAST(pos // 512 AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_fill,
+       CAST(SUM((pos % 512 + 1) * t) AS BIGINT) AS tok_chk
+FROM seq GROUP BY shard, pos // 512""",
+)
+def pretrain_prep_packed(sf_dir: str):
+    """The FULL corpus-to-trainer path in one composite: quality filter
+    → language filter → benchmark decontamination → exact dedup →
+    deterministic sharding → concat-and-chunk packing into the 512-token
+    windows a trainer actually reads (position-weighted checksum per
+    window, the established robust compare form for list payloads).
+
+    This extends `pretrain_prep` (whose stages and physical plans it
+    reuses verbatim) through the LAST mile: survivor ids meet their text
+    via ONE native hash join (text is a plain string column, so no
+    list-payload workaround is needed), tokens re-derive row-locally,
+    and `pack_windows` runs its one shard-partitioned exchange. Total
+    exchanges: dedup key aggregate + survivor join + pack shard
+    partition — each key-bounded or inherent to the semantics."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog import records as R
+    from raylog.functions.agg import seed_join_side
+    from raylog.functions.packing import pack_windows
+
+    surv = pretrain_prep(sf_dir).select_columns(["doc_id"])
+    surv = seed_join_side(surv, pa.table({
+        "doc_id": pa.array([-(1 << 62)], pa.int64()),
+    }))  # all filters can legally match nothing (SCALE.md join hazard)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    j = surv.join(docs, join_type="inner", num_partitions=8,
+                  on=("doc_id",), right_on=("doc_id",))
+
+    def tokenize(b: pa.Table) -> pa.Table:
+        toks, _, _ = R._tokens_from_text(
+            b["text"].combine_chunks() if isinstance(b["text"], pa.ChunkedArray)
+            else b["text"])
+        return pa.table({"doc_id": b["doc_id"], "tokens": toks})
+
+    seqs = j.map_batches(tokenize, batch_format="pyarrow", batch_size=None)
+    wins = pack_windows(seqs, max_tokens=512, num_shards=8,
+                        num_partitions=8)
+
+    def checksum(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        toks = (toks.combine_chunks() if isinstance(toks, pa.ChunkedArray)
+                else toks)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        vals = np.asarray(toks.values, dtype=np.int64)[off[0]:off[-1]]
+        off = off - off[0]
+        pos = (np.arange(len(vals), dtype=np.int64)
+               - np.repeat(off[:-1], np.diff(off)) + 1)
+        csum = np.concatenate([[0], np.cumsum(vals * pos)])
+        chk = csum[off[1:]] - csum[off[:-1]]
+        return pa.table({
+            "shard": b["shard"],
+            "pack_id": b["pack_id"],
+            "n_fill": b["n_fill"],
+            "tok_chk": pa.array(chk, pa.int64()),
+        })
+
+    return wins.map_batches(checksum, batch_format="pyarrow",
+                            batch_size=None)

@@ -50,6 +50,7 @@ _QUERIES = [
     ("embed_label_halves_drift", 0),     # one vector: no odd half
     ("docs_simpson_diversity", 1),       # the one-word doc, num=0
     ("events_user_type_entropy", 0),     # empty stream
+    ("pretrain_prep_packed", 0),         # nothing survives the filters
 ]
 
 
