@@ -397,3 +397,65 @@ def frame_sample_pipeline(
         concurrency=concurrency, batch_format="pyarrow",
         batch_size=batch_size,
     )
+
+
+class AudioWindows:
+    """Actor-pool windowed audio-energy stage: PCM16 WAV payload →
+    one row per fixed-size sample window with the EXACT integer energy
+    (Σ a², ≤ 64·32768² ≪ 2^53 — bit-exact in any accumulation order).
+    The per-actor ``__init__`` is the codec/model warm-up point (same
+    contract as :class:`MediaDecode`); decode is inherently
+    per-payload, the window reduction is one ``add.reduceat`` per
+    row."""
+
+    def __init__(self, window: int = 64):
+        self.window = window
+        self._sf = _try_import_soundfile()  # optional fast path probe
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].combine_chunks(), dtype=np.int64)
+        payloads = batch["payload"].combine_chunks()
+        out_id, out_win, out_n, out_sq = [], [], [], []
+        w = self.window
+        for i in range(len(ids)):
+            _, samples = codecs.decode_wav(payloads[i].as_py())
+            a = samples.astype(np.int64)
+            n = len(a)
+            starts = np.arange(0, n, w)
+            sq = np.add.reduceat(a * a, starts)
+            cnt = np.minimum(starts + w, n) - starts
+            out_id.append(np.full(len(starts), ids[i], dtype=np.int64))
+            out_win.append(np.arange(len(starts), dtype=np.int64))
+            out_n.append(cnt.astype(np.int64))
+            out_sq.append(sq)
+        if not out_id:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "win": pa.array([], pa.int64()),
+                             "n_samp": pa.array([], pa.int64()),
+                             "sumsq": pa.array([], pa.int64())})
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_id)),
+            "win": pa.array(np.concatenate(out_win)),
+            "n_samp": pa.array(np.concatenate(out_n)),
+            "sumsq": pa.array(np.concatenate(out_sq)),
+        })
+
+
+def audio_energy_pipeline(ds: rd.Dataset, *, window: int = 64,
+                          concurrency: int = 2,
+                          batch_size: int = 1024) -> rd.Dataset:
+    """documents → WAV payloads → actor-pool windowed energy rows."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            ncpu = int(ray.cluster_resources().get("CPU", 4))
+            concurrency = max(1, min(concurrency, (ncpu - 1) // 2))
+    except ImportError:  # pragma: no cover
+        pass
+    ds = ds.map_batches(attach_wav_payload, batch_format="pyarrow",
+                        batch_size=None)
+    return ds.map_batches(AudioWindows,
+                          fn_constructor_kwargs={"window": window},
+                          concurrency=concurrency,
+                          batch_format="pyarrow", batch_size=batch_size)

@@ -2005,3 +2005,41 @@ def events_funnel_time(sf_dir: str):
         "p50_s": pa.array(out["p50_s"].astype(np.int64)),
         "p75_s": pa.array(out["p75_s"].astype(np.int64)),
     })
+
+
+# --------------------------------------------------------------------------
+# Windowed audio energy (multimodal feature extraction, real decode)
+# --------------------------------------------------------------------------
+
+@query(
+    "mm_audio_energy_windows",
+    """
+WITH wav AS (
+  SELECT doc_id, 256 + doc_id % 512 AS n FROM documents
+), s AS (
+  SELECT w.doc_id, t.t // 64 AS win,
+         ((t.t * (2654435761 + w.doc_id)) // 128) % 65536 - 32768 AS a
+  FROM wav w, LATERAL (SELECT unnest(generate_series(0, w.n - 1)) AS t) t
+)
+SELECT doc_id, CAST(win AS BIGINT) AS win,
+       CAST(COUNT(*) AS BIGINT) AS n_samp,
+       CAST(SUM(a * a) AS BIGINT) AS sumsq
+FROM s GROUP BY 1, 2""",
+)
+def mm_audio_energy_windows(sf_dir: str):
+    """Windowed audio energy over REAL PCM16 WAV payloads — the
+    feature-extraction shape of a speech-data pipeline (VAD, silence
+    trimming, loudness normalization all start from per-window
+    energy): synthesize → encode → actor-pool decode → one row per
+    64-sample window with the EXACT integer Σa² (bit-exact any order,
+    ≪ 2^53). The oracle regenerates the deterministic waveform with
+    generate_series and reduces the identical integers — the same
+    md5/arithmetic-regeneration discipline as `mm_real_decode`.
+    Map-only; no exchange beyond the row expansion (×⌈n/64⌉)."""
+    import ray.data as rd
+
+    from raylog.functions.multimodal import audio_energy_pipeline
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    return audio_energy_pipeline(docs, window=64)

@@ -183,3 +183,38 @@ class TestOptionalRealCodecs:
         assert out["height"][0].as_py() >= 16
         with pytest.raises(NotImplementedError):
             MediaDecode(fake=False)(batch)
+
+
+def test_audio_windows_exact_energy():
+    """AudioWindows rows == brute-force windowed Σa² over the decoded
+    waveform, including the short tail window (n_samp < window)."""
+    from raylog.functions.multimodal import AudioWindows
+
+    docs = pa.table({"doc_id": pa.array([0, 3, 511], pa.int64())})
+    out = AudioWindows(window=64)(attach_wav_payload(docs))
+    df = out.to_pandas()
+    for d in [0, 3, 511]:
+        n = 256 + d % 512
+        t = np.arange(n, dtype=np.int64)
+        a = (((t * (2654435761 + d)) >> 7) % 65536 - 32768)
+        rows = df[df.doc_id == d].sort_values("win")
+        assert len(rows) == -(-n // 64)
+        for _, r in rows.iterrows():
+            seg = a[r.win * 64:(r.win + 1) * 64]
+            assert r.n_samp == len(seg)
+            assert r.sumsq == int((seg * seg).sum())
+    # doc 511 has n = 256 + 511 = 767 samples → a 767 % 64 = 63-sample
+    # tail window (doc 0's n=256 divides evenly, all windows full)
+    tail = df[(df.doc_id == 511)].sort_values("win").iloc[-1]
+    assert tail.n_samp == (256 + 511 % 512) % 64
+
+
+def test_audio_energy_pipeline_ray(sf_dir):
+    from raylog.functions.multimodal import audio_energy_pipeline
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).limit(8)
+    out = audio_energy_pipeline(docs, window=64).to_pandas()
+    assert set(out.columns) == {"doc_id", "win", "n_samp", "sumsq"}
+    assert out.doc_id.nunique() == 8
+    assert (out.sumsq >= 0).all() and (out.n_samp.between(1, 64)).all()
