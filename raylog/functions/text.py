@@ -241,3 +241,33 @@ def char_entropy(batch: pa.Table, id_col: str = "doc_id",
             np.where(doc_len > 0, (1000 * maxn) // np.maximum(doc_len, 1),
                      0).astype(np.int64)))
     )
+
+
+def hash_classifier(batch: pa.Table, text_col: str = "text",
+                    id_col: str = "doc_id") -> pa.Table:
+    """Hashed-linear classifier INFERENCE (the fastText / CCNet
+    quality-filter serving shape, minus the training pass): every word
+    hashes to a fixed signed integer weight w = md5_32(word) % 2001 −
+    1000 and a document's logit is the plain sum of its word weights;
+    ``pred`` = logit > 0. All arithmetic is int64 — order-independent
+    and bit-exact against the SQL oracle (a float dot product would
+    drift with summation order). Per-batch cost: one md5 per DISTINCT
+    word (``dictionary_encode``), one gather, one cumsum segment
+    reduction. Broadcast-weight inference is map-only — zero exchange
+    at any corpus size; a real trained weight table rides the same
+    gather via ``ray.put`` (see enrich.py's broadcast-dim pattern)."""
+    split = pc.split_pattern(_chunked(batch[text_col]), pattern=" ")
+    flat = split.flatten().dictionary_encode()
+    w_uniq = np.array(
+        [int(hashlib.md5(u.encode()).hexdigest()[:8], 16) % 2001 - 1000
+         for u in flat.dictionary.to_pylist()], dtype=np.int64)
+    w = w_uniq[np.asarray(flat.indices, dtype=np.int64)]
+    offs = np.asarray(split.offsets, dtype=np.int64)
+    csum = np.concatenate([np.zeros(1, np.int64), np.cumsum(w)])
+    sum_w = csum[offs[1:]] - csum[offs[:-1]]
+    return pa.table({
+        id_col: _chunked(batch[id_col]),
+        "sum_w": pa.array(sum_w),
+        "n_tok": pa.array(offs[1:] - offs[:-1]),
+        "pred": pa.array((sum_w > 0).astype(np.int64)),
+    })

@@ -102,3 +102,40 @@ def topk(
     merged = pa.concat_tables(tables, promote_options="default")
     return _partial_topk(merged, sort_cols, descending, k, group_cols,
                          rank_col=add_rank)
+
+
+def topk_ds(
+    ds: rd.Dataset,
+    *,
+    sort_cols: list[str],
+    descending: list[bool],
+    k: int,
+    group_cols: list[str],
+    num_partitions: int = 32,
+    add_rank: str | None = None,
+) -> rd.Dataset:
+    """Distributed per-group top-k for HIGH-cardinality groups.
+
+    :func:`topk` merges ≤ k × n_groups rows on the driver — fine for
+    segment/domain/day groups, wrong when groups number in the millions
+    (per-domain caps over the open web, per-user leaderboards). Here the
+    per-batch prune runs first (so the shuffle moves ≤ k rows per group
+    per block, never the corpus), then the finish is applied to hash
+    partitions containing COMPLETE groups (`partitioned_group_apply` —
+    the same vectorized-segmentation machinery as the distributed
+    aggregates, not one Python call per group). The result stays a
+    ``Dataset``; the driver never holds a groups-sized table.
+    ``num_partitions`` scales with cluster size, not group count.
+    """
+    from raylog.functions.agg import partitioned_group_apply
+
+    pruned = ds.map_batches(
+        lambda b: _partial_topk(b, sort_cols, descending, k, group_cols),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return partitioned_group_apply(
+        pruned, group_cols,
+        lambda part: _partial_topk(part, sort_cols, descending, k,
+                                   group_cols, rank_col=add_rank),
+        num_partitions=num_partitions,
+    )

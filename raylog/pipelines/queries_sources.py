@@ -2043,3 +2043,101 @@ def mm_audio_energy_windows(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id"])
     return audio_energy_pipeline(docs, window=64)
+
+
+# --------------------------------------------------------------------------
+# Web-corpus curation: hashed classifier inference + per-domain caps
+# --------------------------------------------------------------------------
+
+@query(
+    "text_hash_classifier",
+    """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT doc_id,
+       CAST(SUM(CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT)
+                % 2001 - 1000) AS BIGINT) AS sum_w,
+       CAST(COUNT(*) AS BIGINT) AS n_tok,
+       CAST(CASE WHEN SUM(CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT)
+                          % 2001 - 1000) > 0
+            THEN 1 ELSE 0 END AS BIGINT) AS pred
+FROM w GROUP BY 1""",
+)
+def text_hash_classifier(sf_dir: str):
+    """Hashed-linear classifier inference (fastText / CCNet quality
+    filter serving shape): word → fixed signed int weight via md5,
+    doc logit = Σ weights, all int64 (bit-exact vs the oracle in any
+    summation order). One md5 per DISTINCT word per batch + a cumsum
+    segment reduction; map-only — the weight table is hash-derived
+    here, and a trained table broadcasts via ray.put identically."""
+    import ray.data as rd
+
+    from raylog.functions.text import hash_classifier
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(hash_classifier, batch_format="pyarrow",
+                          batch_size=None)
+
+
+@query(
+    "web_domain_caps",
+    """
+WITH u AS (
+  SELECT doc_id, n_chars,
+         'https://d' ||
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 40 AS VARCHAR) ||
+         '.example.com/' || source || '/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), d AS (
+  SELECT doc_id, n_chars,
+         regexp_extract(url, 'https?://([^/]+)/', 1) AS domain FROM u
+)
+SELECT doc_id, domain FROM (
+  SELECT doc_id, domain,
+         ROW_NUMBER() OVER (PARTITION BY domain
+                            ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM d
+) WHERE rnk <= 5""",
+)
+def web_domain_caps(sf_dir: str):
+    """RefinedWeb/C4-style per-domain document cap: synthesize a
+    deterministic URL per doc (the corpus has no url column; md5-derived
+    domain, same regeneration discipline as the WAV payloads), extract
+    the domain with the RE2 kernel (`pc.extract_regex` — byte-identical
+    semantics to DuckDB's RE2 `regexp_extract`), keep the top-5 docs per
+    domain by length rank. URL synth + regex extract are map-only; the
+    cap is `topk.topk_ds` — per-batch partial top-k FIRST (≤k rows per
+    domain per block enter the shuffle), finish on hash partitions
+    holding complete domains: the result stays a Dataset, so the open
+    web's ~10⁸ domains never land on the driver."""
+    import hashlib
+
+    import ray.data as rd
+
+    from raylog.functions.topk import topk_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "n_chars"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ids = b["doc_id"].to_pylist()
+        urls = pa.array([
+            "https://d%d.example.com/%s/%d"
+            % (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 40,
+               s, i)
+            for i, s in zip(ids, b["source"].to_pylist())])
+        dom = pc.struct_field(
+            pc.extract_regex(urls, pattern=r"https?://(?P<domain>[^/]+)/"),
+            "domain")
+        return pa.table({"doc_id": b["doc_id"], "n_chars": b["n_chars"],
+                         "domain": dom})
+
+    ds = ds.map_batches(synth, batch_format="pyarrow", batch_size=None)
+    out = topk_ds(ds, sort_cols=["n_chars", "doc_id"],
+                  descending=[True, False], k=5, group_cols=["domain"],
+                  num_partitions=8)
+    return out.select_columns(["doc_id", "domain"])

@@ -1,0 +1,75 @@
+"""Batch 42: hashed classifier inference + per-domain caps + audio energy."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_hash_classifier_brute_force():
+    from raylog.functions.text import hash_classifier
+
+    texts = ["the a of", "zzz qq zzz", ""]
+    out = hash_classifier(pa.table({
+        "doc_id": pa.array([7, 8, 9], pa.int64()),
+        "text": pa.array(texts),
+    })).to_pandas().set_index("doc_id")
+
+    def w(word):
+        return int(hashlib.md5(word.encode()).hexdigest()[:8], 16) % 2001 - 1000
+
+    for d, t in zip([7, 8, 9], texts):
+        words = t.split(" ")  # '' splits to [''] — same as Arrow/DuckDB
+        assert out.loc[d, "sum_w"] == sum(w(x) for x in words)
+        assert out.loc[d, "n_tok"] == len(words)
+        assert out.loc[d, "pred"] == int(out.loc[d, "sum_w"] > 0)
+
+
+def test_hash_classifier_repeated_word_uses_count_not_membership():
+    from raylog.functions.text import hash_classifier
+
+    one = hash_classifier(pa.table({
+        "doc_id": pa.array([1], pa.int64()), "text": pa.array(["zzz"])}))
+    three = hash_classifier(pa.table({
+        "doc_id": pa.array([1], pa.int64()), "text": pa.array(["zzz zzz zzz"])}))
+    assert three["sum_w"][0].as_py() == 3 * one["sum_w"][0].as_py()
+
+
+def test_web_domain_caps_property(sf_dir):
+    import __ray_entry__ as E
+
+    out = E.queries()["web_domain_caps"](sf_dir)
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    counts = df.groupby("domain").size()
+    assert (counts <= 5).all()
+    assert df.domain.str.match(r"^d\d+\.example\.com$").all()
+    # kept docs per domain are the longest: spot-check one domain
+    import duckdb
+    dom = counts.index[0]
+    full = duckdb.sql(f"""
+        SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')
+        WHERE 'd' || CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))
+              AS BIGINT) % 40 AS VARCHAR) || '.example.com' = '{dom}'
+        ORDER BY n_chars DESC, doc_id LIMIT 5""").df()
+    assert set(df[df.domain == dom].doc_id) == set(full.doc_id)
+
+
+def test_topk_ds_matches_driver_topk():
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.topk import topk, topk_ds
+
+    rng = np.random.default_rng(0)
+    t = pa.table({"g": rng.integers(0, 200, 5000),
+                  "v": rng.integers(0, 1000, 5000),
+                  "id": np.arange(5000)})
+    a = topk(rd.from_arrow(t).repartition(7),
+             sort_cols=["v", "id"], descending=[True, False],
+             k=3, group_cols=["g"]).to_pandas()
+    b = topk_ds(rd.from_arrow(t).repartition(7),
+                sort_cols=["v", "id"], descending=[True, False],
+                k=3, group_cols=["g"], num_partitions=5).to_pandas()
+    key = ["g", "v", "id"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b[a.columns].sort_values(key).reset_index(drop=True))
