@@ -271,3 +271,34 @@ def hash_classifier(batch: pa.Table, text_col: str = "text",
         "n_tok": pa.array(offs[1:] - offs[:-1]),
         "pred": pa.array((sum_w > 0).astype(np.int64)),
     })
+
+
+def compression_ratio(batch: pa.Table, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      level: int = 6,
+                      flag_below_permille: int = 400) -> pa.Table:
+    """zlib compression-ratio quality signal (the Gopher / FineWeb
+    repetitiveness filter): highly repetitive or templated text
+    compresses far below normal prose, so a low compressed/raw ratio
+    flags low-quality docs. Integer outputs only
+    (``ratio_permille = ⌊1000·comp/raw⌋``) — deterministic for a fixed
+    zlib level. Per-row ``zlib.compress`` is a C call per doc (same
+    budget class as the md5 fingerprint loop); map-only, zero exchange.
+    DEFLATE isn't SQL-expressible, so this is a rows-only query backed
+    by brute-force + known-repetitive/known-diverse pytest invariants."""
+    import zlib
+
+    text = _chunked(batch[text_col]).to_pylist()
+    raw = np.fromiter((len(t.encode()) for t in text), np.int64, len(text))
+    comp = np.fromiter(
+        (len(zlib.compress(t.encode(), level)) for t in text),
+        np.int64, len(text))
+    ratio = np.where(raw > 0, (1000 * comp) // np.maximum(raw, 1), 1000)
+    return pa.table({
+        id_col: _chunked(batch[id_col]),
+        "raw_len": pa.array(raw),
+        "comp_len": pa.array(comp),
+        "ratio_permille": pa.array(ratio.astype(np.int64)),
+        "flag_repetitive": pa.array(
+            (ratio < flag_below_permille).astype(np.int64)),
+    })

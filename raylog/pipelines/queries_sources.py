@@ -2141,3 +2141,21 @@ def web_domain_caps(sf_dir: str):
                   descending=[True, False], k=5, group_cols=["domain"],
                   num_partitions=8)
     return out.select_columns(["doc_id", "domain"])
+
+
+@query("text_compression_ratio", None)
+def text_compression_ratio(sf_dir: str):
+    """zlib compression-ratio quality filter (Gopher/FineWeb
+    repetitiveness signal). rows-only: DEFLATE is not SQL-expressible
+    (same class as the BPE codec entries); invariants pinned by pytest
+    — per-doc brute-force equality vs direct zlib, a known-repetitive
+    doc flags, a diverse doc doesn't, ratio is scale-free in level.
+    Map-only, zero exchange (`functions/text.py:compression_ratio`)."""
+    import ray.data as rd
+
+    from raylog.functions.text import compression_ratio
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(compression_ratio, batch_format="pyarrow",
+                          batch_size=None)

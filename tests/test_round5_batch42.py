@@ -73,3 +73,26 @@ def test_topk_ds_matches_driver_topk():
     key = ["g", "v", "id"]
     assert a.sort_values(key).reset_index(drop=True).equals(
         b[a.columns].sort_values(key).reset_index(drop=True))
+
+
+def test_compression_ratio_brute_force_and_flags():
+    import zlib
+
+    from raylog.functions.text import compression_ratio
+
+    texts = ["spam " * 200,
+             "the quick brown fox jumps over the lazy dog " * 3,
+             "k8s pod restart loop backoff exceeded threshold alert", ""]
+    out = compression_ratio(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(texts),
+    })).to_pandas().set_index("doc_id")
+    for d, t in zip([1, 2, 3, 4], texts):
+        raw, comp = len(t.encode()), len(zlib.compress(t.encode(), 6))
+        assert out.loc[d, "raw_len"] == raw
+        assert out.loc[d, "comp_len"] == comp
+        expect = (1000 * comp) // raw if raw else 1000
+        assert out.loc[d, "ratio_permille"] == expect
+    assert out.loc[1, "flag_repetitive"] == 1      # 200× repeated word
+    assert out.loc[3, "flag_repetitive"] == 0      # diverse short prose
+    assert out.loc[4, "ratio_permille"] == 1000    # empty doc: neutral
