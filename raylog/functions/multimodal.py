@@ -459,3 +459,63 @@ def audio_energy_pipeline(ds: rd.Dataset, *, window: int = 64,
                           fn_constructor_kwargs={"window": window},
                           concurrency=concurrency,
                           batch_format="pyarrow", batch_size=batch_size)
+
+
+class AudioVAD:
+    """Actor-pool energy-threshold VAD (voice-activity detection, the
+    stage between decode and transcription in a speech-data pipeline):
+    decode the PCM16 payload, window it, mark a window voiced when its
+    EXACT integer energy meets the mean-square threshold
+    (Σa² ≥ thr·n — kept as an integer cross-multiplication, never a
+    float mean), then summarize the voiced islands per doc: segment
+    count, voiced-window count, longest run. One output row per doc;
+    windows of a doc never leave the actor, so island detection needs
+    no order-sensitive exchange."""
+
+    def __init__(self, window: int = 64, thr: int = 358_000_000):
+        self.window = window
+        self.thr = thr
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].combine_chunks(), dtype=np.int64)
+        payloads = batch["payload"].combine_chunks()
+        w, thr = self.window, self.thr
+        n_seg = np.zeros(len(ids), np.int64)
+        n_voiced = np.zeros(len(ids), np.int64)
+        longest = np.zeros(len(ids), np.int64)
+        for i in range(len(ids)):
+            _, samples = codecs.decode_wav(payloads[i].as_py())
+            a = samples.astype(np.int64)
+            starts = np.arange(0, len(a), w)
+            sq = np.add.reduceat(a * a, starts)
+            cnt = np.minimum(starts + w, len(a)) - starts
+            voiced = sq >= thr * cnt
+            n_voiced[i] = int(voiced.sum())
+            if voiced.any():
+                v = voiced.astype(np.int64)
+                rises = np.flatnonzero(np.diff(np.concatenate(
+                    ([0], v))) == 1)
+                falls = np.flatnonzero(np.diff(np.concatenate(
+                    (v, [0]))) == -1)
+                n_seg[i] = len(rises)
+                longest[i] = int((falls - rises + 1).max())
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_segments": pa.array(n_seg),
+            "n_voiced": pa.array(n_voiced),
+            "longest_seg": pa.array(longest),
+        })
+
+
+def audio_vad_pipeline(ds: rd.Dataset, *, window: int = 64,
+                       thr: int = 358_000_000,
+                       concurrency: int = 2,
+                       batch_size: int = 1024) -> rd.Dataset:
+    """documents → WAV payloads → actor-pool VAD summary per doc."""
+    ds = ds.map_batches(attach_wav_payload, batch_format="pyarrow",
+                        batch_size=None)
+    return ds.map_batches(AudioVAD,
+                          fn_constructor_kwargs={"window": window,
+                                                 "thr": thr},
+                          concurrency=concurrency,
+                          batch_format="pyarrow", batch_size=batch_size)

@@ -2509,3 +2509,91 @@ def dedup_shingle_df_spectrum(sf_dir: str):
         return pa.table({"df": pa.array([], pa.int64()),
                          "n_shingles": pa.array([], pa.int64())})
     return pa.table({"df": spec["df"], "n_shingles": spec["n_shingles"]})
+
+
+# --------------------------------------------------------------------------
+# Train/test split leakage audit (eval hygiene)
+# --------------------------------------------------------------------------
+
+@query(
+    "dedup_split_leakage",
+    """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              list_extract(w, i) || ' ' || list_extract(w, i+1) || ' ' || list_extract(w, i+2) AS g
+       FROM docs, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+       WHERE len(w) >= 3),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+np AS (SELECT doc_a, doc_b FROM inter
+       JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+       WHERE c * 1.0 / (x.n + y.n - c) >= 0.3),
+m AS (SELECT doc_a, doc_b,
+             CAST(('0x' || substr(md5(CAST(doc_a AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10 < 9 AS ta,
+             CAST(('0x' || substr(md5(CAST(doc_b AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10 < 9 AS tb
+      FROM np)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(SUM(CASE WHEN ta <> tb THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_cross_pairs,
+       CAST(COUNT(DISTINCT CASE WHEN ta AND NOT tb THEN doc_b
+                                WHEN tb AND NOT ta THEN doc_a END)
+            AS BIGINT) AS n_leaked_test_docs
+FROM m""",
+)
+def dedup_split_leakage(sf_dir: str):
+    """Train/test split leakage audit (eval hygiene — the check that
+    benchmark decontamination actually held): assign a deterministic
+    90/10 doc_id-hash split, then count exact n-gram near-dup pairs
+    (J >= 0.3, the oracled inverted-index plan) that CROSS the split
+    boundary, and the distinct test docs so leaked. Split membership
+    derives from the id hash, so pair classification needs NO join
+    back to the corpus; the sparse pair set is materialized once (it is
+    orders below corpus size by construction) and the distinct-leaked
+    count is a hash-partitioned distinct, never a driver set."""
+    import hashlib
+
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate_ds
+    from raylog.functions.dedup import ngram_jaccard_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, threshold=0.3).materialize()
+
+    def classify(b: pa.Table) -> pa.Table:
+        def train(ids):
+            return np.array([
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                % 10 < 9 for i in ids], dtype=bool)
+
+        a = b["doc_a"].to_pylist()
+        bb = b["doc_b"].to_pylist()
+        ta, tb = train(a), train(bb)
+        cross = ta != tb
+        leaked = [bb[i] if ta[i] else a[i]
+                  for i in np.flatnonzero(cross)]
+        return pa.table({
+            "n_pairs": pa.array([len(a)], pa.int64()),
+            "n_cross": pa.array([int(cross.sum())], pa.int64()),
+            "leaked": pa.array([leaked], pa.list_(pa.int64())),
+        })
+
+    parts = pairs.map_batches(classify, batch_format="pyarrow",
+                              batch_size=None)
+    leaked_ids = parts.select_columns(["leaked"]).map_batches(
+        lambda b: pa.table({"doc_id": b["leaked"].combine_chunks().flatten()}),
+        batch_format="pyarrow", batch_size=None)
+    n_leaked = grouped_aggregate_ds(
+        leaked_ids, ["doc_id"], [("*", "count", "c")],
+        num_partitions=4).count()
+    tot = parts.select_columns(["n_pairs", "n_cross"]).to_pandas().sum()
+    return pa.table({
+        "n_pairs": pa.array([int(tot.n_pairs)], pa.int64()),
+        "n_cross_pairs": pa.array([int(tot.n_cross)], pa.int64()),
+        "n_leaked_test_docs": pa.array([int(n_leaked)], pa.int64()),
+    })

@@ -2867,3 +2867,68 @@ def pretrain_prep_packed(sf_dir: str):
 
     return wins.map_batches(checksum, batch_format="pyarrow",
                             batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# Privacy: k-anonymity audit over quasi-identifiers
+# --------------------------------------------------------------------------
+
+@query(
+    "events_k_anonymity",
+    """
+WITH g AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+         CAST(dayofweek(ts) AS BIGINT) AS dow, COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT k,
+       CAST(COALESCE(SUM(CASE WHEN n < k THEN n END), 0) AS BIGINT)
+         AS n_violating_rows,
+       CAST(COUNT(CASE WHEN n < k THEN 1 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(COUNT(*) AS BIGINT) AS n_groups
+FROM g CROSS JOIN (VALUES (2), (5), (10)) ks(k)
+GROUP BY 1""",
+)
+def events_k_anonymity(sf_dir: str):
+    """k-anonymity audit (privacy compliance for released telemetry):
+    rows whose quasi-identifier tuple (event_type, hour-of-day,
+    day-of-week) is shared by fewer than k records are re-identifiable.
+    One (types×24×7)-bounded count aggregate — partials combined
+    per batch, never a corpus shuffle — then the k-threshold sweep on
+    the tiny group-size table. Day-of-week via epoch-day arithmetic
+    ((days+4) % 7 = DuckDB's Sunday=0 dayofweek post-1970)."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def quasi(b: pa.Table) -> pa.Table:
+        t = np.asarray(b["ts"].combine_chunks()).astype(
+            "datetime64[us]").astype(np.int64)
+        day = t // 86_400_000_000
+        return pa.table({
+            "event_type": b["event_type"],
+            "hod": pa.array((t % 86_400_000_000) // 3_600_000_000),
+            "dow": pa.array((day + 4) % 7),
+        })
+
+    g = grouped_aggregate(
+        ds.map_batches(quasi, batch_format="pyarrow", batch_size=None),
+        ["event_type", "hod", "dow"], [("*", "count", "n")])
+    n = np.asarray(g["n"], dtype=np.int64)
+    ks, vrows, vgroups = [], [], []
+    for k in (2, 5, 10):
+        viol = n < k
+        ks.append(k)
+        vrows.append(int(n[viol].sum()))
+        vgroups.append(int(viol.sum()))
+    return pa.table({
+        "k": pa.array(ks, pa.int32()),
+        "n_violating_rows": pa.array(vrows, pa.int64()),
+        "n_violating_groups": pa.array(vgroups, pa.int64()),
+        "n_groups": pa.array([len(n)] * 3, pa.int64()),
+    })

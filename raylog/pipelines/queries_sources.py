@@ -2159,3 +2159,50 @@ def text_compression_ratio(sf_dir: str):
                          columns=["doc_id", "text"])
     return ds.map_batches(compression_ratio, batch_format="pyarrow",
                           batch_size=None)
+
+
+@query(
+    "mm_audio_vad_segments",
+    """
+WITH wav AS (
+  SELECT doc_id, 256 + doc_id % 512 AS n FROM documents
+), s AS (
+  SELECT w.doc_id, t.t // 64 AS win,
+         ((t.t * (2654435761 + w.doc_id)) // 128) % 65536 - 32768 AS a
+  FROM wav w, LATERAL (SELECT unnest(generate_series(0, w.n - 1)) AS t) t
+), e AS (
+  SELECT doc_id, win, SUM(a * a) AS sq, COUNT(*) AS cnt
+  FROM s GROUP BY 1, 2
+), v AS (
+  SELECT doc_id, win FROM e WHERE sq >= 358000000 * cnt
+), isl AS (
+  SELECT doc_id,
+         win - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY win) AS grp
+  FROM v
+), seg AS (
+  SELECT doc_id, grp, COUNT(*) AS seg_len FROM isl GROUP BY 1, 2
+)
+SELECT d.doc_id,
+       CAST(COUNT(seg.grp) AS BIGINT) AS n_segments,
+       CAST(COALESCE(SUM(seg.seg_len), 0) AS BIGINT) AS n_voiced,
+       CAST(COALESCE(MAX(seg.seg_len), 0) AS BIGINT) AS longest_seg
+FROM documents d LEFT JOIN seg ON d.doc_id = seg.doc_id
+GROUP BY 1""",
+)
+def mm_audio_vad_segments(sf_dir: str):
+    """Energy-threshold VAD over REAL PCM16 WAV payloads (the
+    decode→window→segment stage in front of transcription in a speech
+    pipeline): a window is voiced when its exact integer energy meets
+    the mean-square threshold (integer cross-multiplication, no float
+    mean), voiced islands summarize per doc (count / total / longest).
+    One row per doc, map-only; a doc's windows never leave its actor,
+    so the island scan needs no order-sensitive exchange. Oracle
+    regenerates the waveform and restates the islands with the
+    ROW_NUMBER gaps-and-islands form."""
+    import ray.data as rd
+
+    from raylog.functions.multimodal import audio_vad_pipeline
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    return audio_vad_pipeline(docs, window=64)

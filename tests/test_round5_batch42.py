@@ -96,3 +96,69 @@ def test_compression_ratio_brute_force_and_flags():
     assert out.loc[1, "flag_repetitive"] == 1      # 200× repeated word
     assert out.loc[3, "flag_repetitive"] == 0      # diverse short prose
     assert out.loc[4, "ratio_permille"] == 1000    # empty doc: neutral
+
+
+def test_audio_vad_brute_force_islands():
+    from raylog.functions.multimodal import AudioVAD, attach_wav_payload
+
+    docs = pa.table({"doc_id": pa.array(list(range(12)), pa.int64())})
+    out = AudioVAD()(attach_wav_payload(docs)).to_pandas().set_index("doc_id")
+    for d in range(12):
+        n = 256 + d % 512
+        t = np.arange(n, dtype=np.int64)
+        a = (((t * (2654435761 + d)) >> 7) % 65536 - 32768)
+        starts = np.arange(0, n, 64)
+        sq = np.add.reduceat(a * a, starts)
+        cnt = np.minimum(starts + 64, n) - starts
+        v = (sq >= 358_000_000 * cnt).astype(int)
+        runs, run = [], 0
+        for x in v:
+            if x:
+                run += 1
+            elif run:
+                runs.append(run)
+                run = 0
+        if run:
+            runs.append(run)
+        assert out.loc[d, "n_voiced"] == v.sum()
+        assert out.loc[d, "n_segments"] == len(runs)
+        assert out.loc[d, "longest_seg"] == (max(runs) if runs else 0)
+
+
+def test_audio_vad_all_silent_and_all_voiced_edges():
+    from raylog.functions import codecs
+    from raylog.functions.multimodal import AudioVAD
+
+    silent = codecs.encode_wav(np.zeros(200, np.int16), 8000)
+    loud = codecs.encode_wav(np.full(200, 30000, np.int16), 8000)
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([silent, loud], pa.binary()),
+    })
+    out = AudioVAD()(t).to_pandas().set_index("doc_id")
+    assert (out.loc[1] == [0, 0, 0]).all()          # no voiced windows
+    assert out.loc[2, "n_segments"] == 1            # one unbroken island
+    assert out.loc[2, "n_voiced"] == 4              # ceil(200/64)
+    assert out.loc[2, "longest_seg"] == 4
+
+
+def test_k_anonymity_invariants(sf_dir):
+    import __ray_entry__ as E
+
+    df = E.queries()["events_k_anonymity"](sf_dir).to_pandas()
+    df = df.sort_values("k").reset_index(drop=True)
+    # violations are monotone nondecreasing in k; groups constant
+    assert df.n_violating_rows.is_monotonic_increasing
+    assert df.n_violating_groups.is_monotonic_increasing
+    assert df.n_groups.nunique() == 1
+    assert (df.n_violating_rows >= df.n_violating_groups).all()
+
+
+def test_split_leakage_invariants(sf_dir):
+    import __ray_entry__ as E
+
+    df = E.queries()["dedup_split_leakage"](sf_dir).to_pandas()
+    r = df.iloc[0]
+    assert 0 <= r.n_cross_pairs <= r.n_pairs
+    # each cross pair leaks exactly one test doc, docs can repeat
+    assert r.n_leaked_test_docs <= r.n_cross_pairs
