@@ -302,3 +302,39 @@ def compression_ratio(batch: pa.Table, text_col: str = "text",
         "flag_repetitive": pa.array(
             (ratio < flag_below_permille).astype(np.int64)),
     })
+
+
+def cdc_chunks(batch: pa.Table, text_col: str = "text",
+               id_col: str = "doc_id", w: int = 3,
+               mod: int = 8) -> pa.Table:
+    """Content-defined chunking (the rolling-hash boundary rule behind
+    CDC dedup storage and stable document splitting): a boundary falls
+    after word i when the hash of the trailing ``w``-word window is
+    ≡ 0 mod ``mod`` — so chunk boundaries move with CONTENT, not
+    offsets, and an insertion only reshapes its local chunk (fixed-size
+    chunking shifts every later boundary; cf. `chunk_texts`). Emits per
+    doc: chunk count, longest chunk, word count. md5 per window
+    position (same budget class as shingle generation); map-only."""
+    split = pc.split_pattern(_chunked(batch[text_col]), pattern=" ")
+    ids = _chunked(batch[id_col])
+    n_chunks = np.zeros(len(ids), np.int64)
+    longest = np.zeros(len(ids), np.int64)
+    n_words = np.zeros(len(ids), np.int64)
+    for r in range(len(ids)):
+        words = split[r].as_py()
+        n = len(words)
+        n_words[r] = n
+        cuts = [i for i in range(w, n + 1)
+                if int(hashlib.md5(
+                    " ".join(words[i - w:i]).encode()
+                ).hexdigest()[:8], 16) % mod == 0]
+        edges = [0] + cuts + ([n] if (not cuts or cuts[-1] != n) else [])
+        lens = np.diff(np.array(edges, np.int64))
+        n_chunks[r] = len(lens)
+        longest[r] = int(lens.max()) if len(lens) else 0
+    return pa.table({
+        id_col: ids,
+        "n_chunks": pa.array(n_chunks),
+        "longest_chunk": pa.array(longest),
+        "n_words": pa.array(n_words),
+    })

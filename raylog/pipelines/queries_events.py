@@ -2932,3 +2932,55 @@ def events_k_anonymity(sf_dir: str):
         "n_violating_groups": pa.array(vgroups, pa.int64()),
         "n_groups": pa.array([len(n)] * 3, pa.int64()),
     })
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking (rolling-hash boundaries)
+# --------------------------------------------------------------------------
+
+@query(
+    "text_cdc_chunks",
+    """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pos AS (
+  SELECT doc_id, len(w) AS n, i
+  FROM docs, UNNEST(generate_series(3, len(w))) t(i)
+  WHERE len(w) >= 3
+    AND CAST(('0x' || substr(md5(
+          list_extract(w, i - 2) || ' ' ||
+          list_extract(w, i - 1) || ' ' ||
+          list_extract(w, i)), 1, 8)) AS BIGINT) % 8 = 0
+),
+lens AS (
+  SELECT doc_id,
+         i - COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0)
+           AS clen
+  FROM pos
+  UNION ALL
+  SELECT d.doc_id, len(d.w) - COALESCE(m.mx, 0)
+  FROM docs d
+  LEFT JOIN (SELECT doc_id, MAX(i) AS mx FROM pos GROUP BY 1) m
+    USING (doc_id)
+  WHERE len(d.w) - COALESCE(m.mx, 0) > 0
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(MAX(clen) AS BIGINT) AS longest_chunk,
+       CAST(SUM(clen) AS BIGINT) AS n_words
+FROM lens GROUP BY 1""",
+)
+def text_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (CDC — the rolling-hash boundary rule
+    behind dedup storage and shift-stable document splitting): boundary
+    after word i when the trailing 3-word window hash ≡ 0 mod 8, so an
+    edit only reshapes its local chunk instead of shifting every later
+    boundary the way fixed-size `text_chunks` does. Per-doc chunk
+    count / longest / word count; md5 per window position (the shingle
+    budget class); map-only, zero exchange."""
+    import ray.data as rd
+
+    from raylog.functions.text import cdc_chunks
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(cdc_chunks, batch_format="pyarrow",
+                          batch_size=None)

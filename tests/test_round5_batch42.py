@@ -162,3 +162,37 @@ def test_split_leakage_invariants(sf_dir):
     assert 0 <= r.n_cross_pairs <= r.n_pairs
     # each cross pair leaks exactly one test doc, docs can repeat
     assert r.n_leaked_test_docs <= r.n_cross_pairs
+
+
+def test_cdc_chunks_shift_stability():
+    """The CDC property fixed-size chunking lacks: prepending words only
+    reshapes the prefix — boundaries inside untouched content stay."""
+    from raylog.functions.text import cdc_chunks
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon") * 3
+    shifted = "zz qq " + base
+
+    def boundaries(text):
+        import hashlib
+        words = text.split(" ")
+        return [i for i in range(3, len(words) + 1)
+                if int(hashlib.md5(" ".join(words[i-3:i]).encode())
+                       .hexdigest()[:8], 16) % 8 == 0]
+
+    b0 = boundaries(base)
+    b1 = boundaries(shifted)
+    # every original boundary beyond the 2-word prefix window survives
+    assert set(x + 2 for x in b0 if x > 3) <= set(b1)
+
+    out = cdc_chunks(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([base, shifted]),
+    })).to_pandas().set_index("doc_id")
+    for d, t, b in [(1, base, b0), (2, shifted, b1)]:
+        n = len(t.split(" "))
+        edges = [0] + b + ([n] if (not b or b[-1] != n) else [])
+        lens = np.diff(edges)
+        assert out.loc[d, "n_chunks"] == len(lens)
+        assert out.loc[d, "longest_chunk"] == lens.max()
+        assert out.loc[d, "n_words"] == n
