@@ -2597,3 +2597,69 @@ def dedup_split_leakage(sf_dir: str):
         "n_cross_pairs": pa.array([int(tot.n_cross)], pa.int64()),
         "n_leaked_test_docs": pa.array([int(n_leaked)], pa.int64()),
     })
+
+
+@query(
+    "embed_dim_truncation_agreement",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 20),
+f AS (SELECT q.vec_id AS query_id, e.vec_id AS nid,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.v, e.v) DESC,
+                          e.vec_id) AS r
+      FROM q JOIN e ON e.vec_id <> q.vec_id),
+h AS (SELECT q.vec_id AS query_id, e.vec_id AS nid,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.v[1:32], e.v[1:32]) DESC,
+                          e.vec_id) AS r
+      FROM q JOIN e ON e.vec_id <> q.vec_id)
+SELECT f.query_id, f.nid AS top1_full, h.nid AS top1_half,
+       CAST(CASE WHEN f.nid = h.nid THEN 1 ELSE 0 END AS BIGINT) AS agree
+FROM f JOIN h ON f.query_id = h.query_id
+WHERE f.r = 1 AND h.r = 1""",
+)
+def embed_dim_truncation_agreement(sf_dir: str):
+    """Matryoshka-style dimension-truncation audit (the MRL question:
+    can the index serve half-width vectors?): exact top-1 neighbor
+    under full 64-dim cosine vs the first-32-dim prefix, per query
+    vector (ids < 20), with the agreement flag. Both searches are the
+    broadcast-query partial-top-k plan (`ann_brute_topk`); the prefix
+    slice is a vectorized offsets rebuild — flatten, reshape, stride —
+    never a per-row Python slice. Same corpus-bounded exchange as the
+    oracled brute-force ANN; the two 20-row results join driver-side."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.similarity import ann_brute_topk
+
+    q_ids = list(range(20))
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def trunc(b: pa.Table) -> pa.Table:
+        emb = b["embedding"].combine_chunks()
+        n = len(b)
+        flat = np.asarray(emb.flatten(), dtype=np.float32).reshape(n, -1)
+        half = np.ascontiguousarray(flat[:, :32])
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "embedding": pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * 32, 32, dtype=np.int32)),
+                pa.array(half.ravel())),
+        })
+
+    full = ann_brute_topk(ds, q_ids, k=1).to_pandas()
+    half = ann_brute_topk(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+        .map_batches(trunc, batch_format="pyarrow", batch_size=None),
+        q_ids, k=1).to_pandas()
+    m = full.merge(half, on="query_id", suffixes=("_f", "_h"))
+    return pa.table({
+        "query_id": pa.array(m.query_id.astype("int64")),
+        "top1_full": pa.array(m.neighbor_id_f.astype("int64")),
+        "top1_half": pa.array(m.neighbor_id_h.astype("int64")),
+        "agree": pa.array(
+            (m.neighbor_id_f == m.neighbor_id_h).astype("int64")),
+    })

@@ -196,3 +196,17 @@ def test_cdc_chunks_shift_stability():
         assert out.loc[d, "n_chunks"] == len(lens)
         assert out.loc[d, "longest_chunk"] == lens.max()
         assert out.loc[d, "n_words"] == n
+
+
+def test_dim_truncation_prefix_slice_is_exact(sf_dir):
+    """The vectorized offsets rebuild slices exactly the first 32 dims."""
+    import numpy as np
+    import ray.data as rd
+
+    import __ray_entry__ as E
+
+    out = E.queries()["embed_dim_truncation_agreement"](sf_dir).to_pandas()
+    assert len(out) == 20
+    assert set(out.columns) == {"query_id", "top1_full", "top1_half", "agree"}
+    assert ((out.agree == 0) | (out.top1_full == out.top1_half)).all()
+    assert ((out.agree == 1) == (out.top1_full == out.top1_half)).all()
