@@ -2984,3 +2984,100 @@ def text_cdc_chunks(sf_dir: str):
                          columns=["doc_id", "text"])
     return ds.map_batches(cdc_chunks, batch_format="pyarrow",
                           batch_size=None)
+
+
+@query(
+    "orders_q10_returned_revenue",
+    """
+WITH l AS (
+  SELECT l_orderkey,
+         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+              AS BIGINT) AS rev_e4
+  FROM lineitem WHERE l_returnflag = 'R'
+), j AS (
+  SELECT o.o_custkey, SUM(l.rev_e4) AS rev_e4
+  FROM l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1
+)
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(j.rev_e4 AS BIGINT) AS revenue_e4
+FROM j JOIN customer c ON j.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""",
+)
+def orders_q10_returned_revenue(sf_dir: str):
+    """TPC-H Q10 (returned-item revenue, top-20 customers): per-row
+    revenue quantized to exact 1e-4 fixed point BEFORE any sum (the Q6
+    discipline — distributed integer sums are order-independent), fact⋈
+    fact hash join lineitem('R')⋈orders(1996 window), per-customer
+    hash-partitioned aggregate, customer join, 25-row nation dim as a
+    broadcast dict, partial top-20 finish. Every exchange is key- or
+    k-bounded; the date/flag filters run at the scan."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate_ds
+    from raylog.functions.topk import topk
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_returnflag"])
+
+    def quantize(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        rev = np.floor(
+            np.asarray(b["l_extendedprice"].combine_chunks())
+            * (1 - np.asarray(b["l_discount"].combine_chunks()))
+            * 10000 + 0.5).astype(np.int64)
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "rev_e4": pa.array(rev)})
+
+    li = li.map_batches(quantize, batch_format="pyarrow", batch_size=None)
+
+    def window(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+        hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+        m = pc.and_(pc.greater_equal(b["o_orderdate"], lo),
+                    pc.less(b["o_orderdate"], hi))
+        return b.filter(m).select(["o_orderkey", "o_custkey"])
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(window, batch_format="pyarrow", batch_size=None)
+
+    joined = li.join(orders, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    per_cust = grouped_aggregate_ds(
+        joined, ["o_custkey"], [("rev_e4", "sum", "revenue_e4")],
+        num_partitions=8)
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name", "c_nationkey"])
+    enriched = per_cust.join(cust, join_type="inner", num_partitions=8,
+                             on=("o_custkey",), right_on=("c_custkey",))
+
+    import duckdb  # nation is a 25-row dim: broadcast as a plain dict
+    nat = dict(duckdb.sql(
+        f"SELECT n_nationkey, n_name FROM "
+        f"read_parquet('{sf_dir}/nation.parquet')").fetchall())
+
+    def finish(b: pa.Table) -> pa.Table:
+        # Ray's join keeps the LEFT key column (o_custkey) only
+        nk = b["c_nationkey"].to_pylist()
+        return pa.table({
+            "c_custkey": b["o_custkey"],
+            "c_name": b["c_name"],
+            "n_name": pa.array([nat[k] for k in nk]),
+            "revenue_e4": pa.compute.cast(b["revenue_e4"], pa.int64()),
+        })
+
+    out = enriched.map_batches(finish, batch_format="pyarrow",
+                               batch_size=None)
+    top = topk(out, sort_cols=["revenue_e4", "c_custkey"],
+               descending=[True, False], k=20)
+    return top.select(["c_custkey", "c_name", "n_name", "revenue_e4"])
