@@ -519,3 +519,55 @@ def audio_vad_pipeline(ds: rd.Dataset, *, window: int = 64,
                                                  "thr": thr},
                           concurrency=concurrency,
                           batch_format="pyarrow", batch_size=batch_size)
+
+
+class ImageAHash:
+    """Actor-pool perceptual average-hash (aHash) stage — the classic
+    image near-dup fingerprint (pHash family; reference has no image
+    path, this is the LLM-data-pipeline extension): decode the P6
+    payload, sum channels to an integer gray value, partition the
+    pixel grid into an 8×8 block grid, set bit (by·8+bx) when the
+    block's mean gray EXCEEDS the global mean gray. The comparison is
+    kept as an integer cross-multiplication (s_blk·N > S·n_blk — never
+    a float mean), so the 64-bit fingerprint is bit-exact and
+    restatable in SQL. Emitted as two int64 halves (hi = bits 32..63,
+    lo = bits 0..31) so the oracle never needs unsigned 64-bit."""
+
+    def __init__(self):
+        self._pil = _try_import_pil()  # optional fast-path probe
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].combine_chunks(), dtype=np.int64)
+        payloads = batch["payload"].combine_chunks()
+        hi = np.zeros(len(ids), np.int64)
+        lo = np.zeros(len(ids), np.int64)
+        for i in range(len(ids)):
+            img = codecs.decode_ppm(payloads[i].as_py())
+            h, w = img.shape[0], img.shape[1]
+            gray = img.astype(np.int64).sum(axis=2)  # 0..765
+            by = (np.arange(h, dtype=np.int64) * 8) // h
+            bx = (np.arange(w, dtype=np.int64) * 8) // w
+            s = np.zeros((8, 8), np.int64)
+            c = np.zeros((8, 8), np.int64)
+            np.add.at(s, (by[:, None], bx[None, :]), gray)
+            np.add.at(c, (by[:, None], bx[None, :]),
+                      np.ones((h, w), np.int64))
+            total, npix = int(gray.sum()), h * w
+            bits = (s * npix > total * c).ravel()  # bit idx = by*8+bx
+            idx = np.flatnonzero(bits)
+            lo[i] = int((np.int64(1) << idx[idx < 32]).sum())
+            hi[i] = int((np.int64(1) << (idx[idx >= 32] - 32)).sum())
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "hash_hi": pa.array(hi),
+            "hash_lo": pa.array(lo),
+        })
+
+
+def image_ahash_pipeline(ds: rd.Dataset, *, concurrency: int = 2,
+                         batch_size: int = 1024) -> rd.Dataset:
+    """documents → P6 payloads → actor-pool aHash fingerprints."""
+    ds = ds.map_batches(attach_ppm_payload, batch_format="pyarrow",
+                        batch_size=None)
+    return ds.map_batches(ImageAHash, concurrency=concurrency,
+                          batch_format="pyarrow", batch_size=batch_size)

@@ -2663,3 +2663,70 @@ def embed_dim_truncation_agreement(sf_dir: str):
         "agree": pa.array(
             (m.neighbor_id_f == m.neighbor_id_h).astype("int64")),
     })
+
+
+@query(
+    "mm_image_ahash_dups",
+    """
+WITH img AS (
+  SELECT doc_id, 8 + doc_id % 25 AS h, 8 + doc_id % 31 AS w
+  FROM documents
+), px AS (
+  SELECT i.doc_id,
+         (y.y * 8) // i.h AS by, (x.x * 8) // i.w AS bx,
+         ((x.x * 8 + i.doc_id) % 256
+          + (y.y * 8 + i.doc_id // 2) % 256
+          + (x.x + y.y + i.doc_id) % 256) AS g
+  FROM img i,
+       LATERAL (SELECT unnest(generate_series(0, i.h - 1)) AS y) y,
+       LATERAL (SELECT unnest(generate_series(0, i.w - 1)) AS x) x
+), blk AS (
+  SELECT doc_id, by, bx, SUM(g) AS s, COUNT(*) AS c
+  FROM px GROUP BY 1, 2, 3
+), tot AS (
+  SELECT doc_id, SUM(s) AS ts, SUM(c) AS tc FROM blk GROUP BY 1
+), hashes AS (
+  SELECT b.doc_id,
+         SUM(CASE WHEN b.by * 8 + b.bx >= 32 AND b.s * t.tc > t.ts * b.c
+                  THEN CAST(1 AS BIGINT) << (b.by * 8 + b.bx - 32)
+                  ELSE 0 END) AS hash_hi,
+         SUM(CASE WHEN b.by * 8 + b.bx < 32 AND b.s * t.tc > t.ts * b.c
+                  THEN CAST(1 AS BIGINT) << (b.by * 8 + b.bx)
+                  ELSE 0 END) AS hash_lo
+  FROM blk b JOIN tot t ON b.doc_id = t.doc_id
+  GROUP BY 1
+)
+SELECT doc_id, CAST(hash_hi AS BIGINT) AS hash_hi,
+       CAST(hash_lo AS BIGINT) AS hash_lo,
+       CAST(COUNT(*) OVER (PARTITION BY hash_hi, hash_lo) AS BIGINT)
+         AS group_size
+FROM hashes""",
+)
+def mm_image_ahash_dups(sf_dir: str):
+    """Image near-duplicate fingerprinting via perceptual average-hash
+    (the pHash-family dedup every multimodal curation run does before
+    CLIP-embedding dedup): REAL P6 decode in an actor pool, integer
+    8×8 block-mean threshold hash (cross-multiplied — no float means),
+    then per-fingerprint group sizes so downstream keeps one doc per
+    bucket.
+
+    Group sizes ride the established hash-partitioned distributed
+    aggregate; the fingerprint table (2 int64 per image) joins back to
+    itself by hash — exchange is fingerprint-sized, never pixels. The
+    oracle regenerates the pixels with generate_series and restates
+    the hash bit-for-bit (see ``mm_real_decode`` for the codec-parity
+    precedent)."""
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate_ds
+    from raylog.functions.multimodal import image_ahash_pipeline
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    fp = image_ahash_pipeline(docs)
+    sizes = grouped_aggregate_ds(
+        fp, ["hash_hi", "hash_lo"], [("doc_id", "count", "group_size")],
+        num_partitions=8)
+    joined = fp.join(sizes, join_type="inner", num_partitions=8,
+                     on=("hash_hi", "hash_lo"))
+    return joined

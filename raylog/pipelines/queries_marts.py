@@ -5395,3 +5395,114 @@ def supplier_q20_excess(sf_dir: str):
         "s_name": pa.array([names[k] for k in sk_[keep]], pa.string()),
         "widget_qty": pa.array(qty[keep]),
     })
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q12 shape: shipmode vs order priority
+# --------------------------------------------------------------------------
+
+@query(
+    "lineitem_q12_shipmode",
+    """
+WITH l AS (
+  SELECT l_orderkey,
+         (l_orderkey * 31 + l_linenumber) % 7 AS m,
+         l_shipdate,
+         l_shipdate + (l_partkey % 30) * INTERVAL 1 DAY AS commit_d,
+         l_shipdate + (l_partkey % 30 + (l_suppkey % 10) - 2)
+           * INTERVAL 1 DAY AS receipt_d
+  FROM lineitem
+), f AS (
+  SELECT l_orderkey,
+         CASE WHEN m = 3 THEN 'SHIP' ELSE 'MAIL' END AS shipmode
+  FROM l
+  WHERE m IN (3, 5)
+    AND l_shipdate < commit_d
+    AND commit_d < receipt_d
+    AND receipt_d >= DATE '1997-01-01'
+    AND receipt_d < DATE '1998-01-01'
+)
+SELECT shipmode,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM f JOIN orders o ON f.l_orderkey = o.o_orderkey
+GROUP BY 1""",
+)
+def lineitem_q12_shipmode(sf_dir: str):
+    """Late-shipment lines per ship mode split by order priority
+    (TPC-H Q12 shape). The fixture lacks shipmode/commit/receipt
+    columns, so they derive deterministically from integer keys with
+    the SAME expressions restated in the oracle (the ``logfile_jsonl``
+    derived-column convention): mode = (orderkey·31+linenumber) mod 7,
+    commit = ship + partkey%30 days, receipt = commit + suppkey%10 − 2
+    days.
+
+    Plan: all four predicates evaluate INSIDE the lineitem scan (2/7
+    mode selectivity × the receipt-year band — survivors are a small
+    fraction of the fact), then ONE hash join of the survivors against
+    orders carries a single shipmode byte per row; the finish is a
+    modes×2 bounded aggregate. No date columns ever leave the read
+    task — they fold to int day arithmetic per batch."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, seed_join_side
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_partkey", "l_suppkey", "l_shipdate"])
+    lo_day = np.datetime64("1997-01-01", "D").astype(np.int64)
+    hi_day = np.datetime64("1998-01-01", "D").astype(np.int64)
+
+    def survivors(b: pa.Table) -> pa.Table:
+        ok = np.asarray(b["l_orderkey"].combine_chunks(), dtype=np.int64)
+        ln = np.asarray(b["l_linenumber"].combine_chunks(), dtype=np.int64)
+        pk = np.asarray(b["l_partkey"].combine_chunks(), dtype=np.int64)
+        sk = np.asarray(b["l_suppkey"].combine_chunks(), dtype=np.int64)
+        ship = np.asarray(b["l_shipdate"].combine_chunks()).astype(
+            "datetime64[D]").astype(np.int64)
+        m = (ok * 31 + ln) % 7
+        commit = ship + pk % 30
+        receipt = commit + sk % 10 - 2
+        keep = (((m == 3) | (m == 5))
+                & (ship < commit) & (commit < receipt)
+                & (receipt >= lo_day) & (receipt < hi_day))
+        return pa.table({
+            "l_orderkey": pa.array(ok[keep]),
+            "is_ship": pa.array((m[keep] == 3).astype(np.int64)),
+        })
+
+    f = li.map_batches(survivors, batch_format="pyarrow", batch_size=None)
+    f = seed_join_side(f, pa.table({
+        "l_orderkey": pa.array([_JOIN_SENTINEL], pa.int64()),
+        "is_ship": pa.array([0], pa.int64()),
+    }))
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    j = f.join(orders, join_type="inner", num_partitions=8,
+               on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def flags(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        pri = b["o_orderpriority"]
+        high = pc.is_in(pri, value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        hi_ = np.asarray(high.combine_chunks()
+                         if isinstance(high, pa.ChunkedArray) else high,
+                         dtype=bool).astype(np.int64)
+        return pa.table({
+            "shipmode": pa.array(np.where(
+                np.asarray(b["is_ship"].combine_chunks(),
+                           dtype=np.int64) == 1, "SHIP", "MAIL")),
+            "high": pa.array(hi_),
+            "low": pa.array(1 - hi_),
+        })
+
+    a = grouped_aggregate(
+        j.map_batches(flags, batch_format="pyarrow", batch_size=None),
+        ["shipmode"],
+        [("high", "sum", "high_line_count"),
+         ("low", "sum", "low_line_count")])
+    return a
