@@ -338,3 +338,35 @@ def cdc_chunks(batch: pa.Table, text_col: str = "text",
         "longest_chunk": pa.array(longest),
         "n_words": pa.array(n_words),
     })
+
+
+def cdc_chunk_hashes(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id", w: int = 3,
+                     mod: int = 8) -> pa.Table:
+    """Chunk-store feed for CDC dedup: same boundary rule as
+    :func:`cdc_chunks`, but emits one row per CHUNK with a 60-bit
+    content hash (md5[:15] of the chunk's words) and its word length —
+    what a dedup store keys on. Map-only; the downstream group-by
+    chunk hash is the storage-dedup estimate."""
+    split = pc.split_pattern(_chunked(batch[text_col]), pattern=" ")
+    ids = _chunked(batch[id_col])
+    out_id, out_hash, out_len = [], [], []
+    for r in range(len(ids)):
+        words = split[r].as_py()
+        n = len(words)
+        cuts = [i for i in range(w, n + 1)
+                if int(hashlib.md5(
+                    " ".join(words[i - w:i]).encode()
+                ).hexdigest()[:8], 16) % mod == 0]
+        edges = [0] + cuts + ([n] if (not cuts or cuts[-1] != n) else [])
+        d = ids[r].as_py()
+        for s, e in zip(edges[:-1], edges[1:]):
+            out_id.append(d)
+            out_hash.append(int(hashlib.md5(
+                " ".join(words[s:e]).encode()).hexdigest()[:15], 16))
+            out_len.append(e - s)
+    return pa.table({
+        id_col: pa.array(out_id, pa.int64()),
+        "chash": pa.array(out_hash, pa.int64()),
+        "clen": pa.array(out_len, pa.int64()),
+    })

@@ -3182,3 +3182,182 @@ def events_scd2_history(sf_dir: str):
         })
 
     return partitioned_group_apply(ds, ["user_id"], history)
+
+
+@query(
+    "text_cdc_dedup_ratio",
+    """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pos AS (
+  SELECT doc_id, len(w) AS n, i
+  FROM docs, UNNEST(generate_series(3, len(w))) t(i)
+  WHERE len(w) >= 3
+    AND CAST(('0x' || substr(md5(
+          list_extract(w, i - 2) || ' ' ||
+          list_extract(w, i - 1) || ' ' ||
+          list_extract(w, i)), 1, 8)) AS BIGINT) % 8 = 0
+),
+bounds AS (
+  SELECT doc_id, i AS e,
+         COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS s
+  FROM pos
+  UNION ALL
+  SELECT d.doc_id, len(d.w), COALESCE(m.mx, 0)
+  FROM docs d
+  LEFT JOIN (SELECT doc_id, MAX(i) AS mx FROM pos GROUP BY 1) m
+    USING (doc_id)
+  WHERE len(d.w) - COALESCE(m.mx, 0) > 0
+),
+chunks AS (
+  SELECT CAST(('0x' || substr(md5(array_to_string(
+           list_slice(d.w, b.s + 1, b.e), ' ')), 1, 15)) AS BIGINT)
+           AS chash,
+         b.e - b.s AS clen
+  FROM bounds b JOIN docs d USING (doc_id)
+),
+g AS (SELECT chash, COUNT(*) AS occ, MIN(clen) AS clen
+      FROM chunks GROUP BY 1)
+SELECT CAST(SUM(occ) AS BIGINT) AS n_chunk_instances,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+       CAST(SUM(occ * clen) AS BIGINT) AS total_words,
+       CAST(SUM((occ - 1) * clen) AS BIGINT) AS dup_words,
+       (1000 * CAST(SUM((occ - 1) * clen) AS BIGINT))
+         // CAST(SUM(occ * clen) AS BIGINT) AS dedup_ratio_milli
+FROM g""",
+)
+def text_cdc_dedup_ratio(sf_dir: str):
+    """Chunk-store dedup estimate over content-defined chunks (the
+    FastCDC evaluation metric: what fraction of the corpus' words would
+    a CDC-keyed store NOT re-write?): chunk with the `text_cdc_chunks`
+    boundary rule, key chunks by a 60-bit content hash, count
+    occurrences per distinct chunk, report instance/distinct counts and
+    the duplicate-word mass Σ(occ−1)·len.
+
+    Chunk emission is map-only; the only exchange is the
+    hash-partitioned per-chunk-hash aggregate (rows = distinct chunks,
+    2 int64s each) and a constant-size final fold — never chunk
+    text."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+    from raylog.functions.text import cdc_chunk_hashes
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    chunks = ds.map_batches(cdc_chunk_hashes, batch_format="pyarrow",
+                            batch_size=None)
+    per_hash = grouped_aggregate_ds(
+        chunks, ["chash"],
+        [("clen", "count", "occ"), ("clen", "min", "clen")],
+        num_partitions=8)
+
+    def fold(b: pa.Table) -> pa.Table:
+        occ = np.asarray(b["occ"].combine_chunks(), dtype=np.int64)
+        cl = np.asarray(b["clen"].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "k": pa.array([0], pa.int64()),
+            "inst": pa.array([int(occ.sum())], pa.int64()),
+            "dist": pa.array([len(occ)], pa.int64()),
+            "tot": pa.array([int((occ * cl).sum())], pa.int64()),
+            "dup": pa.array([int(((occ - 1) * cl).sum())], pa.int64()),
+        })
+
+    a = grouped_aggregate(
+        per_hash.map_batches(fold, batch_format="pyarrow",
+                             batch_size=None),
+        ["k"], [("inst", "sum", "n_chunk_instances"),
+                ("dist", "sum", "n_distinct_chunks"),
+                ("tot", "sum", "total_words"),
+                ("dup", "sum", "dup_words")])
+    tot = int(a["total_words"][0].as_py())
+    dup = int(a["dup_words"][0].as_py())
+    return pa.table({
+        "n_chunk_instances": a["n_chunk_instances"],
+        "n_distinct_chunks": a["n_distinct_chunks"],
+        "total_words": a["total_words"],
+        "dup_words": a["dup_words"],
+        "dedup_ratio_milli": pa.array([1000 * dup // tot], pa.int64()),
+    })
+
+
+@query(
+    "events_pair_within_window",
+    """
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+ AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+GROUP BY 1, 2""",
+)
+def events_pair_within_window(sf_dir: str):
+    """Temporal co-occurrence mining ("A then B within 5 minutes", any
+    gap — not just adjacent like `events_markov_transitions`): counts
+    every ordered pair of events of the same user at most 300 s apart,
+    grouped by (type_a, type_b).
+
+    The naive form is a per-user self-join (quadratic row expansion);
+    here each hash partition lexsorts once by (user, ts, event_id),
+    finds every event's window end with ONE vectorized searchsorted on
+    a segment-offset composite key (user-segment-id·B + relative-time,
+    B > max span + window, so probes never cross a user boundary), and
+    turns range-counts-by-type into prefix-sum differences — one
+    O(n)+bincount pass per event type, T≈types passes total, zero pair
+    materialization. Exchange: T² partial counts per partition."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import (grouped_aggregate,
+                                      partitioned_group_apply)
+
+    W = 300_000_000  # 5 min in microseconds
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "event_type",
+                                  "ts"])
+
+    def pairs(part: pa.Table) -> pa.Table:
+        def col(name):
+            c = part[name]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        empty = pa.table({"type_a": pa.array([], pa.string()),
+                          "type_b": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        n = part.num_rows
+        if n == 0:
+            return empty
+        user = np.asarray(col("user_id"), dtype=np.int64)
+        eid = np.asarray(col("event_id"), dtype=np.int64)
+        t = np.asarray(col("ts")).astype("datetime64[us]").astype(np.int64)
+        types, k = np.unique(col("event_type").to_numpy(zero_copy_only=False),
+                             return_inverse=True)
+        order = np.lexsort((eid, t, user))
+        user, t, k = user[order], t[order], k[order]
+        seg_start = np.ones(n, dtype=bool)
+        seg_start[1:] = user[1:] != user[:-1]
+        seg = np.cumsum(seg_start) - 1
+        tr = t - t[np.flatnonzero(seg_start)][seg]  # per-segment relative
+        B = int(tr.max()) + W + 1
+        key = seg * B + tr
+        hi = np.searchsorted(key, key + W, side="right")
+        T = len(types)
+        acc = np.zeros((T, T), dtype=np.int64)
+        idx = np.arange(n, dtype=np.int64)
+        for c in range(T):
+            p = np.concatenate([[0], np.cumsum((k == c).astype(np.int64))])
+            cnt = p[hi] - p[idx + 1]
+            acc[:, c] += np.bincount(k, weights=cnt,
+                                     minlength=T).astype(np.int64)
+        ta, tb = np.nonzero(acc)
+        return pa.table({
+            "type_a": pa.array(types[ta], pa.string()),
+            "type_b": pa.array(types[tb], pa.string()),
+            "n": pa.array(acc[ta, tb]),
+        })
+
+    parts = partitioned_group_apply(ds, ["user_id"], pairs)
+    a = grouped_aggregate(parts, ["type_a", "type_b"],
+                          [("n", "sum", "n_pairs")])
+    return a

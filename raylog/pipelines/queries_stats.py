@@ -1971,3 +1971,89 @@ def lineitem_discount_revenue(sf_dir: str):
         "n_items": pa.array([int(parts.sum("n"))], pa.int64()),
         "revenue_e4": pa.array([int(parts.sum("r"))], pa.int64()),
     })
+
+
+_FD_CANDIDATES = [
+    ("o_orderkey", "o_custkey"),
+    ("o_custkey", "o_orderpriority"),
+    ("o_orderstatus", "o_orderpriority"),
+    ("o_orderpriority", "o_orderstatus"),
+]
+
+
+def _fd_oracle_one(lhs: str, rhs: str) -> str:
+    return f"""
+SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
+       CAST(COUNT(*) AS BIGINT) AS n_lhs_distinct,
+       CAST(SUM(k) AS BIGINT) AS n_pairs_distinct,
+       CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_lhs,
+       CAST(MAX(k) AS BIGINT) AS max_rhs_per_lhs,
+       CAST(CASE WHEN MAX(k) = 1 THEN 1 ELSE 0 END AS BIGINT) AS fd_holds
+FROM (SELECT l, COUNT(*) AS k
+      FROM (SELECT DISTINCT {lhs} AS l, {rhs} AS r FROM orders)
+      GROUP BY 1)"""
+
+
+@query(
+    "profile_fd_audit",
+    " UNION ALL ".join(_fd_oracle_one(l, r) for l, r in _FD_CANDIDATES),
+)
+def profile_fd_audit(sf_dir: str):
+    """Data-profiling audit of candidate functional dependencies /
+    key candidates (HyFD-style column-dependency discovery, bounded to
+    a declared candidate set): for each lhs→rhs candidate, distinct lhs
+    count, distinct (lhs,rhs) pair count, the number of lhs values with
+    more than one rhs (violations), the worst fan-out, and whether the
+    FD holds exactly. `o_orderkey→o_custkey` holding with
+    n_lhs_distinct == row count doubles as a primary-key attestation.
+
+    Per candidate: one hash-partitioned distinct over (lhs,rhs) — the
+    only exchange, bounded by the distinct-pair count — then a
+    cardinality-bounded per-lhs fan-out aggregate and a constant-size
+    fold. The corpus never lands on the driver."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    rows = []
+    for lhs, rhs in _FD_CANDIDATES:
+        ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=[lhs, rhs])
+        pairs = grouped_aggregate_ds(ds, [lhs, rhs], [("*", "count", "_n")],
+                                     num_partitions=8)
+        fanout = grouped_aggregate_ds(pairs, [lhs], [("_n", "count", "k")],
+                                      num_partitions=8)
+
+        def fold(b: pa.Table) -> pa.Table:
+            k = np.asarray(b["k"].combine_chunks(), dtype=np.int64)
+            return pa.table({
+                "g": pa.array([0], pa.int64()),
+                "nl": pa.array([len(k)], pa.int64()),
+                "np_": pa.array([int(k.sum())], pa.int64()),
+                "nv": pa.array([int((k > 1).sum())], pa.int64()),
+                "mx": pa.array([int(k.max()) if len(k) else 0], pa.int64()),
+            })
+
+        a = grouped_aggregate(
+            fanout.map_batches(fold, batch_format="pyarrow",
+                               batch_size=None),
+            ["g"], [("nl", "sum", "n_lhs_distinct"),
+                    ("np_", "sum", "n_pairs_distinct"),
+                    ("nv", "sum", "n_violating_lhs"),
+                    ("mx", "max", "max_rhs_per_lhs")])
+        mx = int(a["max_rhs_per_lhs"][0].as_py())
+        rows.append((lhs, rhs,
+                     int(a["n_lhs_distinct"][0].as_py()),
+                     int(a["n_pairs_distinct"][0].as_py()),
+                     int(a["n_violating_lhs"][0].as_py()),
+                     mx, 1 if mx == 1 else 0))
+    return pa.table({
+        "lhs": pa.array([r[0] for r in rows], pa.string()),
+        "rhs": pa.array([r[1] for r in rows], pa.string()),
+        "n_lhs_distinct": pa.array([r[2] for r in rows], pa.int64()),
+        "n_pairs_distinct": pa.array([r[3] for r in rows], pa.int64()),
+        "n_violating_lhs": pa.array([r[4] for r in rows], pa.int64()),
+        "max_rhs_per_lhs": pa.array([r[5] for r in rows], pa.int64()),
+        "fd_holds": pa.array([r[6] for r in rows], pa.int64()),
+    })
