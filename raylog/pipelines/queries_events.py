@@ -3361,3 +3361,87 @@ def events_pair_within_window(sf_dir: str):
     a = grouped_aggregate(parts, ["type_a", "type_b"],
                           [("n", "sum", "n_pairs")])
     return a
+
+
+@query(
+    "events_rolling_distinct_users",
+    """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d
+  FROM events
+), days AS (SELECT DISTINCT d FROM ud)
+SELECT days.d AS day,
+       CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau
+FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+GROUP BY 1""",
+)
+def events_rolling_distinct_users(sf_dir: str):
+    """Trailing 7-day distinct active users per observed day (the WAU
+    curve — a sliding COUNT DISTINCT, which no plain windowed sum can
+    express because a user active twice in the window counts once).
+
+    Exact and shuffle-light: distinct (user, day) via the
+    hash-partitioned aggregate, then per-user partitions merge each
+    user's active days into coverage intervals [d, d+6] (overlaps
+    coalesced — this is where the DISTINCT semantics happen) and emit
+    ±1 diff rows; a day-bounded aggregate + driver prefix sum over the
+    tiny day axis finishes. Exchange: distinct (user,day) rows once,
+    then diff rows (≤ 2× that); raw events never shuffle."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import (grouped_aggregate,
+                                      grouped_aggregate_ds,
+                                      partitioned_group_apply)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def to_day(b: pa.Table) -> pa.Table:
+        t = (np.asarray(b["ts"].combine_chunks())
+             .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "user_id": b["user_id"],
+            "d": pa.array(np.floor(t / 1e6 / 86400).astype(np.int64)),
+        })
+
+    ud = grouped_aggregate_ds(
+        ds.map_batches(to_day, batch_format="pyarrow", batch_size=None),
+        ["user_id", "d"], [("*", "count", "_n")], num_partitions=8)
+
+    W = 7
+
+    def diffs(part: pa.Table) -> pa.Table:
+        u = np.asarray(part["user_id"].combine_chunks(), dtype=np.int64)
+        d = np.asarray(part["d"].combine_chunks(), dtype=np.int64)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        # interval start when new user OR gap > W-1 days since the
+        # previous active day (coverage [d, d+6] windows disjoint)
+        new = np.ones(len(u), dtype=bool)
+        if len(u) > 1:
+            new[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] > W - 1)
+        # interval end = last active day of each run, +W for the diff
+        seg = np.cumsum(new) - 1
+        starts = d[new]
+        last = np.zeros(seg.max() + 1 if len(seg) else 0, dtype=np.int64)
+        np.maximum.at(last, seg, d)
+        days = np.concatenate([starts, last + W])
+        vals = np.concatenate([np.ones(len(starts), np.int64),
+                               -np.ones(len(last), np.int64)])
+        return pa.table({"day": pa.array(days), "v": pa.array(vals)})
+
+    dd = grouped_aggregate(
+        partitioned_group_apply(ud, ["user_id"], diffs),
+        ["day"], [("v", "sum", "v")]).to_pandas().sort_values("day")
+    axis = dd["day"].to_numpy()
+    wau = np.cumsum(dd["v"].to_numpy())
+    # report only days that actually appear in the events
+    obs = np.unique(np.asarray(
+        grouped_aggregate(ud, ["d"], [("_n", "count", "_c")])["d"]))
+    i = np.searchsorted(axis, obs, side="right") - 1
+    return pa.table({
+        "day": pa.array(obs, pa.int64()),
+        "wau": pa.array(wau[i], pa.int64()),
+    })

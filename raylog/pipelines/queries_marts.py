@@ -5506,3 +5506,67 @@ def lineitem_q12_shipmode(sf_dir: str):
         [("high", "sum", "high_line_count"),
          ("low", "sum", "low_line_count")])
     return a
+
+
+# --------------------------------------------------------------------------
+# Skyline / Pareto-frontier query (multi-objective dominance)
+
+
+@query(
+    "orders_skyline",
+    """
+WITH dmax AS (
+  SELECT o_orderdate AS d, MAX(o_totalprice) AS mx
+  FROM orders GROUP BY 1
+), run AS (
+  SELECT d, mx,
+         MAX(mx) OVER (ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_mx
+  FROM dmax
+)
+SELECT a.o_orderkey, a.o_orderdate, a.o_totalprice
+FROM orders a JOIN run r ON a.o_orderdate = r.d
+WHERE a.o_totalprice = r.mx AND (r.prev_mx IS NULL OR a.o_totalprice > r.prev_mx)""",
+)
+def orders_skyline(sf_dir: str):
+    """Skyline (Pareto-frontier) query: orders not dominated on the
+    (earlier order date, higher total price) objective pair — order B
+    dominates A when B is no later AND no cheaper, strictly better on
+    at least one. Classic multi-objective search result (the "best
+    tradeoffs" set).
+
+    The naive form is the quadratic NOT EXISTS self-join; here the
+    frontier falls out of per-date MAX partials (exchange bounded by
+    distinct dates, never rows), a driver-side running max over the
+    tiny date axis, and one broadcast-filter scan that keeps rows
+    matching a skyline (date, max-price) pair. At 100 TB the date axis
+    stays ~10^4 entries regardless of row count."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_orderdate",
+                                  "o_totalprice"])
+    dmax = grouped_aggregate(ds, ["o_orderdate"],
+                             [("o_totalprice", "max", "mx")]).to_pandas()
+    dmax = dmax.sort_values("o_orderdate").reset_index(drop=True)
+    mx = dmax["mx"].to_numpy()
+    prev = np.concatenate([[-np.inf], np.maximum.accumulate(mx)[:-1]])
+    sky = dmax[mx > prev]
+    sky_d = (sky["o_orderdate"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64))
+    sky_p = sky["mx"].to_numpy()  # already date-sorted
+
+    def keep(b: pa.Table) -> pa.Table:
+        d = (np.asarray(b["o_orderdate"].combine_chunks())
+             .astype("datetime64[us]").astype(np.int64))
+        p = np.asarray(b["o_totalprice"].combine_chunks())
+        i = np.clip(np.searchsorted(sky_d, d), 0, max(len(sky_d) - 1, 0))
+        mask = (sky_d[i] == d) & (sky_p[i] == p) if len(sky_d) else \
+            np.zeros(len(d), dtype=bool)
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)

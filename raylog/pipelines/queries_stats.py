@@ -2057,3 +2057,87 @@ def profile_fd_audit(sf_dir: str):
         "max_rhs_per_lhs": pa.array([r[5] for r in rows], pa.int64()),
         "fd_holds": pa.array([r[6] for r in rows], pa.int64()),
     })
+
+
+@query(
+    "shard_rebalance_audit",
+    """
+WITH k AS (SELECT CAST(doc_id AS VARCHAR) AS s FROM documents),
+h AS (SELECT s, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS hv
+      FROM k),
+w AS (SELECT k.s, t.sh,
+        CAST(('0x' || substr(md5(k.s || '|' || CAST(t.sh AS VARCHAR)),
+                             1, 15)) AS BIGINT) AS wt
+      FROM k CROSS JOIN UNNEST(generate_series(0, 16)) t(sh)),
+a AS (SELECT s,
+        arg_max(sh, wt) FILTER (WHERE sh < 16) AS s16,
+        arg_max(sh, wt) AS s17
+      FROM w GROUP BY 1),
+m AS (
+  SELECT 'mod' AS strategy, COUNT(*) AS n,
+         SUM(CASE WHEN hv % 16 <> hv % 17 THEN 1 ELSE 0 END) AS mv
+  FROM h
+  UNION ALL
+  SELECT 'rendezvous', COUNT(*),
+         SUM(CASE WHEN s16 <> s17 THEN 1 ELSE 0 END)
+  FROM a)
+SELECT strategy, CAST(n AS BIGINT) AS n_keys,
+       CAST(mv AS BIGINT) AS n_moved,
+       CAST((1000 * mv) // n AS BIGINT) AS moved_permille
+FROM m""",
+)
+def shard_rebalance_audit(sf_dir: str):
+    """Shard-placement audit for scaling a 16-shard layout to 17: what
+    fraction of keys MOVE under naive modulo hashing (≈ 16/17 of them —
+    the classic resharding catastrophe) vs rendezvous/HRW hashing
+    (≈ 1/17, the consistent-hashing minimum). The operational question
+    behind every stateful-store scale-out.
+
+    Map-only: each batch computes its keys' placements under both
+    layouts (one md5 for mod, 17 for HRW — same per-key budget class
+    as the md5 fingerprint loop) and emits constant-size moved/total
+    partials; the fold is two rows. Zero exchange at any corpus
+    size."""
+    import hashlib
+
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        mm = mh = 0
+        ids = b["doc_id"].to_pylist()
+        for v in ids:
+            s = str(v)
+            h = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+            if h % 16 != h % 17:
+                mm += 1
+            wt = [int(hashlib.md5(f"{s}|{sh}".encode()).hexdigest()[:15],
+                      16) for sh in range(17)]
+            s16 = max(range(16), key=wt.__getitem__)
+            s17 = max(range(17), key=wt.__getitem__)
+            if s16 != s17:
+                mh += 1
+        return pa.table({
+            "g": pa.array([0], pa.int64()),
+            "n": pa.array([len(ids)], pa.int64()),
+            "mm": pa.array([mm], pa.int64()),
+            "mh": pa.array([mh], pa.int64()),
+        })
+
+    a = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["g"], [("n", "sum", "n"), ("mm", "sum", "mm"),
+                ("mh", "sum", "mh")])
+    n = int(a["n"][0].as_py())
+    mm, mh = int(a["mm"][0].as_py()), int(a["mh"][0].as_py())
+    return pa.table({
+        "strategy": pa.array(["mod", "rendezvous"], pa.string()),
+        "n_keys": pa.array([n, n], pa.int64()),
+        "n_moved": pa.array([mm, mh], pa.int64()),
+        "moved_permille": pa.array([1000 * mm // n, 1000 * mh // n],
+                                   pa.int64()),
+    })
