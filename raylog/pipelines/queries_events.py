@@ -3445,3 +3445,92 @@ def events_rolling_distinct_users(sf_dir: str):
         "day": pa.array(obs, pa.int64()),
         "wau": pa.array(wau[i], pa.int64()),
     })
+
+
+@query(
+    "events_survival_km",
+    """
+WITH u AS (
+  SELECT user_id, MIN(ts) AS f, MAX(ts) AS l FROM events GROUP BY 1
+), g AS (SELECT MAX(ts) AS gmax FROM events),
+lab AS (
+  SELECT CAST(FLOOR((epoch_us(l) - epoch_us(f)) / 86400000000.0)
+              AS BIGINT) AS t,
+         CASE WHEN epoch_us(l) > epoch_us(g.gmax) - 7 * 86400000000
+              THEN 1 ELSE 0 END AS cen
+  FROM u CROSS JOIN g
+), agg AS (
+  SELECT t, COUNT(*) AS n,
+         SUM(CASE WHEN cen = 0 THEN 1 ELSE 0 END) AS ev,
+         SUM(cen) AS ce
+  FROM lab GROUP BY 1
+)
+SELECT t AS lifetime_days,
+       CAST(SUM(n) OVER (ORDER BY t DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_at_risk,
+       CAST(ev AS BIGINT) AS n_events,
+       CAST(ce AS BIGINT) AS n_censored
+FROM agg""",
+)
+def events_survival_km(sf_dir: str):
+    """Kaplan–Meier life table for user churn (survival analysis):
+    per user, observed lifetime = days between first and last event;
+    a user still active in the final 7 days of the corpus is CENSORED
+    (their true lifetime is only known to exceed the observation).
+    One row per distinct lifetime with the KM estimator's sufficient
+    statistics — n_at_risk (lifetime ≥ t), n_events (uncensored
+    deaths at t), n_censored at t — all integer-exact; the survival
+    product Π(1 − d/n) is a trivial driver-side fold of this table.
+
+    Per-user first/last via the hash-partitioned aggregate (the only
+    exchange, one row per user); lifetimes collapse to a day-bounded
+    table; the reverse cumulative at-risk count runs on that tiny
+    axis."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    per_user = grouped_aggregate_ds(ds, ["user_id"],
+                                    [("ts", "min", "f"),
+                                     ("ts", "max", "l")],
+                                    num_partitions=8)
+    gmax = int(np.asarray(
+        grouped_aggregate(
+            ds.map_batches(
+                lambda b: pa.table({
+                    "g": pa.array([0], pa.int64()),
+                    "m": pa.array([pa.compute.max(b["ts"]).value
+                                   if b.num_rows else 0], pa.int64()),
+                }),
+                batch_format="pyarrow", batch_size=None),
+            ["g"], [("m", "max", "m")])["m"])[0])
+    DAY = 86_400_000_000
+
+    def label(b: pa.Table) -> pa.Table:
+        f = (np.asarray(b["f"].combine_chunks())
+             .astype("datetime64[us]").astype(np.int64))
+        l = (np.asarray(b["l"].combine_chunks())
+             .astype("datetime64[us]").astype(np.int64))
+        t = np.floor((l - f) / float(DAY)).astype(np.int64)
+        cen = (l > gmax - 7 * DAY).astype(np.int64)
+        return pa.table({"t": pa.array(t), "cen": pa.array(cen),
+                         "ev": pa.array(1 - cen)})
+
+    agg = grouped_aggregate(
+        per_user.map_batches(label, batch_format="pyarrow",
+                             batch_size=None),
+        ["t"], [("ev", "count", "n"), ("ev", "sum", "ev"),
+                ("cen", "sum", "ce")]).to_pandas().sort_values(
+                    "t", ascending=False)
+    at_risk = agg["n"].cumsum().to_numpy()
+    out = agg.iloc[::-1]
+    return pa.table({
+        "lifetime_days": pa.array(out["t"].to_numpy(), pa.int64()),
+        "n_at_risk": pa.array(at_risk[::-1], pa.int64()),
+        "n_events": pa.array(out["ev"].to_numpy(), pa.int64()),
+        "n_censored": pa.array(out["ce"].to_numpy(), pa.int64()),
+    })

@@ -5570,3 +5570,117 @@ def orders_skyline(sf_dir: str):
         return b.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+# --------------------------------------------------------------------------
+# Optimizer statistics: exact join-size profile from per-key histograms
+
+
+def _join_card_oracle(lt: str, lk: str, rt: str, rk: str) -> str:
+    return f"""
+SELECT '{lt}' AS left_table, '{rt}' AS right_table,
+       (SELECT CAST(COUNT(DISTINCT {lk}) AS BIGINT) FROM {lt})
+         AS n_keys_left,
+       (SELECT CAST(COUNT(DISTINCT {rk}) AS BIGINT) FROM {rt})
+         AS n_keys_right,
+       CAST(COUNT(*) AS BIGINT) AS n_keys_both,
+       CAST(COALESCE(SUM(cl * cr), 0) AS BIGINT) AS join_rows,
+       CAST(COALESCE(MAX(cl * cr), 0) AS BIGINT) AS max_key_fanout
+FROM (SELECT {lk} AS k, COUNT(*) AS cl FROM {lt} GROUP BY 1) l
+JOIN (SELECT {rk} AS k, COUNT(*) AS cr FROM {rt} GROUP BY 1) r
+  USING (k)"""
+
+
+_JOIN_CARD_CANDIDATES = [
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("customer", "c_custkey", "orders", "o_custkey"),
+]
+
+
+@query(
+    "join_cardinality_profile",
+    " UNION ALL ".join(_join_card_oracle(*c) for c in _JOIN_CARD_CANDIDATES),
+)
+def join_cardinality_profile(sf_dir: str):
+    """Optimizer join-size statistics, computed EXACTLY from per-key
+    count histograms without running the join: for each candidate
+    equi-join, distinct keys per side, shared keys, the exact output
+    cardinality Σ cl·cr, and the worst per-key fan-out max(cl·cr) —
+    the numbers a cost-based planner needs to choose broadcast vs
+    shuffle vs salting (the max-fanout row IS the skew alarm).
+
+    Each side reduces to (key, count) via the hash-partitioned
+    aggregate; the sides meet by UNIONING tagged partials and
+    re-grouping by key (no join operator at all), then a constant-size
+    fold. Exchange: distinct keys once per side — never the join's
+    output rows, which is the point."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    rows = []
+    for lt, lk, rt, rk in _JOIN_CARD_CANDIDATES:
+        l = grouped_aggregate_ds(
+            rd.read_parquet(f"{sf_dir}/{lt}.parquet", columns=[lk]),
+            [lk], [("*", "count", "c")], num_partitions=8)
+        r = grouped_aggregate_ds(
+            rd.read_parquet(f"{sf_dir}/{rt}.parquet", columns=[rk]),
+            [rk], [("*", "count", "c")], num_partitions=8)
+
+        def tag(side):
+            def f(b: pa.Table) -> pa.Table:
+                c = np.asarray(b["c"].combine_chunks(), dtype=np.int64)
+                z = np.zeros(len(c), dtype=np.int64)
+                key = b[b.column_names[0]]
+                return pa.table({
+                    "k": pa.compute.cast(
+                        key.combine_chunks()
+                        if isinstance(key, pa.ChunkedArray) else key,
+                        pa.int64()),
+                    "cl": pa.array(c if side == "l" else z),
+                    "cr": pa.array(z if side == "l" else c),
+                })
+            return f
+
+        both = grouped_aggregate_ds(
+            l.map_batches(tag("l"), batch_format="pyarrow",
+                          batch_size=None).union(
+                r.map_batches(tag("r"), batch_format="pyarrow",
+                              batch_size=None)),
+            ["k"], [("cl", "sum", "cl"), ("cr", "sum", "cr")],
+            num_partitions=8)
+
+        def fold(b: pa.Table) -> pa.Table:
+            cl = np.asarray(b["cl"].combine_chunks(), dtype=np.int64)
+            cr = np.asarray(b["cr"].combine_chunks(), dtype=np.int64)
+            m = (cl > 0) & (cr > 0)
+            prod = cl[m] * cr[m]
+            return pa.table({
+                "g": pa.array([0], pa.int64()),
+                "nl": pa.array([int((cl > 0).sum())], pa.int64()),
+                "nr": pa.array([int((cr > 0).sum())], pa.int64()),
+                "nb": pa.array([int(m.sum())], pa.int64()),
+                "jr": pa.array([int(prod.sum())], pa.int64()),
+                "mf": pa.array([int(prod.max()) if len(prod) else 0],
+                               pa.int64()),
+            })
+
+        a = grouped_aggregate(
+            both.map_batches(fold, batch_format="pyarrow",
+                             batch_size=None),
+            ["g"], [("nl", "sum", "nl"), ("nr", "sum", "nr"),
+                    ("nb", "sum", "nb"), ("jr", "sum", "jr"),
+                    ("mf", "max", "mf")])
+        rows.append((lt, rt, int(a["nl"][0].as_py()),
+                     int(a["nr"][0].as_py()), int(a["nb"][0].as_py()),
+                     int(a["jr"][0].as_py()), int(a["mf"][0].as_py())))
+    return pa.table({
+        "left_table": pa.array([r[0] for r in rows], pa.string()),
+        "right_table": pa.array([r[1] for r in rows], pa.string()),
+        "n_keys_left": pa.array([r[2] for r in rows], pa.int64()),
+        "n_keys_right": pa.array([r[3] for r in rows], pa.int64()),
+        "n_keys_both": pa.array([r[4] for r in rows], pa.int64()),
+        "join_rows": pa.array([r[5] for r in rows], pa.int64()),
+        "max_key_fanout": pa.array([r[6] for r in rows], pa.int64()),
+    })

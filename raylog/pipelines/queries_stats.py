@@ -2141,3 +2141,75 @@ def shard_rebalance_audit(sf_dir: str):
         "moved_permille": pa.array([1000 * mm // n, 1000 * mh // n],
                                    pa.int64()),
     })
+
+
+@query(
+    "events_theilsen_trend",
+    """
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT a.event_type,
+         (CAST(b.n AS DOUBLE) - CAST(a.n AS DOUBLE)) / (b.d - a.d) AS s
+  FROM c a JOIN c b
+    ON a.event_type = b.event_type AND b.d > a.d
+), dc AS (SELECT event_type, COUNT(*) AS nd FROM c GROUP BY 1)
+SELECT p.event_type,
+       CAST(MAX(dc.nd) AS BIGINT) AS n_days,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(FLOOR(1e6 * quantile_disc(s, 0.5)) AS BIGINT) AS slope_micro
+FROM p JOIN dc USING (event_type)
+GROUP BY 1""",
+)
+def events_theilsen_trend(sf_dir: str):
+    """Theil–Sen robust trend slope per event type on the daily-volume
+    series: the median of all pairwise slopes (n_j−n_i)/(d_j−d_i) over
+    observed days — breakdown point 29%, immune to the spike days that
+    wreck a least-squares fit. Median convention: lower middle element
+    (sorted[(m−1)//2]), matching DuckDB ``quantile_disc(0.5)``; both
+    engines divide the same integer-valued doubles so the elements are
+    bit-identical, quantized to micro-slope at the end.
+
+    The (type, day) count table is the cells-bounded partial aggregate
+    (the only exchange); the pairwise-slope median runs on that tiny
+    axis — at 100 TB the day axis is still ~10³, so the O(days²) pair
+    set per type stays ~10⁶ driver-side floats."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def day(b: pa.Table) -> pa.Table:
+        t = (np.asarray(b["ts"].combine_chunks())
+             .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "event_type": b["event_type"],
+            "d": pa.array(np.floor(t / 1e6 / 86400).astype(np.int64)),
+        })
+
+    c = grouped_aggregate(
+        ds.map_batches(day, batch_format="pyarrow", batch_size=None),
+        ["event_type", "d"], [("*", "count", "n")]).to_pandas()
+    out = []
+    for et, grp in c.groupby("event_type"):
+        g = grp.sort_values("d")
+        d = g["d"].to_numpy(dtype=np.int64)
+        n = g["n"].to_numpy(dtype=np.float64)
+        i, j = np.triu_indices(len(d), k=1)
+        s = np.sort((n[j] - n[i]) / (d[j] - d[i]))
+        if len(s) == 0:
+            continue
+        med = s[(len(s) - 1) // 2]
+        out.append((et, len(d), len(s), int(np.floor(1e6 * med))))
+    out.sort()
+    return pa.table({
+        "event_type": pa.array([r[0] for r in out], pa.string()),
+        "n_days": pa.array([r[1] for r in out], pa.int64()),
+        "n_pairs": pa.array([r[2] for r in out], pa.int64()),
+        "slope_micro": pa.array([r[3] for r in out], pa.int64()),
+    })
