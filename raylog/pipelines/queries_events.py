@@ -3534,3 +3534,80 @@ def events_survival_km(sf_dir: str):
         "n_events": pa.array(out["ev"].to_numpy(), pa.int64()),
         "n_censored": pa.array(out["ce"].to_numpy(), pa.int64()),
     })
+
+
+@query(
+    "events_ohlc_daily",
+    """
+WITH e AS (
+  SELECT event_type, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d,
+         ts, event_id, value
+  FROM events
+), r AS (
+  SELECT event_type, d, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, d
+                            ORDER BY ts, event_id) AS rn_o,
+         ROW_NUMBER() OVER (PARTITION BY event_type, d
+                            ORDER BY ts DESC, event_id DESC) AS rn_c
+  FROM e
+), agg AS (
+  SELECT event_type, d, MIN(value) AS low, MAX(value) AS high,
+         COUNT(*) AS n
+  FROM e GROUP BY 1, 2
+)
+SELECT agg.event_type, agg.d AS day, o.value AS open, agg.high,
+       agg.low, c.value AS close, CAST(agg.n AS BIGINT) AS n_events
+FROM agg
+JOIN r o ON o.event_type = agg.event_type AND o.d = agg.d AND o.rn_o = 1
+JOIN r c ON c.event_type = agg.event_type AND c.d = agg.d AND c.rn_c = 1""",
+)
+def events_ohlc_daily(sf_dir: str):
+    """OHLC time-series bars: per (event_type, day), the value of the
+    FIRST event (open), the MAX/MIN (high/low), the value of the LAST
+    event (close), and the bar volume — the positional first/last-in-
+    time aggregate that plain min/max can't express. Ties on timestamp
+    break by event_id, so the bar is deterministic.
+
+    open/close ride :func:`argmax_per_key` (per-batch one-row-per-key
+    compression, then complete-key-group reducers — O(distinct bars)
+    exchange, hot-bar-proof); high/low/volume are the standard partial
+    aggregate; the three meet on the tiny bars axis driver-side."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import argmax_per_key, grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "event_type",
+                                  "value"])
+
+    def addday(b: pa.Table) -> pa.Table:
+        t = (np.asarray(b["ts"].combine_chunks())
+             .astype("datetime64[us]").astype(np.int64))
+        return b.append_column(
+            "d", pa.array(np.floor(t / 1e6 / 86400).astype(np.int64)))
+
+    dd = ds.map_batches(addday, batch_format="pyarrow", batch_size=None)
+    keys = ["event_type", "d"]
+    opens = argmax_per_key(dd, keys, ["ts", "event_id"],
+                           [False, False], num_partitions=8).to_pandas()
+    closes = argmax_per_key(dd, keys, ["ts", "event_id"],
+                            [True, True], num_partitions=8).to_pandas()
+    hl = grouped_aggregate(dd, keys,
+                           [("value", "min", "low"),
+                            ("value", "max", "high"),
+                            ("*", "count", "n_events")]).to_pandas()
+    m = (hl.merge(opens[keys + ["value"]].rename(columns={"value": "open"}),
+                  on=keys)
+           .merge(closes[keys + ["value"]].rename(columns={"value": "close"}),
+                  on=keys)
+           .rename(columns={"d": "day"}))
+    return pa.table({
+        "event_type": pa.array(m["event_type"], pa.string()),
+        "day": pa.array(m["day"], pa.int64()),
+        "open": pa.array(m["open"], pa.float64()),
+        "high": pa.array(m["high"], pa.float64()),
+        "low": pa.array(m["low"], pa.float64()),
+        "close": pa.array(m["close"], pa.float64()),
+        "n_events": pa.array(m["n_events"], pa.int64()),
+    })

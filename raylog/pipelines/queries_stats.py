@@ -2213,3 +2213,142 @@ def events_theilsen_trend(sf_dir: str):
         "n_pairs": pa.array([r[2] for r in out], pa.int64()),
         "slope_micro": pa.array([r[3] for r in out], pa.int64()),
     })
+
+
+@query(
+    "events_ols_by_type",
+    """
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, COUNT(*) AS k, SUM(d) AS sx, SUM(n) AS sy,
+         SUM(d * n) AS sxy, SUM(d * d) AS sxx
+  FROM c GROUP BY 1
+)
+SELECT event_type, CAST(k AS BIGINT) AS n_days,
+       CAST(FLOOR(1e6 * ((k * sxy - sx * sy) * 1.0
+                         / (k * sxx - sx * sx))) AS BIGINT)
+         AS slope_micro,
+       CAST(FLOOR(1e6 * ((sy * sxx - sx * sxy) * 1.0
+                         / (k * sxx - sx * sx))) AS BIGINT)
+         AS intercept_micro
+FROM s
+WHERE k >= 2""",
+)
+def events_ols_by_type(sf_dir: str):
+    """Distributed least-squares trend per event type via SUFFICIENT
+    STATISTICS: the OLS slope/intercept of daily volume vs day fall
+    out of five exact integer moments (k, Σx, Σy, Σxy, Σx²) — the
+    textbook way to regress at any scale without ever materializing
+    the series, and the complement to `events_theilsen_trend`'s robust
+    estimate. All moments are exact int64 sums (order-independent);
+    the single float division happens once per type at the end, with
+    the same operand structure on both engines (exact-int → double →
+    multiply by 1e6 → floor).
+
+    Exchange: the (type, day) cells-bounded count aggregate only."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def day(b: pa.Table) -> pa.Table:
+        t = (np.asarray(b["ts"].combine_chunks())
+             .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "event_type": b["event_type"],
+            "d": pa.array(np.floor(t / 1e6 / 86400).astype(np.int64)),
+        })
+
+    c = grouped_aggregate(
+        ds.map_batches(day, batch_format="pyarrow", batch_size=None),
+        ["event_type", "d"], [("*", "count", "n")]).to_pandas()
+    out = []
+    for et, grp in c.groupby("event_type"):
+        d = [int(v) for v in grp["d"]]
+        n = [int(v) for v in grp["n"]]
+        k = len(d)
+        if k < 2:
+            continue
+        sx, sy = sum(d), sum(n)
+        sxy = sum(x * y for x, y in zip(d, n))
+        sxx = sum(x * x for x in d)
+        den = k * sxx - sx * sx
+        slope = (k * sxy - sx * sy) * 1.0 / den
+        icept = (sy * sxx - sx * sxy) * 1.0 / den
+        out.append((et, k, int(np.floor(1e6 * slope)),
+                    int(np.floor(1e6 * icept))))
+    out.sort()
+    return pa.table({
+        "event_type": pa.array([r[0] for r in out], pa.string()),
+        "n_days": pa.array([r[1] for r in out], pa.int64()),
+        "slope_micro": pa.array([r[2] for r in out], pa.int64()),
+        "intercept_micro": pa.array([r[3] for r in out], pa.int64()),
+    })
+
+
+_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value",
+                 "props"]
+
+
+@query(
+    "profile_column_stats",
+    " UNION ALL ".join(
+        f"""
+SELECT '{c}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM events""" for c in _PROFILE_COLS),
+)
+def profile_column_stats(sf_dir: str):
+    """Column-completeness / cardinality profile of the events table
+    (the first page of every data-profiling report, and the input to
+    the FD audit's candidate generation): per column, row count, null
+    count, and EXACT distinct count (nulls excluded, SQL semantics).
+
+    Null/row counts are constant per-batch partials; each distinct
+    count is one hash-partitioned distinct whose exchange is bounded
+    by that column's cardinality — never more than one (column, value)
+    row per distinct value, and the high-cardinality columns
+    (event_id) shard across reducers instead of landing anywhere
+    whole."""
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    out = []
+    for col in _PROFILE_COLS:
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=[col])
+
+        def partial(b: pa.Table, col=col) -> pa.Table:
+            return pa.table({
+                "g": pa.array([0], pa.int64()),
+                "n": pa.array([b.num_rows], pa.int64()),
+                "z": pa.array([b[col].null_count], pa.int64()),
+            })
+
+        a = grouped_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None),
+            ["g"], [("n", "sum", "n"), ("z", "sum", "z")])
+        nonnull = ds.map_batches(
+            lambda b, col=col: b.filter(pa.compute.is_valid(b[col])),
+            batch_format="pyarrow", batch_size=None)
+        distinct = grouped_aggregate_ds(
+            nonnull, [col], [("*", "count", "_c")], num_partitions=8)
+        nd = distinct.count()
+        out.append((col, int(a["n"][0].as_py()), int(a["z"][0].as_py()),
+                    int(nd)))
+    return pa.table({
+        "column_name": pa.array([r[0] for r in out], pa.string()),
+        "n_rows": pa.array([r[1] for r in out], pa.int64()),
+        "n_null": pa.array([r[2] for r in out], pa.int64()),
+        "n_distinct": pa.array([r[3] for r in out], pa.int64()),
+    })
