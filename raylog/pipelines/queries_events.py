@@ -3611,3 +3611,133 @@ def events_ohlc_daily(sf_dir: str):
         "close": pa.array(m["close"], pa.float64()),
         "n_events": pa.array(m["n_events"], pa.int64()),
     })
+
+
+@query(
+    "events_cdc_merge",
+    """
+WITH log AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END AS is_del
+  FROM events
+), last AS (
+  SELECT user_id, value, event_id, is_del,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM log
+), cnt AS (SELECT user_id, COUNT(*) AS n_ops FROM log GROUP BY 1)
+SELECT l.user_id, l.event_id AS last_event_id, l.value AS last_value,
+       CAST(c.n_ops AS BIGINT) AS n_ops
+FROM last l JOIN cnt c USING (user_id)
+WHERE l.rn = 1 AND l.is_del = 0""",
+)
+def events_cdc_merge(sf_dir: str):
+    """Lakehouse CDC merge (Delta/Hudi/Iceberg MERGE INTO semantics):
+    apply a change log to materialize final table state under
+    last-writer-wins with DELETE tombstones — the event stream is the
+    log keyed by user_id, every 10th event_id is a tombstone, and a
+    key whose LAST op is a delete is absent from the result (unlike
+    plain keep-latest, which `events_latest_per_user` covers).
+
+    One hash exchange of the narrow 4-column log into complete-user
+    partitions (`partitioned_group_apply`); each partition lexsorts
+    once and takes per-user last row + op count vectorized — no
+    per-user Python, no second pass, no join operator."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import partitioned_group_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "value"])
+
+    def merge(part: pa.Table) -> pa.Table:
+        u = np.asarray(part["user_id"].combine_chunks(), dtype=np.int64)
+        t = (np.asarray(part["ts"].combine_chunks())
+             .astype("datetime64[us]").astype(np.int64))
+        e = np.asarray(part["event_id"].combine_chunks(), dtype=np.int64)
+        v = np.asarray(part["value"].combine_chunks(), dtype=np.float64)
+        order = np.lexsort((e, t, u))
+        u, t, e, v = u[order], t[order], e[order], v[order]
+        lastmask = np.ones(len(u), dtype=bool)
+        lastmask[:-1] = u[1:] != u[:-1]
+        last_idx = np.flatnonzero(lastmask)
+        starts = np.concatenate([[0], last_idx[:-1] + 1]) \
+            if len(last_idx) else np.array([], dtype=np.int64)
+        n_ops = last_idx - starts + 1
+        keep = e[last_idx] % 10 != 0  # tombstone: last op is a delete
+        return pa.table({
+            "user_id": pa.array(u[last_idx][keep]),
+            "last_event_id": pa.array(e[last_idx][keep]),
+            "last_value": pa.array(v[last_idx][keep]),
+            "n_ops": pa.array(n_ops[keep]),
+        })
+
+    return partitioned_group_apply(ds, ["user_id"], merge)
+
+
+@query(
+    "events_ewma_volume",
+    """
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type, a.d AS day,
+       CAST(FLOOR(1000 * SUM(b.n * POWER(0.5, a.d - b.d))) AS BIGINT)
+         AS ewma_milli
+FROM c a JOIN c b
+  ON a.event_type = b.event_type
+ AND b.d <= a.d AND a.d - b.d <= 20
+GROUP BY 1, 2""",
+)
+def events_ewma_volume(sf_dir: str):
+    """EWMA-smoothed daily volume per event type with α = 1/2 and a
+    20-day memory: ewma(d) = Σ_{lag≤20} n(d−lag) · 2^−lag. The dyadic
+    decay is the trick that keeps a float recurrence EXACT: every term
+    n·2^−lag is a dyadic rational needing ≤ (14-bit count + 20-bit
+    shift) < 53 bits, so every partial sum is exactly representable
+    and the result is bit-identical in ANY summation order — a
+    smoother that survives distributed execution without a fixed-point
+    workaround.
+
+    Exchange: the (type, day) cells-bounded count aggregate; the lag
+    convolution runs on that tiny axis driver-side."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def day(b: pa.Table) -> pa.Table:
+        t = (np.asarray(b["ts"].combine_chunks())
+             .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "event_type": b["event_type"],
+            "d": pa.array(np.floor(t / 1e6 / 86400).astype(np.int64)),
+        })
+
+    c = grouped_aggregate(
+        ds.map_batches(day, batch_format="pyarrow", batch_size=None),
+        ["event_type", "d"], [("*", "count", "n")]).to_pandas()
+    out_t, out_d, out_e = [], [], []
+    for et, grp in c.groupby("event_type"):
+        g = grp.sort_values("d")
+        d = g["d"].to_numpy(dtype=np.int64)
+        n = g["n"].to_numpy(dtype=np.float64)
+        for i in range(len(d)):
+            lag = d[i] - d
+            m = (lag >= 0) & (lag <= 20)
+            s = float(np.sum(n[m] * np.power(0.5, lag[m].astype(
+                np.float64))))
+            out_t.append(et)
+            out_d.append(int(d[i]))
+            out_e.append(int(np.floor(1000 * s)))
+    return pa.table({
+        "event_type": pa.array(out_t, pa.string()),
+        "day": pa.array(out_d, pa.int64()),
+        "ewma_milli": pa.array(out_e, pa.int64()),
+    })

@@ -2352,3 +2352,70 @@ def profile_column_stats(sf_dir: str):
         "n_null": pa.array([r[2] for r in out], pa.int64()),
         "n_distinct": pa.array([r[3] for r in out], pa.int64()),
     })
+
+
+@query(
+    "events_mutual_information",
+    """
+WITH e AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) % 7 AS wd
+  FROM events
+), xy AS (SELECT event_type, wd, COUNT(*) AS nxy FROM e GROUP BY 1, 2),
+x AS (SELECT event_type, SUM(nxy) AS nx FROM xy GROUP BY 1),
+y AS (SELECT wd, SUM(nxy) AS ny FROM xy GROUP BY 1),
+t AS (SELECT SUM(nxy) AS nn FROM xy)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(MAX(nn) AS BIGINT) AS n_total,
+       CAST(SUM(CAST(FLOOR(
+         (1e6 * (CAST(nxy AS DOUBLE) / nn))
+         * ln(CAST(nxy AS DOUBLE) * nn / (nx * ny))) AS BIGINT))
+         AS BIGINT) AS mi_micro
+FROM xy JOIN x USING (event_type) JOIN y USING (wd) CROSS JOIN t""",
+)
+def events_mutual_information(sf_dir: str):
+    """Mutual information between event type and weekday (the
+    feature-relevance audit: does traffic mix depend on day-of-week?),
+    in micro-nats. Each cell's contribution p(x,y)·ln(p(x,y)/(p(x)p(y)))
+    is QUANTIZED to an integer micro-nat BEFORE summing, so the total
+    is an integer sum — bit-identical in any order, immune to the
+    float-accumulation drift a raw SUM of doubles would have across
+    engines (same discipline as the fixed-point revenue queries).
+
+    Exchange: the (type, weekday) cells-bounded count aggregate; the
+    ≤ types×7 cell table finishes driver-side."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def wd(b: pa.Table) -> pa.Table:
+        t = (np.asarray(b["ts"].combine_chunks())
+             .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "event_type": b["event_type"],
+            "wd": pa.array((np.floor(t / 1e6 / 86400).astype(np.int64))
+                           % 7),
+        })
+
+    xy = grouped_aggregate(
+        ds.map_batches(wd, batch_format="pyarrow", batch_size=None),
+        ["event_type", "wd"], [("*", "count", "nxy")]).to_pandas()
+    nx = xy.groupby("event_type")["nxy"].sum().to_dict()
+    ny = xy.groupby("wd")["nxy"].sum().to_dict()
+    nn = int(xy["nxy"].sum())
+    mi = 0
+    for r in xy.itertuples(index=False):
+        nxy = int(r.nxy)
+        term = ((1e6 * (float(nxy) / float(nn)))
+                * np.log(float(nxy) * float(nn)
+                         / float(int(nx[r.event_type]) * int(ny[r.wd]))))
+        mi += int(np.floor(term))
+    return pa.table({
+        "n_cells": pa.array([len(xy)], pa.int64()),
+        "n_total": pa.array([nn], pa.int64()),
+        "mi_micro": pa.array([mi], pa.int64()),
+    })
