@@ -3741,3 +3741,86 @@ def events_ewma_volume(sf_dir: str):
         "day": pa.array(out_d, pa.int64()),
         "ewma_milli": pa.array(out_e, pa.int64()),
     })
+
+
+@query(
+    "events_ab_conversion",
+    """
+WITH u AS (
+  SELECT user_id, user_id % 2 AS variant,
+         CASE WHEN MAX(value) > 300 THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n0,
+         SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS c0,
+         SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS c1
+  FROM u
+)
+SELECT CAST(n0 AS BIGINT) AS n_users_a, CAST(c0 AS BIGINT) AS n_conv_a,
+       CAST(n1 AS BIGINT) AS n_users_b, CAST(c1 AS BIGINT) AS n_conv_b,
+       CAST(CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN 0
+            ELSE FLOOR(1e6 * (
+              (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+              / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                     * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                     * (1.0 / n0 + 1.0 / n1))))
+            END AS BIGINT) AS z_micro
+FROM s""",
+)
+def events_ab_conversion(sf_dir: str):
+    """A/B experiment readout: users split into two variants by id
+    parity, a user CONVERTS when any of their events exceeds the value
+    threshold, and the two-proportion pooled z-statistic says whether
+    the variants differ (the standard experimentation-platform
+    significance gate). Counts are exact integers from one per-user
+    hash-partitioned aggregate + a constant fold; the z formula runs
+    once on four ints with identical operand structure both engines
+    (sqrt is IEEE-exact, no accumulation drift).
+
+    Exchange: one row per user, key-compressed per batch first."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "value"])
+    per_user = grouped_aggregate_ds(ds, ["user_id"],
+                                    [("value", "max", "mx")],
+                                    num_partitions=8)
+
+    def fold(b: pa.Table) -> pa.Table:
+        u = np.asarray(b["user_id"].combine_chunks(), dtype=np.int64)
+        conv = (np.asarray(b["mx"].combine_chunks(),
+                           dtype=np.float64) > 300).astype(np.int64)
+        v1 = (u % 2 == 1)
+        return pa.table({
+            "g": pa.array([0], pa.int64()),
+            "n0": pa.array([int((~v1).sum())], pa.int64()),
+            "c0": pa.array([int(conv[~v1].sum())], pa.int64()),
+            "n1": pa.array([int(v1.sum())], pa.int64()),
+            "c1": pa.array([int(conv[v1].sum())], pa.int64()),
+        })
+
+    a = grouped_aggregate(
+        per_user.map_batches(fold, batch_format="pyarrow",
+                             batch_size=None),
+        ["g"], [("n0", "sum", "n0"), ("c0", "sum", "c0"),
+                ("n1", "sum", "n1"), ("c1", "sum", "c1")])
+    n0, c0 = int(a["n0"][0].as_py()), int(a["c0"][0].as_py())
+    n1, c1 = int(a["n1"][0].as_py()), int(a["c1"][0].as_py())
+    if c0 + c1 == 0 or c0 + c1 == n0 + n1:
+        zq = 0  # degenerate: all or none converted, z undefined
+    else:
+        pbar = float(c0 + c1) / (n0 + n1)
+        z = ((float(c1) / n1 - float(c0) / n0)
+             / np.sqrt(pbar * (1 - pbar) * (1.0 / n0 + 1.0 / n1)))
+        zq = int(np.floor(1e6 * z))
+    return pa.table({
+        "n_users_a": pa.array([n0], pa.int64()),
+        "n_conv_a": pa.array([c0], pa.int64()),
+        "n_users_b": pa.array([n1], pa.int64()),
+        "n_conv_b": pa.array([c1], pa.int64()),
+        "z_micro": pa.array([zq], pa.int64()),
+    })

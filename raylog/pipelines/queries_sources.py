@@ -2206,3 +2206,139 @@ def mm_audio_vad_segments(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id"])
     return audio_vad_pipeline(docs, window=64)
+
+
+# --------------------------------------------------------------------------
+# Model evaluation: exact AUC + calibration of the hashed classifier
+# --------------------------------------------------------------------------
+
+_LOGIT_CTE = """
+wrd AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), lg AS (
+  SELECT doc_id,
+         SUM(CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT)
+             % 2001 - 1000) AS w
+  FROM wrd GROUP BY 1
+), lab AS (
+  SELECT lg.w, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM lg JOIN documents d USING (doc_id)
+)"""
+
+
+@query(
+    "text_classifier_auc",
+    f"""
+WITH {_LOGIT_CTE},
+h AS (SELECT w, COUNT(*) AS m, SUM(y) AS p FROM lab GROUP BY 1),
+r AS (
+  SELECT w, m, p,
+         COALESCE(SUM(m) OVER (ORDER BY w ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND 1 PRECEDING), 0) AS cprev
+  FROM h
+), s AS (
+  SELECT SUM(p * (2 * cprev + m + 1)) AS r2, SUM(p) AS npos,
+         SUM(m) AS n
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_docs, CAST(npos AS BIGINT) AS n_pos,
+       CAST(FLOOR(1e6 * (CAST(r2 - npos * (npos + 1) AS DOUBLE)
+                         / CAST(2 * npos * (n - npos) AS DOUBLE)))
+            AS BIGINT) AS auc_micro
+FROM s""",
+)
+def text_classifier_auc(sf_dir: str):
+    """EXACT tie-aware AUC (Mann–Whitney rank-sum form) of the hashed
+    classifier's integer logit against the lang='en' label — the
+    ranking-quality readout of every model-based data filter. Because
+    the logit is integer, the whole statistic stays in exact integer
+    arithmetic through 2·Σmidranks (ties contribute (2·cprev+m+1)/2
+    each, so doubling clears the halves); ONE float division at the
+    end, identical structure both engines.
+
+    Logits are map-only (per-batch md5-per-distinct-word kernel);
+    the rank statistic needs only the per-distinct-logit histogram
+    (m, positives) — exchange bounded by distinct logit values, with
+    the prefix-rank pass on that compressed axis."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+    from raylog.functions.text import hash_classifier
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+
+    def logit_label(b: pa.Table) -> pa.Table:
+        lg = hash_classifier(b)
+        y = pa.compute.cast(
+            pa.compute.equal(b["lang"], "en"), pa.int64())
+        return pa.table({"w": lg["sum_w"], "y": y})
+
+    h = grouped_aggregate(
+        ds.map_batches(logit_label, batch_format="pyarrow",
+                       batch_size=None),
+        ["w"], [("*", "count", "m"), ("y", "sum", "p")]).to_pandas()
+    h = h.sort_values("w")
+    m = [int(v) for v in h["m"]]
+    p = [int(v) for v in h["p"]]
+    n, npos = sum(m), sum(p)
+    r2, cprev = 0, 0
+    for mi, pi in zip(m, p):
+        r2 += pi * (2 * cprev + mi + 1)
+        cprev += mi
+    u2 = r2 - npos * (npos + 1)
+    auc = int(np.floor(1e6 * (float(u2) / float(2 * npos * (n - npos)))))
+    return pa.table({
+        "n_docs": pa.array([n], pa.int64()),
+        "n_pos": pa.array([npos], pa.int64()),
+        "auc_micro": pa.array([auc], pa.int64()),
+    })
+
+
+@query(
+    "text_classifier_calibration",
+    f"""
+WITH {_LOGIT_CTE}
+SELECT CAST(FLOOR(w / 200.0) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST((1000 * SUM(y)) // COUNT(*) AS BIGINT) AS pos_permille
+FROM lab GROUP BY 1""",
+)
+def text_classifier_calibration(sf_dir: str):
+    """Calibration / reliability table of the hashed classifier: docs
+    bucketed by logit bin (width 200), with the empirical positive
+    rate per bin — the diagram that says whether a filter's score can
+    be thresholded meaningfully. Map-only logits + a bins-bounded
+    aggregate; all integers."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+    from raylog.functions.text import hash_classifier
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+
+    def binned(b: pa.Table) -> pa.Table:
+        lg = hash_classifier(b)
+        w = np.asarray(lg["sum_w"], dtype=np.int64)
+        y = np.asarray(pa.compute.cast(
+            pa.compute.equal(b["lang"], "en"), pa.int64()))
+        return pa.table({
+            "bin": pa.array(np.floor(w / 200.0).astype(np.int64)),
+            "y": pa.array(y),
+        })
+
+    h = grouped_aggregate(
+        ds.map_batches(binned, batch_format="pyarrow", batch_size=None),
+        ["bin"], [("*", "count", "n_docs"), ("y", "sum", "n_pos")])
+    nd = np.asarray(h["n_docs"], dtype=np.int64)
+    npos = np.asarray(h["n_pos"], dtype=np.int64)
+    return pa.table({
+        "bin": h["bin"],
+        "n_docs": h["n_docs"],
+        "n_pos": h["n_pos"],
+        "pos_permille": pa.array(1000 * npos // nd, pa.int64()),
+    })
