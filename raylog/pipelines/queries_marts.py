@@ -5684,3 +5684,321 @@ def join_cardinality_profile(sf_dir: str):
         "join_rows": pa.array([r[5] for r in rows], pa.int64()),
         "max_key_fanout": pa.array([r[6] for r in rows], pa.int64()),
     })
+
+
+# --------------------------------------------------------------------------
+# Embedding-health audits: isotropy + JL projection distortion
+
+
+@query(
+    "embed_isotropy",
+    """
+WITH q AS (
+  SELECT vec_id, i,
+         CAST(FLOOR(1e5 * CAST(list_extract(embedding, i) AS DOUBLE))
+              AS HUGEINT) AS qv
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+), s AS (SELECT i, SUM(qv) AS sd FROM q GROUP BY 1),
+f AS (
+  SELECT (SELECT SUM(sd * sd) FROM s)
+           - (SELECT SUM(qv * qv) FROM q) AS num,
+         (SELECT COUNT(*) FROM embeddings) AS n
+)
+SELECT CAST(n AS BIGINT) AS n_vecs,
+       CAST((num + 2000000 * (n * (n - 1) * 10000))
+            // (n * (n - 1) * 10000) - 2000000 AS BIGINT)
+         AS avg_pair_dot_micro
+FROM f""",
+)
+def embed_isotropy(sf_dir: str):
+    """Embedding-cloud centering / isotropy audit: the average
+    pairwise inner product across ALL n(n−1) vector pairs — ≈ ‖μ‖²,
+    the classic anisotropy symptom ("all embeddings share a dominant
+    direction", which wrecks cosine retrieval). Computed WITHOUT any
+    pair enumeration: Σ_{i≠j}⟨v_i,v_j⟩ = ‖Σv‖² − Σ‖v‖², so one pass
+    of per-dimension sums suffices. Coordinates quantize to 1e-5 ints
+    (float32→double FLOOR is bit-identical both engines) and
+    everything stays exact integer through the final shifted floor
+    division — no float accumulation anywhere.
+
+    Exchange: dims-bounded per-batch partials (64 ints + 2 scalars);
+    at 100 TB still 64 ints."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["embedding"].combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        dim = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+        q = np.floor(1e5 * flat).astype(np.int64).reshape(-1, dim)
+        return pa.table({
+            "d": pa.array(np.arange(1, dim + 1, dtype=np.int64)),
+            "sd": pa.array(q.sum(axis=0)),
+            "sq": pa.array((q * q).sum(axis=0)),
+            "n": pa.array(np.full(dim, q.shape[0], dtype=np.int64)),
+        })
+
+    a = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["d"], [("sd", "sum", "sd"), ("sq", "sum", "sq"),
+                ("n", "sum", "n")]).to_pandas()
+    n = int(a["n"].iloc[0])
+    num = (sum(int(v) ** 2 for v in a["sd"])
+           - sum(int(v) for v in a["sq"]))
+    den = n * (n - 1) * 10_000
+    avg = (num + 2_000_000 * den) // den - 2_000_000
+    return pa.table({
+        "n_vecs": pa.array([n], pa.int64()),
+        "avg_pair_dot_micro": pa.array([avg], pa.int64()),
+    })
+
+
+_JL_K = 16
+
+
+def _jl_signs(dim: int) -> "np.ndarray":
+    """±1 JL projection matrix, md5-derived (restatable in SQL)."""
+    import hashlib
+
+    import numpy as np
+
+    s = np.empty((dim, _JL_K), dtype=np.int64)
+    for d in range(1, dim + 1):
+        for k in range(1, _JL_K + 1):
+            par = int(hashlib.md5(f"{d}_{k}".encode()).hexdigest()[:2],
+                      16) % 2
+            s[d - 1, k - 1] = 1 - 2 * par
+    return s
+
+
+@query(
+    "embed_jl_distortion",
+    """
+WITH q AS (
+  SELECT vec_id, i,
+         CAST(FLOOR(1e5 * CAST(list_extract(embedding, i) AS DOUBLE))
+              AS HUGEINT) AS qv
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+), sgn AS (
+  SELECT di.i, v.k,
+         1 - 2 * (CAST(('0x' || substr(md5(CAST(di.i AS VARCHAR) || '_'
+                        || CAST(v.k AS VARCHAR)), 1, 2)) AS BIGINT) % 2)
+           AS s
+  FROM (SELECT DISTINCT i FROM q) di,
+       UNNEST(generate_series(1, 16)) v(k)
+), p AS (
+  SELECT q.vec_id, sgn.k, SUM(q.qv * sgn.s) AS pv
+  FROM q JOIN sgn USING (i) GROUP BY 1, 2
+), od AS (
+  SELECT a.vec_id // 2 AS pid,
+         SUM((a.qv - b.qv) * (a.qv - b.qv)) AS d2
+  FROM q a JOIN q b
+    ON b.vec_id = a.vec_id + 1 AND a.i = b.i AND a.vec_id % 2 = 0
+  GROUP BY 1
+), pd AS (
+  SELECT a.vec_id // 2 AS pid,
+         SUM((a.pv - b.pv) * (a.pv - b.pv)) AS d2
+  FROM p a JOIN p b
+    ON b.vec_id = a.vec_id + 1 AND a.k = b.k AND a.vec_id % 2 = 0
+  GROUP BY 1
+), r AS (
+  SELECT (1000000 * pd.d2) // (16 * od.d2) AS ratio
+  FROM od JOIN pd USING (pid)
+  WHERE od.d2 > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(ratio) AS BIGINT) AS min_ratio_micro,
+       CAST(MAX(ratio) AS BIGINT) AS max_ratio_micro,
+       CAST(SUM(ratio) // COUNT(*) AS BIGINT) AS avg_ratio_micro
+FROM r""",
+)
+def embed_jl_distortion(sf_dir: str):
+    """Johnson–Lindenstrauss dimensionality-reduction audit: project
+    64-dim embeddings to 16 dims with a deterministic ±1 sign matrix
+    (md5-derived, so the ORACLE can rebuild it) and measure, for each
+    disjoint (2i, 2i+1) vector pair, the squared-distance ratio
+    ‖p_a−p_b‖²/K ÷ ‖q_a−q_b‖² — the distortion the JL lemma bounds.
+    Quantized integer coordinates make projections, distances and the
+    final ratio EXACT integer arithmetic end to end (the ratio is a
+    single integer floor division).
+
+    Projection is one int matmul per batch (map-only); pairs group by
+    pid = vec_id//2 into complete-pair partitions — exchange is the
+    narrow quantized rows once."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import partitioned_group_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def addpid(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["vec_id"].combine_chunks(), dtype=np.int64)
+        return b.append_column("pid", pa.array(v // 2))
+
+    withpid = ds.map_batches(addpid, batch_format="pyarrow",
+                             batch_size=None)
+
+    def pair_ratios(part: pa.Table) -> pa.Table:
+        empty = pa.table({"pid": pa.array([], pa.int64()),
+                          "ratio": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        v = np.asarray(part["vec_id"].combine_chunks(), dtype=np.int64)
+        col = part["embedding"].combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        dim = int(offs[1] - offs[0])
+        q = np.floor(1e5 * flat).astype(np.int64).reshape(-1, dim)
+        order = np.argsort(v)
+        v, q = v[order], q[order]
+        # complete pairs: consecutive rows with ids (2m, 2m+1)
+        a = np.flatnonzero((v % 2 == 0) & (np.roll(v, -1) == v + 1))
+        a = a[a < len(v) - 1]
+        if len(a) == 0:
+            return empty
+        sgn = _jl_signs(dim)
+        dq = q[a] - q[a + 1]
+        od2 = (dq * dq).sum(axis=1)
+        dp = dq @ sgn
+        pd2 = (dp * dp).sum(axis=1)
+        keep = od2 > 0
+        ratio = [int(1_000_000 * int(p)) // (16 * int(o))
+                 for p, o in zip(pd2[keep], od2[keep])]
+        return pa.table({
+            "pid": pa.array((v[a][keep] // 2)),
+            "ratio": pa.array(ratio, pa.int64()),
+        })
+
+    r = partitioned_group_apply(withpid, ["pid"], pair_ratios).to_pandas()
+    ratio = [int(x) for x in r["ratio"]]
+    return pa.table({
+        "n_pairs": pa.array([len(ratio)], pa.int64()),
+        "min_ratio_micro": pa.array([min(ratio)], pa.int64()),
+        "max_ratio_micro": pa.array([max(ratio)], pa.int64()),
+        "avg_ratio_micro": pa.array([sum(ratio) // len(ratio)],
+                                    pa.int64()),
+    })
+
+
+def _advisor_oracle_one(lt: str, lk: str, rt: str, rk: str) -> str:
+    return f"""
+SELECT '{lt}' AS left_table, '{rt}' AS right_table,
+       CAST(rl AS BIGINT) AS rows_left, CAST(rr AS BIGINT) AS rows_right,
+       CAST(jr AS BIGINT) AS join_rows,
+       CAST(mf AS BIGINT) AS max_key_fanout,
+       CASE WHEN LEAST(rl, rr) <= 10000 THEN 'broadcast'
+            WHEN nb > 0 AND mf * nb > 100 * jr THEN 'salted_shuffle'
+            ELSE 'hash_shuffle' END AS decision
+FROM (
+  SELECT (SELECT COUNT(*) FROM {lt}) AS rl,
+         (SELECT COUNT(*) FROM {rt}) AS rr,
+         COUNT(*) AS nb,
+         COALESCE(SUM(cl * cr), 0) AS jr,
+         COALESCE(MAX(cl * cr), 0) AS mf
+  FROM (SELECT {lk} AS k, COUNT(*) AS cl FROM {lt} GROUP BY 1) l
+  JOIN (SELECT {rk} AS k, COUNT(*) AS cr FROM {rt} GROUP BY 1) r
+    USING (k))"""
+
+
+@query(
+    "plan_join_advisor",
+    " UNION ALL ".join(_advisor_oracle_one(*c)
+                       for c in _JOIN_CARD_CANDIDATES),
+)
+def plan_join_advisor(sf_dir: str):
+    """Cost-based physical-plan advisor built on the exact
+    `join_cardinality_profile` statistics: per candidate equi-join,
+    pick broadcast (a side fits in every task), salted shuffle (one
+    key's fan-out dominates — mf·n_keys > 100× the average says the
+    hot key would stall its reducer), or plain hash shuffle. This is
+    the decision procedure `salted_join` / the broadcast-dim pattern
+    implement; here it's a queryable report with the same exact
+    integer inputs on both engines (rule thresholds restated in SQL).
+
+    Exchange identical to the profile: per-side key histograms
+    only."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    rows = []
+    for lt, lk, rt, rk in _JOIN_CARD_CANDIDATES:
+        l = grouped_aggregate_ds(
+            rd.read_parquet(f"{sf_dir}/{lt}.parquet", columns=[lk]),
+            [lk], [("*", "count", "c")], num_partitions=8)
+        r = grouped_aggregate_ds(
+            rd.read_parquet(f"{sf_dir}/{rt}.parquet", columns=[rk]),
+            [rk], [("*", "count", "c")], num_partitions=8)
+
+        def tag(side):
+            def f(b: pa.Table) -> pa.Table:
+                c = np.asarray(b["c"].combine_chunks(), dtype=np.int64)
+                z = np.zeros(len(c), dtype=np.int64)
+                key = b[b.column_names[0]]
+                return pa.table({
+                    "k": pa.compute.cast(
+                        key.combine_chunks()
+                        if isinstance(key, pa.ChunkedArray) else key,
+                        pa.int64()),
+                    "cl": pa.array(c if side == "l" else z),
+                    "cr": pa.array(z if side == "l" else c),
+                })
+            return f
+
+        both = grouped_aggregate_ds(
+            l.map_batches(tag("l"), batch_format="pyarrow",
+                          batch_size=None).union(
+                r.map_batches(tag("r"), batch_format="pyarrow",
+                              batch_size=None)),
+            ["k"], [("cl", "sum", "cl"), ("cr", "sum", "cr")],
+            num_partitions=8)
+
+        def fold(b: pa.Table) -> pa.Table:
+            cl = np.asarray(b["cl"].combine_chunks(), dtype=np.int64)
+            cr = np.asarray(b["cr"].combine_chunks(), dtype=np.int64)
+            m = (cl > 0) & (cr > 0)
+            prod = cl[m] * cr[m]
+            return pa.table({
+                "g": pa.array([0], pa.int64()),
+                "rl": pa.array([int(cl.sum())], pa.int64()),
+                "rr": pa.array([int(cr.sum())], pa.int64()),
+                "nb": pa.array([int(m.sum())], pa.int64()),
+                "jr": pa.array([int(prod.sum())], pa.int64()),
+                "mf": pa.array([int(prod.max()) if len(prod) else 0],
+                               pa.int64()),
+            })
+
+        a = grouped_aggregate(
+            both.map_batches(fold, batch_format="pyarrow",
+                             batch_size=None),
+            ["g"], [("rl", "sum", "rl"), ("rr", "sum", "rr"),
+                    ("nb", "sum", "nb"), ("jr", "sum", "jr"),
+                    ("mf", "max", "mf")])
+        rl, rr = int(a["rl"][0].as_py()), int(a["rr"][0].as_py())
+        nb, jr = int(a["nb"][0].as_py()), int(a["jr"][0].as_py())
+        mf = int(a["mf"][0].as_py())
+        if min(rl, rr) <= 10_000:
+            dec = "broadcast"
+        elif nb > 0 and mf * nb > 100 * jr:
+            dec = "salted_shuffle"
+        else:
+            dec = "hash_shuffle"
+        rows.append((lt, rt, rl, rr, jr, mf, dec))
+    return pa.table({
+        "left_table": pa.array([r[0] for r in rows], pa.string()),
+        "right_table": pa.array([r[1] for r in rows], pa.string()),
+        "rows_left": pa.array([r[2] for r in rows], pa.int64()),
+        "rows_right": pa.array([r[3] for r in rows], pa.int64()),
+        "join_rows": pa.array([r[4] for r in rows], pa.int64()),
+        "max_key_fanout": pa.array([r[5] for r in rows], pa.int64()),
+        "decision": pa.array([r[6] for r in rows], pa.string()),
+    })
