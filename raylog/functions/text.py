@@ -370,3 +370,50 @@ def cdc_chunk_hashes(batch: pa.Table, text_col: str = "text",
         "chash": pa.array(out_hash, pa.int64()),
         "clen": pa.array(out_len, pa.int64()),
     })
+
+
+_RAKE_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on")
+
+
+def rake_phrase_instances(batch: pa.Table, text_col: str = "text",
+                          id_col: str = "doc_id") -> pa.Table:
+    """RAKE candidate-phrase segmentation: a phrase instance is a
+    maximal run of non-stopwords within one document. Emits one row
+    per instance (doc_id, phrase, plen). The run discovery is a
+    vectorized boundary pass over the flat word buffer; only the
+    per-run string join is a Python loop (runs ≪ words, same budget
+    class as the md5 loops)."""
+    import numpy as np
+
+    split = pc.split_pattern(_chunked(batch[text_col]), pattern=" ")
+    ids = _chunked(batch[id_col])
+    flat = split.flatten()
+    offs = np.asarray(split.offsets, dtype=np.int64)
+    stop = np.asarray(
+        pc.is_in(flat, value_set=pa.array(_RAKE_STOPWORDS))
+    ).astype(np.int64)
+    n = len(flat)
+    doc_of = np.repeat(np.arange(len(offs) - 1, dtype=np.int64),
+                       np.diff(offs))
+    # a run starts at a non-stop word preceded by a stopword or a doc
+    # boundary
+    nonstop = stop == 0
+    prev_stop = np.ones(n, dtype=bool)
+    if n > 1:
+        prev_stop[1:] = (stop[:-1] == 1) | (doc_of[1:] != doc_of[:-1])
+    starts = np.flatnonzero(nonstop & prev_stop)
+    next_break = np.ones(n, dtype=bool)
+    if n > 1:
+        next_break[:-1] = (stop[1:] == 1) | (doc_of[1:] != doc_of[:-1])
+    ends = np.flatnonzero(nonstop & next_break)
+    words = flat.to_pylist()
+    out_id, out_ph, out_len = [], [], []
+    for s, e in zip(starts, ends):
+        out_id.append(ids[int(doc_of[s])].as_py())
+        out_ph.append(" ".join(words[s:e + 1]))
+        out_len.append(int(e - s + 1))
+    return pa.table({
+        id_col: pa.array(out_id, pa.int64()),
+        "phrase": pa.array(out_ph, pa.string()),
+        "plen": pa.array(out_len, pa.int64()),
+    })

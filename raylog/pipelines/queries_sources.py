@@ -2342,3 +2342,193 @@ def text_classifier_calibration(sf_dir: str):
         "n_pos": h["n_pos"],
         "pos_permille": pa.array(1000 * npos // nd, pa.int64()),
     })
+
+
+@query(
+    "text_rake_keyphrases",
+    """
+WITH w AS (
+  SELECT doc_id, i,
+         list_extract(string_split(text, ' '), i) AS word
+  FROM documents,
+       UNNEST(generate_series(1, len(string_split(text, ' ')))) t(i)
+), m AS (
+  SELECT doc_id, i, word,
+         CASE WHEN word IN ('the','a','and','of','to','in','is','on')
+              THEN 1 ELSE 0 END AS stop
+  FROM w
+), seg AS (
+  SELECT doc_id, i, word, stop,
+         SUM(stop) OVER (PARTITION BY doc_id ORDER BY i) AS run0
+  FROM m
+), ph AS (
+  SELECT doc_id, run0, string_agg(word, ' ' ORDER BY i) AS phrase,
+         COUNT(*) AS plen
+  FROM seg WHERE stop = 0 GROUP BY 1, 2
+), wstat AS (
+  SELECT s.word, SUM(p.plen) AS deg, COUNT(*) AS freq
+  FROM seg s JOIN ph p ON p.doc_id = s.doc_id AND p.run0 = s.run0
+  WHERE s.stop = 0 GROUP BY 1
+), wscore AS (SELECT word, (1000 * deg) // freq AS ws FROM wstat),
+pdist AS (SELECT phrase, COUNT(*) AS n_instances FROM ph GROUP BY 1),
+pwords AS (
+  SELECT phrase, unnest(string_split(phrase, ' ')) AS word FROM pdist
+), ps AS (
+  SELECT pw.phrase, SUM(ws.ws) AS score
+  FROM pwords pw JOIN wscore ws USING (word) GROUP BY 1
+)
+SELECT p.phrase, CAST(d.n_instances AS BIGINT) AS n_instances,
+       CAST(p.score AS BIGINT) AS score_milli
+FROM ps p JOIN pdist d USING (phrase)
+ORDER BY p.score DESC, p.phrase LIMIT 20""",
+)
+def text_rake_keyphrases(sf_dir: str):
+    """RAKE keyphrase extraction (Rose et al.): candidate phrases are
+    maximal stopword-free word runs; each word scores deg/freq where
+    freq counts its phrase occurrences and deg adds the length of
+    every phrase containing it (co-occurrence degree); a phrase scores
+    the sum of its words' scores. Top-20 phrases, integer milli-scores
+    (per-word floor division — identical both engines, no float).
+
+    Pass 1: (word, deg, freq) vocab-bounded aggregate → broadcast
+    score dict. Pass 2: phrase instances → hash-partitioned distinct-
+    phrase counts (cardinality-safe) → map-side scoring → partial
+    top-k merge. Phrases never land on the driver except the final
+    20."""
+    import numpy as np
+    import ray.data as rd
+
+    import ray
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+    from raylog.functions.text import rake_phrase_instances
+    from raylog.functions.topk import topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    inst = ds.map_batches(rake_phrase_instances, batch_format="pyarrow",
+                          batch_size=None)
+
+    def word_partial(b: pa.Table) -> pa.Table:
+        ph = b["phrase"].to_pylist()
+        pl = b["plen"].to_pylist()
+        ws, dg, fr = {}, {}, {}
+        for p, l in zip(ph, pl):
+            for w in p.split(" "):
+                dg[w] = dg.get(w, 0) + l
+                fr[w] = fr.get(w, 0) + 1
+        keys = sorted(dg)
+        return pa.table({
+            "word": pa.array(keys, pa.string()),
+            "deg": pa.array([dg[k] for k in keys], pa.int64()),
+            "freq": pa.array([fr[k] for k in keys], pa.int64()),
+        })
+
+    wstat = grouped_aggregate(
+        inst.map_batches(word_partial, batch_format="pyarrow",
+                         batch_size=None),
+        ["word"], [("deg", "sum", "deg"), ("freq", "sum", "freq")])
+    wscore = {w: (1000 * int(d)) // int(f)
+              for w, d, f in zip(wstat["word"].to_pylist(),
+                                 wstat["deg"].to_pylist(),
+                                 wstat["freq"].to_pylist())}
+    ref = ray.put(wscore)
+
+    pdist = grouped_aggregate_ds(inst, ["phrase"],
+                                 [("*", "count", "n_instances")],
+                                 num_partitions=8)
+
+    def score(b: pa.Table) -> pa.Table:
+        sc = ray.get(ref)
+        s = [sum(sc[w] for w in p.split(" "))
+             for p in b["phrase"].to_pylist()]
+        return b.append_column("score_milli", pa.array(s, pa.int64()))
+
+    scored = pdist.map_batches(score, batch_format="pyarrow",
+                               batch_size=None)
+    top = topk(scored, sort_cols=["score_milli", "phrase"],
+               descending=[True, False], k=20)
+    return top.select(["phrase", "n_instances", "score_milli"])
+
+
+@query(
+    "docs_rank_fusion",
+    """
+WITH wrd AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), lg AS (
+  SELECT doc_id,
+         SUM(CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT)
+             % 2001 - 1000) AS w
+  FROM wrd GROUP BY 1
+), r AS (
+  SELECT d.doc_id,
+         RANK() OVER (ORDER BY d.n_chars DESC) AS r1,
+         RANK() OVER (ORDER BY lg.w DESC) AS r2
+  FROM documents d JOIN lg USING (doc_id)
+)
+SELECT doc_id, CAST(r1 AS BIGINT) AS rank_chars,
+       CAST(r2 AS BIGINT) AS rank_logit,
+       CAST(r1 + r2 AS BIGINT) AS fused_rank
+FROM r
+ORDER BY r1 + r2, doc_id LIMIT 20""",
+)
+def docs_rank_fusion(sf_dir: str):
+    """Rank-based score fusion (Borda-style curation): combine two
+    incomparable quality signals — document length and the hashed
+    classifier logit — by summing their competition ranks (RANK(): tie
+    block shares the smallest rank), then keep the 20 best fused docs.
+    Rank fusion is the standard way to blend filters whose raw scales
+    don't mix; competition ranks make it integer-exact.
+
+    Ranks come from per-signal DISTINCT-VALUE histograms (exchange
+    bounded by distinct values, not rows): rank(v) = 1 + #(values
+    better than v) via a prefix sum on the compressed axis, broadcast
+    as a lookup; doc scoring is then map-side + partial top-k."""
+    import numpy as np
+    import ray.data as rd
+
+    import ray
+    from raylog.functions.agg import grouped_aggregate
+    from raylog.functions.text import hash_classifier
+    from raylog.functions.topk import topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "n_chars"])
+
+    def signals(b: pa.Table) -> pa.Table:
+        lg = hash_classifier(b)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "nc": b["n_chars"],
+            "w": lg["sum_w"],
+        })
+
+    sig = ds.map_batches(signals, batch_format="pyarrow",
+                         batch_size=None)
+
+    def rank_map(col: str) -> dict:
+        h = grouped_aggregate(sig, [col],
+                              [("*", "count", "m")]).to_pandas()
+        h = h.sort_values(col, ascending=False)
+        cum = np.concatenate([[0], h["m"].cumsum().to_numpy()[:-1]])
+        return {int(v): int(c) + 1 for v, c in zip(h[col], cum)}
+
+    ref = ray.put((rank_map("nc"), rank_map("w")))
+
+    def fuse(b: pa.Table) -> pa.Table:
+        m1, m2 = ray.get(ref)
+        r1 = np.array([m1[int(v)] for v in b["nc"].to_pylist()],
+                      dtype=np.int64)
+        r2 = np.array([m2[int(v)] for v in b["w"].to_pylist()],
+                      dtype=np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "rank_chars": pa.array(r1),
+            "rank_logit": pa.array(r2),
+            "fused_rank": pa.array(r1 + r2),
+        })
+
+    fused = sig.map_batches(fuse, batch_format="pyarrow",
+                            batch_size=None)
+    return topk(fused, sort_cols=["fused_rank", "doc_id"],
+                descending=[False, False], k=20)
