@@ -2730,3 +2730,94 @@ def mm_image_ahash_dups(sf_dir: str):
     joined = fp.join(sizes, join_type="inner", num_partitions=8,
                      on=("hash_hi", "hash_lo"))
     return joined
+
+
+@query(
+    "dedup_groupaware_split",
+    "WITH RECURSIVE " + _NGRAM_PAIRS_CTE + """,
+f AS (SELECT doc_id, cluster_id, cluster_id % 5 AS fold FROM cc),
+leak AS (
+  SELECT COUNT(*) AS n FROM np
+  JOIN f a ON np.doc_a = a.doc_id
+  JOIN f b ON np.doc_b = b.doc_id
+  WHERE a.fold <> b.fold)
+SELECT f.fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT f.cluster_id) AS BIGINT) AS n_clusters,
+       CAST((SELECT n FROM leak) AS BIGINT) AS n_leaked_pairs
+FROM f GROUP BY 1""",
+)
+def dedup_groupaware_split(sf_dir: str):
+    """Group-aware K-fold assignment (the FIX for the split-leakage
+    problem `dedup_split_leakage` measures): folds are assigned to
+    whole near-dup CLUSTERS (fold = cluster_id % 5), so every near-dup
+    pair lands inside one fold by construction — the per-fold report
+    carries the verified cross-fold leaked-pair count (0) alongside
+    fold sizes, the eval-hygiene invariant GroupKFold guarantees.
+
+    Reuses the exact n-gram pair graph + distributed CC; the leak
+    audit is two sparse hash joins of the pair set against the
+    cluster→fold map — pair-set-bounded, never corpus-bounded."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+    from raylog.functions.cc import connected_components
+    from raylog.functions.dedup import ngram_jaccard_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3)
+    clusters = connected_components(docs.select_columns(["doc_id"]),
+                                    pairs)
+
+    def addfold(b: pa.Table) -> pa.Table:
+        c = np.asarray(b["cluster_id"].combine_chunks(), dtype=np.int64)
+        return b.append_column("fold", pa.array(c % 5))
+
+    withfold = clusters.map_batches(addfold, batch_format="pyarrow",
+                                    batch_size=None)
+    sizes = grouped_aggregate(
+        withfold, ["fold"], [("*", "count", "n_docs")]).to_pandas()
+    from raylog.functions.agg import grouped_aggregate_ds
+
+    distinct_clusters = grouped_aggregate_ds(
+        withfold, ["fold", "cluster_id"], [("*", "count", "_c")],
+        num_partitions=8)
+    nclus = grouped_aggregate(
+        distinct_clusters, ["fold"],
+        [("*", "count", "n_clusters")]).to_pandas()
+
+    # leak audit: both pair endpoints through the cluster->fold map
+    fold_side = withfold.select_columns(["doc_id", "fold"])
+    ja = pairs.join(
+        fold_side.map_batches(
+            lambda b: b.rename_columns(["doc_a", "fold_a"]),
+            batch_format="pyarrow", batch_size=None),
+        join_type="inner", num_partitions=8, on=("doc_a",))
+    jb = ja.join(
+        fold_side.map_batches(
+            lambda b: b.rename_columns(["doc_b", "fold_b"]),
+            batch_format="pyarrow", batch_size=None),
+        join_type="inner", num_partitions=8, on=("doc_b",))
+
+    def leak_partial(b: pa.Table) -> pa.Table:
+        fa = np.asarray(b["fold_a"].combine_chunks(), dtype=np.int64)
+        fb = np.asarray(b["fold_b"].combine_chunks(), dtype=np.int64)
+        return pa.table({"g": pa.array([0], pa.int64()),
+                         "n": pa.array([int((fa != fb).sum())],
+                                       pa.int64())})
+
+    lk = grouped_aggregate(
+        jb.map_batches(leak_partial, batch_format="pyarrow",
+                       batch_size=None),
+        ["g"], [("n", "sum", "n")])
+    n_leak = int(lk["n"][0].as_py()) if lk.num_rows else 0
+
+    m = sizes.merge(nclus, on="fold").sort_values("fold")
+    return pa.table({
+        "fold": pa.array(m["fold"].to_numpy(dtype=np.int64)),
+        "n_docs": pa.array(m["n_docs"].to_numpy(dtype=np.int64)),
+        "n_clusters": pa.array(m["n_clusters"].to_numpy(dtype=np.int64)),
+        "n_leaked_pairs": pa.array(
+            np.full(len(m), n_leak, dtype=np.int64)),
+    })

@@ -2532,3 +2532,113 @@ def docs_rank_fusion(sf_dir: str):
                             batch_size=None)
     return topk(fused, sort_cols=["fused_rank", "doc_id"],
                 descending=[False, False], k=20)
+
+
+@query(
+    "docs_prefix_compression",
+    """
+WITH u AS (
+  SELECT doc_id,
+         'https://d' ||
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 40 AS VARCHAR) ||
+         '.example.com/' || source || '/' || CAST(doc_id AS VARCHAR)
+           AS url
+  FROM documents
+), d AS (
+  SELECT doc_id, url,
+         regexp_extract(url, 'https?://([^/]+)/', 1) AS domain FROM u
+), p AS (
+  SELECT url, domain,
+         LAG(url) OVER (PARTITION BY domain ORDER BY url) AS prev
+  FROM d
+), l AS (
+  SELECT url,
+         CASE WHEN prev IS NULL THEN 0 ELSE (
+           SELECT COALESCE(MAX(CASE WHEN substr(url, 1, t.i)
+                                         = substr(prev, 1, t.i)
+                                    THEN t.i END), 0)
+           FROM UNNEST(generate_series(
+                1, LEAST(length(url), length(prev)))) t(i))
+         END AS lcp
+  FROM p
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(SUM(length(url)) AS BIGINT) AS total_bytes,
+       CAST(SUM(lcp) AS BIGINT) AS saved_bytes,
+       CAST((1000 * SUM(lcp)) // SUM(length(url)) AS BIGINT)
+         AS saved_permille
+FROM l""",
+)
+def docs_prefix_compression(sf_dir: str):
+    """Front-coding (prefix-compression) storage estimate for a sorted
+    URL index — the delta-encoding layout every search/storage engine
+    uses for sorted string keys: within each domain, sort the URLs and
+    count the bytes shared with the predecessor (those bytes store as
+    one varint instead). Reports corpus bytes, saved bytes, and the
+    savings permille.
+
+    Domains partition the key space (`partitioned_group_apply` —
+    complete domains per partition, so sort + LCP never cross a
+    partition); the per-predecessor LCP loop is bounded by key length.
+    Exchange: the synthesized (domain, url) rows once; output is one
+    constant-size row."""
+    import hashlib
+
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, partitioned_group_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ids = b["doc_id"].to_pylist()
+        urls = pa.array([
+            "https://d%d.example.com/%s/%d"
+            % (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 40,
+               src, i)
+            for i, src in zip(ids, b["source"].to_pylist())])
+        dom = pc.struct_field(
+            pc.extract_regex(urls, pattern=r"https?://(?P<domain>[^/]+)/"),
+            "domain")
+        return pa.table({"domain": dom, "url": urls})
+
+    urls = ds.map_batches(synth, batch_format="pyarrow", batch_size=None)
+
+    def front_code(part: pa.Table) -> pa.Table:
+        dom = part["domain"].to_pylist()
+        url = part["url"].to_pylist()
+        order = sorted(range(len(url)), key=lambda i: (dom[i], url[i]))
+        total = saved = 0
+        prev_d = prev_u = None
+        for i in order:
+            total += len(url[i])
+            if dom[i] == prev_d:
+                a, b = url[i], prev_u
+                m = min(len(a), len(b))
+                l = 0
+                while l < m and a[l] == b[l]:
+                    l += 1
+                saved += l
+            prev_d, prev_u = dom[i], url[i]
+        return pa.table({
+            "g": pa.array([0], pa.int64()),
+            "n": pa.array([len(url)], pa.int64()),
+            "tot": pa.array([total], pa.int64()),
+            "sav": pa.array([saved], pa.int64()),
+        })
+
+    a = grouped_aggregate(
+        partitioned_group_apply(urls, ["domain"], front_code),
+        ["g"], [("n", "sum", "n_urls"), ("tot", "sum", "total_bytes"),
+                ("sav", "sum", "saved_bytes")])
+    tot = int(a["total_bytes"][0].as_py())
+    sav = int(a["saved_bytes"][0].as_py())
+    return pa.table({
+        "n_urls": a["n_urls"],
+        "total_bytes": a["total_bytes"],
+        "saved_bytes": a["saved_bytes"],
+        "saved_permille": pa.array([1000 * sav // tot], pa.int64()),
+    })

@@ -2419,3 +2419,109 @@ def events_mutual_information(sf_dir: str):
         "n_total": pa.array([nn], pa.int64()),
         "mi_micro": pa.array([mi], pa.int64()),
     })
+
+
+def _clustering_oracle(col: str) -> str:
+    return f"""
+SELECT '{col}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN prev IS NULL
+                     OR prev <> CAST({col} AS VARCHAR)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+       CAST((1000 * SUM(CASE WHEN prev IS NULL
+                             OR prev <> CAST({col} AS VARCHAR)
+                        THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+         AS runs_permille
+FROM (
+  SELECT {col},
+         LAG(CAST({col} AS VARCHAR)) OVER (
+           PARTITION BY CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)
+           ORDER BY ts, event_id) AS prev
+  FROM events)"""
+
+
+@query(
+    "events_clustering_factor",
+    " UNION ALL ".join(_clustering_oracle(c)
+                       for c in ["event_type", "user_id"]),
+)
+def events_clustering_factor(sf_dir: str):
+    """Index clustering factor (the Oracle-DBA statistic, and the
+    dictionary/RLE-encoding benefit signal): for each candidate
+    column, how many VALUE RUNS the column has when rows sit in their
+    natural (day, ts, event_id) order — runs/rows near 0 means the
+    column is physically clustered (RLE-friendly, low-cost index);
+    near 1000 permille means every row starts a new run. Day
+    boundaries reset runs so the metric is partition-stable by
+    construction.
+
+    Complete-day partitions (`partitioned_group_apply`), one lexsort
+    + boundary count per partition per column; distinct counts ride
+    the hash-partitioned aggregate. Exchange: the 4 narrow columns
+    once."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import (grouped_aggregate,
+                                      grouped_aggregate_ds,
+                                      partitioned_group_apply)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id", "ts",
+                                  "event_id"])
+
+    def addday(b: pa.Table) -> pa.Table:
+        t = (np.asarray(b["ts"].combine_chunks())
+             .astype("datetime64[us]").astype(np.int64))
+        return b.append_column(
+            "d", pa.array(np.floor(t / 1e6 / 86400).astype(np.int64)))
+
+    dd = ds.map_batches(addday, batch_format="pyarrow", batch_size=None)
+
+    def runs(part: pa.Table) -> pa.Table:
+        t = (np.asarray(part["ts"].combine_chunks())
+             .astype("datetime64[us]").astype(np.int64))
+        e = np.asarray(part["event_id"].combine_chunks(), dtype=np.int64)
+        d = np.asarray(part["d"].combine_chunks(), dtype=np.int64)
+        order = np.lexsort((e, t, d))
+        newday = np.ones(len(d), dtype=bool)
+        dd_ = d[order]
+        if len(dd_) > 1:
+            newday[1:] = dd_[1:] != dd_[:-1]
+        out_c, out_n, out_r = [], [], []
+        for col, dt in [("event_type", "U"), ("user_id", "i")]:
+            v = part[col].combine_chunks().to_numpy(zero_copy_only=False)
+            v = v[order]
+            nr = np.ones(len(v), dtype=bool)
+            if len(v) > 1:
+                nr[1:] = v[1:] != v[:-1]
+            out_c.append(col)
+            out_n.append(len(v))
+            out_r.append(int((nr | newday).sum()))
+        return pa.table({
+            "column_name": pa.array(out_c, pa.string()),
+            "n": pa.array(out_n, pa.int64()),
+            "r": pa.array(out_r, pa.int64()),
+        })
+
+    agg = grouped_aggregate(
+        partitioned_group_apply(dd, ["d"], runs),
+        ["column_name"], [("n", "sum", "n_rows"),
+                          ("r", "sum", "n_runs")]).to_pandas()
+    nd = {}
+    for col in ["event_type", "user_id"]:
+        nd[col] = grouped_aggregate_ds(
+            ds.select_columns([col]), [col], [("*", "count", "_c")],
+            num_partitions=8).count()
+    agg = agg.sort_values("column_name")
+    n = agg["n_rows"].to_numpy(dtype=np.int64)
+    r = agg["n_runs"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "column_name": pa.array(agg["column_name"], pa.string()),
+        "n_rows": pa.array(n),
+        "n_distinct": pa.array([nd[c] for c in agg["column_name"]],
+                               pa.int64()),
+        "n_runs": pa.array(r),
+        "runs_permille": pa.array(1000 * r // n, pa.int64()),
+    })
