@@ -6002,3 +6002,117 @@ def plan_join_advisor(sf_dir: str):
         "max_key_fanout": pa.array([r[5] for r in rows], pa.int64()),
         "decision": pa.array([r[6] for r in rows], pa.string()),
     })
+
+
+# --------------------------------------------------------------------------
+# Iterative greedy set cover on the supplier→part bipartite graph
+
+
+@query(
+    "lineitem_greedy_setcover",
+    """
+WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+r1 AS (SELECT s, COUNT(*) AS gain FROM e GROUP BY 1),
+w1 AS (SELECT s, gain FROM r1 ORDER BY gain DESC, s LIMIT 1),
+cov1 AS (SELECT DISTINCT p FROM e WHERE s = (SELECT s FROM w1)),
+r2 AS (SELECT e.s, COUNT(*) AS gain FROM e
+       WHERE e.p NOT IN (SELECT p FROM cov1)
+         AND e.s <> (SELECT s FROM w1)
+       GROUP BY e.s),
+w2 AS (SELECT s, gain FROM r2 ORDER BY gain DESC, s LIMIT 1),
+cov2 AS (SELECT p FROM cov1
+         UNION SELECT p FROM e WHERE s = (SELECT s FROM w2)),
+r3 AS (SELECT e.s, COUNT(*) AS gain FROM e
+       WHERE e.p NOT IN (SELECT p FROM cov2)
+         AND e.s NOT IN ((SELECT s FROM w1), (SELECT s FROM w2))
+       GROUP BY e.s),
+w3 AS (SELECT s, gain FROM r3 ORDER BY gain DESC, s LIMIT 1),
+cov3 AS (SELECT p FROM cov2
+         UNION SELECT p FROM e WHERE s = (SELECT s FROM w3))
+SELECT CAST(1 AS BIGINT) AS round, CAST(s AS BIGINT) AS suppkey,
+       CAST(gain AS BIGINT) AS gain,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cov1) AS covered_parts
+FROM w1
+UNION ALL SELECT 2, s, gain, (SELECT COUNT(*) FROM cov2) FROM w2
+UNION ALL SELECT 3, s, gain, (SELECT COUNT(*) FROM cov3) FROM w3""",
+)
+def lineitem_greedy_setcover(sf_dir: str):
+    """Greedy set cover on the supplier→part bipartite graph (the
+    (1−1/e)-approximation every coverage-maximization pipeline runs:
+    "pick 3 suppliers covering the most distinct parts"). Three
+    rounds; each round scores suppliers by UNCOVERED-part gain,
+    deterministic tie-break (gain DESC, suppkey ASC), then folds the
+    winner's parts into the covered set.
+
+    Distributed shape per round: anti-filter edges against the
+    broadcast covered set (a Bloom filter at 100 TB — here the exact
+    set, bounded by parts), per-supplier gains via the
+    hash-partitioned aggregate, ONE-row argmax via partial top-k;
+    only the winner's part list (its degree) returns to the driver.
+    Edges themselves come from a hash-partitioned distinct and are
+    re-scanned per round — k scans, never k shuffles."""
+    import numpy as np
+    import ray.data as rd
+
+    import ray
+    from raylog.functions.agg import grouped_aggregate_ds
+    from raylog.functions.topk import topk
+
+    edges = grouped_aggregate_ds(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_suppkey", "l_partkey"]),
+        ["l_suppkey", "l_partkey"], [("*", "count", "_c")],
+        num_partitions=8).map_batches(
+            lambda b: b.select(["l_suppkey", "l_partkey"]),
+            batch_format="pyarrow", batch_size=None).materialize()
+
+    covered: set = set()
+    taken: set = set()
+    out = []
+    for rnd in range(1, 4):
+        ref = ray.put((np.fromiter(covered, dtype=np.int64,
+                                   count=len(covered)),
+                       np.fromiter(taken, dtype=np.int64,
+                                   count=len(taken))))
+
+        def gain_partial(b: pa.Table) -> pa.Table:
+            cov, tak = ray.get(ref)
+            s = np.asarray(b["l_suppkey"].combine_chunks(),
+                           dtype=np.int64)
+            p = np.asarray(b["l_partkey"].combine_chunks(),
+                           dtype=np.int64)
+            keep = ~np.isin(p, cov) & ~np.isin(s, tak)
+            return pa.table({"s": pa.array(s[keep]),
+                             "one": pa.array(np.ones(int(keep.sum()),
+                                                     dtype=np.int64))})
+
+        gains = grouped_aggregate_ds(
+            edges.map_batches(gain_partial, batch_format="pyarrow",
+                              batch_size=None),
+            ["s"], [("one", "sum", "gain")], num_partitions=8)
+        win = topk(gains, sort_cols=["gain", "s"],
+                   descending=[True, False], k=1).to_pandas()
+        if win.empty:
+            break
+        ws, wg = int(win["s"][0]), int(win["gain"][0])
+
+        def winner_parts(b: pa.Table, ws=ws) -> pa.Table:
+            m = pa.compute.equal(b["l_suppkey"], ws)
+            return b.filter(m).select(["l_partkey"])
+
+        new_parts = [int(v) for t in
+                     edges.map_batches(winner_parts,
+                                       batch_format="pyarrow",
+                                       batch_size=None)
+                     .iter_batches(batch_format="pyarrow",
+                                   batch_size=None)
+                     for v in t["l_partkey"].to_pylist()]
+        covered |= set(new_parts)
+        taken.add(ws)
+        out.append((rnd, ws, wg, len(covered)))
+    return pa.table({
+        "round": pa.array([r[0] for r in out], pa.int64()),
+        "suppkey": pa.array([r[1] for r in out], pa.int64()),
+        "gain": pa.array([r[2] for r in out], pa.int64()),
+        "covered_parts": pa.array([r[3] for r in out], pa.int64()),
+    })

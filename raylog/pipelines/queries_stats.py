@@ -2525,3 +2525,102 @@ def events_clustering_factor(sf_dir: str):
         "n_runs": pa.array(r),
         "runs_permille": pa.array(1000 * r // n, pa.int64()),
     })
+
+
+@query(
+    "events_leadlag_correlation",
+    """
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c),
+days AS (SELECT UNNEST(generate_series(lo, hi)) AS d FROM span),
+types AS (SELECT DISTINCT event_type FROM c),
+grid AS (
+  SELECT t.event_type, dy.d, COALESCE(c.n, 0) AS n
+  FROM types t CROSS JOIN days dy
+  LEFT JOIN c ON c.event_type = t.event_type AND c.d = dy.d
+), lags AS (SELECT UNNEST(generate_series(-3, 3)) AS lag),
+xc AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+         CAST(FLOOR(1e6 * CORR(CAST(a.n AS DOUBLE),
+                               CAST(b.n AS DOUBLE))) AS BIGINT)
+           AS corr_micro
+  FROM lags l
+  JOIN grid a ON TRUE
+  JOIN grid b ON b.event_type <> a.event_type
+             AND b.d = a.d + l.lag
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2, 3
+), best AS (
+  SELECT type_a, type_b, lag, corr_micro,
+         ROW_NUMBER() OVER (PARTITION BY type_a, type_b
+                            ORDER BY corr_micro DESC, ABS(lag), lag)
+           AS rn
+  FROM xc
+)
+SELECT type_a, type_b, CAST(lag AS BIGINT) AS best_lag, corr_micro
+FROM best WHERE rn = 1""",
+)
+def events_leadlag_correlation(sf_dir: str):
+    """Lead–lag discovery between traffic streams: for every type
+    pair, the lag in [−3, 3] days that maximizes the Pearson
+    correlation of the zero-filled daily-volume series (b shifted by
+    lag against a) — "errors spike two days after deploys" style
+    causal hints. Deterministic winner: corr quantized to micro BEFORE
+    the argmax, ties broken by |lag| then lag, so both engines pick
+    the same row even at float boundaries.
+
+    The only exchange is the (type, day) cells-bounded count
+    aggregate; the 7-lag × pairs sweep runs on the tiny grid
+    driver-side (days stay ~10³ at any corpus size)."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def day(b: pa.Table) -> pa.Table:
+        t = (np.asarray(b["ts"].combine_chunks())
+             .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "event_type": b["event_type"],
+            "d": pa.array(np.floor(t / 1e6 / 86400).astype(np.int64)),
+        })
+
+    c = grouped_aggregate(
+        ds.map_batches(day, batch_format="pyarrow", batch_size=None),
+        ["event_type", "d"], [("*", "count", "n")]).to_pandas()
+    lo, hi = int(c["d"].min()), int(c["d"].max())
+    span = hi - lo + 1
+    piv = c.pivot_table(index="d", columns="event_type", values="n",
+                        fill_value=0, aggfunc="sum")
+    piv = piv.reindex(range(lo, hi + 1), fill_value=0)
+    types = sorted(piv.columns)
+    mat = piv[types].to_numpy(dtype=np.float64)
+    rows = []
+    for i, ta in enumerate(types):
+        for j, tb in enumerate(types):
+            if ta >= tb:
+                continue
+            cand = []
+            for lag in range(-3, 4):
+                # overlap: a on days [max(lo,lo-lag)..], b on d+lag
+                if lag >= 0:
+                    av, bv = mat[:span - lag, i], mat[lag:, j]
+                else:
+                    av, bv = mat[-lag:, i], mat[:span + lag, j]
+                r = float(np.corrcoef(av, bv)[0, 1])
+                cand.append((int(np.floor(1e6 * r)), lag))
+            best = max(cand, key=lambda t: (t[0], -abs(t[1]), -t[1]))
+            rows.append((ta, tb, best[1], best[0]))
+    rows.sort()
+    return pa.table({
+        "type_a": pa.array([r[0] for r in rows], pa.string()),
+        "type_b": pa.array([r[1] for r in rows], pa.string()),
+        "best_lag": pa.array([r[2] for r in rows], pa.int64()),
+        "corr_micro": pa.array([r[3] for r in rows], pa.int64()),
+    })
