@@ -2624,3 +2624,187 @@ def events_leadlag_correlation(sf_dir: str):
         "best_lag": pa.array([r[2] for r in rows], pa.int64()),
         "corr_micro": pa.array([r[3] for r in rows], pa.int64()),
     })
+
+
+@query(
+    "events_expectations_report",
+    """
+SELECT 'value_in_range' AS rule,
+       CAST(COUNT(*) AS BIGINT) AS n_checked,
+       CAST(SUM(CASE WHEN value < 0 OR value > 500 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violations,
+       CAST(CASE WHEN SUM(CASE WHEN value < 0 OR value > 500
+                              THEN 1 ELSE 0 END) = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS passed
+FROM events
+UNION ALL
+SELECT 'user_id_not_null', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(CASE WHEN SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                 = 0 THEN 1 ELSE 0 END AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'event_type_in_set', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN event_type NOT IN
+                ('click','view','purchase','login','error')
+                THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(CASE WHEN SUM(CASE WHEN event_type NOT IN
+                ('click','view','purchase','login','error')
+                THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'event_id_unique', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT),
+       CAST(CASE WHEN COUNT(*) = COUNT(DISTINCT event_id)
+            THEN 1 ELSE 0 END AS BIGINT)
+FROM events""",
+)
+def events_expectations_report(sf_dir: str):
+    """Data-contract validation (Great-Expectations-style): a declared
+    rule set — value range, non-null key, categorical domain, primary-
+    key uniqueness — each reporting rows checked, violations, and a
+    pass flag. The difference from `profile_column_stats`: this
+    ASSERTS a contract rather than describing the data, which is the
+    gate a production ingest pipeline runs before publishing a
+    partition.
+
+    Row rules are constant per-batch partials (map-only); the
+    uniqueness rule rides one hash-partitioned distinct (exchange
+    bounded by key cardinality). A failing rule costs the same as a
+    passing one — no row-level materialization of violations."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type",
+                                  "value"])
+    TYPES = pa.array(["click", "view", "purchase", "login", "error"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["value"].combine_chunks(), dtype=np.float64)
+        bad_range = int(((v < 0) | (v > 500)).sum())
+        null_user = b["user_id"].null_count
+        et = b["event_type"].combine_chunks()
+        bad_type = int(b.num_rows
+                       - pa.compute.sum(
+                           pa.compute.is_in(et, value_set=TYPES)
+                           .cast(pa.int64())).as_py())
+        return pa.table({
+            "g": pa.array([0], pa.int64()),
+            "n": pa.array([b.num_rows], pa.int64()),
+            "vr": pa.array([bad_range], pa.int64()),
+            "nu": pa.array([null_user], pa.int64()),
+            "bt": pa.array([bad_type], pa.int64()),
+        })
+
+    a = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["g"], [("n", "sum", "n"), ("vr", "sum", "vr"),
+                ("nu", "sum", "nu"), ("bt", "sum", "bt")])
+    n = int(a["n"][0].as_py())
+    vr, nu, bt = (int(a[c][0].as_py()) for c in ("vr", "nu", "bt"))
+    n_distinct = grouped_aggregate_ds(
+        ds.select_columns(["event_id"]), ["event_id"],
+        [("*", "count", "_c")], num_partitions=8).count()
+    dup = n - int(n_distinct)
+    rules = [("value_in_range", n, vr), ("user_id_not_null", n, nu),
+             ("event_type_in_set", n, bt), ("event_id_unique", n, dup)]
+    return pa.table({
+        "rule": pa.array([r[0] for r in rules], pa.string()),
+        "n_checked": pa.array([r[1] for r in rules], pa.int64()),
+        "n_violations": pa.array([r[2] for r in rules], pa.int64()),
+        "passed": pa.array([1 if r[2] == 0 else 0 for r in rules],
+                           pa.int64()),
+    })
+
+
+@query(
+    "events_gap_sla_report",
+    """
+WITH g AS (
+  SELECT event_type, ts,
+         LAG(ts) OVER (PARTITION BY event_type
+                       ORDER BY ts, event_id) AS prev
+  FROM events
+), s AS (
+  SELECT event_type,
+         COUNT(*) AS n_events,
+         MAX(epoch_us(ts) - epoch_us(prev)) AS max_gap_us,
+         SUM(CASE WHEN epoch_us(ts) - epoch_us(prev) > 3600000000
+                  THEN epoch_us(ts) - epoch_us(prev) ELSE 0 END)
+           AS outage_us,
+         MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS span_us
+  FROM g GROUP BY 1
+)
+SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+       CAST(max_gap_us AS BIGINT) AS max_gap_us,
+       CAST((1000 * outage_us) // span_us AS BIGINT)
+         AS outage_permille
+FROM s""",
+)
+def events_gap_sla_report(sf_dir: str):
+    """Per-stream availability / SLA monitor: for each event type, the
+    longest silent gap between consecutive events and the fraction of
+    the stream's span spent in outage (gaps above the 1-hour SLA
+    threshold) — the heartbeat audit for every ingestion source. Gap
+    analysis needs GLOBAL time order per stream, so streams partition
+    whole (`partitioned_group_apply` by type — the per-type lexsort is
+    the honest cost; a hot stream costs its partition one sort pass,
+    and at 100 TB the day-bucketed pre-split in SCALE.md's gap recipe
+    bounds it).
+
+    Exchange: (type, ts, event_id) narrow rows once; output is
+    types-bounded."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import partitioned_group_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "event_id"])
+    SLA = 3_600_000_000
+
+    def gaps(part: pa.Table) -> pa.Table:
+        et = part["event_type"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        t = (np.asarray(part["ts"].combine_chunks())
+             .astype("datetime64[us]").astype(np.int64))
+        e = np.asarray(part["event_id"].combine_chunks(), dtype=np.int64)
+        order = np.lexsort((e, t, et))
+        et, t = et[order], t[order]
+        same = np.zeros(len(t), dtype=bool)
+        if len(t) > 1:
+            same[1:] = et[1:] == et[:-1]
+        gap = np.where(same, t - np.roll(t, 1), 0)
+        types, idx = np.unique(et, return_inverse=True)
+        k = len(types)
+        n = np.bincount(idx, minlength=k)
+        mx = np.zeros(k, dtype=np.int64)
+        np.maximum.at(mx, idx[same], gap[same])
+        out = np.zeros(k, dtype=np.int64)
+        big = same & (gap > SLA)
+        np.add.at(out, idx[big], gap[big])
+        tmin = np.full(k, np.iinfo(np.int64).max)
+        tmax = np.zeros(k, dtype=np.int64)
+        np.minimum.at(tmin, idx, t)
+        np.maximum.at(tmax, idx, t)
+        return pa.table({
+            "event_type": pa.array(types, pa.string()),
+            "n_events": pa.array(n.astype(np.int64)),
+            "max_gap_us": pa.array(mx),
+            "outage_us": pa.array(out),
+            "span_us": pa.array(tmax - tmin),
+        })
+
+    r = partitioned_group_apply(ds, ["event_type"], gaps).to_pandas()
+    r = r.sort_values("event_type")
+    return pa.table({
+        "event_type": pa.array(r["event_type"], pa.string()),
+        "n_events": pa.array(r["n_events"].to_numpy(dtype=np.int64)),
+        "max_gap_us": pa.array(r["max_gap_us"].to_numpy(dtype=np.int64)),
+        "outage_permille": pa.array(
+            1000 * r["outage_us"].to_numpy(dtype=np.int64)
+            // r["span_us"].to_numpy(dtype=np.int64), pa.int64()),
+    })
