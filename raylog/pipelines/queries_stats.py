@@ -2808,3 +2808,174 @@ def events_gap_sla_report(sf_dir: str):
             1000 * r["outage_us"].to_numpy(dtype=np.int64)
             // r["span_us"].to_numpy(dtype=np.int64), pa.int64()),
     })
+
+
+@query(
+    "events_gorilla_estimate",
+    """
+WITH o AS (
+  SELECT event_type, epoch_us(ts) AS t,
+         LAG(epoch_us(ts)) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id) AS p1,
+         LAG(epoch_us(ts), 2) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id) AS p2
+  FROM events
+), d AS (
+  SELECT event_type,
+         (t - p1) - (p1 - p2) AS dod
+  FROM o WHERE p2 IS NOT NULL
+), b AS (
+  SELECT event_type,
+         CASE WHEN dod = 0 THEN 1
+              WHEN dod BETWEEN -63 AND 64 THEN 9
+              WHEN dod BETWEEN -255 AND 256 THEN 12
+              WHEN dod BETWEEN -2047 AND 2048 THEN 16
+              ELSE 36 END AS bits
+  FROM d
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_deltas,
+       CAST(SUM(bits) AS BIGINT) AS bits_est,
+       CAST((1000 * (64 * COUNT(*) - SUM(bits))) // (64 * COUNT(*))
+            AS BIGINT) AS saved_permille
+FROM b GROUP BY 1""",
+)
+def events_gorilla_estimate(sf_dir: str):
+    """Gorilla-style delta-of-delta timestamp-compression estimate per
+    stream (the Facebook TSDB codec every metrics store uses): after
+    the first two points, each timestamp costs 1 bit when the
+    inter-arrival is steady (dod = 0) and a bucketed variable width
+    otherwise; reports the estimated bits and the savings vs raw
+    64-bit storage. Completes the storage-codec audit trio with
+    `docs_prefix_compression` (strings) and
+    `events_clustering_factor` (RLE/dictionary).
+
+    Whole-stream partitions (one lexsort, two vectorized diffs,
+    bucketed bincount); types-bounded output."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import partitioned_group_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "event_id"])
+
+    def bits(part: pa.Table) -> pa.Table:
+        et = part["event_type"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        t = (np.asarray(part["ts"].combine_chunks())
+             .astype("datetime64[us]").astype(np.int64))
+        e = np.asarray(part["event_id"].combine_chunks(), dtype=np.int64)
+        order = np.lexsort((e, t, et))
+        et, t = et[order], t[order]
+        same2 = np.zeros(len(t), dtype=bool)  # has 2 predecessors
+        if len(t) > 2:
+            same2[2:] = (et[2:] == et[1:-1]) & (et[1:-1] == et[:-2])
+        idxs = np.flatnonzero(same2)
+        dod = (t[idxs] - t[idxs - 1]) - (t[idxs - 1] - t[idxs - 2])
+        w = np.full(len(dod), 36, dtype=np.int64)
+        w[(dod >= -2047) & (dod <= 2048)] = 16
+        w[(dod >= -255) & (dod <= 256)] = 12
+        w[(dod >= -63) & (dod <= 64)] = 9
+        w[dod == 0] = 1
+        types, inv = np.unique(et[idxs], return_inverse=True)
+        n = np.bincount(inv, minlength=len(types))
+        s = np.bincount(inv, weights=w.astype(np.float64),
+                        minlength=len(types)).astype(np.int64)
+        return pa.table({
+            "event_type": pa.array(types, pa.string()),
+            "n_deltas": pa.array(n.astype(np.int64)),
+            "bits_est": pa.array(s),
+        })
+
+    r = partitioned_group_apply(ds, ["event_type"], bits).to_pandas()
+    r = r.sort_values("event_type")
+    n = r["n_deltas"].to_numpy(dtype=np.int64)
+    b = r["bits_est"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "event_type": pa.array(r["event_type"], pa.string()),
+        "n_deltas": pa.array(n),
+        "bits_est": pa.array(b),
+        "saved_permille": pa.array(1000 * (64 * n - b) // (64 * n),
+                                   pa.int64()),
+    })
+
+
+@query(
+    "docs_psi_drift",
+    """
+WITH ref AS (SELECT MIN(source) AS s FROM documents),
+b AS (
+  SELECT LEAST(CAST(FLOOR(n_chars / 100.0) AS BIGINT), 19) AS bin,
+         CASE WHEN source = (SELECT s FROM ref) THEN 1 ELSE 0 END
+           AS is_ref
+  FROM documents
+), bins AS (SELECT UNNEST(generate_series(0, 19)) AS bin),
+c AS (
+  SELECT bins.bin,
+         COALESCE(SUM(CASE WHEN b.is_ref = 1 THEN 1 ELSE 0 END), 0)
+           AS c1,
+         COALESCE(SUM(CASE WHEN b.is_ref = 0 THEN 1 ELSE 0 END), 0)
+           AS c2
+  FROM bins LEFT JOIN b USING (bin) GROUP BY 1
+), t AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM c)
+SELECT CAST(MAX(t.n1) AS BIGINT) AS n_ref,
+       CAST(MAX(t.n2) AS BIGINT) AS n_other,
+       CAST(SUM(CAST(FLOOR(1e6 * (
+         (CAST(c.c1 + 1 AS DOUBLE) / (t.n1 + 20)
+          - CAST(c.c2 + 1 AS DOUBLE) / (t.n2 + 20))
+         * ln((CAST(c.c1 + 1 AS DOUBLE) / (t.n1 + 20))
+              / (CAST(c.c2 + 1 AS DOUBLE) / (t.n2 + 20)))))
+         AS BIGINT)) AS BIGINT) AS psi_micro
+FROM c CROSS JOIN t""",
+)
+def docs_psi_drift(sf_dir: str):
+    """Population Stability Index between the reference source (the
+    lexicographically smallest) and the rest, over the length
+    distribution — the scorecard-industry drift metric (rule of thumb:
+    PSI < 0.1 stable, > 0.25 shifted), complementing the KS sup-norm
+    with a mass-weighted divergence. 20 fixed 100-char bins, Laplace
+    smoothing (+1 per bin) so empty bins stay finite; each bin's
+    (p1−p2)·ln(p1/p2) contribution is quantized to integer micro-PSI
+    BEFORE summing (the MI discipline — order-independent, engine-
+    drift-immune).
+
+    Exchange: one bins×2 bounded count aggregate."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "n_chars"])
+    srcs = grouped_aggregate(ds, ["source"], [("*", "count", "_c")])
+    ref_src = min(srcs["source"].to_pylist())
+
+    def binned(b: pa.Table) -> pa.Table:
+        nc = np.asarray(b["n_chars"].combine_chunks(), dtype=np.int64)
+        binv = np.minimum(np.floor(nc / 100.0).astype(np.int64), 19)
+        is_ref = np.asarray(pa.compute.equal(b["source"], ref_src)) \
+            .astype(np.int64)
+        return pa.table({
+            "bin": pa.array(binv),
+            "c1": pa.array(is_ref),
+            "c2": pa.array(1 - is_ref),
+        })
+
+    c = grouped_aggregate(
+        ds.map_batches(binned, batch_format="pyarrow", batch_size=None),
+        ["bin"], [("c1", "sum", "c1"), ("c2", "sum", "c2")]).to_pandas()
+    full = {int(r.bin): (int(r.c1), int(r.c2))
+            for r in c.itertuples(index=False)}
+    n1 = sum(v[0] for v in full.values())
+    n2 = sum(v[1] for v in full.values())
+    psi = 0
+    for bin_ in range(20):
+        c1, c2 = full.get(bin_, (0, 0))
+        p1 = float(c1 + 1) / (n1 + 20)
+        p2 = float(c2 + 1) / (n2 + 20)
+        psi += int(np.floor(1e6 * ((p1 - p2) * np.log(p1 / p2))))
+    return pa.table({
+        "n_ref": pa.array([n1], pa.int64()),
+        "n_other": pa.array([n2], pa.int64()),
+        "psi_micro": pa.array([psi], pa.int64()),
+    })
