@@ -2821,3 +2821,93 @@ def dedup_groupaware_split(sf_dir: str):
         "n_leaked_pairs": pa.array(
             np.full(len(m), n_leak, dtype=np.int64)),
     })
+
+
+@query(
+    "embed_knn_label_consistency",
+    """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+           FROM embeddings),
+s AS (SELECT a.vec_id, a.label AS la, b.label AS lb, b.vec_id AS nid,
+             list_cosine_similarity(a.v, b.v) AS cos
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+r AS (SELECT vec_id, la, lb,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, nid) AS rn
+      FROM s)
+SELECT CAST(la AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_consistent,
+       CAST((1000 * SUM(CASE WHEN la = lb THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS consistency_permille
+FROM r WHERE rn = 1 GROUP BY 1""",
+)
+def embed_knn_label_consistency(sf_dir: str):
+    """Intrinsic embedding-quality eval: leave-one-out 1-NN label
+    consistency — for every vector, does its nearest cosine neighbor
+    share its label? The per-label consistency rate is the standard
+    "is this space organized by class" readout before anyone trains a
+    probe. Ties break by neighbor id (matching the oracle's
+    ROW_NUMBER).
+
+    Same scale regime as the embedding near-dup family: the corpus
+    matrix broadcasts once (`ray.put`, the ≤100k-vector regime; above
+    that the blocked (ci,cj) centroid-cell plan in dedup.py applies)
+    and each batch does ONE matmul against it — no pair
+    materialization, labels-bounded output."""
+    import numpy as np
+    import ray.data as rd
+
+    import ray
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    full = pa.concat_tables(ds.iter_batches(batch_format="pyarrow",
+                                            batch_size=None))
+    ids = np.asarray(full["vec_id"], dtype=np.int64)
+    labels = np.asarray(full["label"], dtype=np.int64)
+    col = full["embedding"].combine_chunks()
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    dim = len(flat) // len(ids)
+    M = flat.reshape(-1, dim)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ref = ray.put((ids, labels, M))
+
+    def nn_partial(b: pa.Table) -> pa.Table:
+        cids, clabels, cm = ray.get(ref)
+        v = np.asarray(b["embedding"].combine_chunks().flatten(),
+                       dtype=np.float64).reshape(-1, dim)
+        v = v / np.linalg.norm(v, axis=1, keepdims=True)
+        bid = np.asarray(b["vec_id"].combine_chunks(), dtype=np.int64)
+        bl = np.asarray(b["label"].combine_chunks(), dtype=np.int64)
+        sims = v @ cm.T
+        sims[bid[:, None] == cids[None, :]] = -np.inf  # self
+        best = sims.max(axis=1, keepdims=True)
+        cand = np.where(sims == best, cids[None, :],
+                        np.iinfo(np.int64).max)
+        nn = cand.min(axis=1)
+        nn_label = clabels[np.searchsorted(cids, nn)] \
+            if np.all(np.diff(cids) > 0) else \
+            clabels[np.array([int(np.flatnonzero(cids == x)[0])
+                              for x in nn])]
+        return pa.table({
+            "label": pa.array(bl),
+            "ok": pa.array((nn_label == bl).astype(np.int64)),
+        })
+
+    a = grouped_aggregate(
+        ds.map_batches(nn_partial, batch_format="pyarrow",
+                       batch_size=None),
+        ["label"], [("*", "count", "n_vecs"),
+                    ("ok", "sum", "n_consistent")]).to_pandas()
+    a = a.sort_values("label")
+    n = a["n_vecs"].to_numpy(dtype=np.int64)
+    c = a["n_consistent"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "label": pa.array(a["label"].to_numpy(dtype=np.int64)),
+        "n_vecs": pa.array(n),
+        "n_consistent": pa.array(c),
+        "consistency_permille": pa.array(1000 * c // n, pa.int64()),
+    })

@@ -3824,3 +3824,73 @@ def events_ab_conversion(sf_dir: str):
         "n_conv_b": pa.array([c1], pa.int64()),
         "z_micro": pa.array([zq], pa.int64()),
     })
+
+
+@query(
+    "events_target_encoding",
+    """
+WITH q AS (
+  SELECT event_type, user_id % 5 AS fold,
+         CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v4
+  FROM events
+), pf AS (
+  SELECT event_type, fold, COUNT(*) AS n_f, SUM(v4) AS s_f
+  FROM q GROUP BY 1, 2
+), g AS (SELECT event_type, SUM(n_f) AS n, SUM(s_f) AS s
+         FROM pf GROUP BY 1)
+SELECT pf.event_type, CAST(pf.fold AS BIGINT) AS fold,
+       CAST(pf.n_f AS BIGINT) AS n_fold,
+       CAST(CASE WHEN g.n - pf.n_f = 0 THEN -1
+            ELSE (g.s - pf.s_f) // (g.n - pf.n_f) END AS BIGINT)
+         AS enc_mean_e4
+FROM pf JOIN g USING (event_type)""",
+)
+def events_target_encoding(sf_dir: str):
+    """Leakage-free K-fold target encoding (the CatBoost/Kaggle
+    feature-engineering staple): the encoded value of category
+    `event_type` for a row in fold f is the target mean computed on
+    the OTHER folds — (S−S_f)/(n−n_f) — so no row sees its own
+    target. Folds by user hash (user_id % 5) keep each user's rows in
+    one fold (the group-leakage rule). Targets quantize to 1e-4
+    fixed-point per row BEFORE summing (the Q6 discipline), making
+    every sum and the final floor division exact integers.
+
+    Exchange: one (type, fold) cells-bounded partial aggregate; the
+    leave-fold-out arithmetic is a driver-side fold over that tiny
+    table."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        u = np.asarray(b["user_id"].combine_chunks(), dtype=np.int64)
+        v = np.asarray(b["value"].combine_chunks(), dtype=np.float64)
+        return pa.table({
+            "event_type": b["event_type"],
+            "fold": pa.array(u % 5),
+            "v4": pa.array(np.floor(v * 10000 + 0.5).astype(np.int64)),
+        })
+
+    pf = grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["event_type", "fold"],
+        [("*", "count", "n_f"), ("v4", "sum", "s_f")]).to_pandas()
+    g = pf.groupby("event_type").agg(n=("n_f", "sum"),
+                                     s=("s_f", "sum"))
+    rows = []
+    for r in pf.itertuples(index=False):
+        n, s = int(g.loc[r.event_type, "n"]), int(g.loc[r.event_type, "s"])
+        nf, sf = int(r.n_f), int(r.s_f)
+        enc = -1 if n - nf == 0 else (s - sf) // (n - nf)
+        rows.append((r.event_type, int(r.fold), nf, enc))
+    rows.sort()
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "fold": pa.array([r[1] for r in rows], pa.int64()),
+        "n_fold": pa.array([r[2] for r in rows], pa.int64()),
+        "enc_mean_e4": pa.array([r[3] for r in rows], pa.int64()),
+    })
