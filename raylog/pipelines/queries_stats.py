@@ -2979,3 +2979,126 @@ def docs_psi_drift(sf_dir: str):
         "n_other": pa.array([n2], pa.int64()),
         "psi_micro": pa.array([psi], pa.int64()),
     })
+
+
+@query(
+    "events_change_decomposition",
+    """
+WITH bounds AS (
+  SELECT MIN(CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)) AS lo,
+         MAX(CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)) AS hi
+  FROM events
+), q AS (
+  SELECT event_type,
+         CASE WHEN CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)
+                   <= (SELECT (lo + hi) // 2 FROM bounds)
+              THEN 0 ELSE 1 END AS period,
+         CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v4
+  FROM events
+), p AS (
+  SELECT event_type, period, COUNT(*) AS n, SUM(v4) AS s
+  FROM q GROUP BY 1, 2
+), w AS (
+  SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+         COALESCE(a.n, 0) AS n0, COALESCE(a.s, 0) AS s0,
+         COALESCE(b.n, 0) AS n1, COALESCE(b.s, 0) AS s1
+  FROM (SELECT * FROM p WHERE period = 0) a
+  FULL OUTER JOIN (SELECT * FROM p WHERE period = 1) b
+    USING (event_type)
+)
+SELECT event_type,
+       CAST(s1 - s0 AS BIGINT) AS total_delta_e4,
+       CAST(CASE WHEN n0 = 0 THEN s1
+            ELSE (n1 - n0) * (s0 // n0) END AS BIGINT)
+         AS volume_effect_e4,
+       CAST(CASE WHEN n0 = 0 THEN 0
+            WHEN n1 = 0 THEN (s1 - s0) - (n1 - n0) * (s0 // n0)
+            ELSE n1 * ((s1 // n1) - (s0 // n0))
+                 - (s0 - n0 * (s0 // n0))
+                 + (s1 - n1 * (s1 // n1)) END AS BIGINT)
+         AS rate_effect_e4
+FROM w""",
+)
+def events_change_decomposition(sf_dir: str):
+    """Mix/rate contribution analysis ("why did the total change?"):
+    the period-over-period delta of total value per segment,
+    decomposed into a VOLUME effect ((n1−n0)·r0, more/fewer events at
+    the old rate) and a RATE effect (n1·(r1−r0) plus the integer-
+    division remainder corrections, so the two effects sum EXACTLY to
+    the total delta in fixed-point units — no unexplained residual).
+    Periods are the first vs second half of the corpus day span;
+    values in Q6-discipline 1e-4 fixed point, rates as exact floor
+    quotients.
+
+    Exchange: one (type, period) cells-bounded aggregate."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def day(b: pa.Table) -> pa.Table:
+        t = (np.asarray(b["ts"].combine_chunks())
+             .astype("datetime64[us]").astype(np.int64))
+        v = np.asarray(b["value"].combine_chunks(), dtype=np.float64)
+        return pa.table({
+            "event_type": b["event_type"],
+            "d": pa.array(np.floor(t / 1e6 / 86400).astype(np.int64)),
+            "v4": pa.array(np.floor(v * 10000 + 0.5).astype(np.int64)),
+        })
+
+    dd = ds.map_batches(day, batch_format="pyarrow", batch_size=None)
+    span = grouped_aggregate(
+        dd.map_batches(
+            lambda b: pa.table({
+                "g": pa.array([0], pa.int64()),
+                "lo": pa.array([int(np.asarray(b["d"]).min())
+                                if b.num_rows else 2**62], pa.int64()),
+                "hi": pa.array([int(np.asarray(b["d"]).max())
+                                if b.num_rows else -2**62], pa.int64()),
+            }),
+            batch_format="pyarrow", batch_size=None),
+        ["g"], [("lo", "min", "lo"), ("hi", "max", "hi")])
+    mid = (int(span["lo"][0].as_py()) + int(span["hi"][0].as_py())) // 2
+
+    def per(b: pa.Table) -> pa.Table:
+        d = np.asarray(b["d"].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "event_type": b["event_type"],
+            "period": pa.array((d > mid).astype(np.int64)),
+            "v4": b["v4"],
+        })
+
+    p = grouped_aggregate(
+        dd.map_batches(per, batch_format="pyarrow", batch_size=None),
+        ["event_type", "period"],
+        [("*", "count", "n"), ("v4", "sum", "s")]).to_pandas()
+    rows = []
+    for et, grp in p.groupby("event_type"):
+        d0 = grp[grp["period"] == 0]
+        d1 = grp[grp["period"] == 1]
+        n0 = int(d0["n"].iloc[0]) if len(d0) else 0
+        s0 = int(d0["s"].iloc[0]) if len(d0) else 0
+        n1 = int(d1["n"].iloc[0]) if len(d1) else 0
+        s1 = int(d1["s"].iloc[0]) if len(d1) else 0
+        total = s1 - s0
+        if n0 == 0:
+            vol, rate = s1, 0
+        elif n1 == 0:
+            vol, rate = (n1 - n0) * (s0 // n0), -s0
+            # keep exact additivity: fold the remainder into rate
+            rate = total - vol
+        else:
+            r0, r1 = s0 // n0, s1 // n1
+            vol = (n1 - n0) * r0
+            rate = n1 * (r1 - r0) - (s0 - n0 * r0) + (s1 - n1 * r1)
+        rows.append((et, total, vol, rate))
+    rows.sort()
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "total_delta_e4": pa.array([r[1] for r in rows], pa.int64()),
+        "volume_effect_e4": pa.array([r[2] for r in rows], pa.int64()),
+        "rate_effect_e4": pa.array([r[3] for r in rows], pa.int64()),
+    })
