@@ -2911,3 +2911,96 @@ def embed_knn_label_consistency(sf_dir: str):
         "n_consistent": pa.array(c),
         "consistency_permille": pa.array(1000 * c // n, pa.int64()),
     })
+
+
+@query(
+    "dedup_method_agreement",
+    "WITH RECURSIVE " + _NGRAM_PAIRS_CTE + """,
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+emb AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+), s AS (
+  SELECT (SELECT COUNT(*) FROM np) AS n_ngram,
+         (SELECT COUNT(*) FROM emb) AS n_embed,
+         (SELECT COUNT(*) FROM np
+          JOIN emb USING (doc_a, doc_b)) AS n_both
+)
+SELECT CAST(n_ngram AS BIGINT) AS n_ngram_pairs,
+       CAST(n_embed AS BIGINT) AS n_embed_pairs,
+       CAST(n_both AS BIGINT) AS n_both,
+       CAST(CASE WHEN n_ngram + n_embed - n_both = 0 THEN 0
+            ELSE (1000 * n_both) // (n_ngram + n_embed - n_both)
+            END AS BIGINT) AS agreement_permille
+FROM s""",
+)
+def dedup_method_agreement(sf_dir: str):
+    """Cross-method dedup agreement audit: how much do the LEXICAL
+    near-dup pair set (exact n-gram Jaccard ≥ 0.3 on documents) and
+    the SEMANTIC one (embedding cosine ≥ 0.4 on the aligned vectors)
+    overlap? Reported as pair-set Jaccard — the calibration question
+    every dedup pipeline owner asks before trusting one method's
+    threshold ("is semantic finding anything lexical misses?").
+
+    Both pair sets come from their existing scale-safe kernels; the
+    intersection is ONE sparse hash join of the two pair sets
+    (pair-bounded, never corpus-bounded) and the output is a single
+    row of counts."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate
+    from raylog.functions.dedup import (embedding_near_dup_pairs,
+                                        ngram_jaccard_pairs)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    ng = ngram_jaccard_pairs(docs, threshold=0.3)
+    emb_ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    n_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    em = embedding_near_dup_pairs(emb_ds, threshold=0.4, n_rows=n_rows)
+
+    def count_rows(ds_or_tbl) -> int:
+        if isinstance(ds_or_tbl, pa.Table):
+            return ds_or_tbl.num_rows
+        return ds_or_tbl.count()
+
+    n_ngram = count_rows(ng)
+    n_embed = count_rows(em)
+
+    def as_pairs_ds(x, a, b):
+        if isinstance(x, pa.Table):
+            x = rd.from_arrow(x)
+        return x.map_batches(
+            lambda t: pa.table({
+                "doc_a": pa.compute.cast(
+                    t[a].combine_chunks()
+                    if isinstance(t[a], pa.ChunkedArray) else t[a],
+                    pa.int64()),
+                "doc_b": pa.compute.cast(
+                    t[b].combine_chunks()
+                    if isinstance(t[b], pa.ChunkedArray) else t[b],
+                    pa.int64()),
+            }), batch_format="pyarrow", batch_size=None)
+
+    ng_cols = ng.column_names if isinstance(ng, pa.Table) else ng.schema().names
+    em_cols = em.column_names if isinstance(em, pa.Table) else em.schema().names
+    ngp = as_pairs_ds(ng, ng_cols[0], ng_cols[1])
+    emp = as_pairs_ds(em, em_cols[0], em_cols[1])
+    j = ngp.join(emp.map_batches(
+        lambda t: t.append_column("_m", pa.array(
+            np.ones(t.num_rows, dtype=np.int64))),
+        batch_format="pyarrow", batch_size=None),
+        join_type="inner", num_partitions=8, on=("doc_a", "doc_b"))
+    n_both = j.count()
+    union = n_ngram + n_embed - n_both
+    return pa.table({
+        "n_ngram_pairs": pa.array([n_ngram], pa.int64()),
+        "n_embed_pairs": pa.array([n_embed], pa.int64()),
+        "n_both": pa.array([n_both], pa.int64()),
+        "agreement_permille": pa.array(
+            [0 if union == 0 else 1000 * n_both // union], pa.int64()),
+    })

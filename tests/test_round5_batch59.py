@@ -1,0 +1,54 @@
+"""Batch 59: cross-method dedup agreement."""
+
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def test_method_agreement_planted_overlap():
+    from raylog.pipelines.queries_dedup import dedup_method_agreement
+
+    # docs 0,1: exact duplicates (lexical pair) AND identical
+    # embeddings (semantic pair) -> in both sets.
+    # docs 2,3: different texts but identical embeddings -> semantic
+    # only. docs 4..: unrelated texts, orthogonal-ish embeddings.
+    texts = [
+        " ".join(f"a{i}" for i in range(12)),
+        " ".join(f"a{i}" for i in range(12)),
+        " ".join(f"b{i}" for i in range(12)),
+        " ".join(f"c{i}" for i in range(12)),
+        " ".join(f"d{i}" for i in range(12)),
+        " ".join(f"e{i}" for i in range(12)),
+    ]
+    # exactly orthogonal one-hot geometry: cross-cosines are 0 except
+    # the two planted duplicate pairs (cosine exactly 1)
+    dim = 8
+    vecs = np.zeros((6, dim))
+    vecs[0, 0] = vecs[1, 0] = 1.0   # semantic dup pair (0,1)
+    vecs[2, 1] = vecs[3, 1] = 1.0   # semantic dup pair (2,3)
+    vecs[4, 2] = 1.0                # singletons
+    vecs[5, 3] = 1.0
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 6),
+        "source": pa.array(["s"] * 6),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    emb = pa.table({
+        "vec_id": pa.array(np.arange(6, dtype=np.int64)),
+        "embedding": pa.array([r.astype(np.float32) for r in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(6, dtype=np.int32)),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(docs, os.path.join(d, "documents.parquet"))
+        pq.write_table(emb, os.path.join(d, "embeddings.parquet"))
+        got = dedup_method_agreement(d).to_pandas().iloc[0]
+    assert got.n_ngram_pairs == 1          # (0,1) only
+    assert got.n_embed_pairs == 2          # (0,1) and (2,3)
+    assert got.n_both == 1                 # (0,1)
+    assert got.agreement_permille == 1000 * 1 // 2
