@@ -52,3 +52,40 @@ def test_method_agreement_planted_overlap():
     assert got.n_embed_pairs == 2          # (0,1) and (2,3)
     assert got.n_both == 1                 # (0,1)
     assert got.agreement_permille == 1000 * 1 // 2
+
+
+def test_merkle_fingerprint_order_insensitive_and_sensitive_to_content():
+    from raylog.pipelines.queries_sources import docs_merkle_fingerprint
+
+    import hashlib
+
+    def docs(texts, order):
+        t = [texts[i] for i in order]
+        return pa.table({
+            "doc_id": pa.array(np.arange(len(t), dtype=np.int64)),
+            "text": pa.array(t),
+            "lang": pa.array(["en"] * len(t)),
+            "source": pa.array(["s"] * len(t)),
+            "n_chars": pa.array([len(x) for x in t], pa.int64()),
+        })
+
+    texts = ["alpha", "beta", "gamma", "delta"]
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(docs(texts, [0, 1, 2, 3]),
+                       os.path.join(d, "documents.parquet"))
+        a = docs_merkle_fingerprint(d).to_pandas().iloc[0]
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(docs(texts, [3, 1, 0, 2]),
+                       os.path.join(d, "documents.parquet"))
+        b = docs_merkle_fingerprint(d).to_pandas().iloc[0]
+    assert a.merkle_hex == b.merkle_hex  # row order irrelevant
+    assert a.n_docs == 4
+    # brute-force root
+    leaves = sorted(hashlib.md5(t.encode()).hexdigest() for t in texts)
+    assert a.merkle_hex == hashlib.md5(" ".join(leaves).encode()).hexdigest()
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(docs(["alpha", "beta", "gamma", "DELTA"],
+                            [0, 1, 2, 3]),
+                       os.path.join(d, "documents.parquet"))
+        c = docs_merkle_fingerprint(d).to_pandas().iloc[0]
+    assert c.merkle_hex != a.merkle_hex  # one changed byte flips root
