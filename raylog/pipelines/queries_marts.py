@@ -6116,3 +6116,84 @@ def lineitem_greedy_setcover(sf_dir: str):
         "gain": pa.array([r[2] for r in out], pa.int64()),
         "covered_parts": pa.array([r[3] for r in out], pa.int64()),
     })
+
+
+@query(
+    "orders_abc_classification",
+    """
+WITH r AS (
+  SELECT o_custkey,
+         SUM(CAST(FLOOR(o_totalprice * 10000 + 0.5) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+), t AS (SELECT SUM(rev) AS tot FROM r),
+c AS (
+  SELECT rev,
+         SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum
+  FROM r
+), cls AS (
+  SELECT CASE WHEN 100 * cum <= 80 * (SELECT tot FROM t) THEN 'A'
+              WHEN 100 * cum <= 95 * (SELECT tot FROM t) THEN 'B'
+              ELSE 'C' END AS abc_class, rev
+  FROM c
+)
+SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(rev) AS BIGINT) AS revenue_e4,
+       CAST((1000 * SUM(rev)) // (SELECT tot FROM t) AS BIGINT)
+         AS share_permille
+FROM cls GROUP BY 1""",
+)
+def orders_abc_classification(sf_dir: str):
+    """ABC inventory/customer classification (the 80/95 cumulative-
+    share rule): customers sorted by revenue (ties by custkey) are
+    class A while the running total stays within 80% of corpus
+    revenue, B to 95%, C after — exact integer Q6 fixed-point revenue
+    and an integer cross-multiplied boundary test (100·cum ≤ 80·tot),
+    so the class cut is bit-deterministic.
+
+    Per-customer revenue via the hash-partitioned aggregate; the
+    cumulative pass runs on the DESC-sorted per-customer table (the
+    same compressed-axis driver regime as the AUC rank pass —
+    customer-bounded, with value-bucketing as the documented fallback
+    at 10^12-customer scale); output is 3 rows."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+
+    def q(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["o_totalprice"].combine_chunks(),
+                       dtype=np.float64)
+        return pa.table({
+            "o_custkey": b["o_custkey"],
+            "rev": pa.array(np.floor(v * 10000 + 0.5).astype(np.int64)),
+        })
+
+    per_cust = grouped_aggregate_ds(
+        ds.map_batches(q, batch_format="pyarrow", batch_size=None),
+        ["o_custkey"], [("rev", "sum", "rev")],
+        num_partitions=8).to_pandas()
+    per_cust = per_cust.sort_values(["rev", "o_custkey"],
+                                    ascending=[False, True])
+    rev = per_cust["rev"].to_numpy(dtype=np.int64)
+    tot = int(rev.sum())
+    cum = np.cumsum(rev)
+    cls = np.where(100 * cum <= 80 * tot, "A",
+                   np.where(100 * cum <= 95 * tot, "B", "C"))
+    out = []
+    for k in ["A", "B", "C"]:
+        m = cls == k
+        if not m.any():
+            continue
+        s = int(rev[m].sum())
+        out.append((k, int(m.sum()), s, 1000 * s // tot))
+    return pa.table({
+        "abc_class": pa.array([r[0] for r in out], pa.string()),
+        "n_customers": pa.array([r[1] for r in out], pa.int64()),
+        "revenue_e4": pa.array([r[2] for r in out], pa.int64()),
+        "share_permille": pa.array([r[3] for r in out], pa.int64()),
+    })

@@ -89,3 +89,23 @@ def test_merkle_fingerprint_order_insensitive_and_sensitive_to_content():
                        os.path.join(d, "documents.parquet"))
         c = docs_merkle_fingerprint(d).to_pandas().iloc[0]
     assert c.merkle_hex != a.merkle_hex  # one changed byte flips root
+
+
+def test_abc_classification_known_split():
+    from raylog.pipelines.queries_marts import orders_abc_classification
+
+    # revenues: 50, 30, 15, 4, 1 (total 100):
+    # cum 50(A,<=80) 80(A,<=80) 95(B,<=95) 99(C) 100(C)
+    tbl = pa.table({
+        "o_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "o_totalprice": pa.array([50.0, 30.0, 15.0, 4.0, 1.0]),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, os.path.join(d, "orders.parquet"))
+        got = (orders_abc_classification(d).to_pandas()
+               .set_index("abc_class"))
+    assert got.loc["A", "n_customers"] == 2
+    assert got.loc["A", "share_permille"] == 800
+    assert got.loc["B", "n_customers"] == 1
+    assert got.loc["C", "n_customers"] == 2
+    assert got["revenue_e4"].sum() == 100 * 10000
