@@ -3894,3 +3894,63 @@ def events_target_encoding(sf_dir: str):
         "n_fold": pa.array([r[2] for r in rows], pa.int64()),
         "enc_mean_e4": pa.array([r[3] for r in rows], pa.int64()),
     })
+
+
+@query(
+    "events_user_growth",
+    """
+WITH f AS (
+  SELECT user_id,
+         MIN(CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)) AS first_d
+  FROM events GROUP BY 1
+), days AS (
+  SELECT DISTINCT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d
+  FROM events
+), n AS (SELECT first_d, COUNT(*) AS new_users FROM f GROUP BY 1)
+SELECT days.d AS day,
+       CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+       CAST(SUM(COALESCE(n.new_users, 0))
+            OVER (ORDER BY days.d ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS BIGINT) AS cumulative_users
+FROM days LEFT JOIN n ON n.first_d = days.d""",
+)
+def events_user_growth(sf_dir: str):
+    """User acquisition / growth curve: per observed day, the number
+    of FIRST-EVER-seen users (new) and the cumulative distinct user
+    count to date — the top-line growth chart, and the complement to
+    the trailing-window WAU (`events_rolling_distinct_users`).
+    Cumulative distinct needs only each user's FIRST day, so the
+    whole curve costs one per-user MIN (the key-compressed hash
+    aggregate) plus a day-bounded count and a driver prefix sum —
+    never a per-day distinct pass."""
+    import numpy as np
+    import ray.data as rd
+
+    from raylog.functions.agg import grouped_aggregate, grouped_aggregate_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def to_day(b: pa.Table) -> pa.Table:
+        t = (np.asarray(b["ts"].combine_chunks())
+             .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "user_id": b["user_id"],
+            "d": pa.array(np.floor(t / 1e6 / 86400).astype(np.int64)),
+        })
+
+    dd = ds.map_batches(to_day, batch_format="pyarrow", batch_size=None)
+    first = grouped_aggregate_ds(dd, ["user_id"], [("d", "min", "f")],
+                                 num_partitions=8)
+    newc = grouped_aggregate(first, ["f"],
+                             [("*", "count", "new_users")]).to_pandas()
+    obs = grouped_aggregate(dd, ["d"],
+                            [("*", "count", "_c")]).to_pandas()
+    days = np.sort(obs["d"].to_numpy(dtype=np.int64))
+    nu = {int(r.f): int(r.new_users) for r in newc.itertuples(index=False)}
+    new_arr = np.array([nu.get(int(d), 0) for d in days], dtype=np.int64)
+    return pa.table({
+        "day": pa.array(days),
+        "new_users": pa.array(new_arr),
+        "cumulative_users": pa.array(np.cumsum(new_arr)),
+    })

@@ -109,3 +109,25 @@ def test_abc_classification_known_split():
     assert got.loc["B", "n_customers"] == 1
     assert got.loc["C", "n_customers"] == 2
     assert got["revenue_e4"].sum() == 100 * 10000
+
+
+def test_user_growth_brute_force():
+    from raylog.pipelines.queries_events import events_user_growth
+
+    day_us = 86400 * 10**6
+    user = [1, 2, 1, 3, 2, 4, 1]
+    day = [0, 0, 3, 3, 5, 5, 5]
+    tbl = pa.table({
+        "user_id": pa.array(user, pa.int64()),
+        "ts": pa.array(np.array([d * day_us for d in day],
+                                dtype="datetime64[us]")),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, os.path.join(d, "events.parquet"))
+        got = events_user_growth(d).to_pandas().set_index("day")
+    assert got.loc[0, "new_users"] == 2      # users 1, 2
+    assert got.loc[3, "new_users"] == 1      # user 3 (1 returns)
+    assert got.loc[5, "new_users"] == 1      # user 4
+    assert list(got["cumulative_users"]) == [2, 3, 4]
+    # final cumulative equals total distinct users
+    assert got["cumulative_users"].iloc[-1] == len(set(user))
